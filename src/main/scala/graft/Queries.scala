@@ -45,11 +45,13 @@ object Queries {
   // Registry
   // ---------------------------------------------------------------------
 
-  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
+  val registry: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame]("q1_agg" -> (q1Agg _)) ++
+      queries.Relational.registry ++
+      queries.RowWise.registry
 
-  val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
-  )
+  val oracles: Map[String, String] =
+    Map("q1_agg" -> q1AggSql) ++
+      queries.Relational.oracles ++
+      queries.RowWise.oracles
 }

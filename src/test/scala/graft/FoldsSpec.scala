@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cv.Folds
+
+class FoldsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = core.Tables.orders(spark, sf)
+
+  test("plain k-fold: partition + coverage + balance") {
+    val folded = Folds.assign(df, k = 4, seed = 7L).cache()
+    val n = df.count()
+    assert(folded.count() == n, "every row assigned exactly once")
+    val sizes = folded.groupBy("fold").count().collect()
+      .map(r => r.getAs[Int]("fold") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1, s"balanced: $sizes")
+    folded.unpersist()
+  }
+
+  test("stratified k-fold: per-class balance") {
+    val folded = Folds.assign(df, k = 3, seed = 11L, stratifyBy = Some("o_orderstatus")).cache()
+    val byClassFold = folded.groupBy("o_orderstatus", "fold").count().collect()
+    val byClass = byClassFold.groupBy(_.getAs[String]("o_orderstatus"))
+    byClass.foreach { case (cls, rows) =>
+      val counts = rows.map(_.getAs[Long]("count"))
+      assert(counts.max - counts.min <= 1, s"class $cls balanced: ${counts.toSeq}")
+    }
+    folded.unpersist()
+  }
+
+  test("same seed → same assignment, different seed → different") {
+    val a = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
+    val b = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
+    val c = Folds.assign(df, 3, 6L).select("o_orderkey", "fold")
+    assert(a.except(b).isEmpty, "deterministic for fixed seed")
+    assert(c.except(a).count() > 0, "seed changes membership")
+  }
+}
