@@ -48,10 +48,12 @@ object Queries {
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame]("q1_agg" -> (q1Agg _)) ++
       queries.Relational.registry ++
-      queries.RowWise.registry
+      queries.RowWise.registry ++
+      queries.MlQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       queries.Relational.oracles ++
-      queries.RowWise.oracles
+      queries.RowWise.oracles ++
+      queries.MlQueries.oracles
 }

@@ -49,6 +49,9 @@ object Folds {
     val indexed = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
+    // Two consumers follow (the offsets aggregate and the join back);
+    // without a persist the repartition+sort+zip pipeline runs twice.
+    indexed.persist()
 
     // per-stratum offset = count of all preceding strata (tiny frame,
     // broadcast join back).

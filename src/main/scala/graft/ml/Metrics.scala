@@ -1,0 +1,87 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A21: metric scorer registry — the Spark-first replacement for the
+  * reference's resolve-sklearn-metric-by-name
+  * (generic_tools/utils.py:74-89; config `eval_metric`,
+  * examples/.../solution.conf:263). The set actually referenced by the
+  * reference: accuracy_score, roc_auc_score, log_loss,
+  * mean_absolute_error (modeling/prediction.py:813-822); rmse added for
+  * the regression wrappers.
+  *
+  * Every metric is a single distributed aggregation over a predictions
+  * DataFrame — no collect of row-level data. `rocAuc` uses the
+  * rank-statistic (Mann-Whitney) formulation with average ranks for
+  * ties, aggregated per distinct score first so the global window runs
+  * over a cardinality-bounded frame, not the raw rows.
+  */
+object Metrics {
+
+  type Metric = (DataFrame, String, String) => Double
+
+  private def scalar(df: DataFrame, c: Column): Double =
+    df.agg(c.cast("double")).head().getDouble(0)
+
+  /** Fraction of rows where prediction equals label. */
+  def accuracy(df: DataFrame, label: String, pred: String): Double =
+    scalar(df, avg((col(label) === col(pred)).cast("double")))
+
+  /** Mean absolute error. */
+  def mae(df: DataFrame, label: String, pred: String): Double =
+    scalar(df, avg(abs(col(label) - col(pred))))
+
+  /** Root mean squared error. */
+  def rmse(df: DataFrame, label: String, pred: String): Double =
+    scalar(df, sqrt(avg(pow(col(label) - col(pred), 2))))
+
+  /** Binary log loss with sklearn's default probability clipping
+    * (eps = 1e-15, sklearn.metrics.log_loss). */
+  def logLoss(df: DataFrame, label: String, prob: String): Double = {
+    val p = least(greatest(col(prob), lit(1e-15)), lit(1.0 - 1e-15))
+    scalar(df, -avg(col(label) * log(p) + (lit(1) - col(label)) * log(lit(1) - p)))
+  }
+
+  /** Binary ROC AUC via the rank statistic:
+    * AUC = (sum of average ranks of positives - nPos(nPos+1)/2) / (nPos*nNeg).
+    * Average rank of a tied group = cumulative count before the group +
+    * (groupSize + 1)/2. The window runs over the per-distinct-score
+    * aggregate, so its input is bounded by score cardinality.
+    */
+  def rocAuc(df: DataFrame, label: String, score: String): Double = {
+    val grouped = df.groupBy(col(score).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col(label).cast("double")).as("__pos"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grouped
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__avg_rank", col("__cum") - col("__n") + (col("__n") + 1) / 2.0)
+    val r = ranked.agg(
+      sum(col("__pos") * col("__avg_rank")).as("sum_pos_rank"),
+      sum(col("__pos")).as("n_pos"),
+      sum(col("__n") - col("__pos")).as("n_neg")).head()
+    val (sumPosRank, nPos, nNeg) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    require(nPos > 0 && nNeg > 0, "rocAuc needs both classes present")
+    (sumPosRank - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+  }
+
+  /** Name → scorer, mirroring the reference's string-keyed metric lookup
+    * (utils.py:74-89). For probability metrics the third argument is the
+    * probability/score column; for the others the prediction column. */
+  val registry: Map[String, Metric] = Map(
+    "accuracy_score" -> (accuracy _),
+    "mean_absolute_error" -> (mae _),
+    "rmse" -> (rmse _),
+    "log_loss" -> (logLoss _),
+    "roc_auc_score" -> (rocAuc _))
+
+  /** True if bigger values of the metric are better (prediction.py uses
+    * this to orient HPO/FS comparisons). */
+  def greaterIsBetter(name: String): Boolean = name match {
+    case "mean_absolute_error" | "rmse" | "log_loss" => false
+    case _ => true
+  }
+}

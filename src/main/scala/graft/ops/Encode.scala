@@ -29,12 +29,19 @@ object Encode {
     * categorical); output columns are named <col>_<value> exactly like
     * get_dummies. A NULL indicator column <col>_nan mirrors dummy_na.
     */
-  def oneHot(df: DataFrame, c: String): DataFrame = {
+  def oneHot(df: DataFrame, c: String, maxCategories: Int = 1000): DataFrame = {
+    // Cardinality guard before the driver collect: one-hot over a
+    // high-cardinality key would both blow the schema and make this
+    // collect unbounded at scale.
     val values = df.select(col(c)).filter(col(c).isNotNull).distinct()
-      .collect().map(_.get(0).toString).sorted
-    val withCats = values.foldLeft(df) { (acc, v) =>
-      acc.withColumn(s"${c}_$v", (col(c) === v).cast("int"))
-    }
-    withCats.withColumn(s"${c}_nan", col(c).isNull.cast("int")).drop(c)
+      .limit(maxCategories + 1).collect().map(_.get(0).toString).sorted
+    require(values.length <= maxCategories,
+      s"oneHot($c): more than $maxCategories distinct values; not a categorical column")
+    // Single Project node (not an N-deep withColumn chain: each
+    // withColumn adds a nested projection the analyzer must traverse).
+    val indicator = values.map(v => (col(c) === v).cast("int").as(s"${c}_$v")) :+
+      col(c).isNull.cast("int").as(s"${c}_nan")
+    val keep = df.columns.filterNot(_ == c).map(col)
+    df.select(keep.toSeq ++ indicator: _*)
   }
 }

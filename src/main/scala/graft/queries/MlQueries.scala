@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ml.Metrics
+
+/** Driver-checked queries for the ML layer (metrics A21, exact
+  * percentile A14, and downstream CV outputs). Metric queries run over a
+  * *deterministic pseudo-prediction frame* derived arithmetically from
+  * the orders table, so a DuckDB oracle can recompute the identical
+  * values — the metric math is what's under test, mirroring
+  * generic_tools/utils.py:74-89 / prediction.py:398-408.
+  */
+object MlQueries {
+
+  /** Deterministic "predictions": prob in [0,1] from a multiplicative
+    * hash of o_orderkey, binary label from (o_orderkey+o_custkey)%3. */
+  private def pseudoPreds(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      (((col("o_orderkey") * lit(2654435761L)) % 997) / lit(996.0)).as("prob"),
+      ((col("o_orderkey") + col("o_custkey")) % 3 === 0).cast("int").as("label"))
+      .withColumn("pred", (col("prob") >= 0.5).cast("int"))
+
+  private val pseudoPredsSql =
+    """SELECT ((o_orderkey * 2654435761) % 997) / 996.0 AS prob,
+      |       CAST((o_orderkey + o_custkey) % 3 = 0 AS INT) AS label,
+      |       CAST(((o_orderkey * 2654435761) % 997) / 996.0 >= 0.5 AS INT) AS pred
+      |FROM orders""".stripMargin
+
+  /** A21 metric registry exercised end-to-end: one row per metric. */
+  def metrics(s: SparkSession, d: String): DataFrame = {
+    val preds = pseudoPreds(s, d).cache()
+    val rows = Seq(
+      ("accuracy", Metrics.accuracy(preds, "label", "pred")),
+      ("log_loss", Metrics.logLoss(preds, "label", "prob")),
+      ("mae", Metrics.mae(preds, "label", "prob")),
+      ("rmse", Metrics.rmse(preds, "label", "prob")),
+      ("roc_auc", Metrics.rocAuc(preds, "label", "prob")))
+    preds.unpersist()
+    import s.implicits._
+    rows.toDF("metric", "value")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy("metric")
+  }
+
+  val metricsSql: String =
+    s"""WITH preds AS ($pseudoPredsSql),
+      |clipped AS (
+      |  SELECT label, pred, prob,
+      |         least(greatest(prob, 1e-15), 1 - 1e-15) AS cp
+      |  FROM preds
+      |),
+      |base AS (
+      |  SELECT avg(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END) AS acc,
+      |         -avg(label * ln(cp) + (1 - label) * ln(1 - cp)) AS ll,
+      |         avg(abs(label - prob)) AS mae,
+      |         sqrt(avg((label - prob) * (label - prob))) AS rmse
+      |  FROM clipped
+      |),
+      |g AS (
+      |  SELECT prob AS s, count(*) AS n, sum(CAST(label AS DOUBLE)) AS pos
+      |  FROM preds GROUP BY prob
+      |),
+      |r AS (
+      |  SELECT pos,
+      |         sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - n + (n + 1) / 2.0 AS avg_rank,
+      |         n
+      |  FROM g
+      |),
+      |auc AS (
+      |  SELECT (sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
+      |         / (sum(pos) * sum(n - pos)) AS v
+      |  FROM r
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'accuracy' AS metric, round(acc, 6) AS value FROM base
+      |  UNION ALL SELECT 'log_loss', round(ll, 6) FROM base
+      |  UNION ALL SELECT 'mae', round(mae, 6) FROM base
+      |  UNION ALL SELECT 'rmse', round(rmse, 6) FROM base
+      |  UNION ALL SELECT 'roc_auc', round(v, 6) FROM auc
+      |) ORDER BY metric""".stripMargin
+
+  /** A14: exact percentiles (np.percentile linear interpolation =
+    * Spark `percentile` = DuckDB quantile_cont), used by the
+    * feature-selection scoring path (feature_selection.py:218-233). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+
+  val percentilesSql: String =
+    """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_metrics" -> (metrics _),
+    "q39_percentile" -> (percentiles _))
+
+  val oracles: Map[String, String] = Map(
+    "q36_metrics" -> metricsSql,
+    "q39_percentile" -> percentilesSql)
+}

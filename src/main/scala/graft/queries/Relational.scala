@@ -422,10 +422,10 @@ object Relational {
   }
 
   val isCloseSql: String =
-    """SELECT sum(CASE WHEN abs((l_extendedprice * (1 - l_discount)) -
+    """SELECT CAST(sum(CASE WHEN abs((l_extendedprice * (1 - l_discount)) -
       |                         (l_extendedprice - l_extendedprice * l_discount))
       |              <= 1e-8 + 1e-5 * abs(l_extendedprice - l_extendedprice * l_discount)
-      |         THEN 1 ELSE 0 END) AS n_close,
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
       |       count(*) AS n_total
       |FROM lineitem""".stripMargin
 
