@@ -1,0 +1,240 @@
+package graft.cv
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ml.{FittedModel, Metrics, ModelWrapper}
+
+/** A12/A13: the CV / out-of-fold prediction engine — the heart of the
+  * reference (modeling/prediction.py:288-530 `run_cv_one_seed` /
+  * `run_cv_and_prediction`), re-expressed on Spark:
+  *
+  *  - fold *slicing by position* (`iloc[train_idx]`, prediction.py:355-356)
+  *    becomes a `fold` column + `filter` — no positional semantics;
+  *  - the OOF scatter-write `oof_preds[valid_idx] = ...`
+  *    (prediction.py:369-374) becomes a `unionByName` of per-fold scored
+  *    validation frames keyed by a caller-supplied row id;
+  *  - test prediction per fold + mean/mode aggregation
+  *    (prediction.py:376-383,410-414) becomes a union of per-fold scored
+  *    test frames reduced by `groupBy(id)` — mean when predicting
+  *    probabilities, majority vote with scipy's smallest-value
+  *    tie-break otherwise;
+  *  - bagging over seeds (prediction.py:418-530) loops CV per seed and
+  *    reduces per-seed OOF/test columns the same way (J1+A8/A10).
+  *
+  * The folded training frame is cached once and reused by every
+  * (seed x fold) fit — the reference re-slices pandas frames instead
+  * (SURVEY §4 physical-execution note).
+  */
+object CrossValidation {
+
+  final case class CvConfig(
+      numFolds: Int = 5,
+      stratified: Boolean = false,
+      dataSplitSeed: Long = 789987,
+      predictProbability: Boolean = true,
+      classLabel: Int = 1,
+      metricName: String = "roc_auc_score",
+      targetDecimals: Int = 6,
+      metricsDecimals: Int = 6)
+
+  /** Result of one seed's CV run (run_cv_one_seed return tuple,
+    * prediction.py:416). `oof` columns: (id, target, fold, oof_score). */
+  final case class SeedResult(
+      oof: DataFrame,
+      testPreds: Option[DataFrame],
+      foldScores: Seq[Double],
+      cvScore: Double,
+      cvStd: Double,
+      importances: Option[DataFrame])
+
+  /** Bagged result (run_cv_and_prediction attributes,
+    * prediction.py:503-530). `cvResults` rows: (seed, cv_mean_score,
+    * cv_std, cv_score_per_each_fold). */
+  final case class BaggedResult(
+      oof: DataFrame,
+      testPreds: Option[DataFrame],
+      cvResults: DataFrame,
+      cvScore: Double,
+      cvStd: Double,
+      importances: Option[DataFrame])
+
+  private def round6(x: Double, d: Int): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Population std (numpy default ddof=0, prediction.py:405). */
+  private def stdPop(xs: Seq[Double]): Double = {
+    val m = xs.sum / xs.size
+    math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+  }
+
+  private def metric(cfg: CvConfig): (DataFrame, String, String) => Double =
+    Metrics.registry.getOrElse(cfg.metricName,
+      throw new IllegalArgumentException(s"unknown metric ${cfg.metricName}"))
+
+  /** One seed's k-fold CV. `train` must carry `idCol` (unique row key),
+    * the features, and `target`. */
+  def runCvOneSeed(
+      train: DataFrame,
+      test: Option[DataFrame],
+      features: Seq[String],
+      target: String,
+      idCol: String,
+      model: ModelWrapper,
+      cfg: CvConfig,
+      seedVal: Long): SeedResult = {
+
+    val folded = Folds.assign(
+      train.select((idCol +: target +: features).map(col): _*),
+      cfg.numFolds, cfg.dataSplitSeed,
+      if (cfg.stratified) Some(target) else None).cache()
+
+    val testCached = test.map(_.cache())
+
+    var oofParts = List.empty[DataFrame]
+    var subParts = List.empty[DataFrame]
+    var impRows = List.empty[(String, Double, Int)]
+
+    (0 until cfg.numFolds).foreach { k =>
+      val trainK = folded.filter(col("fold") =!= k)
+      val validK = folded.filter(col("fold") === k)
+      val fitted: FittedModel =
+        model.fit(trainK, Some(validK), features, target, seedVal)
+
+      val oofK = fitted
+        .score(validK, cfg.predictProbability, cfg.classLabel)
+        .select(col(idCol), col(target), col("fold"),
+          col("__score").as("oof_score"))
+      oofParts ::= oofK
+
+      testCached.foreach { t =>
+        subParts ::= fitted.score(t, cfg.predictProbability, cfg.classLabel)
+          .select(col(idCol), col("__score").as("sub_score"))
+      }
+
+      fitted.featureImportances.foreach { imps =>
+        impRows :::= imps.map { case (f, v) => (f, v, k + 1) }.toList
+      }
+    }
+
+    val oof = oofParts.reduce(_ unionByName _).cache()
+    oof.count() // materialize before computing k + 1 metrics over it
+
+    val m = metric(cfg)
+    val scoreCol = "oof_score"
+    val foldScores = (0 until cfg.numFolds).map { k =>
+      round6(m(oof.filter(col("fold") === k), target, scoreCol), cfg.metricsDecimals)
+    }
+    val cvScore = round6(m(oof, target, scoreCol), cfg.metricsDecimals)
+    val cvStd = round6(stdPop(foldScores), cfg.metricsDecimals)
+
+    // Test reduction over folds: mean of probabilities, else majority
+    // vote (ties -> smallest value, scipy.stats.mode; prediction.py:414).
+    val sub = testCached.map { _ =>
+      val all = subParts.reduce(_ unionByName _)
+      if (cfg.predictProbability)
+        all.groupBy(idCol).agg(avg("sub_score").as(target))
+      else {
+        val counts = all.groupBy(col(idCol), col("sub_score")).count()
+        val w = Window.partitionBy(idCol)
+          .orderBy(col("count").desc, col("sub_score").asc)
+        counts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col(idCol), col("sub_score").as(target))
+      }
+    }
+
+    val importances =
+      if (impRows.nonEmpty) {
+        val spark = train.sparkSession
+        import spark.implicits._
+        Some(impRows.toDF("feature", "importance", "fold"))
+      } else None
+
+    folded.unpersist()
+    testCached.foreach(_.unpersist())
+    SeedResult(oof, sub, foldScores, cvScore, cvStd, importances)
+  }
+
+  /** Bagging over seeds (A13): run CV per seed, bind per-seed OOF/test
+    * predictions as `seed_i` columns (J1 — here a groupBy-pivot on the
+    * row id, one shuffle instead of n-1 joins), average (A8) or
+    * majority-vote (A10) across seeds, and emit the per-seed CV results
+    * table (prediction.py:490-493).
+    */
+  def runCvAndPrediction(
+      train: DataFrame,
+      test: Option[DataFrame],
+      features: Seq[String],
+      target: String,
+      idCol: String,
+      model: ModelWrapper,
+      cfg: CvConfig,
+      seeds: Seq[Long]): BaggedResult = {
+    require(seeds.nonEmpty, "need at least one seed")
+    val spark = train.sparkSession
+    import spark.implicits._
+
+    val perSeed = seeds.map(s => s -> runCvOneSeed(train, test, features, target, idCol, model, cfg, s))
+
+    val cvResults = perSeed.map { case (s, r) =>
+      (s, r.cvScore, r.cvStd, r.foldScores)
+    }.toDF("seed", "cv_mean_score", "cv_std", "cv_score_per_each_fold")
+
+    val oofCol = s"${target}_OOF"
+    def reduceSeeds(frames: Seq[(Long, DataFrame)], scoreCol: String, outCol: String): DataFrame = {
+      val tagged = frames.map { case (s, df) =>
+        df.select(col(idCol), col(scoreCol).as("__v"), lit(s"seed_${seeds.indexOf(s) + 1}").as("__seed"))
+      }.reduce(_ unionByName _)
+      val pivoted = tagged.groupBy(idCol)
+        .pivot("__seed", seeds.indices.map(i => s"seed_${i + 1}"))
+        .agg(first(col("__v")))
+      val seedCols = seeds.indices.map(i => col(s"seed_${i + 1}"))
+      val reduced =
+        if (cfg.predictProbability || !model.isClassifier)
+          seedCols.reduce(_ + _) / lit(seeds.size)
+        else {
+          // majority vote across seed columns, ties -> smallest value
+          val arr = array(seedCols: _*)
+          // per row: value whose count in arr is max; ties smallest
+          aggregate(
+            array_distinct(arr),
+            struct(lit(-1).cast("int").as("cnt"), lit(Double.MaxValue).as("v")),
+            (acc, x) => {
+              val cnt = size(filter(arr, y => y === x)).cast("int")
+              when(cnt > acc.getField("cnt") ||
+                   (cnt === acc.getField("cnt") && x < acc.getField("v")),
+                struct(cnt.as("cnt"), x.cast("double").as("v")))
+                .otherwise(acc)
+            },
+            acc => acc.getField("v"))
+        }
+      val roundedV = round(reduced, cfg.targetDecimals)
+      val finalV = if (cfg.targetDecimals == 0) roundedV.cast("long") else roundedV
+      pivoted.withColumn(outCol, finalV)
+    }
+
+    val targetSide = perSeed.head._2.oof.select(col(idCol), col(target))
+    val oofBag = reduceSeeds(perSeed.map { case (s, r) => s -> r.oof }, "oof_score", oofCol)
+      .join(targetSide, Seq(idCol))
+      .cache()
+
+    val subBag = test.map { _ =>
+      reduceSeeds(perSeed.map { case (s, r) => s -> r.testPreds.get }, target, target)
+    }
+
+    val m = metric(cfg)
+    val cvScore = round6(m(oofBag, target, oofCol), cfg.metricsDecimals)
+    val cvStd = round6(stdPop(perSeed.map(_._2.cvScore)), cfg.metricsDecimals)
+
+    val importances = {
+      val imps = perSeed.flatMap { case (s, r) =>
+        r.importances.map(_.withColumn("seed", lit(s)))
+      }
+      if (imps.nonEmpty) Some(imps.reduce(_ unionByName _)) else None
+    }
+
+    perSeed.foreach(_._2.oof.unpersist())
+    BaggedResult(oofBag, subBag, cvResults, cvScore, cvStd, importances)
+  }
+}

@@ -1,0 +1,197 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M1-M4: model wrapper protocol over Spark MLlib — the Spark-first
+  * re-expression of the reference's estimator adapters
+  * (modeling/model_wrappers.py:7-57 protocol; LightGBM/XGBoost/sklearn
+  * concrete wrappers at model_wrappers.py:60-323; string factory at
+  * model_wrappers.py:389-406).
+  *
+  * Design notes (SURVEY §7.4.3-4):
+  *  - LightGBM/XGBoost have no JVM analogue here; gradient-boosted trees
+  *    (`GBTClassifier`/`GBTRegressor`) carry their role for binary
+  *    classification/regression, `RandomForestClassifier` for
+  *    multiclass (MLlib GBT is binary-only). Scores differ numerically
+  *    from the reference — tests assert metric thresholds, not equality.
+  *  - No native early stopping: `fit` receives the validation fold so
+  *    GBT wrappers *can* use `validationIndicatorCol`; others ignore it.
+  *  - The assembled feature vector column is built once per fit;
+  *    importances map back to feature names by assembly order.
+  */
+trait ModelWrapper {
+  def name: String
+  /** Mirrors model_wrappers.py `has_seed_param`. */
+  def hasSeedParam: Boolean = true
+  /** True if the model emits class probabilities. */
+  def isClassifier: Boolean
+  def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+      labelCol: String, seed: Long): FittedModel
+}
+
+trait FittedModel {
+  /** Adds a `__score` double column: probability of `classLabel` (or of
+    * class 1) when predictProbability, else the predicted label —
+    * mirroring run_prediction(predict_probability, class_label)
+    * (model_wrappers.py:23-37). */
+  def score(df: DataFrame, predictProbability: Boolean, classLabel: Int = 1): DataFrame
+  /** feature -> importance, None for models without importances (e.g.
+    * logistic regression — prediction.py:393-396 sets None). */
+  def featureImportances: Option[Seq[(String, Double)]]
+}
+
+object Models {
+
+  private[ml] def assemble(df: DataFrame, features: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features")
+      .setHandleInvalid("keep").transform(df)
+
+  /** Shared scoring: classifiers expose `probability` vector + `prediction`. */
+  private class FittedClassifier(
+      model: org.apache.spark.ml.Model[_] with org.apache.spark.ml.param.Params,
+      features: Seq[String],
+      imps: Option[Seq[Double]]) extends FittedModel {
+    def score(df: DataFrame, predictProbability: Boolean, classLabel: Int): DataFrame = {
+      val scored = model.asInstanceOf[org.apache.spark.ml.Transformer]
+        .transform(assemble(df, features))
+      val s =
+        if (predictProbability)
+          vector_to_array(col("probability")).getItem(classLabel)
+        else col("prediction")
+      scored.withColumn("__score", s.cast("double"))
+        .drop("__features", "rawPrediction", "probability", "prediction")
+    }
+    def featureImportances: Option[Seq[(String, Double)]] =
+      imps.map(v => features.zip(v))
+  }
+
+  private class FittedRegressor(
+      model: org.apache.spark.ml.Model[_],
+      features: Seq[String],
+      imps: Option[Seq[Double]]) extends FittedModel {
+    def score(df: DataFrame, predictProbability: Boolean, classLabel: Int): DataFrame = {
+      require(!predictProbability, s"regressor cannot predict probabilities")
+      model.asInstanceOf[org.apache.spark.ml.Transformer]
+        .transform(assemble(df, features))
+        .withColumn("__score", col("prediction").cast("double"))
+        .drop("__features", "prediction")
+    }
+    def featureImportances: Option[Seq[(String, Double)]] =
+      imps.map(v => features.zip(v))
+  }
+
+  /** M4 analogue of sklearn LogisticRegression (model_wrappers.py:242-323). */
+  final case class LogReg(maxIter: Int = 100, regParam: Double = 0.0,
+      elasticNetParam: Double = 0.0) extends ModelWrapper {
+    val name = "logistic_regression"
+    override def hasSeedParam: Boolean = false
+    val isClassifier = true
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val est = new LogisticRegression().setMaxIter(maxIter).setRegParam(regParam)
+        .setElasticNetParam(elasticNetParam)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+      new FittedClassifier(est.fit(assemble(train, features)), features, None)
+    }
+  }
+
+  /** M4 analogue of sklearn ExtraTreesClassifier (model_wrappers.py:242-258)
+    * and the multiclass stand-in for LightGBM (SURVEY §7.4.4). */
+  final case class RfClassifier(numTrees: Int = 100, maxDepth: Int = 5,
+      subsamplingRate: Double = 1.0) extends ModelWrapper {
+    val name = "random_forest_classifier"
+    val isClassifier = true
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val est = new RandomForestClassifier().setNumTrees(numTrees).setMaxDepth(maxDepth)
+        .setSubsamplingRate(subsamplingRate).setSeed(seed)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+      val m = est.fit(assemble(train, features))
+      new FittedClassifier(m, features, Some(m.featureImportances.toArray.toSeq))
+    }
+  }
+
+  /** M2/M3 analogue of LightGBM/XGBoost binary classifiers
+    * (model_wrappers.py:60-239): gradient-boosted trees with optional
+    * validation-based stop (validationTol stands in for
+    * early_stopping_rounds — an approximation, documented). */
+  final case class GbtBinaryClassifier(maxIter: Int = 50, maxDepth: Int = 5,
+      stepSize: Double = 0.1, validationTol: Option[Double] = None) extends ModelWrapper {
+    val name = "gbt_classifier"
+    val isClassifier = true
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val est = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(maxDepth)
+        .setStepSize(stepSize).setSeed(seed)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+      val fitted = (valid, validationTol) match {
+        case (Some(v), Some(tol)) =>
+          est.setValidationIndicatorCol("__is_valid")
+          est.set(est.validationTol, tol)
+          val all = train.withColumn("__is_valid", lit(false))
+            .unionByName(v.withColumn("__is_valid", lit(true)))
+          est.fit(assemble(all, features))
+        case _ => est.fit(assemble(train, features))
+      }
+      new FittedClassifier(fitted, features, Some(fitted.featureImportances.toArray.toSeq))
+    }
+  }
+
+  /** M4 analogue of sklearn LinearRegression. */
+  final case class LinReg(regParam: Double = 0.0) extends ModelWrapper {
+    val name = "linear_regression"
+    override def hasSeedParam: Boolean = false
+    val isClassifier = false
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val est = new LinearRegression().setRegParam(regParam)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+      new FittedRegressor(est.fit(assemble(train, features)), features, None)
+    }
+  }
+
+  /** Regression counterparts of the boosted/forest wrappers. */
+  final case class GbtRegressorW(maxIter: Int = 50, maxDepth: Int = 5,
+      stepSize: Double = 0.1) extends ModelWrapper {
+    val name = "gbt_regressor"
+    val isClassifier = false
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val est = new GBTRegressor().setMaxIter(maxIter).setMaxDepth(maxDepth)
+        .setStepSize(stepSize).setSeed(seed)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+      val m = est.fit(assemble(train, features))
+      new FittedRegressor(m, features, Some(m.featureImportances.toArray.toSeq))
+    }
+  }
+
+  final case class RfRegressor(numTrees: Int = 100, maxDepth: Int = 5) extends ModelWrapper {
+    val name = "random_forest_regressor"
+    val isClassifier = false
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val est = new RandomForestRegressor().setNumTrees(numTrees).setMaxDepth(maxDepth)
+        .setSeed(seed).setFeaturesCol("__features").setLabelCol(labelCol)
+      val m = est.fit(assemble(train, features))
+      new FittedRegressor(m, features, Some(m.featureImportances.toArray.toSeq))
+    }
+  }
+
+  /** String factory mirroring model_wrappers.py:389-406 — reference
+    * names map to their MLlib stand-ins. */
+  def byName(name: String): ModelWrapper = name match {
+    case "lightgbm" | "xgboost" | "gbt" => GbtBinaryClassifier()
+    case "et" | "random_forest" => RfClassifier()
+    case "lr" | "logistic_regression" => LogReg()
+    case "linreg" | "linear_regression" => LinReg()
+    case "gbt_regressor" => GbtRegressorW()
+    case "random_forest_regressor" => RfRegressor()
+    case other => throw new IllegalArgumentException(
+      s"unknown model '$other'; known: lightgbm,xgboost,gbt,et,random_forest,lr,linreg,gbt_regressor,random_forest_regressor")
+  }
+}

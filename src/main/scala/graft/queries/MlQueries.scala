@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ml.Metrics
+import graft.cv.CrossValidation
+import graft.cv.CrossValidation.CvConfig
+import graft.ml.{Metrics, Models}
 
 /** Driver-checked queries for the ML layer (metrics A21, exact
   * percentile A14, and downstream CV outputs). Metric queries run over a
@@ -97,9 +99,51 @@ object MlQueries {
       |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       |FROM lineitem""".stripMargin
 
+  // -------------------------------------------------------------------
+  // A12/A13: CV/OOF engine (prediction.py:288-530). Model outputs are
+  // not SQL-expressible -> no oracle (driver records rows-only);
+  // invariants are asserted in CrossValidationSpec.
+  // -------------------------------------------------------------------
+
+  /** Orders framed as a supervised problem: predict orderstatus='O'
+    * from numeric columns. o_orderkey is the natural unique row id. */
+  private def cvFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("row_id"),
+      (col("o_orderstatus") === "O").cast("int").as("target"),
+      col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey"),
+      unix_timestamp(col("o_orderdate")).cast("double").as("o_epoch"))
+
+  private val cvFeatures = Seq("o_totalprice", "o_custkey", "o_epoch")
+
+  /** q31: one-seed CV OOF table — every train row scored exactly once
+    * by a model that never saw it (run_cv_one_seed). */
+  def cvOof(s: SparkSession, d: String): DataFrame = {
+    val r = CrossValidation.runCvOneSeed(
+      cvFrame(s, d), test = None, cvFeatures, "target", "row_id",
+      Models.LogReg(maxIter = 20),
+      CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
+      seedVal = 27)
+    r.oof.select(col("row_id"), col("target"), col("fold"),
+      round(col("oof_score"), 4).as("oof_score")).orderBy("row_id")
+  }
+
+  /** q32: bagged CV results table (seed, cv_mean_score, cv_std,
+    * cv_score_per_each_fold) — prediction.py:490-493. */
+  def cvScores(s: SparkSession, d: String): DataFrame = {
+    val r = CrossValidation.runCvAndPrediction(
+      cvFrame(s, d), test = None, cvFeatures, "target", "row_id",
+      Models.LogReg(maxIter = 20),
+      CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
+      seeds = Seq(27, 42))
+    r.cvResults.orderBy("seed")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_metrics" -> (metrics _),
-    "q39_percentile" -> (percentiles _))
+    "q39_percentile" -> (percentiles _),
+    "q31_cv_oof" -> (cvOof _),
+    "q32_cv_scores" -> (cvScores _))
 
   val oracles: Map[String, String] = Map(
     "q36_metrics" -> metricsSql,

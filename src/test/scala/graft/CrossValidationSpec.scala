@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cv.CrossValidation
+import graft.cv.CrossValidation.CvConfig
+import graft.ml.{Metrics, Models}
+
+/** A12/A13 invariants on sf0.001 (prediction.py:288-530 semantics):
+  * OOF covers every train row exactly once, fold metrics are finite,
+  * determinism for a fixed seed, bagging produces the per-seed results
+  * table and a better-than-chance combined score.
+  */
+class CrossValidationSpec extends SparkSpec {
+
+  private lazy val frame = core.Tables.orders(spark, sf).select(
+    col("o_orderkey").as("row_id"),
+    (col("o_orderstatus") === "O").cast("int").as("target"),
+    col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey"),
+    unix_timestamp(col("o_orderdate")).cast("double").as("o_epoch"))
+  private val feats = Seq("o_totalprice", "o_custkey", "o_epoch")
+  private val cfg = CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score")
+
+  test("one-seed CV: OOF partition/coverage, metrics finite, deterministic") {
+    val r = CrossValidation.runCvOneSeed(
+      frame, None, feats, "target", "row_id", Models.LogReg(maxIter = 20), cfg, 27L)
+    val n = frame.count()
+    assert(r.oof.count() == n, "every row scored out-of-fold exactly once")
+    assert(r.oof.select("row_id").distinct().count() == n, "no duplicate ids")
+    assert(r.foldScores.size == 3 && r.foldScores.forall(s => s > 0 && s < 1))
+    assert(r.cvScore > 0.45, s"roc_auc not degenerate: ${r.cvScore}")
+    assert(r.cvStd >= 0)
+    assert(r.importances.isEmpty, "logreg has no importances (prediction.py:393-396)")
+
+    val r2 = CrossValidation.runCvOneSeed(
+      frame, None, feats, "target", "row_id", Models.LogReg(maxIter = 20), cfg, 27L)
+    assert(r.cvScore == r2.cvScore && r.foldScores == r2.foldScores, "deterministic")
+  }
+
+  test("test-set prediction: probability mean over folds") {
+    val Array(tr, te) = frame.randomSplit(Array(0.8, 0.2), seed = 1)
+    val r = CrossValidation.runCvOneSeed(
+      tr, Some(te), feats, "target", "row_id", Models.LogReg(maxIter = 20), cfg, 27L)
+    val sub = r.testPreds.get
+    assert(sub.count() == te.count())
+    val mm = sub.agg(min("target"), max("target")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0, "probabilities in [0,1]")
+  }
+
+  test("bagging over seeds: results table + combined OOF") {
+    val r = CrossValidation.runCvAndPrediction(
+      frame, None, feats, "target", "row_id", Models.LogReg(maxIter = 20), cfg,
+      seeds = Seq(27L, 42L))
+    assert(r.cvResults.count() == 2)
+    assert(r.cvResults.columns.toSet ==
+      Set("seed", "cv_mean_score", "cv_std", "cv_score_per_each_fold"))
+    assert(r.oof.count() == frame.count())
+    assert(r.oof.columns.contains("target_OOF"))
+    assert(r.cvScore > 0.45)
+  }
+
+  test("tree model importances: one row per (feature, fold, seed)") {
+    val r = CrossValidation.runCvOneSeed(
+      frame, None, feats, "target", "row_id",
+      Models.RfClassifier(numTrees = 5, maxDepth = 3), cfg, 27L)
+    val imp = r.importances.get
+    assert(imp.count() == feats.size * 3L)
+    assert(imp.columns.toSet == Set("feature", "importance", "fold"))
+  }
+
+  test("metric registry orientation") {
+    assert(Metrics.greaterIsBetter("roc_auc_score"))
+    assert(!Metrics.greaterIsBetter("log_loss"))
+  }
+}
