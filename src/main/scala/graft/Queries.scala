@@ -49,11 +49,13 @@ object Queries {
     Map[String, (SparkSession, String) => DataFrame]("q1_agg" -> (q1Agg _)) ++
       queries.Relational.registry ++
       queries.RowWise.registry ++
-      queries.MlQueries.registry
+      queries.MlQueries.registry ++
+      queries.LlmQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       queries.Relational.oracles ++
       queries.RowWise.oracles ++
-      queries.MlQueries.oracles
+      queries.MlQueries.oracles ++
+      queries.LlmQueries.oracles
 }

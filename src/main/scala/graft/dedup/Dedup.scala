@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the LLM-data extension family required beyond the reference's
+  * operator set (BASELINE.json north star; reference has only pandas
+  * `drop_duplicates`-free workflows, so everything here is Spark-first
+  * design, not a port).
+  *
+  * Scale design: nothing in this module materializes an all-pairs
+  * product. Near-dup candidates come from MinHash band buckets (the
+  * classic LSH banding scheme); exact Jaccard is computed only on
+  * candidate pairs via two key-equi joins on the shingle table. Every
+  * join is a hash/sort-merge equi join on bounded keys; skewed buckets
+  * can be capped via `maxBucketSize`.
+  */
+object Dedup {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Exact dedup (keep one row per distinct content). With full-row
+    * duplicates any representative is identical, so `dropDuplicates`
+    * semantics are deterministic content-wise. */
+  def exact(df: DataFrame, contentCols: Seq[String]): DataFrame =
+    df.dropDuplicates(contentCols)
+
+  /** Exact dedup keeping the *first* row per key group under an
+    * explicit deterministic ordering (the distributed replacement for
+    * pandas-style keep='first', which relies on row order Spark does
+    * not have). One hash-partitioned window, no global sort. */
+  def keepFirst(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word k-shingles: (id, shingle) — the unit set for Jaccard. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val w = tokens(col(textCol))
+    val sh = when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array())
+    df.select(col(idCol).as("id"), explode(sh).as("s")).distinct()
+  }
+
+  /** MinHash near-duplicate pairs with exact-Jaccard verification.
+    *
+    * 1. signatures: numHashes seeded xxhash64 min-hashes per id, one
+    *    aggregation pass over the shingle table;
+    * 2. banding: `bands` bands of `rowsPerBand` hashes; ids sharing any
+    *    band signature become candidates (bucket self-join — never
+    *    all-pairs). Miss probability for a pair with Jaccard j is
+    *    (1 - j^r)^b — at j>=0.9, r=2, b=16 it is < 1e-17;
+    * 3. verify: exact Jaccard on candidates only, via joins against the
+    *    shingle table; keep pairs with jaccard >= threshold.
+    *
+    * Returns (id_1, id_2, jaccard) with id_1 < id_2.
+    */
+  def minHashNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingles(df, idCol, textCol, shingleK).cache()
+
+    // one-pass signature: min over shingles of each seeded hash
+    val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val sig = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
+
+    // band signature rows: (id, band, bsig)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bsig"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.bsig"))
+
+    // drop pathological buckets (stop-shingle skew guard at scale)
+    val sized = banded.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy("band", "bsig")))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+
+    val cand = sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
+
+    val verified = exactJaccardOnPairs(cand, sh)
+    sh.unpersist()
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set: two equi joins
+    * against the shingle table (intersection), plus per-id set sizes. */
+  private[dedup] def exactJaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val sh1 = sh.select(col("id").as("id_1"), col("s"))
+    val sh2 = sh.select(col("id").as("id_2"), col("s"))
+    val inter = pairs
+      .join(sh1, Seq("id_1"))
+      .join(sh2, Seq("id_2", "s"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("id_1", "id_2"), "left").na.fill(0, Seq("i"))
+      .join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n", "n1"), Seq("id_1"))
+      .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n", "n2"), Seq("id_2"))
+      .select(col("id_1"), col("id_2"),
+        (col("i") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
+  }
+
+  /** SimHash (Charikar) document signature over the distinct-token set.
+    * Per-token 60-bit hash = first 15 hex chars of md5 (chosen for
+    * SQL-oracle parity: identical in Spark and ANSI SQL); signature bit
+    * i is set iff sum over tokens of (+-1 for token-bit i) >= 0. `bits`
+    * defaults to 32 (of the 60 available). */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    require(bits <= 60, "only 60 bits available from a 15-hex-char hash")
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
+    val h = conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+    val sums = (0 until bits).map(i =>
+      sum(when(shiftrightunsigned(h, i) % 2 === 1, 1).otherwise(-1)).as(s"b$i"))
+    tok.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(i =>
+          when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two long-encoded signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-duplicate pairs within blocking groups: exact
+    * cosine on pairs sharing `blockCol` (a standard dedup blocking key —
+    * bounded block sizes keep the join quadratic only per block, linear
+    * overall). For unblocked approximate search at scale see
+    * `graft.sim.Similarity`. */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val withNorm = v.withColumn("nrm",
+      sqrt(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x * x)))
+    val pairs = withNorm.as("a").join(withNorm.as("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    pairs.select(
+        col("a.id").as("id_1"), col("b.id").as("id_2"),
+        (aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Driver-checked queries for the LLM-data-pipeline operator families:
+  * dedup (exact / MinHash near-dup / SimHash / embedding-cosine),
+  * similarity search, and text analysis. Every query here has a full
+  * DuckDB oracle — near-dup verification is exact (MinHash only prunes
+  * candidates, so the oracle's all-pairs Jaccard at sf0.01 must agree
+  * with the banded pipeline's output; miss probability at the 0.5
+  * threshold with r=2,b=16 is < 1e-17 for the qualifying pairs, which
+  * all sit at J>=0.97 in this corpus).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  // -------------------------------------------------------------------
+  // q33: exact dedup — duplicate the corpus, dedup by full content
+  // -------------------------------------------------------------------
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    Dedup.exact(base.unionByName(base), base.columns.toSeq)
+      .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q47: keep-first dedup on a genuinely duplicated key (lineitem's
+  // composite key repeats) under an explicit deterministic order
+  // -------------------------------------------------------------------
+  def dedupFirst(s: SparkSession, d: String): DataFrame =
+    Dedup.keepFirst(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(col("l_extendedprice"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val dedupFirstSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+      |FROM lineitem
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY l_orderkey, l_linenumber
+      |  ORDER BY l_extendedprice, l_partkey, l_suppkey, l_quantity,
+      |           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) = 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q34: MinHash near-dup with exact-Jaccard verify (threshold 0.5,
+  // word 3-shingles). Oracle computes all-pairs Jaccard — fine at
+  // sf0.01, exactly what the banded pipeline avoids at scale.
+  // -------------------------------------------------------------------
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashNearDup(docs(s, d), "doc_id", "text", threshold = 0.5)
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_1", "id_2")
+
+  val dedupNearSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_1, id_2,
+      |       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_1
+      |JOIN cnt cb ON cb.doc_id = id_2
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY id_1, id_2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q40: SimHash signatures (32 bits from md5-derived token hashes)
+  // -------------------------------------------------------------------
+  private val simHashBits = 32
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHash(docs(s, d), "doc_id", "text", simHashBits)
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+  val simhashSql: String = {
+    val sums = (0 until simHashBits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n      |    ")
+    val bits = (0 until simHashBits).map(i =>
+      s"CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |  FROM documents
+      |),
+      |hashed AS (
+      |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+      |),
+      |sums AS (
+      |  SELECT doc_id,
+      |    $sums
+      |  FROM hashed GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q41: embedding-cosine near-dup, blocked by label (threshold 0.35)
+  // -------------------------------------------------------------------
+  def embedDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label", 0.35)
+      .select(col("id_1"), col("id_2"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_1", "id_2")
+
+  val embedDedupSql: String =
+    """SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+      |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM embeddings a
+      |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+      |ORDER BY id_1, id_2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q35: brute-force cosine top-k (k=5) for a 20-probe set — the exact
+  // baseline the LSH path is recall-tested against.
+  // -------------------------------------------------------------------
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val annTopKSql: String =
+    """SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+      |  WHERE p.vec_id < 20
+      |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cos DESC, c.vec_id) <= 5
+      |) ORDER BY query_id, neighbor_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q42: token statistics
+  // -------------------------------------------------------------------
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    TextOps.tokenStats(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |)
+      |SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  len(list_distinct(w)) AS n_distinct,
+      |  round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 6) AS mean_token_len,
+      |  round(len(list_distinct(w)) * 1.0 / len(w), 6) AS type_token_ratio
+      |FROM tok ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q43: heuristic language ID by stopword hit rate
+  // -------------------------------------------------------------------
+  def langId(s: SparkSession, d: String): DataFrame =
+    TextOps.langId(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val langIdSql: String = {
+    val langs = TextOps.stopwords.toSeq.sortBy(_._1)
+    val scoreDefs = langs.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(w, x -> x IN ($inList))) * 1.0 / len(w) AS score_$l"
+    }.mkString(",\n      |  ")
+    // strict > fold, earlier language wins ties — mirrors TextOps.langId
+    val best = langs.map(_._1).map(l => s"score_$l")
+      .reduceLeft((a, b) => s"CASE WHEN $b > $a THEN $b ELSE $a END")
+    val pick = {
+      val cases = langs.map(_._1)
+        .map(l => s"WHEN score_$l = __best THEN '$l'").mkString(" ")
+      s"CASE $cases END"
+    }
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      |),
+      |scored AS (
+      |  SELECT doc_id,
+      |  $scoreDefs
+      |  FROM tok
+      |),
+      |withbest AS (
+      |  SELECT *, $best AS __best FROM scored
+      |)
+      |SELECT doc_id, $pick AS pred_lang, round(__best, 6) AS best_score
+      |FROM withbest ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q44: quality score
+  // -------------------------------------------------------------------
+  def quality(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val qualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS txt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |),
+      |f AS (
+      |  SELECT doc_id,
+      |    least(len(w) / 50.0, 1.0) AS len_score,
+      |    1.0 - least(((len(txt) - len(regexp_replace(txt, '[^\w\s]', '', 'g'))) * 1.0
+      |                 / greatest(len(txt), 1)) * 5.0, 1.0) AS punct_score,
+      |    len(list_distinct(w)) * 1.0 / len(w) AS diversity,
+      |    CASE WHEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+      |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS len_plaus
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |       round((len_score + punct_score + diversity + len_plaus) / 4.0, 6) AS quality
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q45: order-insensitive content fingerprint
+  // -------------------------------------------------------------------
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    TextOps.fingerprint(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q46: distinct char 3-gram counts
+  // -------------------------------------------------------------------
+  def charNgrams(s: SparkSession, d: String): DataFrame =
+    TextOps.charNgramCount(docs(s, d), "doc_id", "text", 3).orderBy("doc_id")
+
+  val charNgramsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(trim(text)) >= 3 THEN
+      |    len(list_distinct([substr(trim(text), CAST(i AS INT), 3)
+      |                       for i in range(1, len(trim(text)) - 1)]))
+      |  ELSE 0 END AS n_char_ngrams
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_dedup_exact" -> (dedupExact _),
+    "q34_dedup_near" -> (dedupNear _),
+    "q35_ann_topk" -> (annTopK _),
+    "q40_simhash" -> (simhash _),
+    "q41_embed_dedup" -> (embedDedup _),
+    "q42_token_stats" -> (tokenStats _),
+    "q43_lang_id" -> (langId _),
+    "q44_quality" -> (quality _),
+    "q45_fingerprint" -> (fingerprint _),
+    "q46_char_ngrams" -> (charNgrams _),
+    "q47_dedup_first" -> (dedupFirst _))
+
+  val oracles: Map[String, String] = Map(
+    "q33_dedup_exact" -> dedupExactSql,
+    "q34_dedup_near" -> dedupNearSql,
+    "q35_ann_topk" -> annTopKSql,
+    "q40_simhash" -> simhashSql,
+    "q41_embed_dedup" -> embedDedupSql,
+    "q42_token_stats" -> tokenStatsSql,
+    "q43_lang_id" -> langIdSql,
+    "q44_quality" -> qualitySql,
+    "q45_fingerprint" -> fingerprintSql,
+    "q46_char_ngrams" -> charNgramsSql,
+    "q47_dedup_first" -> dedupFirstSql)
+}

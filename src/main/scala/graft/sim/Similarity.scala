@@ -1,0 +1,96 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * ANN family of the LLM-data extension (BASELINE.json north star).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k of every probe against the
+  *    full corpus. The probe set is broadcast (it is small by
+  *    contract); the corpus is scanned once, partition-parallel; the
+  *    per-probe top-k is a window over (probe, cosine). Exact — the
+  *    correctness baseline.
+  *  - `lshTopK`: the scale path. Sign-random-projection buckets
+  *    (SimHash for vectors) shrink the candidate set; exact cosine
+  *    re-ranks within candidates. Approximate: recall is tested
+  *    against the brute-force baseline, not an oracle.
+  *
+  * All arithmetic is double (float inputs upcast) with sequential
+  * per-row folds, so results are reproducible and SQL-oracle-parity
+  * holds.
+  */
+object Similarity {
+
+  private def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * Output: (query_id, neighbor_id, cosine), k rows per probe, ranked
+    * by (cosine desc, neighbor_id asc); self-matches excluded. */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pvec"))
+      .withColumn("pnrm", norm(col("pvec")))
+    val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("pvec"), col("cvec")) / (col("pnrm") * col("cnrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Sign-random-projection bucket id: `planes` pseudo-random
+    * hyperplanes derived from xxhash64(seed, dim, plane) — deterministic
+    * with no driver-side randomness, computable per-partition. */
+  def srpBucket(vec: Column, planes: Int, seed: Long): Column = {
+    val signs = (0 until planes).map { pl =>
+      // pseudo-random +-1 weight per (plane, dim) from a seeded hash
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => when(xxhash64(lit(seed), lit(pl), i) % 2 === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }
+    signs.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share an SRP bucket with the probe
+    * (several independent hash tables raise recall); exact cosine
+    * re-ranks candidates. */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vecOut: String): DataFrame = {
+      val v = asDouble(col(vecCol))
+      val tcols = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), srpBucket(v, planes, 7919L * (t + 1)).as("bkt")))
+      df.select(col(idCol).as(id), v.as(vecOut),
+        explode(array(tcols: _*)).as("tb"))
+        .select(col(id), col(vecOut), col("tb.tbl"), col("tb.bkt"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "cvec")
+    val p = bucketed(probes, "query_id", "pvec")
+    val cand = c.join(broadcast(p), Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "pvec", "cvec").distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("pvec"), col("cvec")) / (norm(col("pvec")) * norm(col("cvec")))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (LLM-data
+  * extension family): token statistics, heuristic language ID, quality
+  * scoring, and content fingerprinting. Every operator is a pure
+  * column expression (codegen-friendly, no UDFs) whose math is
+  * SQL-expressible for the DuckDB oracle.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token statistics per document: counts, distinct counts, mean token
+    * length, type-token ratio. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_distinct"),
+      round(aggregate(w, lit(0.0), (acc, x) => acc + length(x)) / size(w), 6)
+        .as("mean_token_len"),
+      round(size(array_distinct(w)).cast("double") / size(w), 6).as("type_token_ratio"))
+  }
+
+  /** Stopword marker lists per language — the signal a real n-gram
+    * language identifier keys on (tiny closed-class words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "y"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Per-language stopword hit rate; predicted language = argmax with
+    * deterministic lexicographic tie-break (ties go to the earlier
+    * language code — makes the heuristic a pure function). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val scoreCols = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(w, t => t.isin(words.map(lit): _*)))
+      (lang, (hits.cast("double") / size(w)).as(s"score_$lang"))
+    }
+    val scored = df.select(col(idCol) +: scoreCols.map(_._2): _*)
+    // argmax by (score desc, lang asc) without exploding: fold over a
+    // struct accumulator
+    val best = scoreCols.map(_._1).map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("pred_lang", best.getField("l"))
+      .select(col(idCol), col("pred_lang"),
+        round(greatest(scoreCols.map(c => col(s"score_${c._1}")): _*), 6).as("best_score"))
+  }
+
+  /** Heuristic quality score in [0,1]: combines length adequacy,
+    * punctuation sparsity, token diversity, and mean-token-length
+    * plausibility — the shape of production quality filters
+    * (length/punct/stopword-ratio features). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val w = tokens(col(textCol))
+    val nTok = size(w).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val punct = length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))
+    val punctRatio = punct.cast("double") / greatest(length(t), lit(1)).cast("double")
+    val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
+    val diversity = size(array_distinct(w)).cast("double") / nTok
+    val meanLen = aggregate(w, lit(0.0), (acc, x) => acc + length(x)) / nTok
+    val lenPlaus = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    df.select(col(idCol),
+      round((lenScore + punctScore + diversity + lenPlaus) / 4.0, 6).as("quality"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set — a deterministic document identity for exact-dedup
+    * manifests that survives token reordering. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol))))).cast("binary"))
+        .as("fingerprint"))
+
+  /** Distinct character n-gram count — a size proxy used by char-level
+    * near-dup shingling. */
+  def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val t = trim(col(textCol))
+    df.select(col(idCol),
+      when(length(t) >= n,
+        size(array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))))
+        .otherwise(0).as("n_char_ngrams"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Invariants for the LLM-data operator families on sf0.001. */
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = core.Tables.documents(spark, sf)
+  private lazy val emb = core.Tables.embeddings(spark, sf)
+
+  test("minhash near-dup: pairs are symmetric-free, above threshold, and real") {
+    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5).cache()
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "the corpus plants near-dup pairs")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "id_1 < id_2 canonical form")
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    pairs.unpersist()
+  }
+
+  test("minhash candidates never blow up to all-pairs") {
+    val n = docs.count()
+    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5).count()
+    assert(pairs < n, s"found $pairs pairs for $n docs — bucket join degenerated")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val sig = Dedup.simHash(docs, "doc_id", "text").cache()
+    val near = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.8)
+    val joined = near
+      .join(sig.select(col("id").as("id_1"), col("simhash").as("h1")), Seq("id_1"))
+      .join(sig.select(col("id").as("id_2"), col("simhash").as("h2")), Seq("id_2"))
+      .select(Dedup.hamming(col("h1"), col("h2")).as("ham"))
+    val hams = joined.collect().map(_.getInt(0))
+    assert(hams.nonEmpty && hams.forall(_ <= 16) &&
+      hams.sum.toDouble / hams.length <= 8,
+      s"J>=0.8 pairs should average well under half the 32 bits: ${hams.toSeq}")
+    sig.unpersist()
+  }
+
+  test("keepFirst: one row per key, the ordered-first one") {
+    val li = core.Tables.lineitem(spark, sf)
+    val out = Dedup.keepFirst(li, Seq("l_orderkey", "l_linenumber"),
+      Seq(col("l_extendedprice"))).cache()
+    assert(out.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1).isEmpty)
+    val minPrice = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(min("l_extendedprice").as("l_extendedprice"))
+    assert(out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .except(minPrice).isEmpty, "kept row carries the group-min order key")
+    out.unpersist()
+  }
+
+  test("LSH top-k recall against brute force") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 5,
+      planes = 6, tables = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall degenerate: $recall")
+  }
+
+  test("language-id scores are rates in [0,1]; quality in [0,1]") {
+    val lid = TextOps.langId(docs, "doc_id", "text")
+    assert(lid.filter(col("best_score") < 0 || col("best_score") > 1).isEmpty)
+    val q = TextOps.qualityScore(docs, "doc_id", "text")
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).isEmpty)
+    assert(q.count() == docs.count())
+  }
+
+  test("fingerprint is order-insensitive on tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("id", "text")
+    val fps = TextOps.fingerprint(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
