@@ -1,0 +1,107 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1-S4, S7: sources and sinks in the reference's file formats.
+  *
+  *  - S1 CSV scan (train/test ingest): header + schema inference with
+  *    optional debug row limit (create_solution.py:49-57 `nrows`) and
+  *    optional numeric narrowing (preprocessing.py:16-48 downcast).
+  *  - S2 OOF-results ingest: read a per-model prediction CSV and
+  *    prefix its prediction columns with the model id
+  *    (ensembling/ensembler.py:60-101).
+  *  - S3 CSV sink with pandas `float_format='%.Nf'` parity
+  *    (prediction.py:743-772): floats are rendered through
+  *    format_string (codegen'd), header on, one part file only when
+  *    `single=true` (the reference's artifacts are single files).
+  *  - S4 JSON manifest I/O: tiny control data (feature lists, best
+  *    params, OOF manifests — create_solution.py:167-374), driver-side.
+  *  - S7 config copy next to results (prediction.py:774-789).
+  */
+object Sources {
+
+  /** S1: CSV scan. `debugRows` mirrors the `nrows` debug limit — the
+    * limit is pushed into the scan by Catalyst. */
+  def readCsv(spark: SparkSession, path: String, debugRows: Option[Int] = None,
+      downcast: Boolean = false): DataFrame = {
+    val base = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val limited = debugRows.fold(base)(base.limit)
+    if (downcast) graft.ops.Preprocess.downcast(limited) else limited
+  }
+
+  /** S2: OOF ingest — prediction columns renamed `<modelId>_<col>`,
+    * index/target kept as-is for the ensemble join (ensembler.py:85-91). */
+  def readOofCsv(spark: SparkSession, path: String, modelId: String,
+      keepCols: Set[String]): DataFrame = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    df.columns.foldLeft(df) { (acc, c) =>
+      if (keepCols.contains(c)) acc else acc.withColumnRenamed(c, s"${modelId}_$c")
+    }
+  }
+
+  /** S3: CSV sink with float formatting. `floatDecimals=None` writes
+    * raw doubles (pandas float_format=None path for target_decimals=0,
+    * prediction.py:744). */
+  def writeCsv(df: DataFrame, path: String, floatDecimals: Option[Int],
+      single: Boolean = true): Unit = {
+    val formatted = floatDecimals match {
+      case Some(d) =>
+        val cols = df.schema.fields.map {
+          case f if f.dataType == DoubleType || f.dataType == FloatType =>
+            format_string(s"%.${d}f", col(f.name)).as(f.name)
+          case f => col(f.name)
+        }
+        df.select(cols.toSeq: _*)
+      case None => df
+    }
+    val writer = (if (single) formatted.coalesce(1) else formatted)
+      .write.mode("overwrite").option("header", "true")
+    writer.csv(path)
+  }
+
+  /** S4: JSON scalar-map manifest write (driver-side control data). */
+  def writeJsonManifest(path: String, entries: Map[String, String]): Unit = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val json = entries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), json)
+  }
+
+  /** S4: JSON string-list write (optimal feature lists,
+    * create_solution.py:167-168). */
+  def writeJsonList(path: String, items: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path),
+      items.map(s => s""""$s"""").mkString("[", ", ", "]"))
+  }
+
+  /** S4: JSON string-list read. */
+  def readJsonList(path: String): Seq[String] = {
+    val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim
+    require(txt.startsWith("[") && txt.endsWith("]"), s"not a JSON list: $path")
+    val inner = txt.substring(1, txt.length - 1).trim
+    if (inner.isEmpty) Seq.empty
+    else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** S7: copy the config file beside the results for traceability. */
+  def copyConfig(srcConfig: String, outDir: String): Unit = {
+    val src = Paths.get(srcConfig)
+    require(Files.exists(src), s"No config file found in: $srcConfig")
+    Files.createDirectories(Paths.get(outDir))
+    Files.copy(src, Paths.get(outDir).resolve(src.getFileName),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.{Hocon, ProjectPaths, Sources}
+
+/** S1-S7 sources/sinks + HOCON config + path deriver. The parser is
+  * exercised against the reference's real iris solution.conf (read-only
+  * fixture) and the path deriver against the directory examples
+  * documented in config_parser.py:45-147.
+  */
+class IoSpec extends SparkSpec {
+
+  private val irisConf =
+    "/root/reference/examples/classification/multiclass/iris/configs/solution.conf"
+
+  test("hocon: parses the reference's full solution.conf") {
+    val cfg = Hocon.parseFile(irisConf)
+    assert(cfg.getString("project_structure.RAW_DATA_DIR") == "raw_data")
+    assert(cfg.getString("raw_data_settings.target_column") == "TARGET")
+    assert(cfg.getStringOrNull("raw_data_settings.index_column").isEmpty, "null literal")
+    assert(cfg.getString("features_generation.train_file") == "train.csv")
+    assert(cfg.getStringList("modeling_settings.models") ==
+      List("lightgbm", "xgboost", "et", "logistic_regression"))
+    assert(cfg.getBool("modeling_settings.lightgbm.run_hpo"))
+    assert(!cfg.getBool("modeling_settings.lightgbm.run_fs"))
+    assert(cfg.getInt("modeling_settings.fs_seed_value") == 27)
+    assert(cfg.getLongList("modeling_settings.model_seeds_list") == List(27L, 99999L, 2018L))
+    // substitution: fs lgbm metric references modeling_settings.lightgbm.eval_metric
+    val sub = cfg.getString(
+      "features_selection.target_permutation.lgbm_params.feats_exploration.metric")
+    assert(sub == cfg.getString("modeling_settings.lightgbm.eval_metric"),
+      s"substitution resolved: $sub")
+  }
+
+  test("hocon: dotted keys, comments, arrays, types") {
+    val cfg = Hocon.parse(
+      """a.b.c = 5 // trailing
+        |a.b.d = 1.5
+        |lst = [1, 2, 3] # comment
+        |s = hello world
+        |flag = True
+        |empty = null
+        |""".stripMargin)
+    assert(cfg.getInt("a.b.c") == 5)
+    assert(cfg.getDouble("a.b.d") == 1.5)
+    assert(cfg.getLongList("lst") == List(1L, 2L, 3L))
+    assert(cfg.getString("s") == "hello world")
+    assert(cfg.getBool("flag"))
+    assert(cfg.getStringOrNull("empty").isEmpty)
+  }
+
+  test("path deriver matches the reference's documented taxonomy") {
+    val paths = new ProjectPaths(Hocon.parseFile(irisConf))
+    // config_parser.py:52-53 example
+    assert(paths.featureGenerationDir("lightgbm")._2 ==
+      "features_generation/features_dataset_001")
+    // run_fs=False branch -> no_feat_selection (config_parser.py:89)
+    assert(paths.featureSelectionDir("lightgbm", runFs = false)._2 ==
+      "features_selection/features_dataset_001/no_feat_selection")
+    // run_fs=True branch: <method>_<name_fs_dir> (config_parser.py:84-88)
+    assert(paths.featureSelectionDir("lightgbm", runFs = true)._2 ==
+      "features_selection/features_dataset_001/target_permutation_fs_001")
+    // hpo on: <model>/<fs>/<hpo_method>_<name_hpo_dir> (config_parser.py:112-116)
+    assert(paths.hpoDir("lightgbm", runFs = true, runHpo = true)._2 ==
+      "hyper_parameters_optimization/lightgbm/features_dataset_001/target_permutation_fs_001/bayes_hpo_001")
+    // solution dir + bagging subdir (config_parser.py:141-146)
+    assert(paths.solutionDir("lightgbm", runFs = false, runHpo = true, runBagging = true)._2 ==
+      "single_model_solution/lightgbm/features_dataset_001/no_feat_selection/bayes_hpo_001/bagging_on")
+    val params = paths.singleModelParameters
+    assert(params.map(_("model")) ==
+      Seq("lightgbm", "xgboost", "et", "logistic_regression"))
+  }
+
+  test("csv round-trip with float_format parity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, 0.123456789, "a"), (2L, 2.5, "b")).toDF("id", "score", "tag")
+    Sources.writeCsv(df, s"$dir/out", floatDecimals = Some(4))
+    val files = new java.io.File(s"$dir/out").listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "single-file artifact like the reference's to_csv")
+    val lines = Files.readAllLines(files.head.toPath)
+    assert(lines.get(0) == "id,score,tag")
+    assert(lines.contains("1,0.1235,a"), s"'%.4f' formatting: $lines")
+    val back = Sources.readCsv(spark, s"$dir/out", downcast = true)
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType.typeName == "byte", "downcast applied")
+  }
+
+  test("oof ingest renames prediction columns with the model prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_oof").toString
+    val df = Seq((1L, 0.9, 1), (2L, 0.2, 0)).toDF("id", "target_OOF", "target")
+    Sources.writeCsv(df, s"$dir/m1", floatDecimals = None)
+    val loaded = Sources.readOofCsv(spark, s"$dir/m1", "lgbm1", keepCols = Set("id", "target"))
+    assert(loaded.columns.toSet == Set("id", "lgbm1_target_OOF", "target"))
+  }
+
+  test("json manifest + list round trip; config copy") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Sources.writeJsonList(s"$dir/feats.txt", Seq("f1", "f2"))
+    assert(Sources.readJsonList(s"$dir/feats.txt") == Seq("f1", "f2"))
+    Sources.writeJsonManifest(s"$dir/manifest.txt", Map("model" -> "lgbm", "path" -> "/x/y"))
+    val txt = new String(Files.readAllBytes(Paths.get(s"$dir/manifest.txt")), "UTF-8")
+    assert(txt == """{"model": "lgbm", "path": "/x/y"}""")
+    Sources.copyConfig(irisConf, s"$dir/results")
+    assert(Files.exists(Paths.get(s"$dir/results/solution.conf")))
+  }
+}
