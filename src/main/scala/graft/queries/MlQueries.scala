@@ -139,13 +139,80 @@ object MlQueries {
     r.cvResults.orderBy("seed")
   }
 
+  // -------------------------------------------------------------------
+  // A16/M10: feature scoring math on deterministic synthetic importance
+  // frames (the model-driven loop is exercised in FeatureSelectionSpec;
+  // the scoring/rank math is exactly oracle-able).
+  // -------------------------------------------------------------------
+  def featureScores(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val actual = orders.groupBy(col("o_orderpriority").as("feature")).agg(
+      avg("o_totalprice").as("importance_gain"),
+      avg("o_custkey").as("importance_split"))
+    val nulls = orders.withColumn("run", col("o_orderkey") % 7)
+      .groupBy(col("o_orderpriority").as("feature"), col("run")).agg(
+        avg("o_totalprice").as("importance_gain"),
+        avg("o_custkey").as("importance_split"))
+    graft.fs.FeatureSelection.scoreFeatures(actual, nulls)
+  }
+
+  val featureScoresSql: String =
+    """WITH actual AS (
+      |  SELECT o_orderpriority AS feature,
+      |         avg(o_totalprice) AS ig, avg(o_custkey) AS isp
+      |  FROM orders GROUP BY 1
+      |),
+      |nulls AS (
+      |  SELECT o_orderpriority AS feature, o_orderkey % 7 AS run,
+      |         avg(o_totalprice) AS ig, avg(o_custkey) AS isp
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |nullagg AS (
+      |  SELECT feature, quantile_cont(ig, 0.75) AS g75, quantile_cont(isp, 0.75) AS s75
+      |  FROM nulls GROUP BY feature
+      |)
+      |SELECT a.feature,
+      |       round(ln(1e-10 + a.ig / (1 + n.g75)), 6) AS gain_score,
+      |       round(ln(1e-10 + a.isp / (1 + n.s75)), 6) AS split_score
+      |FROM actual a JOIN nullagg n ON a.feature = n.feature
+      |ORDER BY gain_score, split_score, a.feature""".stripMargin
+
+  /** W1: threshold rank table on a deterministic pseudo-sweep frame. */
+  def rankPick(s: SparkSession, d: String): DataFrame = {
+    val sweep = Tables.lineitem(s, d)
+      .groupBy(col("l_linenumber").cast("double").as("threshold")).agg(
+        round(avg("l_extendedprice"), 4).as("cv_bst_score"),
+        round(avg("l_discount"), 6).as("cv_std_bst_score"),
+        count(lit(1)).as("n_features"))
+    graft.fs.FeatureSelection.rankThresholds(sweep)
+  }
+
+  val rankPickSql: String =
+    """WITH sweep AS (
+      |  SELECT CAST(l_linenumber AS DOUBLE) AS threshold,
+      |         round(avg(l_extendedprice), 4) AS cv_bst_score,
+      |         round(avg(l_discount), 6) AS cv_std_bst_score,
+      |         count(*) AS n_features
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT threshold, cv_bst_score, cv_std_bst_score, n_features,
+      |       rank() OVER (ORDER BY cv_bst_score ASC) AS cv_bst_score_rank,
+      |       rank() OVER (ORDER BY cv_std_bst_score DESC) AS cv_std_bst_score_rank,
+      |       rank() OVER (ORDER BY cv_bst_score ASC)
+      |         + rank() OVER (ORDER BY cv_std_bst_score DESC) AS total_rank
+      |FROM sweep ORDER BY threshold""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_metrics" -> (metrics _),
     "q39_percentile" -> (percentiles _),
     "q31_cv_oof" -> (cvOof _),
-    "q32_cv_scores" -> (cvScores _))
+    "q32_cv_scores" -> (cvScores _),
+    "q37_feature_scores" -> (featureScores _),
+    "q48_rank_pick" -> (rankPick _))
 
   val oracles: Map[String, String] = Map(
     "q36_metrics" -> metricsSql,
-    "q39_percentile" -> percentilesSql)
+    "q39_percentile" -> percentilesSql,
+    "q37_feature_scores" -> featureScoresSql,
+    "q48_rank_pick" -> rankPickSql)
 }
