@@ -1,0 +1,123 @@
+package graft.ensemble
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cv.CrossValidation
+import graft.cv.CrossValidation.{BaggedResult, CvConfig}
+import graft.ml.{Metrics, ModelWrapper}
+
+/** J2/M9/M8: ensembling — OOF loading + validation, stacking, and
+  * weighted-vote blending (ensembling/{ensembler.py, stacking/
+  * stacker.py, blending/blender.py}).
+  *
+  * The reference column-binds per-model OOF frames positionally
+  * (pandas concat axis=1 with assert_series_equal checks,
+  * ensembler.py:32-58); on Spark the bind is an equi join on the row
+  * id, and the asserts become distributed except-is-empty /
+  * count-equality validations.
+  */
+object Ensemble {
+
+  /** J2: join per-model OOF prediction frames on the row id.
+    * Each input: (modelId, frame with idCol + prediction columns
+    * [+ target]). Prediction columns are prefixed `<modelId>_`
+    * (ensembler.py:85-91); the target is taken from `base` (the frame
+    * holding id + target), with consistency validated against every
+    * model frame that carries it (ensembler.py:32-39).
+    */
+  def joinOof(
+      base: DataFrame, idCol: String, target: String,
+      models: Seq[(String, DataFrame)], targetDecimals: Int = 6): DataFrame = {
+    val n = base.count()
+    val joined = models.foldLeft(base.select(col(idCol), col(target))) {
+      case (acc, (modelId, df)) =>
+        require(df.count() == n,
+          s"$modelId OOF row count ${df.count()} != base $n (ensembler.py:33)")
+        if (df.columns.contains(target)) {
+          val mismatch = df.select(col(idCol), col(target))
+            .except(base.select(col(idCol), col(target))).count()
+          require(mismatch == 0,
+            s"$modelId target series differs from base on $mismatch rows (ensembler.py:36-37)")
+        }
+        val predCols = df.columns.filterNot(c => c == idCol || c == target)
+        val renamed = df.select(
+          (col(idCol) +: predCols.map(c => round(col(c), targetDecimals).as(s"${modelId}_$c"))).toSeq: _*)
+        acc.join(renamed, Seq(idCol))
+    }
+    joined
+  }
+
+  /** M9: stacker — the OOF matrix becomes the feature table of a
+    * meta-model run through the same CV engine (stacker.py:13-33).
+    * `_OOF`-suffixed feature names are stripped first so train/test
+    * notations match (prediction.py:301-309). */
+  def stack(
+      trainOof: DataFrame, testOof: Option[DataFrame],
+      target: String, idCol: String,
+      metaModel: ModelWrapper, cfg: CvConfig, seeds: Seq[Long]): BaggedResult = {
+    def stripOof(df: DataFrame): DataFrame =
+      df.columns.foldLeft(df) { (acc, c) =>
+        if (c.endsWith("_OOF")) acc.withColumnRenamed(c, c.stripSuffix("_OOF")) else acc
+      }
+    val train = stripOof(trainOof)
+    val features = train.columns.filterNot(c => c == idCol || c == target).toSeq.sorted
+    CrossValidation.runCvAndPrediction(
+      train, testOof.map(stripOof), features, target, idCol, metaModel, cfg, seeds)
+  }
+
+  /** Result of a blender weight search. `history` rows:
+    * (iteration, score, one weight column per model). */
+  final case class BlendResult(
+      weights: Map[String, Double], score: Double, history: DataFrame)
+
+  /** M8: weighted-vote blender — seeded random search over the weight
+    * simplex maximizing the metric of the weighted vote on the OOF
+    * frame (blender.py:119-398; the reference optimizes with
+    * bayes_opt — a seeded random search over the same [0,1]^k box is
+    * the documented v1 stand-in, SURVEY §7.3). Voting type mirrors
+    * `_detect_voting_type` (blender.py:202-227): soft (weighted mean)
+    * when predictions are fractional, hard (weighted argmax vote) when
+    * all are integer labels.
+    */
+  def blend(
+      oof: DataFrame, predCols: Seq[String], target: String,
+      metricName: String, nIter: Int, seed: Long,
+      hardVote: Boolean = false, metricsDecimals: Int = 6): BlendResult = {
+    val spark = oof.sparkSession
+    import spark.implicits._
+    require(predCols.nonEmpty, "need prediction columns to blend")
+    val metric = Metrics.registry(metricName)
+    val better: (Double, Double) => Boolean =
+      if (Metrics.greaterIsBetter(metricName)) _ > _ else _ < _
+    val rng = new scala.util.Random(seed)
+    val cached = oof.cache()
+
+    val trials = (0 until nIter).map { it =>
+      val raw =
+        if (it == 0) predCols.map(_ => 1.0) // uniform baseline first
+        else predCols.map(_ => rng.nextDouble())
+      val s = raw.sum
+      val w = raw.map(x => BigDecimal(x / s).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val voted =
+        if (hardVote)
+          cached.withColumn("__blend",
+            graft.ops.RowOps.weightedVote(predCols.map(col), w).cast("double"))
+        else
+          cached.withColumn("__blend", graft.ops.RowOps.weightedMean(predCols.map(col), w))
+      val score = BigDecimal(metric(voted, target, "__blend"))
+        .setScale(metricsDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (it, score, w)
+    }
+    cached.unpersist()
+
+    val best = trials.reduce((a, b) => if (better(b._2, a._2)) b else a)
+    val historyCols = col("iteration") +: col("score") +:
+      predCols.zipWithIndex.map { case (c, i) =>
+        element_at(col("weights"), i + 1).as(s"w_$c")
+      }
+    val history = trials.map { case (it, sc, w) => (it, sc, w) }
+      .toDF("iteration", "score", "weights")
+      .select(historyCols: _*)
+    BlendResult(predCols.zip(best._3).toMap, best._2, history)
+  }
+}

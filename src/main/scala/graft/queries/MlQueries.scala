@@ -202,17 +202,41 @@ object MlQueries {
       |         + rank() OVER (ORDER BY cv_std_bst_score DESC) AS total_rank
       |FROM sweep ORDER BY threshold""".stripMargin
 
+  // -------------------------------------------------------------------
+  // J2: OOF ensemble join on deterministic pseudo-model predictions —
+  // exercises Ensemble.joinOof's join+validation path end-to-end.
+  // -------------------------------------------------------------------
+  def oofJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("row_id"),
+      (col("o_orderstatus") === "O").cast("int").as("target"))
+    def pseudo(mult: Long, mod: Long): DataFrame = base.withColumn(
+      "target_OOF", ((col("row_id") * mult) % mod) / lit((mod - 1).toDouble))
+    graft.ensemble.Ensemble.joinOof(base, "row_id", "target",
+        Seq("m1" -> pseudo(7919L, 983L), "m2" -> pseudo(104729L, 991L)))
+      .orderBy("row_id")
+  }
+
+  val oofJoinSql: String =
+    """SELECT o_orderkey AS row_id,
+      |       CAST(o_orderstatus = 'O' AS INT) AS target,
+      |       round(((o_orderkey * 7919) % 983) / 982.0, 6) AS m1_target_OOF,
+      |       round(((o_orderkey * 104729) % 991) / 990.0, 6) AS m2_target_OOF
+      |FROM orders ORDER BY row_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_metrics" -> (metrics _),
     "q39_percentile" -> (percentiles _),
     "q31_cv_oof" -> (cvOof _),
     "q32_cv_scores" -> (cvScores _),
     "q37_feature_scores" -> (featureScores _),
-    "q48_rank_pick" -> (rankPick _))
+    "q48_rank_pick" -> (rankPick _),
+    "q38_oof_join" -> (oofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q36_metrics" -> metricsSql,
     "q39_percentile" -> percentilesSql,
     "q37_feature_scores" -> featureScoresSql,
-    "q48_rank_pick" -> rankPickSql)
+    "q48_rank_pick" -> rankPickSql,
+    "q38_oof_join" -> oofJoinSql)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cv.CrossValidation
+import graft.cv.CrossValidation.CvConfig
+import graft.ensemble.Ensemble
+import graft.hpo.RandomSearch
+import graft.ml.Models
+
+/** J2/M9/M8/M7 on sf0.001: OOF join validation, stacking through the
+  * CV engine, blender weight search, HPO random search.
+  */
+class EnsembleSpec extends SparkSpec {
+
+  private lazy val frame = core.Tables.orders(spark, sf).select(
+    col("o_orderkey").as("row_id"),
+    (col("o_orderstatus") === "O").cast("int").as("target"),
+    col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey"),
+    unix_timestamp(col("o_orderdate")).cast("double").as("o_epoch"))
+  private val feats = Seq("o_totalprice", "o_custkey", "o_epoch")
+  private val cfg = CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score")
+
+  private def oofOf(model: graft.ml.ModelWrapper, seed: Long) = {
+    val r = CrossValidation.runCvOneSeed(frame, None, feats, "target", "row_id", model, cfg, seed)
+    r.oof.select(col("row_id"), col("target"), col("oof_score").as("target_OOF"))
+  }
+
+  test("joinOof binds per-model predictions and validates consistency") {
+    val base = frame.select("row_id", "target")
+    val m1 = oofOf(Models.LogReg(maxIter = 10), 27L)
+    val m2 = oofOf(Models.RfClassifier(numTrees = 5, maxDepth = 3), 27L)
+    val joined = Ensemble.joinOof(base, "row_id", "target", Seq("lr" -> m1, "rf" -> m2))
+    assert(joined.count() == base.count())
+    assert(joined.columns.toSet ==
+      Set("row_id", "target", "lr_target_OOF", "rf_target_OOF"))
+
+    // row-count mismatch must be rejected (ensembler.py:33)
+    val short = m1.limit(10)
+    intercept[IllegalArgumentException] {
+      Ensemble.joinOof(base, "row_id", "target", Seq("bad" -> short))
+    }
+    // corrupted target series must be rejected (ensembler.py:36-37)
+    val corrupted = m1.withColumn("target", lit(1) - col("target"))
+    intercept[IllegalArgumentException] {
+      Ensemble.joinOof(base, "row_id", "target", Seq("bad" -> corrupted))
+    }
+  }
+
+  test("stacker: meta-model CV over the OOF matrix") {
+    val base = frame.select("row_id", "target")
+    val joined = Ensemble.joinOof(base, "row_id", "target",
+      Seq("lr" -> oofOf(Models.LogReg(maxIter = 10), 27L),
+        "rf" -> oofOf(Models.RfClassifier(numTrees = 5, maxDepth = 3), 27L)))
+    val stacked = Ensemble.stack(joined, None, "target", "row_id",
+      Models.LogReg(maxIter = 10), cfg, Seq(27L))
+    assert(stacked.oof.count() == base.count())
+    assert(stacked.cvScore > 0.45, s"stacker roc_auc degenerate: ${stacked.cvScore}")
+  }
+
+  test("blender: seeded weight search improves on or matches uniform") {
+    val base = frame.select("row_id", "target")
+    val joined = Ensemble.joinOof(base, "row_id", "target",
+      Seq("lr" -> oofOf(Models.LogReg(maxIter = 10), 27L),
+        "rf" -> oofOf(Models.RfClassifier(numTrees = 5, maxDepth = 3), 27L))).cache()
+    val r = Ensemble.blend(joined, Seq("lr_target_OOF", "rf_target_OOF"),
+      "target", "roc_auc_score", nIter = 6, seed = 27L)
+    assert(r.history.count() == 6)
+    assert(math.abs(r.weights.values.sum - 1.0) < 0.01, s"weights: ${r.weights}")
+    val uniform = r.history.filter(col("iteration") === 0).select("score").head().getDouble(0)
+    assert(r.score >= uniform, "best >= uniform baseline (it is a candidate)")
+    // deterministic
+    val r2 = Ensemble.blend(joined, Seq("lr_target_OOF", "rf_target_OOF"),
+      "target", "roc_auc_score", nIter = 6, seed = 27L)
+    assert(r2.score == r.score && r2.weights == r.weights)
+    joined.unpersist()
+  }
+
+  test("hpo: seeded random search returns the argmax of its own history") {
+    val space = RandomSearch.Space(
+      bounds = Map("regParam" -> (0.0, 0.5), "maxIter" -> (5.0, 15.0)),
+      intParams = Set("maxIter"))
+    val r = RandomSearch.optimize(frame, feats, "target", "row_id", space,
+      p => Models.LogReg(maxIter = p("maxIter").toInt, regParam = p("regParam")),
+      cfg, seedVal = 27L, nTrials = 3)
+    assert(r.history.count() == 3)
+    val maxHist = r.history.agg(max("cv_score")).head().getDouble(0)
+    assert(r.bestScore == maxHist)
+    assert(r.bestParams("maxIter") == math.round(r.bestParams("maxIter")).toDouble,
+      "int coercion applied")
+  }
+}
