@@ -50,12 +50,14 @@ object Queries {
       queries.Relational.registry ++
       queries.RowWise.registry ++
       queries.MlQueries.registry ++
-      queries.LlmQueries.registry
+      queries.LlmQueries.registry ++
+      queries.MiscQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       queries.Relational.oracles ++
       queries.RowWise.oracles ++
       queries.MlQueries.oracles ++
-      queries.LlmQueries.oracles
+      queries.LlmQueries.oracles ++
+      queries.MiscQueries.oracles
 }

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cv.CrossValidation
+import graft.cv.CrossValidation.CvConfig
+import graft.io.{Hocon, ProjectPaths, Sources}
+import graft.ml.{Models, ModelWrapper}
+
+/** Entry point 1: `BuildSolution` — the config-driven single-model
+  * pipeline (solution_pipeline/create_solution.py:32-377,822-832),
+  * stage-for-stage on the Pipeline file-target DAG:
+  *
+  *   TrainDataIngestion  (S1 scan + A1 downcast -> train_new/test_new.csv)
+  *   RunSingleModelPrediction (A12/A13 CV -> train_OOF.csv, test.csv,
+  *     cv_results.csv, config copy, OOF manifest)
+  *
+  * Artifact names match the reference byte-for-byte
+  * (prediction.py:26-34: train_OOF.csv, test.csv, cv_results.csv) so
+  * the memoization contract survives a switchover. FS/HPO stages hook
+  * in through graft.fs / graft.hpo when enabled.
+  */
+object Solution {
+
+  /** Reference metric-name -> registry key (utils.py:74-89 resolves
+    * sklearn names; ours are keyed the same). */
+  private def metricKey(name: String): String = name match {
+    case "accuracy_score" | "accuracy" | "multi_error" => "accuracy_score"
+    case "roc_auc_score" | "auc" => "roc_auc_score"
+    case "log_loss" | "logloss" | "multi_logloss" => "log_loss"
+    case "mean_absolute_error" | "mae" => "mean_absolute_error"
+    case "rmse" => "rmse"
+    case other => other
+  }
+
+  /** Model factory honoring the multiclass gap: MLlib GBT is
+    * binary-only, so gbt-family names fall back to RandomForest when
+    * the target has more than two classes (SURVEY §7.4.4). */
+  private def modelFor(name: String, nClasses: Long): ModelWrapper =
+    if (nClasses > 2) name match {
+      case "lightgbm" | "xgboost" | "gbt" | "et" | "random_forest" =>
+        Models.RfClassifier(numTrees = 50, maxDepth = 6)
+      case other => Models.byName(other)
+    } else Models.byName(name)
+
+  final case class ModelRun(
+      model: String, outputDir: String, cvScore: Double, cvStd: Double,
+      report: Pipeline.Report)
+
+  /** Run every model in `modeling_settings.models` through
+    * ingest -> CV -> sinks under `projectLocation`. */
+  def build(spark: SparkSession, projectLocation: String, configDirectory: String,
+      configFile: String): Seq[ModelRun] = {
+    val cfgPath = Paths.get(projectLocation, configDirectory, configFile).toString
+    val cfg = Hocon.parseFile(cfgPath)
+    val paths = new ProjectPaths(cfg)
+    val target = cfg.getString("raw_data_settings.target_column")
+    val indexCol = cfg.getStringOrNull("raw_data_settings.index_column")
+    val seeds = cfg.getLongList("modeling_settings.model_seeds_list")
+    val cvP = cfg.getConfig("modeling_settings.cv_params")
+
+    cfg.getStringList("modeling_settings.models").map { model =>
+      val (runFs, runHpo, runBagging) = paths.singleModelFlags(model)
+      val (_, fgDir) = paths.featureGenerationDir(model)
+      val (_, solDir) = paths.solutionDir(model, runFs, runHpo, runBagging)
+      val outDir = Paths.get(projectLocation, solDir).toString
+      val ingestDir = Paths.get(projectLocation, fgDir).toString
+
+      val trainCsv = s"$ingestDir/${cfg.getString("features_generation.train_file")}"
+      val testCsv = s"$ingestDir/${cfg.getString("features_generation.test_file")}"
+      val trainNew = s"$ingestDir/train_new.csv"
+      val testNew = s"$ingestDir/test_new.csv"
+
+      // Stage 1: TrainDataIngestion (create_solution.py:32-69)
+      val ingest = Pipeline.Task(s"TrainDataIngestion_$model",
+        Seq(trainNew, testNew))(() => {
+        Sources.writeCsv(Sources.readCsv(spark, trainCsv, downcast = true), trainNew, None)
+        Sources.writeCsv(Sources.readCsv(spark, testCsv, downcast = true), testNew, None)
+      })
+
+      var score = (0.0, 0.0)
+      // Stage 2: RunSingleModelPrediction (create_solution.py:301-377)
+      val predict = Pipeline.Task(s"RunSingleModelPrediction_$model",
+        Seq(s"$outDir/train_OOF.csv", s"$outDir/test.csv", s"$outDir/cv_results.csv",
+          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt"),
+        deps = Seq(ingest))(() => {
+        val train0 = Sources.readCsv(spark, trainNew)
+        val test0 = Sources.readCsv(spark, testNew)
+        // synthesize a row id when the dataset declares none (SURVEY §7.4.1)
+        val idCol = indexCol.getOrElse("__row_id")
+        def withId(df: DataFrame): DataFrame = indexCol match {
+          case Some(_) => df
+          case None => df.withColumn(idCol,
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+              df.columns.map(col): _*)).cast("long"))
+        }
+        val train = withId(train0).cache()
+        val test = withId(test0)
+        val features = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+        val nClasses = train.select(target).distinct().count()
+        val predictProb = cfg.getBool(s"modeling_settings.$model.predict_probability")
+        val cc = CvConfig(
+          numFolds = cvP.getInt("num_folds"),
+          stratified = cvP.getBool("stratified"),
+          dataSplitSeed = cfg.getLong("modeling_settings.data_split_seed"),
+          predictProbability = predictProb && nClasses == 2,
+          classLabel = if (cfg.has(s"modeling_settings.$model.class_label"))
+            cfg.getInt(s"modeling_settings.$model.class_label") else 1,
+          metricName = metricKey(cvP.getString("metrics_scorer")),
+          targetDecimals = cvP.getInt("target_decimals"),
+          metricsDecimals = cvP.getInt("metrics_decimals"))
+        val usedSeeds = if (runBagging) seeds else seeds.take(1)
+        val r = CrossValidation.runCvAndPrediction(
+          train, Some(test), features, target, idCol,
+          modelFor(model, nClasses), cc, usedSeeds)
+        score = (r.cvScore, r.cvStd)
+        Sources.writeCsv(r.oof.orderBy(idCol), s"$outDir/train_OOF.csv",
+          floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+        Sources.writeCsv(r.testPreds.get.orderBy(idCol), s"$outDir/test.csv",
+          floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+        Sources.writeCsv(r.cvResults.withColumn("cv_score_per_each_fold",
+            concat_ws(",", col("cv_score_per_each_fold"))),
+          s"$outDir/cv_results.csv", floatDecimals = Some(cc.metricsDecimals).filter(_ > 0))
+        Sources.copyConfig(cfgPath, outDir)
+        Sources.writeJsonManifest(s"$outDir/${model}_oof_data_info.txt",
+          Map("model" -> model, "path" -> solDir,
+            "files" -> "train_OOF.csv,test.csv,cv_results.csv"))
+        train.unpersist()
+      })
+
+      val report = Pipeline.execute(predict)
+      ModelRun(model, outDir, score._1, score._2, report)
+    }
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.fs.FeatureSelection
+import graft.multimodal.Multimodal
+import graft.ops.Misc
+
+/** Driver-checked queries for the remaining small SURVEY §2 operators
+  * (A11, J3, R1, R2, A23, O6, F16) and the multimodal plumbing. */
+object MiscQueries {
+
+  /** A11+W2/O3: per-feature mean importance over folds, top-N desc. */
+  def importanceTopN(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_type").as("feature"), col("p_retailprice").as("importance"),
+        (col("p_size") % 5).as("fold"))
+      .groupBy("feature").agg(round(avg("importance"), 4).as("mean_importance"))
+      .orderBy(col("mean_importance").desc, col("feature")).limit(3)
+
+  val importanceTopNSql: String =
+    """SELECT p_type AS feature, round(avg(p_retailprice), 4) AS mean_importance
+      |FROM part GROUP BY 1
+      |ORDER BY mean_importance DESC, feature LIMIT 3""".stripMargin
+
+  /** J3: full outer join of train/test category stat frames
+    * (preprocessing.py:61,203 keyed concat). */
+  def outerStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val train = o.filter(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_orderpriority").as("value")).agg(count(lit(1)).as("train_cnt"))
+    val test = o.filter(col("o_orderkey") % 3 =!= 0)
+      .groupBy(col("o_orderpriority").as("value")).agg(count(lit(1)).as("test_cnt"))
+    train.join(test, Seq("value"), "outer").orderBy("value")
+  }
+
+  val outerStatsSql: String =
+    """WITH train AS (
+      |  SELECT o_orderpriority AS value, count(*) AS train_cnt
+      |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1
+      |), test AS (
+      |  SELECT o_orderpriority AS value, count(*) AS test_cnt
+      |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1
+      |)
+      |SELECT coalesce(train.value, test.value) AS value, train_cnt, test_cnt
+      |FROM train FULL OUTER JOIN test ON train.value = test.value
+      |ORDER BY value""".stripMargin
+
+  /** R2: exact-n content-hash-deterministic subsample. */
+  def subsample(s: SparkSession, d: String): DataFrame =
+    Misc.deterministicSample(Tables.orders(s, d), 100, Seq("o_orderkey"))
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+  val subsampleSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM (
+      |  SELECT * FROM orders
+      |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100
+      |) ORDER BY o_orderkey""".stripMargin
+
+  /** R1: target permutation preserves the value multiset — the
+    * permutation itself is engine-internal (seeded xxhash order), so
+    * the checked invariant is sum/count equality. */
+  def permuteInvariant(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val shuffled = FeatureSelection.shuffleColumn(o, "o_totalprice", seed = 27L)
+    val a = o.agg(round(sum("o_totalprice"), 2).as("sum_orig"))
+    val b = shuffled.agg(round(sum("o_totalprice"), 2).as("sum_perm"),
+      count(lit(1)).as("n"))
+    a.crossJoin(b)
+  }
+
+  val permuteInvariantSql: String =
+    """SELECT round(sum(o_totalprice), 2) AS sum_orig,
+      |       round(sum(o_totalprice), 2) AS sum_perm,
+      |       count(*) AS n
+      |FROM orders""".stripMargin
+
+  /** A23: per-column in-memory byte estimate. */
+  def memUsage(s: SparkSession, d: String): DataFrame =
+    Misc.memoryEstimate(Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+
+  val memUsageSql: String =
+    """SELECT feature, bytes FROM (
+      |  SELECT 'o_orderkey' AS feature, count(*) * 8 AS bytes FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', sum(len(o_orderstatus)) FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', sum(len(o_orderpriority)) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', count(*) * 8 FROM orders
+      |) ORDER BY feature""".stripMargin
+
+  /** O6: argmax row with deterministic tie-break. */
+  def argmaxRow(s: SparkSession, d: String): DataFrame =
+    Misc.argmax(Tables.lineitem(s, d), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  val argmaxRowSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1""".stripMargin
+
+  /** F16: min-anchored equal-width binning (pd.cut parity), counts per
+    * (bin, class). */
+  def histCut(s: SparkSession, d: String): DataFrame =
+    Misc.histogramCut(Tables.orders(s, d), "o_totalprice", "o_orderstatus", 8)
+
+  val histCutSql: String =
+    """WITH b AS (
+      |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+      |)
+      |SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 8)), 7) AS INT) AS bin,
+      |       o_orderstatus, count(*) AS cnt
+      |FROM orders, b
+      |GROUP BY 1, 2 ORDER BY bin, o_orderstatus""".stripMargin
+
+  /** Multimodal: binary payload column + partition-batched (stubbed)
+    * decode — byte-level features recomputable in SQL because the
+    * corpus is ASCII. */
+  def multimodal(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Multimodal.withPayload(Tables.documents(s, d), "text", "payload")
+    Multimodal.extractFeatures(withPayload.select("doc_id", "payload"), "payload")
+      .select("doc_id", "n_bytes", "first_code", "byte_checksum")
+      .orderBy("doc_id")
+  }
+
+  val multimodalSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  ascii(substr(text, 1, 1)) AS first_code,
+      |  list_sum([ascii(substr(text, CAST(i AS INT), 1)) for i in range(1, len(text) + 1)])
+      |    % 1000003 AS byte_checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_importance_topn" -> (importanceTopN _),
+    "q50_outer_stats" -> (outerStats _),
+    "q51_subsample" -> (subsample _),
+    "q52_permute_invariant" -> (permuteInvariant _),
+    "q53_memusage" -> (memUsage _),
+    "q54_argmax" -> (argmaxRow _),
+    "q55_hist_cut" -> (histCut _),
+    "q56_multimodal" -> (multimodal _))
+
+  val oracles: Map[String, String] = Map(
+    "q49_importance_topn" -> importanceTopNSql,
+    "q50_outer_stats" -> outerStatsSql,
+    "q51_subsample" -> subsampleSql,
+    "q52_permute_invariant" -> permuteInvariantSql,
+    "q53_memusage" -> memUsageSql,
+    "q54_argmax" -> argmaxRowSql,
+    "q55_hist_cut" -> histCutSql,
+    "q56_multimodal" -> multimodalSql)
+}

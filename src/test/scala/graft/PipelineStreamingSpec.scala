@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.pipeline.{Pipeline, Solution}
+import graft.streaming.Events
+
+/** Orchestration (Luigi file-target semantics + the iris e2e solution
+  * build) and Structured Streaming over the events table. */
+class PipelineStreamingSpec extends SparkSpec {
+
+  test("pipeline: complete tasks are skipped, incomplete run after deps") {
+    val dir = Files.createTempDirectory("graft_pipe")
+    var runs = Map("a" -> 0, "b" -> 0)
+    def mk() = {
+      val a = Pipeline.Task("a", Seq(s"$dir/a.out"))(() => {
+        runs += "a" -> (runs("a") + 1); Files.writeString(Paths.get(s"$dir/a.out"), "x")
+      })
+      val b = Pipeline.Task("b", Seq(s"$dir/b.out"), deps = Seq(a))(() => {
+        runs += "b" -> (runs("b") + 1); Files.writeString(Paths.get(s"$dir/b.out"), "y")
+      })
+      b
+    }
+    val r1 = Pipeline.execute(mk())
+    assert(r1.ran == Seq("a", "b") && r1.skipped.isEmpty)
+    val r2 = Pipeline.execute(mk())
+    assert(r2.ran.isEmpty && r2.skipped == Seq("b"), "output exists => skip wholesale")
+    Files.delete(Paths.get(s"$dir/b.out"))
+    val r3 = Pipeline.execute(mk())
+    assert(r3.ran == Seq("b") && r3.skipped == Seq("a"), "resume re-runs only the gap")
+    assert(runs == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("solution build: iris end-to-end with reference artifact layout") {
+    // materialize the reference's iris project skeleton in a temp dir
+    val ref = "/root/reference/examples/classification/multiclass/iris"
+    val proj = Files.createTempDirectory("graft_iris").toString
+    Files.createDirectories(Paths.get(s"$proj/configs"))
+    Files.createDirectories(Paths.get(s"$proj/features_generation/features_dataset_001"))
+    Files.copy(Paths.get(s"$ref/configs/solution.conf"),
+      Paths.get(s"$proj/configs/solution.conf"), StandardCopyOption.REPLACE_EXISTING)
+    Seq("train.csv", "test.csv").foreach { f =>
+      Files.copy(Paths.get(s"$ref/features_generation/features_dataset_001/$f"),
+        Paths.get(s"$proj/features_generation/features_dataset_001/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val runs = Solution.build(spark, proj, "configs", "solution.conf")
+    assert(runs.map(_.model) == Seq("lightgbm", "xgboost", "et", "logistic_regression"))
+    runs.foreach { r =>
+      assert(r.cvScore > 0.7,
+        s"${r.model}: iris 3-fold CV accuracy ${r.cvScore} not above threshold")
+      assert(Files.exists(Paths.get(s"${r.outputDir}/train_OOF.csv")))
+      assert(Files.exists(Paths.get(s"${r.outputDir}/test.csv")))
+      assert(Files.exists(Paths.get(s"${r.outputDir}/cv_results.csv")))
+      assert(Files.exists(Paths.get(s"${r.outputDir}/solution.conf")), "config copied (S7)")
+    }
+    // memoization: a second build skips every stage
+    val again = Solution.build(spark, proj, "configs", "solution.conf")
+    assert(again.forall(_.report.ran.isEmpty), "all stages skipped on re-run")
+  }
+
+  test("streaming: incremental windowed aggregate equals the batch plan") {
+    // stage the events parquet as a streaming source directory
+    val srcDir = Files.createTempDirectory("graft_stream").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$srcDir/events.parquet"))
+    val batchDf = Events.normalize(core.Tables.events(spark, sf))
+    val expected = Events.hourlyTypeCounts(batchDf).orderBy("window_start", "event_type")
+
+    val streamIn = spark.readStream
+      .schema(core.Tables.events(spark, sf).schema)
+      .parquet(srcDir)
+    val q = Events.hourlyTypeCounts(Events.normalize(streamIn))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // Append mode only emits windows the watermark has closed; with a
+    // bounded source the final watermark leaves the last window open.
+    val got = spark.table("hourly")
+    val expectedClosed = expected.limit(expected.count().toInt - 1)
+    assert(got.count() >= expectedClosed.count() - 24,
+      s"stream emitted ${got.count()} of ${expected.count()} windows")
+    val mismatched = got.join(expected,
+      Seq("window_start", "event_type", "n_events", "sum_value"), "left_anti").count()
+    assert(mismatched == 0, "every emitted window matches the batch result")
+  }
+
+  test("streaming: mapGroupsWithState running totals match batch groupBy") {
+    val events = Events.normalize(core.Tables.events(spark, sf))
+    val got = Events.runningUserTotals(spark, events)
+      .select(col("user_id"), col("n_events"), round(col("total_value"), 4).as("tv"))
+    val want = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("tv"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+}
