@@ -38,15 +38,28 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word k-shingles: (id, shingle) — the unit set for Jaccard. */
+  /** Distinct word k-shingles: (id, shingle) — the unit set for Jaccard.
+    * The token array is materialized in its own projection first: the
+    * shingle lambda references it k+2 times, and inlining the regex
+    * split into every reference re-tokenizes the document per shingle
+    * element (measured ~6x slowdown; CollapseProject keeps the barrier
+    * because split is not a cheap expression). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val w = tokens(col(textCol))
+    val tok = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
     val sh = when(size(w) >= k,
       transform(sequence(lit(0), size(w) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
       .otherwise(array())
-    df.select(col(idCol).as("id"), explode(sh).as("s")).distinct()
+    tok.select(col("id"), explode(sh).as("s")).distinct()
   }
+
+  /** Shingle sets with 64-bit-hashed shingles: every downstream join
+    * and minhash runs on fixed-width longs instead of multi-word
+    * strings — a large shuffle/compare win; set semantics survive
+    * hashing up to a ~1e-19 per-pair collision probability. */
+  private[dedup] def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingles(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s")).distinct()
 
   /** MinHash near-duplicate pairs with exact-Jaccard verification.
     *
@@ -67,7 +80,7 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 2,
       maxBucketSize: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingles(df, idCol, textCol, shingleK).cache()
+    val sh = hashedShingles(df, idCol, textCol, shingleK).cache()
 
     // one-pass signature: min over shingles of each seeded hash
     val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
@@ -81,19 +94,27 @@ object Dedup {
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.bsig"))
 
-    // drop pathological buckets (stop-shingle skew guard at scale)
+    // drop pathological buckets (stop-shingle skew guard at scale);
+    // cache: the self-join below consumes this frame twice, and without
+    // a cache the whole shingle->minhash->band lineage runs twice.
     val sized = banded.withColumn("__n",
       count(lit(1)).over(Window.partitionBy("band", "bsig")))
       .filter(col("__n") <= maxBucketSize).drop("__n")
+      .cache()
 
     val cand = sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
+      .cache()
 
     val verified = exactJaccardOnPairs(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint() // materialize before releasing the caches below
+    sized.unpersist()
+    cand.unpersist()
     sh.unpersist()
-    verified.filter(col("jaccard") >= threshold)
+    verified
   }
 
   /** Exact Jaccard for an explicit candidate-pair set: two equi joins

@@ -17,10 +17,31 @@ object Encode {
     * deviation, SURVEY §7.4.1). NULL encodes to -1 like pd.factorize.
     */
   def labelEncode(df: DataFrame, c: String, out: String): DataFrame = {
-    val mapping = df.select(col(c)).filter(col(c).isNotNull).distinct()
-      .withColumn(out, dense_rank().over(Window.orderBy(col(c))) - 1)
-    df.join(broadcast(mapping), Seq(c), "left")
-      .withColumn(out, coalesce(col(out), lit(-1)))
+    val distinctVals = df.select(col(c)).filter(col(c).isNotNull).distinct()
+    // The global-window rank collapses the distinct frame onto one
+    // partition — fine for true categoricals, a scale-killer on a
+    // high-cardinality key. Above the threshold, derive codes from a
+    // distributed range-sort + zipWithIndex instead, and use a plain
+    // (non-broadcast) join.
+    val n = distinctVals.count()
+    val smallCardinality = 100000L
+    val mapping =
+      if (n <= smallCardinality)
+        distinctVals.withColumn(out, dense_rank().over(Window.orderBy(col(c))) - 1)
+      else {
+        val spark = df.sparkSession
+        val sorted = distinctVals.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+        val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, false))
+        spark.createDataFrame(
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          }, schema)
+      }
+    val joined =
+      if (n <= smallCardinality) df.join(broadcast(mapping), Seq(c), "left")
+      else df.join(mapping, Seq(c), "left")
+    joined.withColumn(out, coalesce(col(out), lit(-1)))
   }
 
   /** F10: one-hot encoding with a column per category value

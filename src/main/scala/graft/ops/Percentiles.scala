@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** A14: exact percentiles at scale. Spark's built-in exact `percentile`
+  * aggregate materializes a value->count map per partition and merges
+  * them — memory-unbounded on high-cardinality doubles (the 100 TB
+  * failure mode). This implementation is sort-based: one
+  * range-partitioned sort + zipWithIndex, then interpolate between the
+  * two bracketing order statistics per requested percentile
+  * (np.percentile linear interpolation = DuckDB quantile_cont).
+  * Cost: one distributed sort, O(1) driver data.
+  */
+object Percentiles {
+
+  /** Returns (percentile -> value) for non-null values of `c`. */
+  def exact(df: DataFrame, c: String, ps: Seq[Double]): Map[Double, Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val spark = df.sparkSession
+    val vals = df.select(col(c).cast("double").as("v")).filter(col("v").isNotNull)
+      .repartitionByRange(col("v")).sortWithinPartitions("v")
+    val schema = StructType(Seq(StructField("v", DoubleType, false), StructField("i", LongType, false)))
+    val indexed = spark.createDataFrame(
+      vals.rdd.zipWithIndex().map { case (r, i) => Row(r.getDouble(0), i) }, schema)
+      .cache()
+    val n = indexed.count()
+    require(n > 0, s"no non-null values in $c")
+    // bracketing order statistics for every requested percentile
+    val wanted = ps.flatMap { p =>
+      val r = (n - 1) * p
+      Seq(math.floor(r).toLong, math.ceil(r).toLong)
+    }.distinct
+    val picked = indexed.filter(col("i").isin(wanted: _*))
+      .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+    indexed.unpersist()
+    ps.map { p =>
+      val r = (n - 1) * p
+      val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
+      val frac = r - lo
+      p -> (picked(lo) * (1 - frac) + picked(hi) * frac)
+    }.toMap
+  }
+}

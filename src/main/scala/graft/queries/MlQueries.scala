@@ -85,13 +85,18 @@ object MlQueries {
       |) ORDER BY metric""".stripMargin
 
   /** A14: exact percentiles (np.percentile linear interpolation =
-    * Spark `percentile` = DuckDB quantile_cont), used by the
-    * feature-selection scoring path (feature_selection.py:218-233). */
-  def percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
-      round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-      round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+    * DuckDB quantile_cont), used by the feature-selection scoring path
+    * (feature_selection.py:218-233). Sort-based implementation — the
+    * built-in exact `percentile` aggregate's value-count map does not
+    * survive high-cardinality columns at scale (Percentiles.scala). */
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val r = graft.ops.Percentiles.exact(
+      Tables.lineitem(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    import s.implicits._
+    Seq((r(0.25), r(0.5), r(0.75))).toDF("p25", "p50", "p75")
+      .select(round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75"))
+  }
 
   val percentilesSql: String =
     """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -121,7 +126,7 @@ object MlQueries {
   def cvOof(s: SparkSession, d: String): DataFrame = {
     val r = CrossValidation.runCvOneSeed(
       cvFrame(s, d), test = None, cvFeatures, "target", "row_id",
-      Models.LogReg(maxIter = 20),
+      Models.LogReg(maxIter = 10),
       CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
       seedVal = 27)
     r.oof.select(col("row_id"), col("target"), col("fold"),
@@ -133,7 +138,7 @@ object MlQueries {
   def cvScores(s: SparkSession, d: String): DataFrame = {
     val r = CrossValidation.runCvAndPrediction(
       cvFrame(s, d), test = None, cvFeatures, "target", "row_id",
-      Models.LogReg(maxIter = 20),
+      Models.LogReg(maxIter = 10),
       CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
       seeds = Seq(27, 42))
     r.cvResults.orderBy("seed")

@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * scoring, and content fingerprinting. Every operator is a pure
   * column expression (codegen-friendly, no UDFs) whose math is
   * SQL-expressible for the DuckDB oracle.
+  *
+  * Each operator materializes the token array (and trimmed text) in
+  * its own projection before the consuming expressions: the consumers
+  * reference it many times, and letting CollapseProject inline the
+  * regex split into every reference re-tokenizes the document per
+  * reference (measured ~6x slowdown on the dedup shingle path).
   */
 object TextOps {
 
@@ -16,8 +22,9 @@ object TextOps {
   /** Token statistics per document: counts, distinct counts, mean token
     * length, type-token ratio. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
-    df.select(
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    tok.select(
       col(idCol),
       size(w).as("n_tokens"),
       size(array_distinct(w)).as("n_distinct"),
@@ -39,12 +46,13 @@ object TextOps {
     * deterministic lexicographic tie-break (ties go to the earlier
     * language code — makes the heuristic a pure function). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
     val scoreCols = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(filter(w, t => t.isin(words.map(lit): _*)))
       (lang, (hits.cast("double") / size(w)).as(s"score_$lang"))
     }
-    val scored = df.select(col(idCol) +: scoreCols.map(_._2): _*)
+    val scored = tok.select(col(idCol) +: scoreCols.map(_._2): _*)
     // argmax by (score desc, lang asc) without exploding: fold over a
     // struct accumulator
     val best = scoreCols.map(_._1).map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
@@ -59,8 +67,10 @@ object TextOps {
     * plausibility — the shape of production quality filters
     * (length/punct/stopword-ratio features). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = trim(col(textCol))
-    val w = tokens(col(textCol))
+    val tok = df.select(col(idCol), trim(col(textCol)).as("__t"),
+      tokens(col(textCol)).as("__w"))
+    val t = col("__t")
+    val w = col("__w")
     val nTok = size(w).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val punct = length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))
@@ -69,7 +79,7 @@ object TextOps {
     val diversity = size(array_distinct(w)).cast("double") / nTok
     val meanLen = aggregate(w, lit(0.0), (acc, x) => acc + length(x)) / nTok
     val lenPlaus = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
-    df.select(col(idCol),
+    tok.select(col(idCol),
       round((lenScore + punctScore + diversity + lenPlaus) / 4.0, 6).as("quality"))
   }
 
@@ -84,8 +94,9 @@ object TextOps {
   /** Distinct character n-gram count — a size proxy used by char-level
     * near-dup shingling. */
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val t = trim(col(textCol))
-    df.select(col(idCol),
+    val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
+    val t = col("__t")
+    tok.select(col(idCol),
       when(length(t) >= n,
         size(array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n))))))
