@@ -50,10 +50,15 @@ object CrossValidation {
 
   /** Bagged result (run_cv_and_prediction attributes,
     * prediction.py:503-530). `cvResults` rows: (seed, cv_mean_score,
-    * cv_std, cv_score_per_each_fold). */
+    * cv_std, cv_score_per_each_fold); `oofBagged`/`testBagged` carry
+    * one `seed_i` column per seed (the reference's
+    * train_OOF_bagged.csv / test_bagged.csv shape,
+    * prediction.py:168-184,444-445). */
   final case class BaggedResult(
       oof: DataFrame,
       testPreds: Option[DataFrame],
+      oofBagged: DataFrame,
+      testBagged: Option[DataFrame],
       cvResults: DataFrame,
       cvScore: Double,
       cvStd: Double,
@@ -182,21 +187,29 @@ object CrossValidation {
     }.toDF("seed", "cv_mean_score", "cv_std", "cv_score_per_each_fold")
 
     val oofCol = s"${target}_OOF"
-    def reduceSeeds(frames: Seq[(Long, DataFrame)], scoreCol: String, outCol: String): DataFrame = {
+    val seedNames = seeds.indices.map(i => s"seed_${i + 1}")
+
+    /** J1: per-seed predictions as `seed_i` columns — a groupBy-pivot
+      * on the row id (one shuffle instead of n-1 joins). */
+    def bagSeeds(frames: Seq[(Long, DataFrame)], scoreCol: String): DataFrame = {
       val tagged = frames.map { case (s, df) =>
         df.select(col(idCol), col(scoreCol).as("__v"), lit(s"seed_${seeds.indexOf(s) + 1}").as("__seed"))
       }.reduce(_ unionByName _)
-      val pivoted = tagged.groupBy(idCol)
-        .pivot("__seed", seeds.indices.map(i => s"seed_${i + 1}"))
-        .agg(first(col("__v")))
-      val seedCols = seeds.indices.map(i => col(s"seed_${i + 1}"))
+      val seedVal = round(first(col("__v")), cfg.targetDecimals)
+      tagged.groupBy(idCol)
+        .pivot("__seed", seedNames)
+        .agg(if (cfg.targetDecimals == 0) seedVal.cast("long") else seedVal)
+    }
+
+    /** A8/A10: mean (probabilities) or smallest-value-tie-break mode
+      * (labels) across the seed columns. */
+    def reduceSeedCols(bagged: DataFrame, outCol: String): DataFrame = {
+      val seedCols = seedNames.map(col(_).cast("double"))
       val reduced =
         if (cfg.predictProbability || !model.isClassifier)
           seedCols.reduce(_ + _) / lit(seeds.size)
         else {
-          // majority vote across seed columns, ties -> smallest value
           val arr = array(seedCols: _*)
-          // per row: value whose count in arr is max; ties smallest
           aggregate(
             array_distinct(arr),
             struct(lit(-1).cast("int").as("cnt"), lit(Double.MaxValue).as("v")),
@@ -211,17 +224,19 @@ object CrossValidation {
         }
       val roundedV = round(reduced, cfg.targetDecimals)
       val finalV = if (cfg.targetDecimals == 0) roundedV.cast("long") else roundedV
-      pivoted.withColumn(outCol, finalV)
+      bagged.select(col(idCol), finalV.as(outCol))
     }
 
     val targetSide = perSeed.head._2.oof.select(col(idCol), col(target))
-    val oofBag = reduceSeeds(perSeed.map { case (s, r) => s -> r.oof }, "oof_score", oofCol)
-      .join(targetSide, Seq(idCol))
-      .cache()
+    val oofBagged = bagSeeds(perSeed.map { case (s, r) => s -> r.oof }, "oof_score")
+      .join(targetSide, Seq(idCol)).cache()
+    val oofBag = reduceSeedCols(oofBagged, oofCol)
+      .join(targetSide, Seq(idCol)).cache()
 
-    val subBag = test.map { _ =>
-      reduceSeeds(perSeed.map { case (s, r) => s -> r.testPreds.get }, target, target)
+    val subBagged = test.map { _ =>
+      bagSeeds(perSeed.map { case (s, r) => s -> r.testPreds.get }, target).cache()
     }
+    val subBag = subBagged.map(b => reduceSeedCols(b, target))
 
     val m = metric(cfg)
     val cvScore = round6(m(oofBag, target, oofCol), cfg.metricsDecimals)
@@ -235,6 +250,6 @@ object CrossValidation {
     }
 
     perSeed.foreach(_._2.oof.unpersist())
-    BaggedResult(oofBag, subBag, cvResults, cvScore, cvStd, importances)
+    BaggedResult(oofBag, subBag, oofBagged, subBagged, cvResults, cvScore, cvStd, importances)
   }
 }

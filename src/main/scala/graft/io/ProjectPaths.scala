@@ -65,6 +65,41 @@ final class ProjectPaths(cfg: Hocon.Config) {
     cfg.getBool(s"modeling_settings.$model.run_hpo"),
     cfg.getBool(s"modeling_settings.$model.run_bagging"))
 
+  /** config_parser.py:194-198 */
+  def featuresInputDirForStacking: String =
+    join(structure("FEATURE_GENERATION_DIR"),
+      cfg.getString("modeling_settings.name_feats_generation_dir_for_stacker"))
+
+  /** config_parser.py:200-222 */
+  def stackedSolutionDir(stackerModel: String, runStackerHpo: Boolean,
+      runBagging: Boolean): (String, String) = {
+    val baseName = cfg.getString("stacker.name_stacking_dir")
+    val provided = cfg.getBool("stacker.use_provided_oof_input_files")
+    val dirName = s"${baseName}_${if (provided) "external" else "pipeline"}_oof_preds"
+    val outDir =
+      if (runStackerHpo) {
+        val method = cfg.getString(s"stacker.$stackerModel.hpo_method")
+        val hpoName = cfg.getString("hp_optimization.name_hpo_dir")
+        join(dirName, stackerModel, s"${method}_$hpoName")
+      } else join(dirName, stackerModel, SubdirNoHpo)
+    (outDir, join(structure("ENSEMBLE_DIR"), structure("STACKER_SUBDIR"), outDir,
+      if (runBagging) SubdirBaggingOn else SubdirBaggingOff))
+  }
+
+  /** config_parser.py:224-228 */
+  def stackerFlags(stackerModel: String): (Boolean, Boolean) = (
+    cfg.getBool(s"stacker.$stackerModel.run_hpo"),
+    cfg.getBool(s"stacker.$stackerModel.run_bagging"))
+
+  /** config_parser.py:266-281 */
+  def blendedSolutionDir(blendingMethod: String): (String, String) = {
+    val baseName = cfg.getString("blender.name_blending_dir")
+    val provided = cfg.getBool("blender.use_provided_oof_input_files")
+    val outDir = s"${baseName}_${if (provided) "external" else "pipeline"}_oof_preds"
+    (outDir, join(structure("ENSEMBLE_DIR"), structure("BLENDER_SUBDIR"),
+      blendingMethod, outDir))
+  }
+
   /** config_parser.py:154-192: per-model parameter bundle for the task DAG. */
   def singleModelParameters: Seq[Map[String, String]] = {
     val models: Seq[String] = cfg.getStringList("modeling_settings.models")

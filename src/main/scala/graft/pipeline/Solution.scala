@@ -48,6 +48,110 @@ object Solution {
       model: String, outputDir: String, cvScore: Double, cvStd: Double,
       report: Pipeline.Report)
 
+  final case class BuildResult(
+      models: Seq[ModelRun], stackers: Seq[ModelRun], blender: Option[ModelRun])
+
+  /** BuildSolution root: single models, then the stacking branch
+    * (create_solution.py:409-636) and blending branch
+    * (create_solution.py:639-797) when enabled. */
+  def buildSolution(spark: SparkSession, projectLocation: String,
+      configDirectory: String, configFile: String): BuildResult = {
+    val models = build(spark, projectLocation, configDirectory, configFile)
+    val cfgPath = Paths.get(projectLocation, configDirectory, configFile).toString
+    val cfg = Hocon.parseFile(cfgPath)
+    val paths = new ProjectPaths(cfg)
+    val target = cfg.getString("raw_data_settings.target_column")
+    val idCol = cfg.getStringOrNull("raw_data_settings.index_column").getOrElse("__row_id")
+
+    def loadOofMatrix(inputs: Seq[(String, String)]): DataFrame = {
+      // (modelId, dir) -> join train_OOF.csv frames on the row id (J2)
+      val frames = inputs.map { case (m, dir) =>
+        m -> Sources.readCsv(spark, s"$dir/train_OOF.csv")
+      }
+      val base = frames.head._2.select(col(idCol), col(target))
+      graft.ensemble.Ensemble.joinOof(base, idCol, target, frames)
+    }
+
+    val singleInputs = models.map(r => r.model -> r.outputDir)
+
+    // ---- stacking branch -------------------------------------------
+    val stackers: Seq[ModelRun] =
+      if (!cfg.getBool("modeling_settings.run_stacking")) Seq.empty
+      else cfg.getStringList("stacker.meta_models").map { meta =>
+        val (runHpo, runBagging) = paths.stackerFlags(meta)
+        val (_, stackDir) = paths.stackedSolutionDir(meta, runHpo, runBagging)
+        val outDir = Paths.get(projectLocation, stackDir).toString
+        var score = (0.0, 0.0)
+        val task = Pipeline.Task(s"RunSingleStacker_$meta",
+          Seq(s"$outDir/train_OOF.csv", s"$outDir/cv_results.csv"))(() => {
+          val oofMatrix = loadOofMatrix(singleInputs)
+          val sc = cfg.getConfig("stacker.cv_params")
+          val nClasses = oofMatrix.select(target).distinct().count()
+          val cc = CvConfig(
+            numFolds = sc.getInt("num_folds"),
+            stratified = sc.getBool("stratified"),
+            dataSplitSeed = cfg.getLong("modeling_settings.data_split_seed"),
+            predictProbability =
+              cfg.getBool(s"stacker.$meta.predict_probability") && nClasses == 2,
+            metricName = metricKey(cfg.getString(s"stacker.$meta.metrics_scorer")),
+            targetDecimals = cfg.getInt(s"stacker.$meta.target_decimals"),
+            metricsDecimals = cfg.getInt(s"stacker.$meta.metrics_decimals"))
+          val seeds = cfg.getLongList("modeling_settings.model_seeds_list")
+          val usedSeeds = if (runBagging) seeds else seeds.take(1)
+          val r = graft.ensemble.Ensemble.stack(oofMatrix, None, target, idCol,
+            modelFor(meta, nClasses), cc, usedSeeds)
+          score = (r.cvScore, r.cvStd)
+          Sources.writeCsv(r.oof.orderBy(idCol), s"$outDir/train_OOF.csv",
+            floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+          Sources.writeCsv(r.cvResults.withColumn("cv_score_per_each_fold",
+              concat_ws(",", col("cv_score_per_each_fold"))),
+            s"$outDir/cv_results.csv",
+            floatDecimals = Some(cc.metricsDecimals).filter(_ > 0))
+        })
+        val report = Pipeline.execute(task) // must run before reading `score`
+        ModelRun(meta, outDir, score._1, score._2, report)
+      }
+
+    // ---- blending branch -------------------------------------------
+    val blender: Option[ModelRun] =
+      if (!cfg.getBool("modeling_settings.run_blending")) None
+      else {
+        val method = cfg.getString("modeling_settings.blender_method")
+        val (_, blendDir) = paths.blendedSolutionDir(method)
+        val outDir = Paths.get(projectLocation, blendDir).toString
+        var score = 0.0
+        val task = Pipeline.Task(s"RunSingleBlender_$method",
+          Seq(s"$outDir/blend_weights.txt", s"$outDir/blend_history.csv"))(() => {
+          val useStacked = cfg.getBool("modeling_settings.blend_stacked_results") &&
+            stackers.nonEmpty
+          val inputs = if (useStacked) stackers.map(r => r.model -> r.outputDir)
+            else singleInputs
+          val oofMatrix = loadOofMatrix(inputs)
+          val predCols = oofMatrix.columns.filterNot(c => c == idCol || c == target).toSeq
+          // voting type auto-detect (blender.py:202-227): all-integer
+          // prediction columns -> hard vote, else soft
+          val hard = predCols.forall { c =>
+            oofMatrix.schema(c).dataType.typeName match {
+              case "integer" | "long" | "short" | "byte" => true
+              case _ => false
+            }
+          }
+          val r = graft.ensemble.Ensemble.blend(oofMatrix, predCols, target,
+            metricKey(cfg.getString("modeling_settings.cv_params.metrics_scorer")),
+            nIter = 10, seed = cfg.getLong("modeling_settings.blender_seed"),
+            hardVote = hard)
+          score = r.score
+          Sources.writeJsonManifest(s"$outDir/blend_weights.txt",
+            r.weights.map { case (k, v) => k -> v.toString })
+          Sources.writeCsv(r.history, s"$outDir/blend_history.csv", floatDecimals = None)
+        })
+        val report = Pipeline.execute(task) // must run before reading `score`
+        Some(ModelRun(method, outDir, score, 0.0, report))
+      }
+
+    BuildResult(models, stackers, blender)
+  }
+
   /** Run every model in `modeling_settings.models` through
     * ingest -> CV -> sinks under `projectLocation`. */
   def build(spark: SparkSession, projectLocation: String, configDirectory: String,
@@ -80,10 +184,14 @@ object Solution {
       })
 
       var score = (0.0, 0.0)
+      val bagging = runBagging && seeds.size > 1
+      val baggedOutputs =
+        if (bagging) Seq(s"$outDir/train_OOF_bagged.csv", s"$outDir/test_bagged.csv")
+        else Seq.empty
       // Stage 2: RunSingleModelPrediction (create_solution.py:301-377)
       val predict = Pipeline.Task(s"RunSingleModelPrediction_$model",
         Seq(s"$outDir/train_OOF.csv", s"$outDir/test.csv", s"$outDir/cv_results.csv",
-          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt"),
+          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt") ++ baggedOutputs,
         deps = Seq(ingest))(() => {
         val train0 = Sources.readCsv(spark, trainNew)
         val test0 = Sources.readCsv(spark, testNew)
@@ -122,6 +230,13 @@ object Solution {
         Sources.writeCsv(r.cvResults.withColumn("cv_score_per_each_fold",
             concat_ws(",", col("cv_score_per_each_fold"))),
           s"$outDir/cv_results.csv", floatDecimals = Some(cc.metricsDecimals).filter(_ > 0))
+        if (bagging) {
+          // per-seed tables (prediction.py:444-445; FILENAME_*_BAGGED)
+          Sources.writeCsv(r.oofBagged.orderBy(idCol), s"$outDir/train_OOF_bagged.csv",
+            floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+          Sources.writeCsv(r.testBagged.get.orderBy(idCol), s"$outDir/test_bagged.csv",
+            floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+        }
         Sources.copyConfig(cfgPath, outDir)
         Sources.writeJsonManifest(s"$outDir/${model}_oof_data_info.txt",
           Map("model" -> model, "path" -> solDir,

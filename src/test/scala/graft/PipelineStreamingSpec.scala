@@ -46,7 +46,8 @@ class PipelineStreamingSpec extends SparkSpec {
         StandardCopyOption.REPLACE_EXISTING)
     }
 
-    val runs = Solution.build(spark, proj, "configs", "solution.conf")
+    val result = Solution.buildSolution(spark, proj, "configs", "solution.conf")
+    val runs = result.models
     assert(runs.map(_.model) == Seq("lightgbm", "xgboost", "et", "logistic_regression"))
     runs.foreach { r =>
       assert(r.cvScore > 0.7,
@@ -54,11 +55,24 @@ class PipelineStreamingSpec extends SparkSpec {
       assert(Files.exists(Paths.get(s"${r.outputDir}/train_OOF.csv")))
       assert(Files.exists(Paths.get(s"${r.outputDir}/test.csv")))
       assert(Files.exists(Paths.get(s"${r.outputDir}/cv_results.csv")))
+      assert(Files.exists(Paths.get(s"${r.outputDir}/train_OOF_bagged.csv")),
+        "bagged per-seed table (run_bagging=True, 3 seeds)")
       assert(Files.exists(Paths.get(s"${r.outputDir}/solution.conf")), "config copied (S7)")
     }
+    // stacking branch (run_stacking=True): two meta-models
+    assert(result.stackers.map(_.model) == Seq("lightgbm", "logistic_regression"))
+    result.stackers.foreach { s =>
+      assert(s.cvScore > 0.7, s"stacker ${s.model} accuracy ${s.cvScore}")
+      assert(Files.exists(Paths.get(s"${s.outputDir}/train_OOF.csv")))
+    }
+    // blending branch (run_blending=True)
+    val bl = result.blender.get
+    assert(Files.exists(Paths.get(s"${bl.outputDir}/blend_weights.txt")))
+    assert(bl.cvScore > 0.7, s"blended accuracy ${bl.cvScore}")
     // memoization: a second build skips every stage
-    val again = Solution.build(spark, proj, "configs", "solution.conf")
-    assert(again.forall(_.report.ran.isEmpty), "all stages skipped on re-run")
+    val again = Solution.buildSolution(spark, proj, "configs", "solution.conf")
+    assert(again.models.forall(_.report.ran.isEmpty), "all stages skipped on re-run")
+    assert(again.stackers.forall(_.report.ran.isEmpty))
   }
 
   test("streaming: incremental windowed aggregate equals the batch plan") {
