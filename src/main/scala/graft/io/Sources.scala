@@ -87,6 +87,20 @@ object Sources {
       items.map(s => s""""$s"""").mkString("[", ", ", "]"))
   }
 
+  /** S4: JSON scalar-map manifest read (inverse of writeJsonManifest;
+    * flat string-valued objects only). */
+  def readJsonManifest(path: String): Map[String, String] = {
+    val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim
+    require(txt.startsWith("{") && txt.endsWith("}"), s"not a JSON object: $path")
+    val inner = txt.substring(1, txt.length - 1).trim
+    if (inner.isEmpty) Map.empty
+    else inner.split(",(?=\\s*\")").toSeq.map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") ->
+        v.trim.stripPrefix("\"").stripSuffix("\"")
+    }.toMap
+  }
+
   /** S4: JSON string-list read. */
   def readJsonList(path: String): Seq[String] = {
     val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim

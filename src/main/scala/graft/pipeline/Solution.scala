@@ -34,15 +34,51 @@ object Solution {
     case other => other
   }
 
-  /** Model factory honoring the multiclass gap: MLlib GBT is
+  /** Model factory honoring the multiclass gap (MLlib GBT is
     * binary-only, so gbt-family names fall back to RandomForest when
-    * the target has more than two classes (SURVEY §7.4.4). */
-  private def modelFor(name: String, nClasses: Long): ModelWrapper =
-    if (nClasses > 2) name match {
+    * the target has more than two classes, SURVEY §7.4.4) and the
+    * hyper-parameter translation from the reference's sklearn/lgbm
+    * names (hp_optimization spaces, solution.conf:106-211) to their
+    * MLlib analogues. Unknown names are ignored (the reference coerces
+    * dtypes per model the same way, model_wrappers.py:62-72). */
+  private def modelFor(name: String, nClasses: Long,
+      params: Map[String, Double] = Map.empty): ModelWrapper = {
+    def i(k: String, d: Int): Int = params.get(k).map(_.toInt).getOrElse(d)
+    def f(k: String, d: Double): Double = params.getOrElse(k, d)
+    val treeDepth = i("max_depth", 6)
+    val nTrees = i("n_estimators", 50)
+    name match {
+      case "lightgbm" | "xgboost" | "gbt" if nClasses <= 2 =>
+        Models.GbtBinaryClassifier(maxIter = i("n_estimators", 50),
+          maxDepth = treeDepth, stepSize = f("learning_rate", 0.1))
       case "lightgbm" | "xgboost" | "gbt" | "et" | "random_forest" =>
-        Models.RfClassifier(numTrees = 50, maxDepth = 6)
+        Models.RfClassifier(numTrees = nTrees, maxDepth = treeDepth,
+          subsamplingRate = f("subsample", 1.0))
+      case "logistic_regression" | "lr" =>
+        // sklearn C is inverse regularization strength
+        Models.LogReg(maxIter = i("max_iter", 100),
+          regParam = params.get("C").map(c => 1.0 / c).getOrElse(0.0))
+      case "linear_regression" | "linreg" =>
+        Models.LinReg(regParam = params.get("C").map(c => 1.0 / c).getOrElse(0.0))
       case other => Models.byName(other)
-    } else Models.byName(name)
+    }
+  }
+
+  /** HPO box for a model from the config's hpo_space (only dimensions
+    * with an MLlib analogue; ints per the reference's dtype coercion). */
+  private def hpoSpaceFor(cfg: Hocon.Config, model: String): Option[graft.hpo.RandomSearch.Space] = {
+    val base = s"hp_optimization.bayes.hpo_space.single_model_solution.$model"
+    if (!cfg.has(base)) return None
+    val known = Set("max_depth", "learning_rate", "n_estimators", "subsample", "C", "tol")
+    val intParams = Set("max_depth", "n_estimators")
+    val bounds = cfg.getConfig(base).keys().collect {
+      case k if known.contains(k) =>
+        val lst = cfg.getList(s"$base.$k").collect { case Hocon.Num(d, _) => d }
+        k -> (lst.head, lst.last)
+    }.toMap
+    if (bounds.isEmpty) None
+    else Some(graft.hpo.RandomSearch.Space(bounds, intParams intersect bounds.keySet))
+  }
 
   final case class ModelRun(
       model: String, outputDir: String, cvScore: Double, cvStd: Double,
@@ -183,32 +219,21 @@ object Solution {
         Sources.writeCsv(Sources.readCsv(spark, testCsv, downcast = true), testNew, None)
       })
 
-      var score = (0.0, 0.0)
-      val bagging = runBagging && seeds.size > 1
-      val baggedOutputs =
-        if (bagging) Seq(s"$outDir/train_OOF_bagged.csv", s"$outDir/test_bagged.csv")
-        else Seq.empty
-      // Stage 2: RunSingleModelPrediction (create_solution.py:301-377)
-      val predict = Pipeline.Task(s"RunSingleModelPrediction_$model",
-        Seq(s"$outDir/train_OOF.csv", s"$outDir/test.csv", s"$outDir/cv_results.csv",
-          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt") ++ baggedOutputs,
-        deps = Seq(ingest))(() => {
-        val train0 = Sources.readCsv(spark, trainNew)
-        val test0 = Sources.readCsv(spark, testNew)
-        // synthesize a row id when the dataset declares none (SURVEY §7.4.1)
-        val idCol = indexCol.getOrElse("__row_id")
-        def withId(df: DataFrame): DataFrame = indexCol match {
-          case Some(_) => df
-          case None => df.withColumn(idCol,
-            row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
-              df.columns.map(col): _*)).cast("long"))
-        }
-        val train = withId(train0).cache()
-        val test = withId(test0)
-        val features = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
-        val nClasses = train.select(target).distinct().count()
+      // shared frame loading for the FS/HPO/predict stages
+      val idCol = indexCol.getOrElse("__row_id")
+      def withId(df: DataFrame): DataFrame = indexCol match {
+        // synthesize a row id when the dataset declares none (SURVEY
+        // §7.4.1; the global window is acceptable because index-less
+        // reference datasets are example-sized)
+        case Some(_) => df
+        case None => df.withColumn(idCol,
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+            df.columns.map(col): _*)).cast("long"))
+      }
+      def loadTrain(): DataFrame = withId(Sources.readCsv(spark, trainNew))
+      def cvConfigFor(nClasses: Long): CvConfig = {
         val predictProb = cfg.getBool(s"modeling_settings.$model.predict_probability")
-        val cc = CvConfig(
+        CvConfig(
           numFolds = cvP.getInt("num_folds"),
           stratified = cvP.getBool("stratified"),
           dataSplitSeed = cfg.getLong("modeling_settings.data_split_seed"),
@@ -218,10 +243,96 @@ object Solution {
           metricName = metricKey(cvP.getString("metrics_scorer")),
           targetDecimals = cvP.getInt("target_decimals"),
           metricsDecimals = cvP.getInt("metrics_decimals"))
+      }
+
+      // Stage FeatureSelection (create_solution.py:72-171, when run_fs)
+      val (_, fsDir) = paths.featureSelectionDir(model, runFs)
+      val fsOut = Paths.get(projectLocation, fsDir).toString
+      val fsTask: Option[Pipeline.Task] = if (!runFs) None else Some(
+        Pipeline.Task(s"FeatureSelection_$model",
+          Seq(s"$fsOut/optimal_features.txt"), deps = Seq(ingest))(() => {
+          val train = loadTrain().cache()
+          val features = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+          val nClasses = train.select(target).distinct().count()
+          val nbRuns = cfg.getInt(
+            "features_selection.target_permutation.nb_target_permutation_runs")
+          val seed = cfg.getLong("modeling_settings.fs_seed_value")
+          val explorer = Models.RfClassifier(numTrees = 20, maxDepth = 6)
+          val actual = graft.fs.FeatureSelection.importancesOnce(
+            train, features, target, explorer, seed, None)
+          val nulls = graft.fs.FeatureSelection.nullImportances(
+            train, features, target, explorer, seed, nbRuns)
+          val scores = graft.fs.FeatureSelection.scoreFeatures(actual, nulls).cache()
+          // auto thresholds: integer range min..max in 5 steps
+          // (feature_selection.py:279-285)
+          val mm = scores.agg(min("gain_score"), max("gain_score")).head()
+          val (lo, hi) = (math.round(mm.getDouble(0)), math.round(mm.getDouble(1)))
+          val step = math.max(1L, (hi - lo) / 5)
+          val range = (lo until hi by step).map(_.toDouble)
+          // degenerate score spread -> single all-features threshold
+          val thresholds = if (range.nonEmpty) range else Seq(lo.toDouble - 1)
+          val sweep = graft.fs.FeatureSelection.thresholdSweep(
+            train, target, idCol, scores, thresholds,
+            modelFor(model, nClasses), cvConfigFor(nClasses), seed)
+          val best = graft.fs.FeatureSelection.bestThreshold(
+            graft.fs.FeatureSelection.rankThresholds(sweep))
+          val keep = scores.filter(col("gain_score") >= best)
+            .select("feature").collect().map(_.getString(0)).toSeq.sorted
+          Sources.writeJsonList(s"$fsOut/optimal_features.txt", keep)
+          scores.unpersist(); train.unpersist()
+        }))
+
+      // Stage RunSingleModelHPO (create_solution.py:257-298, when run_hpo)
+      val (_, hpoDirRel) = paths.hpoDir(model, runFs, runHpo)
+      val hpoOut = Paths.get(projectLocation, hpoDirRel).toString
+      val hpoSpace = if (runHpo) hpoSpaceFor(cfg, model) else None
+      val hpoTask: Option[Pipeline.Task] = hpoSpace.map { space =>
+        Pipeline.Task(s"RunSingleModelHPO_$model",
+          Seq(s"$hpoOut/optimized_hp.txt"), deps = Seq(ingest) ++ fsTask.toSeq)(() => {
+          val train = loadTrain().cache()
+          val features0 = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+          val features = fsTask.fold(features0)(_ =>
+            Sources.readJsonList(s"$fsOut/optimal_features.txt").toSeq)
+          val nClasses = train.select(target).distinct().count()
+          val hpoCfgBase = "hp_optimization.bayes.hpo_space.single_model_solution"
+          val trials = cfg.getInt(s"$hpoCfgBase.init_points") + cfg.getInt(s"$hpoCfgBase.n_iter")
+          val r = graft.hpo.RandomSearch.optimize(
+            train, features, target, idCol, space,
+            p => modelFor(model, nClasses, p),
+            cvConfigFor(nClasses), cfg.getLong("modeling_settings.hpo_seed_value"),
+            nTrials = trials)
+          Sources.writeJsonManifest(s"$hpoOut/optimized_hp.txt",
+            r.bestParams.map { case (k, v) => k -> v.toString })
+          train.unpersist()
+        })
+      }
+
+      var score = (0.0, 0.0)
+      val bagging = runBagging && seeds.size > 1
+      val baggedOutputs =
+        if (bagging) Seq(s"$outDir/train_OOF_bagged.csv", s"$outDir/test_bagged.csv")
+        else Seq.empty
+      // Stage 2: RunSingleModelPrediction (create_solution.py:301-377)
+      val predict = Pipeline.Task(s"RunSingleModelPrediction_$model",
+        Seq(s"$outDir/train_OOF.csv", s"$outDir/test.csv", s"$outDir/cv_results.csv",
+          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt") ++ baggedOutputs,
+        deps = Seq(ingest) ++ fsTask.toSeq ++ hpoTask.toSeq)(() => {
+        val train = loadTrain().cache()
+        val test = withId(Sources.readCsv(spark, testNew))
+        // P2: optimal-feature projection when FS ran (create_solution.py:236-237)
+        val features0 = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+        val features = fsTask.fold(features0)(_ =>
+          Sources.readJsonList(s"$fsOut/optimal_features.txt").toSeq)
+        val nClasses = train.select(target).distinct().count()
+        // reinit with optimized params when HPO ran (create_solution.py:328-334)
+        val params: Map[String, Double] = hpoTask.fold(Map.empty[String, Double])(_ =>
+          Sources.readJsonManifest(s"$hpoOut/optimized_hp.txt")
+            .map { case (k, v) => k -> v.toDouble })
+        val cc = cvConfigFor(nClasses)
         val usedSeeds = if (runBagging) seeds else seeds.take(1)
         val r = CrossValidation.runCvAndPrediction(
           train, Some(test), features, target, idCol,
-          modelFor(model, nClasses), cc, usedSeeds)
+          modelFor(model, nClasses, params), cc, usedSeeds)
         score = (r.cvScore, r.cvStd)
         Sources.writeCsv(r.oof.orderBy(idCol), s"$outDir/train_OOF.csv",
           floatDecimals = Some(cc.targetDecimals).filter(_ > 0))

@@ -38,8 +38,14 @@ class PipelineStreamingSpec extends SparkSpec {
     val proj = Files.createTempDirectory("graft_iris").toString
     Files.createDirectories(Paths.get(s"$proj/configs"))
     Files.createDirectories(Paths.get(s"$proj/features_generation/features_dataset_001"))
-    Files.copy(Paths.get(s"$ref/configs/solution.conf"),
-      Paths.get(s"$proj/configs/solution.conf"), StandardCopyOption.REPLACE_EXISTING)
+    // test-speed knobs: shrink the HPO budget and enable FS for the
+    // first model so those stages are exercised end-to-end
+    val conf = Files.readString(Paths.get(s"$ref/configs/solution.conf"))
+      .replace("init_points = 20", "init_points = 1")
+      .replace("n_iter      = 20", "n_iter      = 1")
+      .replaceFirst("run_fs      = False", "run_fs      = True")
+      .replace("nb_target_permutation_runs = 10", "nb_target_permutation_runs = 3")
+    Files.writeString(Paths.get(s"$proj/configs/solution.conf"), conf)
     Seq("train.csv", "test.csv").foreach { f =>
       Files.copy(Paths.get(s"$ref/features_generation/features_dataset_001/$f"),
         Paths.get(s"$proj/features_generation/features_dataset_001/$f"),
@@ -59,6 +65,12 @@ class PipelineStreamingSpec extends SparkSpec {
         "bagged per-seed table (run_bagging=True, 3 seeds)")
       assert(Files.exists(Paths.get(s"${r.outputDir}/solution.conf")), "config copied (S7)")
     }
+    // FS stage ran for lightgbm (run_fs flipped on) and HPO for all
+    assert(Files.exists(Paths.get(
+      s"$proj/features_selection/features_dataset_001/target_permutation_fs_001/optimal_features.txt")),
+      "FS wrote optimal_features.txt (create_solution.py:165-168)")
+    assert(runs.head.report.ran.contains("FeatureSelection_lightgbm"))
+    assert(runs.head.report.ran.contains("RunSingleModelHPO_lightgbm"))
     // stacking branch (run_stacking=True): two meta-models
     assert(result.stackers.map(_.model) == Seq("lightgbm", "logistic_regression"))
     result.stackers.foreach { s =>
