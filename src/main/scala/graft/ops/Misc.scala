@@ -56,6 +56,19 @@ object Misc {
   def argmax(df: DataFrame, c: String, tieBreak: Seq[String]): DataFrame =
     df.orderBy(col(c).desc +: tieBreak.map(col(_).asc): _*).limit(1)
 
+  /** F14: timestamp string for artifact naming (utils.py:48-53 format
+    * '%Y-%m-%d_%H-%M'). */
+  def timestampString(epochMillis: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(epochMillis))
+
+  /** F15: random model id `model_%04d` — seeded for determinism where
+    * the reference draws from an unseeded RNG (utils.py:159-173;
+    * documented deviation for testability). */
+  def modelId(seed: Long): String =
+    f"model_${new scala.util.Random(seed).nextInt(10000)}%04d"
+
   /** F16 (pd.cut parity): n equal-width bins anchored at the column
     * min, rightmost edge inclusive — bin = min(floor((x-min)/w), n-1)
     * (utils.py:103-119 constructs these splits; visualization.py:105-116

@@ -95,6 +95,28 @@ class IoSpec extends SparkSpec {
     assert(loaded.columns.toSet == Set("id", "lgbm1_target_OOF", "target"))
   }
 
+  test("hocon + path deriver handle the second reference config (credit_scoring)") {
+    val conf = "/root/reference/examples/classification/binary/credit_scoring/configs/solution.conf"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(conf))) {
+      val cfg = Hocon.parseFile(conf)
+      assert(cfg.getString("raw_data_settings.target_column").nonEmpty)
+      val paths = new ProjectPaths(cfg)
+      val models = cfg.getStringList("modeling_settings.models")
+      assert(models.nonEmpty)
+      // every model derives a full consistent path set without throwing
+      paths.singleModelParameters.foreach { p =>
+        assert(p("solution_output_dir").startsWith(
+          cfg.getString("project_structure.SOLUTION_DIR")))
+      }
+    }
+  }
+
+  test("timestamp string + seeded model id (F14/F15)") {
+    assert(graft.ops.Misc.timestampString(0L) == "1970-01-01_00-00")
+    assert(graft.ops.Misc.modelId(27L) == graft.ops.Misc.modelId(27L))
+    assert(graft.ops.Misc.modelId(27L).matches("model_\\d{4}"))
+  }
+
   test("json manifest + list round trip; config copy") {
     val dir = Files.createTempDirectory("graft_json").toString
     Sources.writeJsonList(s"$dir/feats.txt", Seq("f1", "f2"))
