@@ -131,7 +131,37 @@ object MiscQueries {
       |    % 1000003 AS byte_checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** §2.11 extension under the oracle gate: the same plan
+    * Events.hourlyTypeCounts runs incrementally under a watermark,
+    * executed batch here and recomputed by DuckDB date_trunc. */
+  def hourlyEvents(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Events.hourlyTypeCounts(
+        graft.streaming.Events.normalize(Tables.events(s, d)))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val hourlyEventsSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** mapGroupsWithState running totals, batch-executed (the state op
+    * runs once over the single batch) and SQL-recomputed. */
+  def userTotals(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Events.runningUserTotals(
+        s, graft.streaming.Events.normalize(Tables.events(s, d)))
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("user_id")
+
+  val userTotalsSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_hourly_events" -> (hourlyEvents _),
+    "q58_user_totals" -> (userTotals _),
     "q49_importance_topn" -> (importanceTopN _),
     "q50_outer_stats" -> (outerStats _),
     "q51_subsample" -> (subsample _),
@@ -142,6 +172,8 @@ object MiscQueries {
     "q56_multimodal" -> (multimodal _))
 
   val oracles: Map[String, String] = Map(
+    "q57_hourly_events" -> hourlyEventsSql,
+    "q58_user_totals" -> userTotalsSql,
     "q49_importance_topn" -> importanceTopNSql,
     "q50_outer_stats" -> outerStatsSql,
     "q51_subsample" -> subsampleSql,
