@@ -159,9 +159,28 @@ object MiscQueries {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** F17 as a *column* function (beyond the reference's driver-side
+    * JSON): extract a typed field from the events JSON props and
+    * aggregate on it. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_hourly_events" -> (hourlyEvents _),
     "q58_user_totals" -> (userTotals _),
+    "q59_json_props" -> (jsonProps _),
     "q49_importance_topn" -> (importanceTopN _),
     "q50_outer_stats" -> (outerStats _),
     "q51_subsample" -> (subsample _),
@@ -174,6 +193,7 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "q57_hourly_events" -> hourlyEventsSql,
     "q58_user_totals" -> userTotalsSql,
+    "q59_json_props" -> jsonPropsSql,
     "q49_importance_topn" -> importanceTopNSql,
     "q50_outer_stats" -> outerStatsSql,
     "q51_subsample" -> subsampleSql,

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.{Misc, Percentiles, RowOps}
+
+/** Property-style checks for the pure operators (seeded scalacheck
+  * generators, fixed trial count — the scalatest/scalacheck bridge
+  * artifact is not on the offline classpath): row-wise mode against a
+  * reference implementation, percentile parity with np.percentile
+  * interpolation, binning invariants.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(1000L + i)))
+
+  private def scipyMode(xs: Seq[Double]): Double =
+    xs.groupBy(identity).toSeq
+      .map { case (v, g) => (g.size, v) }
+      .sortBy { case (cnt, v) => (-cnt, v) }
+      .head._2
+
+  test("rowMode matches scipy mode (max count, smallest-value tie-break)") {
+    val gen = Gen.listOfN(40, Gen.listOfN(5, Gen.chooseNum(0, 3).map(_.toDouble)))
+    samples(gen, 5).foreach { data =>
+      val df = data.map(l => (l(0), l(1), l(2), l(3), l(4)))
+        .toDF("a", "b", "c", "d", "e")
+      val got = df.select(RowOps.rowMode(
+        Seq(col("a"), col("b"), col("c"), col("d"), col("e"))).as("m"))
+        .collect().map(_.getDouble(0)).toSeq
+      val want = data.map(scipyMode(_))
+      assert(got == want)
+    }
+  }
+
+  private def npPercentile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val r = (s.size - 1) * p
+    val (lo, hi) = (math.floor(r).toInt, math.ceil(r).toInt)
+    s(lo) * (1 - (r - lo)) + s(hi) * (r - lo)
+  }
+
+  test("sort-based exact percentile matches np.percentile interpolation") {
+    val gen = Gen.listOfN(150, Gen.chooseNum(-1e6, 1e6))
+    samples(gen, 4).foreach { xs =>
+      val df = xs.toDF("v")
+      val got = Percentiles.exact(df, "v", Seq(0.25, 0.5, 0.9))
+      Seq(0.25, 0.5, 0.9).foreach { p =>
+        assert(math.abs(got(p) - npPercentile(xs, p)) < 1e-6,
+          s"p=$p got=${got(p)} want=${npPercentile(xs, p)}")
+      }
+    }
+  }
+
+  test("histogramCut covers every row exactly once with bins in range") {
+    val gen = Gen.listOfN(200, Gen.chooseNum(0.0, 1000.0))
+    samples(gen, 4).foreach { xs =>
+      if (xs.distinct.size > 1) {
+        val df = xs.map(x => (x, if (x > 500) "a" else "b")).toDF("v", "cls")
+        val out = Misc.histogramCut(df, "v", "cls", 8).collect()
+        assert(out.map(_.getLong(2)).sum == xs.size, "counts cover all rows")
+        assert(out.forall { r => val b = r.getInt(0); b >= 0 && b < 8 })
+      }
+    }
+  }
+
+  test("weightedMean normalizes weights") {
+    val df = Seq((1.0, 3.0)).toDF("x", "y")
+    val got = df.select(RowOps.weightedMean(Seq(col("x"), col("y")), Seq(2.0, 6.0)).as("m"))
+      .head().getDouble(0)
+    assert(math.abs(got - (1.0 * 0.25 + 3.0 * 0.75)) < 1e-12)
+  }
+}
