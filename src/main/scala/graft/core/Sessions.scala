@@ -20,6 +20,7 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(graft.functions.GraftFunctions.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

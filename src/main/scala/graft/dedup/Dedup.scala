@@ -164,16 +164,13 @@ object Dedup {
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val withNorm = v.withColumn("nrm",
-      sqrt(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x * x)))
-    val pairs = withNorm.as("a").join(withNorm.as("b"),
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("vec"))
+    val pairs = v.as("a").join(v.as("b"),
       col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
     pairs.select(
         col("a.id").as("id_1"), col("b.id").as("id_2"),
-        (aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        graft.functions.GraftFunctions.cosineSim(df.sparkSession,
+          col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

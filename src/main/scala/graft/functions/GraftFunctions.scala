@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native Catalyst expressions — available
+  * both as a `SparkSessionExtensions` injector (canonical path:
+  * `Sessions.local` wires it in, and spark.sql.extensions can name
+  * `GraftExtensions` in any deployment) and as an idempotent
+  * per-session registration for externally created sessions.
+  */
+object GraftFunctions {
+
+  private val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"cosine_sim expects 2 arguments, got ${children.size}")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
+
+  /** Idempotent registration into an existing session's registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("cosine_sim")
+    if (!registry.functionExists(id))
+      registry.registerFunction(id, cosineInfo, cosineBuilder)
+  }
+
+  /** Column API for the native cosine similarity. Ensures registration
+    * on the owning session, then resolves through the registry. */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("cosine_sim", a, b)
+  }
+}
+
+/** `spark.sql.extensions`-compatible injector class. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -26,25 +26,20 @@ object Similarity {
 
   private def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
   /** Exact top-k cosine neighbors for each probe row.
     * Output: (query_id, neighbor_id, cosine), k rows per probe, ranked
-    * by (cosine desc, neighbor_id asc); self-matches excluded. */
+    * by (cosine desc, neighbor_id asc); self-matches excluded. Cosine
+    * runs through the native fused-loop expression
+    * (graft.functions.CosineSimilarity) inside whole-stage codegen. */
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cnrm", norm(col("cvec")))
-    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pvec"))
-      .withColumn("pnrm", norm(col("pvec")))
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"))
     val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("pvec"), col("cvec")) / (col("pnrm") * col("cnrm"))).as("cosine"))
+        graft.functions.GraftFunctions.cosineSim(spark, col("pvec"), col("cvec")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -87,7 +82,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "pvec", "cvec").distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      (dot(col("pvec"), col("cvec")) / (norm(col("pvec")) * norm(col("cvec")))).as("cosine"))
+      graft.functions.GraftFunctions.cosineSim(corpus.sparkSession,
+        col("pvec"), col("cvec")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Native CosineSimilarity expression: value parity with the
+  * higher-order-function formulation, codegen path, null handling,
+  * and SQL registry resolution. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = Seq(
+    (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+    (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f)),
+    (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+
+  test("matches the composed higher-order-function cosine") {
+    val hof = {
+      val ad = transform(col("a"), _.cast("double"))
+      val bd = transform(col("b"), _.cast("double"))
+      val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+      dot / (na * nb)
+    }
+    // composed form divides by zero on the zero-vector row (ANSI mode
+    // error) — the native expression returns null there instead
+    val nonZero = pairs.filter(aggregate(col("a"),
+      lit(0.0), (acc, x) => acc + x * x) > 0)
+    val rows = nonZero.select(
+      GraftFunctions.cosineSim(spark, col("a"), col("b")).as("native"),
+      hof.as("composed")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"native=${r.get(0)} composed=${r.get(1)}")
+    }
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0)
+    val zeroRow = pairs.except(nonZero)
+      .select(GraftFunctions.cosineSim(spark, col("a"), col("b"))).collect()
+    assert(zeroRow.length == 1 && zeroRow(0).isNullAt(0),
+      "zero vector -> null (composed form raises DIVIDE_BY_ZERO under ANSI)")
+  }
+
+  test("resolves via SQL through the injected registry function") {
+    GraftFunctions.register(spark)
+    pairs.createOrReplaceTempView("__cs_pairs")
+    val r = spark.sql(
+      "SELECT round(cosine_sim(a, b), 6) AS c FROM __cs_pairs").collect()
+    assert(r(0).getDouble(0) == 1.0)
+  }
+
+  test("null and length-mismatch inputs yield null") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]),
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f, 3.0f)))).toDF("a", "b")
+    val out = df.select(GraftFunctions.cosineSim(spark, col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("double arrays accepted; wrong types rejected at analysis") {
+    val d = Seq((Array(1.0, 2.0), Array(2.0, 4.0))).toDF("a", "b")
+    val v = d.select(GraftFunctions.cosineSim(spark, col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+    val bad = Seq(("x", 1)).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(GraftFunctions.cosineSim(spark, col("a"), col("b"))).collect()
+    }
+  }
+}
