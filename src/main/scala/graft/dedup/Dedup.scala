@@ -156,6 +156,39 @@ object Dedup {
   /** Hamming distance between two long-encoded signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs with hamming distance <= maxHamming,
+    * found by LOSSLESS banding: split the `bits`-bit signature into
+    * `maxHamming + 1` bands — by pigeonhole, any pair within
+    * maxHamming differing bits shares at least one untouched band, so
+    * the band-bucket self-join (never all-pairs) has perfect recall;
+    * exact hamming verification then removes false candidates. */
+  def simHashNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val sig = simHash(df, idCol, textCol, bits).cache()
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * bandBits)
+          .mod(1L << bandBits).as("bsig"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.bsig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
+    val s1 = sig.select(col("id").as("id_1"), col("simhash").as("h1"))
+    val s2 = sig.select(col("id").as("id_2"), col("simhash").as("h2"))
+    val out = cand.join(s1, Seq("id_1")).join(s2, Seq("id_2"))
+      .select(col("id_1"), col("id_2"), hamming(col("h1"), col("h2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
+    sig.unpersist()
+    out
+  }
+
   /** Embedding near-duplicate pairs within blocking groups: exact
     * cosine on pairs sharing `blockCol` (a standard dedup blocking key —
     * bounded block sizes keep the join quadratic only per block, linear

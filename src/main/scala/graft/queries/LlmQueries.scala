@@ -154,6 +154,24 @@ object LlmQueries {
       |) ORDER BY query_id, neighbor_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q60: SimHash near-dup pairs via lossless banding (pigeonhole:
+  // hamming<=3 over 32 bits split into 4 bands guarantees a shared
+  // band, so the bucketed candidate set has perfect recall and the
+  // all-pairs oracle must agree exactly)
+  // -------------------------------------------------------------------
+  def simhashNear(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearDup(docs(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_1", "id_2")
+
+  val simhashNearSql: String =
+    s"""WITH sig AS ($simhashSql)
+      |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id_1, id_2""".stripMargin
+
+  // -------------------------------------------------------------------
   // q42: token statistics
   // -------------------------------------------------------------------
   def tokenStats(s: SparkSession, d: String): DataFrame =
@@ -268,7 +286,8 @@ object LlmQueries {
     "q44_quality" -> (quality _),
     "q45_fingerprint" -> (fingerprint _),
     "q46_char_ngrams" -> (charNgrams _),
-    "q47_dedup_first" -> (dedupFirst _))
+    "q47_dedup_first" -> (dedupFirst _),
+    "q60_simhash_near" -> (simhashNear _))
 
   val oracles: Map[String, String] = Map(
     "q33_dedup_exact" -> dedupExactSql,
@@ -281,5 +300,6 @@ object LlmQueries {
     "q44_quality" -> qualitySql,
     "q45_fingerprint" -> fingerprintSql,
     "q46_char_ngrams" -> charNgramsSql,
-    "q47_dedup_first" -> dedupFirstSql)
+    "q47_dedup_first" -> dedupFirstSql,
+    "q60_simhash_near" -> simhashNearSql)
 }

@@ -46,6 +46,46 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** IVF (inverted-file) top-k — the classic ANN scale path: a seeded
+    * KMeans coarse quantizer assigns every corpus vector to a cell;
+    * each probe scans only its `nProbe` nearest cells and re-ranks
+    * exactly. Corpus scan cost per probe drops by ~nCells/nProbe;
+    * the cell assignment is computed once and reusable (in a real
+    * deployment it would be persisted/bucketed by cell). */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 27L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("__fv", array_to_vector(asDouble(col("cvec"))))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("cell").fit(c)
+    val assigned = model.transform(c).drop("__fv")
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"))
+    val wCells = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probeCells = p.crossJoin(broadcast(cents))
+      .withColumn("__csim",
+        graft.functions.GraftFunctions.cosineSim(spark, col("pvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wCells))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "pvec", "cell")
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosineSim(spark, col("pvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Sign-random-projection bucket id: `planes` pseudo-random
     * hyperplanes derived from xxhash64(seed, dim, plane) — deterministic
     * with no driver-side randomness, computable per-partition. */

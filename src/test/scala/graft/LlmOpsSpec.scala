@@ -53,6 +53,29 @@ class LlmOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("IVF top-k recall against brute force") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall degenerate: $recall")
+  }
+
+  test("simhash near-dup banding is lossless vs direct all-pairs hamming") {
+    val got = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3)
+    val sig = Dedup.simHash(docs, "doc_id", "text")
+    val all = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(got.except(all).isEmpty && all.except(got).isEmpty,
+      "banded candidates recover exactly the all-pairs result")
+  }
+
   test("LSH top-k recall against brute force") {
     val probes = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
