@@ -78,7 +78,10 @@ object CrossValidation {
       throw new IllegalArgumentException(s"unknown metric ${cfg.metricName}"))
 
   /** One seed's k-fold CV. `train` must carry `idCol` (unique row key),
-    * the features, and `target`. */
+    * the features, and `target`. `preFolded` lets the bagging loop
+    * reuse one fold assignment across seeds — fold membership depends
+    * only on dataSplitSeed (prediction.py:329-336), so recomputing the
+    * assignment shuffle per model seed is pure waste. */
   def runCvOneSeed(
       train: DataFrame,
       test: Option[DataFrame],
@@ -87,12 +90,13 @@ object CrossValidation {
       idCol: String,
       model: ModelWrapper,
       cfg: CvConfig,
-      seedVal: Long): SeedResult = {
+      seedVal: Long,
+      preFolded: Option[DataFrame] = None): SeedResult = {
 
-    val folded = Folds.assign(
+    val folded = preFolded.getOrElse(Folds.assign(
       train.select((idCol +: target +: features).map(col): _*),
       cfg.numFolds, cfg.dataSplitSeed,
-      if (cfg.stratified) Some(target) else None).cache()
+      if (cfg.stratified) Some(target) else None).cache())
 
     val testCached = test.map(_.cache())
 
@@ -156,7 +160,7 @@ object CrossValidation {
         Some(impRows.toDF("feature", "importance", "fold"))
       } else None
 
-    folded.unpersist()
+    if (preFolded.isEmpty) folded.unpersist()
     testCached.foreach(_.unpersist())
     SeedResult(oof, sub, foldScores, cvScore, cvStd, importances)
   }
@@ -180,7 +184,15 @@ object CrossValidation {
     val spark = train.sparkSession
     import spark.implicits._
 
-    val perSeed = seeds.map(s => s -> runCvOneSeed(train, test, features, target, idCol, model, cfg, s))
+    // one fold assignment serves every seed (membership is a function
+    // of dataSplitSeed only)
+    val folded = Folds.assign(
+      train.select((idCol +: target +: features).map(col): _*),
+      cfg.numFolds, cfg.dataSplitSeed,
+      if (cfg.stratified) Some(target) else None).cache()
+    val perSeed = seeds.map(s => s -> runCvOneSeed(
+      train, test, features, target, idCol, model, cfg, s, preFolded = Some(folded)))
+    folded.unpersist()
 
     val cvResults = perSeed.map { case (s, r) =>
       (s, r.cvScore, r.cvStd, r.foldScores)

@@ -177,10 +177,32 @@ object MiscQueries {
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Salted two-phase aggregation on a 3-value (maximally hot) key —
+    * result identical to the direct groupBy, so the plain-SQL oracle
+    * checks the decomposition exactly. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Skew
+    Skew.saltedAgg(Tables.lineitem(s, d), Seq("l_returnflag"),
+        Seq(Skew.SaltedSum("l_quantity", "sum_qty"), Skew.SaltedCount("n"),
+          Skew.SaltedMin("l_extendedprice", "min_price"),
+          Skew.SaltedMax("l_extendedprice", "max_price"),
+          Skew.SaltedAvg("l_discount", "avg_disc")))
+      .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"), col("n"),
+        col("min_price"), col("max_price"), round(col("avg_disc"), 6).as("avg_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val saltedAggSql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+      |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |       round(avg(l_discount), 6) AS avg_disc
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_hourly_events" -> (hourlyEvents _),
     "q58_user_totals" -> (userTotals _),
     "q59_json_props" -> (jsonProps _),
+    "q61_salted_agg" -> (saltedAgg _),
     "q49_importance_topn" -> (importanceTopN _),
     "q50_outer_stats" -> (outerStats _),
     "q51_subsample" -> (subsample _),
@@ -194,6 +216,7 @@ object MiscQueries {
     "q57_hourly_events" -> hourlyEventsSql,
     "q58_user_totals" -> userTotalsSql,
     "q59_json_props" -> jsonPropsSql,
+    "q61_salted_agg" -> saltedAggSql,
     "q49_importance_topn" -> importanceTopNSql,
     "q50_outer_stats" -> outerStatsSql,
     "q51_subsample" -> subsampleSql,

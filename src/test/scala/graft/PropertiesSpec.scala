@@ -67,6 +67,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals direct groupBy; salted join equals plain join") {
+    import graft.ops.Skew
+    val li = core.Tables.lineitem(spark, sf)
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"),
+      Seq(Skew.SaltedSum("l_quantity", "sq"), Skew.SaltedCount("n"),
+        Skew.SaltedAvg("l_discount", "ad")), buckets = 8)
+      .select(col("l_returnflag"), round(col("sq"), 6).as("sq"), col("n"),
+        round(col("ad"), 6).as("ad"))
+    val direct = li.groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 6).as("sq"), count(lit(1)).as("n"),
+        round(avg("l_discount"), 6).as("ad"))
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+
+    val nat = core.Tables.nation(spark, sf)
+    val plain = li.join(nat, li("l_suppkey") % 25 === nat("n_nationkey"))
+      .groupBy("n_name").count()
+    val saltedJ = Skew.saltedBroadcastJoin(
+        li.withColumn("__k", col("l_suppkey") % 25),
+        nat.withColumnRenamed("n_nationkey", "__k"), "__k")
+      .groupBy("n_name").count()
+    assert(saltedJ.except(plain).isEmpty && plain.except(saltedJ).isEmpty)
+  }
+
   test("weightedMean normalizes weights") {
     val df = Seq((1.0, 3.0)).toDF("x", "y")
     val got = df.select(RowOps.weightedMean(Seq(col("x"), col("y")), Seq(2.0, 6.0)).as("m"))
