@@ -229,7 +229,38 @@ object MlQueries {
       |       round(((o_orderkey * 104729) % 991) / 990.0, 6) AS m2_target_OOF
       |FROM orders ORDER BY row_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // J1+A8: seed column-bind — per-seed prediction frames pivoted into
+  // seed_i columns and row-averaged, on deterministic pseudo
+  // predictions so the whole bind+reduce is oracle-checkable.
+  // -------------------------------------------------------------------
+  def seedBind(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("row_id"))
+    // values on a 1e-3 grid -> the mean is on a 5e-4 grid, so the
+    // round(6) below never sits on a rounding boundary (engine
+    // half-up/half-even conventions cannot disagree)
+    def pseudoSeed(i: Int, mult: Long): DataFrame = base.select(
+      col("row_id"), lit(s"seed_$i").as("__seed"),
+      (((col("row_id") * mult) % 1000) / lit(1000.0)).as("__v"))
+    val tagged = pseudoSeed(1, 6151L).unionByName(pseudoSeed(2, 3571L))
+    tagged.groupBy("row_id")
+      .pivot("__seed", Seq("seed_1", "seed_2"))
+      .agg(round(first(col("__v")), 6))
+      .withColumn("bagged_mean",
+        round((col("seed_1") + col("seed_2")) / 2, 6))
+      .orderBy("row_id")
+  }
+
+  val seedBindSql: String =
+    """SELECT o_orderkey AS row_id,
+      |       round(((o_orderkey * 6151) % 1000) / 1000.0, 6) AS seed_1,
+      |       round(((o_orderkey * 3571) % 1000) / 1000.0, 6) AS seed_2,
+      |       round((((o_orderkey * 6151) % 1000) / 1000.0
+      |            + ((o_orderkey * 3571) % 1000) / 1000.0) / 2, 6) AS bagged_mean
+      |FROM orders ORDER BY row_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_seed_bind" -> (seedBind _),
     "q36_metrics" -> (metrics _),
     "q39_percentile" -> (percentiles _),
     "q31_cv_oof" -> (cvOof _),
@@ -239,6 +270,7 @@ object MlQueries {
     "q38_oof_join" -> (oofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q62_seed_bind" -> seedBindSql,
     "q36_metrics" -> metricsSql,
     "q39_percentile" -> percentilesSql,
     "q37_feature_scores" -> featureScoresSql,
