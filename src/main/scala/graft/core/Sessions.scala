@@ -15,7 +15,8 @@ object Sessions {
   def local(
       appName: String = "graft",
       cores: Int = Runtime.getRuntime.availableProcessors(),
-      shufflePartitions: Int = 32): SparkSession = {
+      shufflePartitions: Int = 32,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -30,8 +31,9 @@ object Sessions {
       // default; read as epoch-nanos long and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
+    extraConf.foreach { case (k, v) => spark.config(k, v) }
+    val built = spark.getOrCreate()
+    built.sparkContext.setLogLevel("WARN")
+    built
   }
 }
