@@ -22,6 +22,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Folds {
 
+  /** KFold(shuffle=False) analogue: fold = key % k. The reference's
+    * unshuffled KFold slices by *position* (prediction.py:329-336 with
+    * kfolds_shuffle=False); positional order is undefined on a
+    * distributed engine, so the order-free equivalent keys the split on
+    * a stable id column (documented deviation, same invariants:
+    * partition, coverage, near-balance for dense keys). Pure
+    * arithmetic — no shuffle at all. */
+  def assignModulo(df: DataFrame, k: Int, idCol: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", pmod(col(idCol), lit(k)).cast("int"))
+  }
+
   /** Adds a `fold` column in [0, k). `stratifyBy = None` gives plain
     * shuffled k-fold; `Some(col)` stratifies so every fold has the same
     * class mix (sizes per (class, fold) are deterministic given class

@@ -182,6 +182,27 @@ object Models {
     }
   }
 
+  /** sklearn DummyRegressor(strategy='mean') analogue: predicts the
+    * training-set target mean. Closed-form and SQL-recomputable, which
+    * makes the whole CV/OOF machinery oracle-checkable end-to-end
+    * (every OOF value = mean of the other folds' targets). */
+  final case class DummyMean() extends ModelWrapper {
+    val name = "dummy_mean"
+    override def hasSeedParam: Boolean = false
+    val isClassifier = false
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val mean = train.agg(avg(col(labelCol))).head().getDouble(0)
+      new FittedModel {
+        def score(df: DataFrame, predictProbability: Boolean, classLabel: Int): DataFrame = {
+          require(!predictProbability, "dummy_mean is a regressor")
+          df.withColumn("__score", lit(mean))
+        }
+        def featureImportances: Option[Seq[(String, Double)]] = None
+      }
+    }
+  }
+
   /** String factory mirroring model_wrappers.py:389-406 — reference
     * names map to their MLlib stand-ins. */
   def byName(name: String): ModelWrapper = name match {

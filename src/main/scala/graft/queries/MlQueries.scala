@@ -259,7 +259,47 @@ object MlQueries {
       |            + ((o_orderkey * 3571) % 1000) / 1000.0) / 2, 6) AS bagged_mean
       |FROM orders ORDER BY row_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // A12 fully oracle-checked: the CV engine run with modulo folds
+  // (KFold shuffle=False path) and the closed-form mean model — every
+  // OOF value is the mean of the other folds' targets, exactly
+  // SQL-recomputable. This checks the engine's fold slicing, per-fold
+  // fit/score wiring, and OOF union against SQL, not just row counts.
+  // -------------------------------------------------------------------
+  def cvDummyOof(s: SparkSession, d: String): DataFrame = {
+    val frame = Tables.orders(s, d).select(
+      col("o_orderkey").as("row_id"),
+      col("o_totalprice").as("target"),
+      col("o_custkey").cast("double").as("o_custkey"))
+    val folded = graft.cv.Folds.assignModulo(frame, 3, "row_id")
+    val r = CrossValidation.runCvOneSeed(
+      frame, test = None, Seq("o_custkey"), "target", "row_id",
+      Models.DummyMean(),
+      CvConfig(numFolds = 3, predictProbability = false,
+        metricName = "mean_absolute_error"),
+      seedVal = 27, preFolded = Some(folded))
+    r.oof.select(col("row_id"), col("fold"),
+      round(col("oof_score"), 2).as("oof_score")).orderBy("row_id")
+  }
+
+  val cvDummyOofSql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey AS row_id, o_totalprice AS target,
+      |         o_orderkey % 3 AS fold
+      |  FROM orders
+      |),
+      |oof AS (
+      |  SELECT a.fold, avg(b.target) AS m
+      |  FROM (SELECT DISTINCT fold FROM f) a
+      |  JOIN f b ON b.fold <> a.fold
+      |  GROUP BY a.fold
+      |)
+      |SELECT row_id, CAST(f.fold AS INT) AS fold, round(oof.m, 2) AS oof_score
+      |FROM f JOIN oof ON f.fold = oof.fold
+      |ORDER BY row_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_cv_dummy_oof" -> (cvDummyOof _),
     "q62_seed_bind" -> (seedBind _),
     "q36_metrics" -> (metrics _),
     "q39_percentile" -> (percentiles _),
@@ -270,6 +310,7 @@ object MlQueries {
     "q38_oof_join" -> (oofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q63_cv_dummy_oof" -> cvDummyOofSql,
     "q62_seed_bind" -> seedBindSql,
     "q36_metrics" -> metricsSql,
     "q39_percentile" -> percentilesSql,
