@@ -275,7 +275,40 @@ object LlmQueries {
       |  ELSE 0 END AS n_char_ngrams
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q64: quality-weighted corpus sampling — keep each doc with
+  // probability = its quality score, via a deterministic md5 coin.
+  // -------------------------------------------------------------------
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val quality = TextOps.qualityScore(base, "doc_id", "text")
+    TextOps.weightedSample(base.join(quality, "doc_id"), "doc_id", "quality")
+      .select("doc_id", "quality").orderBy("doc_id")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH q AS ($qualitySql)
+      |SELECT doc_id, quality FROM q
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      |        / 1000000.0 < quality
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q65: BPE-style pre-tokenizer counts next to whitespace counts
+  // -------------------------------------------------------------------
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    TextOps.bpeTokenCount(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(trim(text),
+      |      '''(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+', 0)) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_weighted_sample" -> (weightedSample _),
+    "q65_bpe_tokens" -> (bpeTokens _),
     "q33_dedup_exact" -> (dedupExact _),
     "q34_dedup_near" -> (dedupNear _),
     "q35_ann_topk" -> (annTopK _),
@@ -290,6 +323,8 @@ object LlmQueries {
     "q60_simhash_near" -> (simhashNear _))
 
   val oracles: Map[String, String] = Map(
+    "q64_weighted_sample" -> weightedSampleSql,
+    "q65_bpe_tokens" -> bpeTokensSql,
     "q33_dedup_exact" -> dedupExactSql,
     "q34_dedup_near" -> dedupNearSql,
     "q35_ann_topk" -> annTopKSql,

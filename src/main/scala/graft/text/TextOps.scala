@@ -91,6 +91,35 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol))))).cast("binary"))
         .as("fingerprint"))
 
+  /** Deterministic weighted sampling: keep a row with probability
+    * `probCol` (in [0,1]) decided by a content-hash coin — the
+    * building block of quality-filtered corpus construction (keep
+    * high-quality docs with higher probability), reproducible across
+    * runs/cluster layouts and SQL-recomputable (md5-derived coin, no
+    * RNG state). */
+  def weightedSample(df: DataFrame, idCol: String, probCol: String): DataFrame = {
+    val coin = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").mod(1000000) / 1000000.0
+    df.filter(coin < col(probCol))
+  }
+
+  /** GPT-style pre-tokenizer count (the "BPE-ish regex" token counter):
+    * counts contractions, letter runs, digit runs, punctuation runs —
+    * the units a byte-pair encoder would merge within. Whitespace
+    * tokens and this count together bracket real tokenizer output. */
+  val bpePattern: String = "'(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+
+  def bpeTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), trim(col(textCol)).as("__t"),
+      tokens(col(textCol)).as("__w"))
+    // call_function avoids SQL-literal escaping of the regex (backslash
+    // classes survive verbatim)
+    tok.select(col(idCol),
+      size(col("__w")).as("n_ws_tokens"),
+      size(call_function("regexp_extract_all", col("__t"), lit(bpePattern), lit(0)))
+        .as("n_bpe_tokens"))
+  }
+
   /** Distinct character n-gram count — a size proxy used by char-level
     * near-dup shingling. */
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
