@@ -70,6 +70,59 @@ object Ensemble {
   final case class BlendResult(
       weights: Map[String, Double], score: Double, history: DataFrame)
 
+  /** Per-fold blender result (blender.py:338-398 attributes): blended
+    * OOF frame, per-fold CV scores, overall score/std, and the
+    * per-fold optimal-weights history. */
+  final case class BlendCvResult(
+      oof: DataFrame, foldScores: Seq[Double], cvScore: Double, cvStd: Double,
+      foldWeights: Seq[(Int, Map[String, Double])])
+
+  /** M8 full semantics: the reference's per-CV-fold weight search —
+    * for each fold, optimize weights on the *other* folds' OOF rows,
+    * vote on this fold with those weights, union the per-fold blended
+    * predictions into a blender-OOF vector, and score it
+    * (blender.py:338-398; the reference optimizes with bayes_opt, we
+    * use the documented seeded-random-search stand-in). */
+  def blendCv(
+      oofMatrix: DataFrame, predCols: Seq[String], target: String, idCol: String,
+      metricName: String, numFolds: Int, dataSplitSeed: Long, blenderSeed: Long,
+      nIter: Int, stratified: Boolean = false, hardVote: Boolean = false,
+      metricsDecimals: Int = 6): BlendCvResult = {
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val metric = Metrics.registry(metricName)
+    val folded = graft.cv.Folds.assign(oofMatrix, numFolds, dataSplitSeed,
+      if (stratified) Some(target) else None).cache()
+
+    var oofParts = List.empty[DataFrame]
+    var foldScores = List.empty[Double]
+    var weightsHist = List.empty[(Int, Map[String, Double])]
+    (0 until numFolds).foreach { k =>
+      val trainK = folded.filter(col("fold") =!= k)
+      val validK = folded.filter(col("fold") === k)
+      val r = blend(trainK, predCols, target, metricName, nIter,
+        blenderSeed, hardVote, metricsDecimals)
+      weightsHist ::= (k + 1) -> r.weights
+      val w = predCols.map(r.weights)
+      val voted = validK.withColumn("__blend",
+        if (hardVote) graft.ops.RowOps.weightedVote(predCols.map(col), w).cast("double")
+        else graft.ops.RowOps.weightedMean(predCols.map(col), w))
+      val scored = voted.select(col(idCol), col(target), col("fold"), col("__blend"))
+      oofParts ::= scored
+      foldScores ::= BigDecimal(metric(scored, target, "__blend"))
+        .setScale(metricsDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val oof = oofParts.reduce(_ unionByName _).cache()
+    oof.count()
+    val cvScore = BigDecimal(metric(oof, target, "__blend"))
+      .setScale(metricsDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fs = foldScores.reverse
+    val mean = fs.sum / fs.size
+    val cvStd = BigDecimal(math.sqrt(fs.map(x => (x - mean) * (x - mean)).sum / fs.size))
+      .setScale(metricsDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+    folded.unpersist()
+    BlendCvResult(oof, fs, cvScore, cvStd, weightsHist.reverse)
+  }
+
   /** M8: weighted-vote blender — seeded random search over the weight
     * simplex maximizing the metric of the weighted vote on the OOF
     * frame (blender.py:119-398; the reference optimizes with

@@ -75,6 +75,22 @@ class EnsembleSpec extends SparkSpec {
     joined.unpersist()
   }
 
+  test("per-fold blender: weights fit out-of-fold, blender-OOF covers all rows") {
+    val base = frame.select("row_id", "target")
+    val joined = Ensemble.joinOof(base, "row_id", "target",
+      Seq("lr" -> oofOf(Models.LogReg(maxIter = 10), 27L),
+        "rf" -> oofOf(Models.RfClassifier(numTrees = 5, maxDepth = 3), 27L)))
+    val r = Ensemble.blendCv(joined, Seq("lr_target_OOF", "rf_target_OOF"),
+      "target", "row_id", "roc_auc_score",
+      numFolds = 3, dataSplitSeed = 789987L, blenderSeed = 27L, nIter = 4)
+    assert(r.oof.count() == base.count(), "blender OOF covers every row once")
+    assert(r.foldScores.size == 3 && r.foldWeights.size == 3)
+    r.foldWeights.foreach { case (_, w) =>
+      assert(math.abs(w.values.sum - 1.0) < 0.01)
+    }
+    assert(r.cvScore > 0.45 && r.cvStd >= 0)
+  }
+
   test("hpo: seeded random search returns the argmax of its own history") {
     val space = RandomSearch.Space(
       bounds = Map("regParam" -> (0.0, 0.5), "maxIter" -> (5.0, 15.0)),

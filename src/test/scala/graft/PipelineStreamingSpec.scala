@@ -114,6 +114,32 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(mismatched == 0, "every emitted window matches the batch result")
   }
 
+  test("streaming: watermark drops late data from closed windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = df.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def ts(h: Double) = new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    // batch 1: events in hours 1 and 3 -> watermark advances to 2h
+    input.addData((ts(1.2), "a", 1.0), (ts(1.3), "a", 1.0), (ts(3.5), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for hour 1 (watermark already past) and a
+    // fresh one for hour 4
+    input.addData((ts(1.4), "a", 99.0), (ts(4.2), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test")
+      .collect().map(r => (r.getTimestamp(0).getTime / 3600000.0, r.getLong(2))).toMap
+    assert(out.get(1.0).contains(2L),
+      s"hour-1 window closed with the 2 on-time events only (late one dropped): $out")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
