@@ -222,13 +222,24 @@ object Solution {
       // shared frame loading for the FS/HPO/predict stages
       val idCol = indexCol.getOrElse("__row_id")
       def withId(df: DataFrame): DataFrame = indexCol match {
-        // synthesize a row id when the dataset declares none (SURVEY
-        // §7.4.1; the global window is acceptable because index-less
-        // reference datasets are example-sized)
+        // synthesize a stable row id when the dataset declares none
+        // (SURVEY §7.4.1): deterministic content-hash order via a
+        // range-partitioned sort + zipWithIndex — no single-partition
+        // window at any size
         case Some(_) => df
-        case None => df.withColumn(idCol,
-          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
-            df.columns.map(col): _*)).cast("long"))
+        case None =>
+          val spark = df.sparkSession
+          val sorted = df
+            .withColumn("__h", xxhash64(df.columns.map(col).toSeq: _*))
+            .repartitionByRange(col("__h")).sortWithinPartitions(col("__h"))
+            .drop("__h")
+          val schema = org.apache.spark.sql.types.StructType(
+            sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+              idCol, org.apache.spark.sql.types.LongType, false))
+          spark.createDataFrame(
+            sorted.rdd.zipWithIndex().map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+            }, schema)
       }
       def loadTrain(): DataFrame = withId(Sources.readCsv(spark, trainNew))
       def cvConfigFor(nClasses: Long): CvConfig = {
