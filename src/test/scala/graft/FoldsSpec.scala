@@ -30,6 +30,18 @@ class FoldsSpec extends SparkSpec {
     folded.unpersist()
   }
 
+  test("modulo folds (shuffle=False path): pure arithmetic, exact balance") {
+    val folded = Folds.assignModulo(df, k = 3, "o_orderkey")
+    assert(folded.count() == df.count())
+    val sizes = folded.groupBy("fold").count().collect()
+      .map(r => r.getAs[Int]("fold") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == Set(0, 1, 2))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // no shuffle in the plan — fold is a projection over the scan
+    val plan = folded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"modulo assignment must not shuffle:\n$plan")
+  }
+
   test("same seed → same assignment, different seed → different") {
     val a = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
     val b = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
