@@ -165,6 +165,67 @@ object CrossValidation {
     SeedResult(oof, sub, foldScores, cvScore, cvStd, importances)
   }
 
+  /** Element-wise mean of an array column per key: posexplode →
+    * per-position average → re-assemble in position order. The shape
+    * reduction for probability-matrix predictions over folds/seeds. */
+  private def elementwiseMean(df: DataFrame, key: String, arr: String, out: String): DataFrame =
+    df.select(col(key), posexplode(col(arr)).as(Seq("__pos", "__v")))
+      .groupBy(key, "__pos").agg(avg("__v").as("__m"))
+      .groupBy(key).agg(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          x => x.getField("__m")).as(out))
+
+  /** A12 with the class_label=None shape (prediction.py:340-346):
+    * out-of-fold *probability matrices* — `oof` carries an
+    * `oof_probs: array<double>` column (one probability per class),
+    * per-fold and total scores come from a matrix metric
+    * (multi_logloss), and the test prediction is the element-wise mean
+    * of the per-fold probability vectors. */
+  def runCvProbMatrix(
+      train: DataFrame,
+      test: Option[DataFrame],
+      features: Seq[String],
+      target: String,
+      idCol: String,
+      model: ModelWrapper,
+      cfg: CvConfig,
+      seedVal: Long): SeedResult = {
+    require(model.isClassifier, "probability matrix requires a classifier")
+    val folded = Folds.assign(
+      train.select((idCol +: target +: features).map(col): _*),
+      cfg.numFolds, cfg.dataSplitSeed,
+      if (cfg.stratified) Some(target) else None).cache()
+    val testCached = test.map(_.cache())
+
+    var oofParts = List.empty[DataFrame]
+    var subParts = List.empty[DataFrame]
+    (0 until cfg.numFolds).foreach { k =>
+      val fitted = model.fit(folded.filter(col("fold") =!= k), None, features, target, seedVal)
+      oofParts ::= fitted.scoreAll(folded.filter(col("fold") === k))
+        .select(col(idCol), col(target), col("fold"), col("__probs").as("oof_probs"))
+      testCached.foreach { t =>
+        subParts ::= fitted.scoreAll(t)
+          .select(col(idCol), col("__probs").as("sub_probs"))
+      }
+    }
+    val oof = oofParts.reduce(_ unionByName _).cache()
+    oof.count()
+    val m: (DataFrame, String, String) => Double =
+      if (cfg.metricName == "multi_logloss") Metrics.multiclassLogLoss
+      else Metrics.registry(cfg.metricName)
+    val foldScores = (0 until cfg.numFolds).map { k =>
+      round6(m(oof.filter(col("fold") === k), target, "oof_probs"), cfg.metricsDecimals)
+    }
+    val cvScore = round6(m(oof, target, "oof_probs"), cfg.metricsDecimals)
+    val sub = testCached.map { _ =>
+      elementwiseMean(subParts.reduce(_ unionByName _), idCol, "sub_probs", "probs")
+    }
+    folded.unpersist()
+    testCached.foreach(_.unpersist())
+    SeedResult(oof, sub, foldScores, cvScore,
+      round6(stdPop(foldScores), cfg.metricsDecimals), None)
+  }
+
   /** Bagging over seeds (A13): run CV per seed, bind per-seed OOF/test
     * predictions as `seed_i` columns (J1 — here a groupBy-pivot on the
     * row id, one shuffle instead of n-1 joins), average (A8) or

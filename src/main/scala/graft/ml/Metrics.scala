@@ -68,6 +68,16 @@ object Metrics {
     (sumPosRank - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
   }
 
+  /** Multiclass log loss over a per-class probability array column
+    * (the class_label=None shape, prediction.py:340-346): the
+    * probability assigned to the true class, clipped like sklearn,
+    * negative-log-averaged. Labels must be 0-based class indices. */
+  def multiclassLogLoss(df: DataFrame, label: String, probs: String): Double = {
+    val p = element_at(col(probs), col(label).cast("int") + 1)
+    val clipped = least(greatest(p, lit(1e-15)), lit(1.0 - 1e-15))
+    scalar(df, -avg(log(clipped)))
+  }
+
   /** Name → scorer, mirroring the reference's string-keyed metric lookup
     * (utils.py:74-89). For probability metrics the third argument is the
     * probability/score column; for the others the prediction column. */
@@ -76,12 +86,13 @@ object Metrics {
     "mean_absolute_error" -> (mae _),
     "rmse" -> (rmse _),
     "log_loss" -> (logLoss _),
+    "multi_logloss" -> (multiclassLogLoss _),
     "roc_auc_score" -> (rocAuc _))
 
   /** True if bigger values of the metric are better (prediction.py uses
     * this to orient HPO/FS comparisons). */
   def greaterIsBetter(name: String): Boolean = name match {
-    case "mean_absolute_error" | "rmse" | "log_loss" => false
+    case "mean_absolute_error" | "rmse" | "log_loss" | "multi_logloss" => false
     case _ => true
   }
 }

@@ -40,6 +40,11 @@ trait FittedModel {
     * mirroring run_prediction(predict_probability, class_label)
     * (model_wrappers.py:23-37). */
   def score(df: DataFrame, predictProbability: Boolean, classLabel: Int = 1): DataFrame
+  /** class_label=None path (prediction.py:340-346): adds a `__probs`
+    * array<double> column with the full per-class probability vector.
+    * Classifiers only. */
+  def scoreAll(df: DataFrame): DataFrame =
+    throw new UnsupportedOperationException("probability matrix requires a classifier")
   /** feature -> importance, None for models without importances (e.g.
     * logistic regression — prediction.py:393-396 sets None). */
   def featureImportances: Option[Seq[(String, Double)]]
@@ -66,6 +71,11 @@ object Models {
       scored.withColumn("__score", s.cast("double"))
         .drop("__features", "rawPrediction", "probability", "prediction")
     }
+    override def scoreAll(df: DataFrame): DataFrame =
+      model.asInstanceOf[org.apache.spark.ml.Transformer]
+        .transform(assemble(df, features))
+        .withColumn("__probs", vector_to_array(col("probability")))
+        .drop("__features", "rawPrediction", "probability", "prediction")
     def featureImportances: Option[Seq[(String, Double)]] =
       imps.map(v => features.zip(v))
   }

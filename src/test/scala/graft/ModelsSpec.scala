@@ -70,6 +70,36 @@ class ModelsSpec extends SparkSpec {
       s"mean P(class=2)=${p2.getDouble(2)} should track the class share $share")
   }
 
+  test("probability-matrix CV (class_label=None path) with multiclass log loss") {
+    val frame = core.Tables.orders(spark, sf).select(
+      col("o_orderkey").as("row_id"),
+      when(col("o_orderstatus") === "O", 0)
+        .when(col("o_orderstatus") === "F", 1).otherwise(2).as("target"),
+      col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey"))
+    val Array(tr, te) = frame.randomSplit(Array(0.8, 0.2), seed = 3)
+    val r = CrossValidation.runCvProbMatrix(
+      tr, Some(te), Seq("o_totalprice", "o_custkey"), "target", "row_id",
+      Models.RfClassifier(numTrees = 10, maxDepth = 4),
+      CvConfig(numFolds = 3, stratified = true, metricName = "multi_logloss"), 27L)
+    assert(r.oof.count() == tr.count())
+    // probability vectors: 3 classes, rows sum to ~1
+    val sums = r.oof.select(aggregate(col("oof_probs"), lit(0.0), (a, x) => a + x).as("s"),
+      size(col("oof_probs")).as("n"))
+    assert(sums.filter(col("n") =!= 3).isEmpty)
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-6).isEmpty)
+    // near the class-prior baseline ln(3) (the synthetic features carry
+    // little signal for orderstatus; the assertion checks the metric is
+    // a calibrated log loss, not garbage)
+    assert(r.cvScore > 0.8 && r.cvScore < 1.3,
+      s"multi_logloss ${r.cvScore} out of the plausible band around ln(3)")
+    assert(r.foldScores.forall(s => s > 0.8 && s < 1.4))
+    // test reduction: mean of fold prob vectors, still a distribution
+    val t = r.testPreds.get
+    assert(t.count() == te.count())
+    val tSums = t.select(aggregate(col("probs"), lit(0.0), (a, x) => a + x).as("s"))
+    assert(tSums.filter(abs(col("s") - 1.0) > 1e-6).isEmpty)
+  }
+
   test("factory resolves reference model names; unknown rejected") {
     assert(Models.byName("lightgbm").name == "gbt_classifier")
     assert(Models.byName("et").name == "random_forest_classifier")
