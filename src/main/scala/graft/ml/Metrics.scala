@@ -68,6 +68,21 @@ object Metrics {
     (sumPosRank - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
   }
 
+  /** Fused scalar-metric report: accuracy, log loss, MAE and RMSE in a
+    * SINGLE aggregation pass (one job, one scan) — the shape to prefer
+    * when several metrics are wanted from one predictions frame at
+    * scale. AUC stays separate (rank-based, needs its own shuffle). */
+  def report(df: DataFrame, label: String, pred: String, prob: String): Map[String, Double] = {
+    val p = least(greatest(col(prob), lit(1e-15)), lit(1.0 - 1e-15))
+    val r = df.agg(
+      avg((col(label) === col(pred)).cast("double")).as("accuracy"),
+      (-avg(col(label) * log(p) + (lit(1) - col(label)) * log(lit(1) - p))).as("log_loss"),
+      avg(abs(col(label) - col(prob))).as("mae"),
+      sqrt(avg(pow(col(label) - col(prob), 2))).as("rmse")).head()
+    Map("accuracy" -> r.getDouble(0), "log_loss" -> r.getDouble(1),
+      "mae" -> r.getDouble(2), "rmse" -> r.getDouble(3))
+  }
+
   /** Multiclass log loss over a per-class probability array column
     * (the class_label=None shape, prediction.py:340-346): the
     * probability assigned to the true class, clipped like sklearn,

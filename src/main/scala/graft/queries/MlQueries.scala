@@ -30,14 +30,17 @@ object MlQueries {
       |       CAST(((o_orderkey * 2654435761) % 997) / 996.0 >= 0.5 AS INT) AS pred
       |FROM orders""".stripMargin
 
-  /** A21 metric registry exercised end-to-end: one row per metric. */
+  /** A21 metric registry exercised end-to-end: one row per metric.
+    * The four scalar metrics come from the fused single-pass report
+    * (one job); AUC runs its rank-based plan separately. */
   def metrics(s: SparkSession, d: String): DataFrame = {
     val preds = pseudoPreds(s, d).cache()
+    val fused = Metrics.report(preds, "label", "pred", "prob")
     val rows = Seq(
-      ("accuracy", Metrics.accuracy(preds, "label", "pred")),
-      ("log_loss", Metrics.logLoss(preds, "label", "prob")),
-      ("mae", Metrics.mae(preds, "label", "prob")),
-      ("rmse", Metrics.rmse(preds, "label", "prob")),
+      ("accuracy", fused("accuracy")),
+      ("log_loss", fused("log_loss")),
+      ("mae", fused("mae")),
+      ("rmse", fused("rmse")),
       ("roc_auc", Metrics.rocAuc(preds, "label", "prob")))
     preds.unpersist()
     import s.implicits._
