@@ -199,6 +199,18 @@ object Solution {
     val indexCol = cfg.getStringOrNull("raw_data_settings.index_column")
     val seeds = cfg.getLongList("modeling_settings.model_seeds_list")
     val cvP = cfg.getConfig("modeling_settings.cv_params")
+    // debug mode: nrows-limited ingest (create_solution.py:43-56)
+    val debugRows: Option[Int] =
+      if (cfg.has("modeling_settings.debug") && cfg.getBool("modeling_settings.debug"))
+        Some(cfg.getInt("modeling_settings.num_rows"))
+      else None
+    val predictTest =
+      !cfg.has("modeling_settings.predict_test") || cfg.getBool("modeling_settings.predict_test")
+    // P1 exclusion list (prediction.py:311-317); target handled separately
+    val colsToExclude: Set[String] =
+      if (cfg.has("modeling_settings.cols_to_exclude"))
+        cfg.getStringList("modeling_settings.cols_to_exclude").toSet
+      else Set.empty
 
     cfg.getStringList("modeling_settings.models").map { model =>
       val (runFs, runHpo, runBagging) = paths.singleModelFlags(model)
@@ -215,8 +227,10 @@ object Solution {
       // Stage 1: TrainDataIngestion (create_solution.py:32-69)
       val ingest = Pipeline.Task(s"TrainDataIngestion_$model",
         Seq(trainNew, testNew))(() => {
-        Sources.writeCsv(Sources.readCsv(spark, trainCsv, downcast = true), trainNew, None)
-        Sources.writeCsv(Sources.readCsv(spark, testCsv, downcast = true), testNew, None)
+        Sources.writeCsv(Sources.readCsv(spark, trainCsv, debugRows, downcast = true),
+          trainNew, None)
+        Sources.writeCsv(Sources.readCsv(spark, testCsv, debugRows, downcast = true),
+          testNew, None)
       })
 
       // shared frame loading for the FS/HPO/predict stages
@@ -263,7 +277,7 @@ object Solution {
         Pipeline.Task(s"FeatureSelection_$model",
           Seq(s"$fsOut/optimal_features.txt"), deps = Seq(ingest))(() => {
           val train = loadTrain().cache()
-          val features = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+          val features = train.columns.filterNot(c => c == target || c == idCol || colsToExclude.contains(c)).toSeq.sorted
           val nClasses = train.select(target).distinct().count()
           val nbRuns = cfg.getInt(
             "features_selection.target_permutation.nb_target_permutation_runs")
@@ -301,7 +315,7 @@ object Solution {
         Pipeline.Task(s"RunSingleModelHPO_$model",
           Seq(s"$hpoOut/optimized_hp.txt"), deps = Seq(ingest) ++ fsTask.toSeq)(() => {
           val train = loadTrain().cache()
-          val features0 = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+          val features0 = train.columns.filterNot(c => c == target || c == idCol || colsToExclude.contains(c)).toSeq.sorted
           val features = fsTask.fold(features0)(_ =>
             Sources.readJsonList(s"$fsOut/optimal_features.txt").toSeq)
           val nClasses = train.select(target).distinct().count()
@@ -331,7 +345,7 @@ object Solution {
         val train = loadTrain().cache()
         val test = withId(Sources.readCsv(spark, testNew))
         // P2: optimal-feature projection when FS ran (create_solution.py:236-237)
-        val features0 = train.columns.filterNot(c => c == target || c == idCol).toSeq.sorted
+        val features0 = train.columns.filterNot(c => c == target || c == idCol || colsToExclude.contains(c)).toSeq.sorted
         val features = fsTask.fold(features0)(_ =>
           Sources.readJsonList(s"$fsOut/optimal_features.txt").toSeq)
         val nClasses = train.select(target).distinct().count()
