@@ -334,13 +334,17 @@ object Solution {
 
       var score = (0.0, 0.0)
       val bagging = runBagging && seeds.size > 1
-      val baggedOutputs =
-        if (bagging) Seq(s"$outDir/train_OOF_bagged.csv", s"$outDir/test_bagged.csv")
-        else Seq.empty
+      // predict_test=False -> CV only, no test artifacts
+      // (modeling_settings.predict_test; prediction.py run_cv_one_seed
+      // predict_test flag)
+      val testOutputs =
+        (if (predictTest) Seq(s"$outDir/test.csv") else Seq.empty) ++
+          (if (bagging) Seq(s"$outDir/train_OOF_bagged.csv") else Seq.empty) ++
+          (if (bagging && predictTest) Seq(s"$outDir/test_bagged.csv") else Seq.empty)
       // Stage 2: RunSingleModelPrediction (create_solution.py:301-377)
       val predict = Pipeline.Task(s"RunSingleModelPrediction_$model",
-        Seq(s"$outDir/train_OOF.csv", s"$outDir/test.csv", s"$outDir/cv_results.csv",
-          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt") ++ baggedOutputs,
+        Seq(s"$outDir/train_OOF.csv", s"$outDir/cv_results.csv",
+          s"$outDir/$configFile", s"$outDir/${model}_oof_data_info.txt") ++ testOutputs,
         deps = Seq(ingest) ++ fsTask.toSeq ++ hpoTask.toSeq)(() => {
         val train = loadTrain().cache()
         val test = withId(Sources.readCsv(spark, testNew))
@@ -356,13 +360,13 @@ object Solution {
         val cc = cvConfigFor(nClasses)
         val usedSeeds = if (runBagging) seeds else seeds.take(1)
         val r = CrossValidation.runCvAndPrediction(
-          train, Some(test), features, target, idCol,
+          train, if (predictTest) Some(test) else None, features, target, idCol,
           modelFor(model, nClasses, params), cc, usedSeeds)
         score = (r.cvScore, r.cvStd)
         Sources.writeCsv(r.oof.orderBy(idCol), s"$outDir/train_OOF.csv",
           floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
-        Sources.writeCsv(r.testPreds.get.orderBy(idCol), s"$outDir/test.csv",
-          floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+        r.testPreds.foreach(tp => Sources.writeCsv(tp.orderBy(idCol), s"$outDir/test.csv",
+          floatDecimals = Some(cc.targetDecimals).filter(_ > 0)))
         Sources.writeCsv(r.cvResults.withColumn("cv_score_per_each_fold",
             concat_ws(",", col("cv_score_per_each_fold"))),
           s"$outDir/cv_results.csv", floatDecimals = Some(cc.metricsDecimals).filter(_ > 0))
@@ -370,8 +374,9 @@ object Solution {
           // per-seed tables (prediction.py:444-445; FILENAME_*_BAGGED)
           Sources.writeCsv(r.oofBagged.orderBy(idCol), s"$outDir/train_OOF_bagged.csv",
             floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
-          Sources.writeCsv(r.testBagged.get.orderBy(idCol), s"$outDir/test_bagged.csv",
-            floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+          r.testBagged.foreach(tb => Sources.writeCsv(tb.orderBy(idCol),
+            s"$outDir/test_bagged.csv",
+            floatDecimals = Some(cc.targetDecimals).filter(_ > 0)))
         }
         Sources.copyConfig(cfgPath, outDir)
         Sources.writeJsonManifest(s"$outDir/${model}_oof_data_info.txt",
