@@ -86,6 +86,25 @@ class IoSpec extends SparkSpec {
     assert(back.schema("id").dataType.typeName == "byte", "downcast applied")
   }
 
+  test("csv debug row limit (S1 nrows) is applied at the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dbg").toString
+    Sources.writeCsv((1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      s"$dir/data", floatDecimals = None)
+    val limited = Sources.readCsv(spark, s"$dir/data", debugRows = Some(20))
+    assert(limited.count() == 20)
+    // the limit reaches the physical scan (GlobalLimit over the file
+    // source, not a post-read filter of all rows)
+    assert(limited.queryExecution.executedPlan.toString.contains("Limit"))
+  }
+
+  test("json manifest reader round-trips values with commas") {
+    val dir = Files.createTempDirectory("graft_jm").toString
+    val m = Map("files" -> "a.csv,b.csv,c.csv", "model" -> "lgbm")
+    Sources.writeJsonManifest(s"$dir/m.txt", m)
+    assert(Sources.readJsonManifest(s"$dir/m.txt") == m)
+  }
+
   test("oof ingest renames prediction columns with the model prefix") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_oof").toString
