@@ -189,6 +189,41 @@ object Dedup {
     out
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components via
+    * iterative min-label propagation — each doc ends up labeled with
+    * the smallest id reachable through the duplicate graph; that label
+    * is the canonical document of its cluster (the row a dedup pass
+    * keeps). Converges in O(component diameter) rounds; near-dup
+    * components are shallow by construction (chains of
+    * pairwise-similar docs), and the loop is bounded by `maxIter` with
+    * a driver-side fixpoint check per round. Input: (id_1, id_2) with
+    * id_1 < id_2. Output: (id, cluster) for every id in a pair. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
+      .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("cluster").as("__nc"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("__nc"), col("cluster"))).as("cluster"))
+        .cache()
+      next.count()
+      changed = next.join(labels.withColumnRenamed("cluster", "__old"), Seq("id"))
+        .filter(col("cluster") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-duplicate pairs within blocking groups: exact
     * cosine on pairs sharing `blockCol` (a standard dedup blocking key —
     * bounded block sizes keep the join quadratic only per block, linear

@@ -276,6 +276,33 @@ object LlmQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q66: duplicate clusters — connected components over the MinHash
+  // near-dup pairs with min-id canonical labels. Oracle = recursive-CTE
+  // transitive closure over the same (exactly SQL-recomputable) pairs.
+  // -------------------------------------------------------------------
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.minHashNearDup(docs(s, d), "doc_id", "text", threshold = 0.5))
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+  val dupClustersSql: String = {
+    val pairsCte = dedupNearSql
+      .replace("ORDER BY id_1, id_2", "")
+    s"""WITH RECURSIVE pairs AS ($pairsCte),
+      |edges AS (
+      |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+      |  UNION ALL SELECT id_2, id_1 FROM pairs
+      |),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+      |)
+      |SELECT id AS doc_id, min(lbl) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q64: quality-weighted corpus sampling — keep each doc with
   // probability = its quality score, via a deterministic md5 coin.
   // -------------------------------------------------------------------
@@ -307,6 +334,7 @@ object LlmQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_dup_clusters" -> (dupClusters _),
     "q64_weighted_sample" -> (weightedSample _),
     "q65_bpe_tokens" -> (bpeTokens _),
     "q33_dedup_exact" -> (dedupExact _),
@@ -323,6 +351,7 @@ object LlmQueries {
     "q60_simhash_near" -> (simhashNear _))
 
   val oracles: Map[String, String] = Map(
+    "q66_dup_clusters" -> dupClustersSql,
     "q64_weighted_sample" -> weightedSampleSql,
     "q65_bpe_tokens" -> bpeTokensSql,
     "q33_dedup_exact" -> dedupExactSql,

@@ -87,6 +87,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall degenerate: $recall")
   }
 
+  test("duplicate clusters: transitive chains collapse to the min id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("id_1", "id_2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L),
+      s"chain 1-2-3-4 collapses to 1; pair 7-9 to 7: $got")
+  }
+
   test("language-id scores are rates in [0,1]; quality in [0,1]") {
     val lid = TextOps.langId(docs, "doc_id", "text")
     assert(lid.filter(col("best_score") < 0 || col("best_score") > 1).isEmpty)
