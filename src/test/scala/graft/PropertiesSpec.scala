@@ -90,6 +90,14 @@ class PropertiesSpec extends SparkSpec {
     assert(saltedJ.except(plain).isEmpty && plain.except(saltedJ).isEmpty)
   }
 
+  test("column-name surgery: uppercase, prefix, suffix strip (F5/F6)") {
+    val df = Seq((1, 2.0)).toDF("id", "score_OOF")
+    assert(Misc.upperCaseColumns(df).columns.toSeq == Seq("ID", "SCORE_OOF"))
+    assert(Misc.addPrefix(df, "m1_", except = Set("id")).columns.toSeq ==
+      Seq("id", "m1_score_OOF"))
+    assert(Misc.stripSuffix(df, "_OOF").columns.toSeq == Seq("id", "score"))
+  }
+
   test("weightedMean normalizes weights") {
     val df = Seq((1.0, 3.0)).toDF("x", "y")
     val got = df.select(RowOps.weightedMean(Seq(col("x"), col("y")), Seq(2.0, 6.0)).as("m"))
