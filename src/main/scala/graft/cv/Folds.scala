@@ -55,22 +55,32 @@ object Folds {
       .sortWithinPartitions(col("__strat"), col("__h"))
       .drop("__h")
 
+    // Per-stratum offsets are derived from a cheap source-side count
+    // (strata = class labels, few by contract) collected BEFORE zipping,
+    // so the expensive repartition+sort+zip pipeline below has exactly
+    // one consumer — no persist needed, nothing cached for the life of
+    // the session (each HPO trial used to leak one cached copy here).
+    // Null strata sort first under range partitioning, matching the
+    // nulls-first driver sort below.
+    val counts = df.groupBy(strat.cast("string").as("__strat")).count()
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+      .sortBy(_._1)(Ordering.Option(Ordering.String)) // None (null stratum) first
+    val offsets: Map[Option[String], Long] =
+      counts.scanLeft((Option.empty[String], 0L)) { case ((_, acc), (s0, n)) => (s0, acc + n) }
+        .drop(1).zip(counts).map { case ((s0, cum), (_, n)) => (s0, cum - n) }.toMap
+    val offsetExpr = counts.map { case (s0, _) =>
+      val cond = s0.map(v => col("__strat") === lit(v)).getOrElse(col("__strat").isNull)
+      (cond, lit(offsets(s0)))
+    }.foldRight(lit(0L): org.apache.spark.sql.Column) { case ((c0, v), acc) => when(c0, v).otherwise(acc) }
+
     // zipWithIndex: global index in (stratum, rand) order without a
     // single-partition window. Sort is range-partitioned → distributed.
     val schema = StructType(sorted.schema.fields :+ StructField("__idx", LongType, nullable = false))
     val indexed = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
-    // Two consumers follow (the offsets aggregate and the join back);
-    // without a persist the repartition+sort+zip pipeline runs twice.
-    indexed.persist()
-
-    // per-stratum offset = count of all preceding strata (tiny frame,
-    // broadcast join back).
-    val offsets = indexed.groupBy("__strat").agg(
-      min(col("__idx")).as("__offset"))
-    indexed.join(broadcast(offsets), Seq("__strat"))
-      .withColumn("fold", ((col("__idx") - col("__offset")) % k).cast("int"))
-      .drop("__strat", "__idx", "__offset")
+    indexed
+      .withColumn("fold", ((col("__idx") - offsetExpr) % k).cast("int"))
+      .drop("__strat", "__idx")
   }
 }

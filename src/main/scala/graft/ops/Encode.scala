@@ -27,7 +27,10 @@ object Encode {
     val smallCardinality = 100000L
     val mapping =
       if (n <= smallCardinality)
-        distinctVals.withColumn(out, dense_rank().over(Window.orderBy(col(c))) - 1)
+        // cast to long so both cardinality branches agree on the output
+        // schema (zipWithIndex below emits LongType)
+        distinctVals.withColumn(out,
+          (dense_rank().over(Window.orderBy(col(c))) - 1).cast("long"))
       else {
         val spark = df.sparkSession
         val sorted = distinctVals.repartitionByRange(col(c)).sortWithinPartitions(col(c))
@@ -41,7 +44,7 @@ object Encode {
     val joined =
       if (n <= smallCardinality) df.join(broadcast(mapping), Seq(c), "left")
       else df.join(mapping, Seq(c), "left")
-    joined.withColumn(out, coalesce(col(out), lit(-1)))
+    joined.withColumn(out, coalesce(col(out), lit(-1L)))
   }
 
   /** F10: one-hot encoding with a column per category value

@@ -81,12 +81,14 @@ object MiscQueries {
     Misc.memoryEstimate(Tables.orders(s, d)
       .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
 
+  // Every branch is CAST to BIGINT: DuckDB types sum(len(..)) as HUGEINT,
+  // which lands as float64 in the driver's type-strict hash compare.
   val memUsageSql: String =
     """SELECT feature, bytes FROM (
-      |  SELECT 'o_orderkey' AS feature, count(*) * 8 AS bytes FROM orders
-      |  UNION ALL SELECT 'o_orderstatus', sum(len(o_orderstatus)) FROM orders
-      |  UNION ALL SELECT 'o_orderpriority', sum(len(o_orderpriority)) FROM orders
-      |  UNION ALL SELECT 'o_totalprice', count(*) * 8 FROM orders
+      |  SELECT 'o_orderkey' AS feature, CAST(count(*) * 8 AS BIGINT) AS bytes FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', CAST(sum(len(o_orderstatus)) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', CAST(sum(len(o_orderpriority)) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', CAST(count(*) * 8 AS BIGINT) FROM orders
       |) ORDER BY feature""".stripMargin
 
   /** O6: argmax row with deterministic tie-break. */
@@ -127,8 +129,8 @@ object MiscQueries {
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
       |  ascii(substr(text, 1, 1)) AS first_code,
-      |  list_sum([ascii(substr(text, CAST(i AS INT), 1)) for i in range(1, len(text) + 1)])
-      |    % 1000003 AS byte_checksum
+      |  CAST(list_sum([ascii(substr(text, CAST(i AS INT), 1)) for i in range(1, len(text) + 1)])
+      |    % 1000003 AS BIGINT) AS byte_checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** §2.11 extension under the oracle gate: the same plan

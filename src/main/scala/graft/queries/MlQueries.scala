@@ -144,7 +144,12 @@ object MlQueries {
       Models.LogReg(maxIter = 10),
       CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
       seeds = Seq(27, 42))
-    r.cvResults.orderBy("seed")
+    // Serialize the fold-score array: the driver's pandas harness cannot
+    // sort an array column (same shape Solution.scala uses for the CSV sink).
+    r.cvResults
+      .withColumn("cv_score_per_each_fold",
+        concat_ws(",", col("cv_score_per_each_fold")))
+      .orderBy("seed")
   }
 
   // -------------------------------------------------------------------
