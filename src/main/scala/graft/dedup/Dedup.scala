@@ -199,28 +199,37 @@ object Dedup {
     * a driver-side fixpoint check per round. Input: (id_1, id_2) with
     * id_1 < id_2. Output: (id, cluster) for every id in a pair. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) rather than cache: iterative algorithms
+    // grow the logical plan linearly under cache (compute is reused but
+    // every round re-analyzes the whole history); checkpointing
+    // truncates lineage so round N plans are constant-size.
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("cluster").as("__nc"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("__nc"), col("cluster"))).as("cluster"))
-        .cache()
-      next.count()
-      changed = next.join(labels.withColumnRenamed("cluster", "__old"), Seq("id"))
-        .filter(col("cluster") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
+      val relabeled = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__old"),
+          least(col("cluster"), coalesce(col("__nc"), col("cluster"))).as("__c"))
+      // pointer jumping: follow the new label one more hop through the
+      // label map itself (cluster of my cluster) — min-label propagation
+      // alone needs O(component diameter) rounds; compression brings
+      // chain-shaped duplicate components to O(log diameter).
+      val jumped = relabeled.join(
+          labels.select(col("id").as("__c"), col("cluster").as("__cc")), Seq("__c"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__c"), coalesce(col("__cc"), col("__c"))).as("cluster"))
+        .localCheckpoint() // one eager job per round; plan stays flat
+      changed = jumped.filter(col("cluster") =!= col("__old")).count()
+      labels = jumped.select("id", "cluster")
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

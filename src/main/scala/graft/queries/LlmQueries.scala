@@ -154,6 +154,24 @@ object LlmQueries {
       |) ORDER BY query_id, neighbor_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q67: IVF top-k with nProbe = nCells — probing every cell drives the
+  // whole IVF machinery (KMeans coarse quantizer, cell assignment,
+  // probe-cell ranking, candidate join, exact re-rank) while making the
+  // result provably identical to exact brute force, so the plain
+  // brute-force SQL is an exact oracle. The approximate (nProbe <
+  // nCells) path is recall-tested in LlmOpsSpec.
+  // -------------------------------------------------------------------
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 8, seed = 27L)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val ivfTopKSql: String = annTopKSql
+
+  // -------------------------------------------------------------------
   // q60: SimHash near-dup pairs via lossless banding (pigeonhole:
   // hamming<=3 over 32 bits split into 4 bands guarantees a shared
   // band, so the bucketed candidate set has perfect recall and the
@@ -340,6 +358,7 @@ object LlmQueries {
     "q33_dedup_exact" -> (dedupExact _),
     "q34_dedup_near" -> (dedupNear _),
     "q35_ann_topk" -> (annTopK _),
+    "q67_ivf_topk" -> (ivfTopK _),
     "q40_simhash" -> (simhash _),
     "q41_embed_dedup" -> (embedDedup _),
     "q42_token_stats" -> (tokenStats _),
@@ -357,6 +376,7 @@ object LlmQueries {
     "q33_dedup_exact" -> dedupExactSql,
     "q34_dedup_near" -> dedupNearSql,
     "q35_ann_topk" -> annTopKSql,
+    "q67_ivf_topk" -> ivfTopKSql,
     "q40_simhash" -> simhashSql,
     "q41_embed_dedup" -> embedDedupSql,
     "q42_token_stats" -> tokenStatsSql,
