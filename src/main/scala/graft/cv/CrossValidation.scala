@@ -251,8 +251,20 @@ object CrossValidation {
       train.select((idCol +: target +: features).map(col): _*),
       cfg.numFolds, cfg.dataSplitSeed,
       if (cfg.stratified) Some(target) else None).cache()
-    val perSeed = seeds.map(s => s -> runCvOneSeed(
-      train, test, features, target, idCol, model, cfg, s, preFolded = Some(folded)))
+    // Seedless models (hasSeedParam=false, model_wrappers.py:242-258
+    // sklearn adapters without random_state) fit identically for every
+    // seed — the reference still refits per seed; we run one CV and
+    // reuse its result, which is observationally equivalent and k times
+    // cheaper for a k-seed bag.
+    val perSeed =
+      if (model.hasSeedParam)
+        seeds.map(s => s -> runCvOneSeed(
+          train, test, features, target, idCol, model, cfg, s, preFolded = Some(folded)))
+      else {
+        val one = runCvOneSeed(
+          train, test, features, target, idCol, model, cfg, seeds.head, preFolded = Some(folded))
+        seeds.map(s => s -> one)
+      }
     folded.unpersist()
 
     val cvResults = perSeed.map { case (s, r) =>
