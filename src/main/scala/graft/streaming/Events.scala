@@ -32,6 +32,18 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming dedup for at-least-once delivery: duplicate events
+    * (same key columns) arriving within the watermark horizon are
+    * dropped; state for keys older than the watermark is evicted, so
+    * memory is bounded by the horizon x key arrival rate — the
+    * incremental counterpart of the batch exact-dedup family
+    * (graft.dedup.Dedup.exact). Works on batch frames too (falls back
+    * to plain dropDuplicates semantics over the bounded input). */
+  def dedupWithinWatermark(
+      events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 

@@ -42,6 +42,27 @@ class FoldsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"modulo assignment must not shuffle:\n$plan")
   }
 
+  test("stratified k-fold with NULL strata: nulls form their own balanced stratum") {
+    // exercises the nulls-first driver-side offset ordering in assign
+    val withNulls = df.withColumn("strat",
+      when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")))
+    val folded = Folds.assign(withNulls, k = 3, seed = 13L, stratifyBy = Some("strat")).cache()
+    assert(folded.count() == withNulls.count(), "every row assigned exactly once")
+    val nullCounts = folded.filter(col("strat").isNull)
+      .groupBy("fold").count().collect().map(_.getAs[Long]("count"))
+    assert(nullCounts.length == 3 && nullCounts.max - nullCounts.min <= 1,
+      s"null stratum balanced across folds: ${nullCounts.toSeq}")
+    val nonNull = folded.filter(col("strat").isNotNull)
+      .groupBy("strat", "fold").count().collect()
+      .groupBy(_.getAs[String]("strat"))
+    nonNull.foreach { case (cls, rows) =>
+      val counts = rows.map(_.getAs[Long]("count"))
+      assert(counts.max - counts.min <= 1, s"class $cls balanced: ${counts.toSeq}")
+    }
+    folded.unpersist()
+  }
+
   test("same seed → same assignment, different seed → different") {
     val a = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
     val b = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")

@@ -140,6 +140,30 @@ class PipelineStreamingSpec extends SparkSpec {
       s"hour-1 window closed with the 2 on-time events only (late one dropped): $out")
   }
 
+  test("streaming: dropDuplicatesWithinWatermark removes redelivered events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val dd = Events.dedupWithinWatermark(df, Seq("ts", "event_type"))
+    val q = dd.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def ts(h: Double) = new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    // batch 1: an event delivered twice in the same micro-batch
+    input.addData((ts(1.2), "a", 1.0), (ts(1.2), "a", 1.0), (ts(1.5), "b", 2.0))
+    q.processAllAvailable()
+    // batch 2: the same event redelivered in a later micro-batch
+    // (still within the 1h watermark horizon), plus a fresh event
+    input.addData((ts(1.2), "a", 1.0), (ts(1.8), "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_test").groupBy("ts", "event_type").count()
+    assert(out.filter(col("count") > 1).count() == 0,
+      "each (ts, event_type) key emitted exactly once across micro-batches")
+    assert(spark.table("dedup_test").count() == 3,
+      "three distinct events survive the dedup")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
