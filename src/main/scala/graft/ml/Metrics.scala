@@ -47,16 +47,34 @@ object Metrics {
   /** Binary ROC AUC via the rank statistic:
     * AUC = (sum of average ranks of positives - nPos(nPos+1)/2) / (nPos*nNeg).
     * Average rank of a tied group = cumulative count before the group +
-    * (groupSize + 1)/2. The window runs over the per-distinct-score
-    * aggregate, so its input is bounded by score cardinality.
+    * (groupSize + 1)/2.
+    *
+    * Scale design: for continuous scores the per-distinct-score
+    * aggregate is nearly row-scale, so a global window over it would
+    * collapse the whole OOF table onto one partition. The cumulative
+    * count is instead a distributed prefix sum: range-partition by
+    * score, window *within* each partition, and add per-partition
+    * offsets computed from a tiny (numPartitions-row) collected total —
+    * every stage stays partition-parallel.
     */
   def rocAuc(df: DataFrame, label: String, score: String): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val grouped = df.groupBy(col(score).as("__s"))
       .agg(count(lit(1)).as("__n"), sum(col(label).cast("double")).as("__pos"))
-    val w = Window.orderBy(col("__s"))
+      .repartitionByRange(col("__s"))
+      .sortWithinPartitions("__s")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // materialize the range shuffle once; two consumers below
+    val partTotals = grouped.groupBy("__pid").agg(sum("__n").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partTotals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = grouped
-      .withColumn("__cum", sum(col("__n")).over(w))
+    val ranked = grouped.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", sum(col("__n")).over(w) + col("__off"))
       .withColumn("__avg_rank", col("__cum") - col("__n") + (col("__n") + 1) / 2.0)
     val r = ranked.agg(
       sum(col("__pos") * col("__avg_rank")).as("sum_pos_rank"),
