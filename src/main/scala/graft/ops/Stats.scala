@@ -64,4 +64,58 @@ object Stats {
       .withColumn("share",
         round(col("cnt") / sum(col("cnt")).over(Window.partitionBy("label")), 6))
       .orderBy("label", "prediction")
+
+  /** A20: classification report (sklearn classification_report,
+    * prediction.py:579-586) — per-class precision/recall/f1/support
+    * plus `macro avg` and `weighted avg` rows. One row-scale
+    * aggregation to the (label, prediction, cnt) frame (nclasses^2
+    * rows); everything after is class-cardinality work. sklearn
+    * zero-division convention: a class never predicted has
+    * precision 0, a class with no true rows has recall 0.
+    */
+  def classificationReport(df: DataFrame, labelCol: String, predCol: String,
+      decimals: Int = 6): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("prediction"))
+      .agg(count(lit(1)).as("cnt"))
+    val byLabel = cm.groupBy(col("label").as("cls")).agg(
+      sum("cnt").as("support"),
+      sum(when(col("label") === col("prediction"), col("cnt")).otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy(col("prediction").as("cls")).agg(sum("cnt").as("pred_cnt"))
+    val perClass = byLabel.join(byPred, Seq("cls"), "full")
+      .na.fill(0L, Seq("support", "tp", "pred_cnt"))
+      .withColumn("precision",
+        when(col("pred_cnt") > 0, col("tp") / col("pred_cnt")).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("support") > 0, col("tp") / col("support")).otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+    val avgs = perClass.agg(
+      avg("precision").as("p_macro"), avg("recall").as("r_macro"), avg("f1").as("f_macro"),
+      (sum(col("precision") * col("support")) / sum("support")).as("p_w"),
+      (sum(col("recall") * col("support")) / sum("support")).as("r_w"),
+      (sum(col("f1") * col("support")) / sum("support")).as("f_w"),
+      sum("support").as("n"))
+    val classRows = perClass.select(
+      col("cls").cast("string").as("class"),
+      round(col("precision"), decimals).as("precision"),
+      round(col("recall"), decimals).as("recall"),
+      round(col("f1"), decimals).as("f1"),
+      col("support"))
+    val avgRows = avgs.select(
+      explode(array(
+        struct(lit("macro avg").as("class"),
+          round(col("p_macro"), decimals).as("precision"),
+          round(col("r_macro"), decimals).as("recall"),
+          round(col("f_macro"), decimals).as("f1"),
+          col("n").as("support")),
+        struct(lit("weighted avg").as("class"),
+          round(col("p_w"), decimals).as("precision"),
+          round(col("r_w"), decimals).as("recall"),
+          round(col("f_w"), decimals).as("f1"),
+          col("n").as("support")))).as("r"))
+      .select(col("r.class"), col("r.precision"), col("r.recall"), col("r.f1"), col("r.support"))
+    classRows.unionByName(avgRows).orderBy("class")
+  }
 }

@@ -91,6 +91,60 @@ object MiscQueries {
       |  UNION ALL SELECT 'o_totalprice', CAST(count(*) * 8 AS BIGINT) FROM orders
       |) ORDER BY feature""".stripMargin
 
+  /** A20 (report half): per-class precision/recall/f1/support plus
+    * macro/weighted averages over a derived label/pred pair with a
+    * shared domain. */
+  def classReport(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderstatus").as("label"),
+      when(col("o_totalprice") > 150000, "O")
+        .when(col("o_totalprice") > 50000, "F")
+        .otherwise("P").as("pred"))
+    graft.ops.Stats.classificationReport(o, "label", "pred")
+  }
+
+  val classReportSql: String =
+    """WITH d AS (
+      |  SELECT o_orderstatus AS label,
+      |         CASE WHEN o_totalprice > 150000 THEN 'O'
+      |              WHEN o_totalprice > 50000 THEN 'F'
+      |              ELSE 'P' END AS pred
+      |  FROM orders
+      |), cm AS (
+      |  SELECT label, pred, count(*) AS cnt FROM d GROUP BY 1, 2
+      |), bl AS (
+      |  SELECT label AS cls, sum(cnt) AS support,
+      |         sum(CASE WHEN label = pred THEN cnt ELSE 0 END) AS tp
+      |  FROM cm GROUP BY 1
+      |), bp AS (
+      |  SELECT pred AS cls, sum(cnt) AS pred_cnt FROM cm GROUP BY 1
+      |), pc AS (
+      |  SELECT coalesce(bl.cls, bp.cls) AS cls,
+      |         coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+      |         coalesce(pred_cnt, 0) AS pred_cnt
+      |  FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls
+      |), m AS (
+      |  SELECT cls,
+      |         CASE WHEN pred_cnt > 0 THEN tp * 1.0 / pred_cnt ELSE 0 END AS p,
+      |         CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0 END AS r,
+      |         support FROM pc
+      |), m2 AS (
+      |  SELECT cls, p, r,
+      |         CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0 END AS f,
+      |         support FROM m
+      |)
+      |SELECT cls AS class, round(p, 6) AS "precision", round(r, 6) AS recall,
+      |       round(f, 6) AS f1, CAST(support AS BIGINT) AS support FROM m2
+      |UNION ALL
+      |SELECT 'macro avg', round(avg(p), 6), round(avg(r), 6), round(avg(f), 6),
+      |       CAST(sum(support) AS BIGINT) FROM m2
+      |UNION ALL
+      |SELECT 'weighted avg', round(sum(p * support) / sum(support), 6),
+      |       round(sum(r * support) / sum(support), 6),
+      |       round(sum(f * support) / sum(support), 6),
+      |       CAST(sum(support) AS BIGINT) FROM m2
+      |ORDER BY class""".stripMargin
+
   /** O6: argmax row with deterministic tie-break. */
   def argmaxRow(s: SparkSession, d: String): DataFrame =
     Misc.argmax(Tables.lineitem(s, d), "l_extendedprice",
@@ -212,7 +266,8 @@ object MiscQueries {
     "q53_memusage" -> (memUsage _),
     "q54_argmax" -> (argmaxRow _),
     "q55_hist_cut" -> (histCut _),
-    "q56_multimodal" -> (multimodal _))
+    "q56_multimodal" -> (multimodal _),
+    "q68_class_report" -> (classReport _))
 
   val oracles: Map[String, String] = Map(
     "q57_hourly_events" -> hourlyEventsSql,
@@ -226,5 +281,6 @@ object MiscQueries {
     "q53_memusage" -> memUsageSql,
     "q54_argmax" -> argmaxRowSql,
     "q55_hist_cut" -> histCutSql,
-    "q56_multimodal" -> multimodalSql)
+    "q56_multimodal" -> multimodalSql,
+    "q68_class_report" -> classReportSql)
 }

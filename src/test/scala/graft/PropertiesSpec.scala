@@ -23,6 +23,25 @@ class PropertiesSpec extends SparkSpec {
       .sortBy { case (cnt, v) => (-cnt, v) }
       .head._2
 
+  test("classificationReport matches hand-computed sklearn values") {
+    // labels: a,a,a,b,b,c  preds: a,a,b,b,b,b
+    // a: tp=2 support=3 pred=2 -> P=1.0    R=0.666667 F=0.8
+    // b: tp=2 support=2 pred=4 -> P=0.5    R=1.0      F=0.666667
+    // c: tp=0 support=1 pred=0 -> P=0      R=0        F=0
+    val df = Seq(("a","a"),("a","a"),("a","b"),("b","b"),("b","b"),("c","b"))
+      .toDF("label", "pred")
+    val rep = graft.ops.Stats.classificationReport(df, "label", "pred")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(rep("a") == ((1.0, 0.666667, 0.8, 3L)))
+    assert(rep("b") == ((0.5, 1.0, 0.666667, 2L)))
+    assert(rep("c") == ((0.0, 0.0, 0.0, 1L)))
+    assert(rep("macro avg") == ((0.5, 0.555556, 0.488889, 6L)))
+    // weighted: P=(1*3+0.5*2)/6=0.666667 R=(0.666667*3+1*2)/6=0.666667
+    // F=(0.8*3+0.666667*2)/6=0.622222
+    assert(rep("weighted avg") == ((0.666667, 0.666667, 0.622222, 6L)))
+  }
+
   test("rowMode matches scipy mode (max count, smallest-value tie-break)") {
     val gen = Gen.listOfN(40, Gen.listOfN(5, Gen.chooseNum(0, 3).map(_.toDouble)))
     samples(gen, 5).foreach { data =>
