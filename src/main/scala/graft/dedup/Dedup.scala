@@ -250,4 +250,35 @@ object Dedup {
           col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Embedding near-duplicate pairs WITHOUT a blocking key: candidates
+    * share a sign-random-projection bucket in at least one of `tables`
+    * independent hash tables (bucket equi self-join — never all-pairs;
+    * more tables raise recall, more planes cut candidate volume), then
+    * exact cosine keeps pairs >= threshold. Approximate in recall
+    * (miss probability (1-(1-theta/pi)^planes)^tables for angle theta),
+    * exact in precision — the scale path when no natural blocking key
+    * exists. */
+  def embeddingNearDupLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 12, tables: Int = 4, seed: Long = 7919L): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("vec"))
+    val tcols = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        graft.sim.Similarity.srpBucket(col("vec"), planes, seed * (t + 1)).as("bkt")))
+    val bucketed = v.select(col("id"), col("vec"),
+        explode(array(tcols: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bkt"))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        col("a.vec").as("v1"), col("b.vec").as("v2"))
+      .dropDuplicates("id_1", "id_2")
+    cand.select(col("id_1"), col("id_2"),
+        graft.functions.GraftFunctions.cosineSim(df.sparkSession,
+          col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

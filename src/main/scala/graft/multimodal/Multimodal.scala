@@ -58,6 +58,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB frame sampling: treat the payload as fixed-size frames and
+    * emit every `stride`-th one as its own row — the 1→N generator
+    * shape of video frame extraction (`flatMap` over partitions; no
+    * driver collection, output rows carry (parent columns, frame_idx,
+    * frame payload)). A real implementation would demux/decode here. */
+  def sampleFrames(df: DataFrame, payloadCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val parentFields = df.schema.fields.filterNot(_.name == payloadCol)
+    val schema = StructType(parentFields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val parent = r.toSeq.zipWithIndex.collect { case (v, i) if i != idx => v }
+        val p = r.getAs[Array[Byte]](idx)
+        if (p == null) Iterator.empty
+        else {
+          val nFrames = p.length / frameBytes
+          Iterator.range(0, nFrames, stride).map { f =>
+            Row.fromSeq(parent ++ Seq(f, p.slice(f * frameBytes, (f + 1) * frameBytes)))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** STUB resize: deterministic byte subsampling to `targetBytes` —
     * the shape of an image-resize/audio-downsample kernel (every k-th
     * byte), preserving determinism for tests. */

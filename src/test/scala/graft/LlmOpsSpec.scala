@@ -111,4 +111,44 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("unblocked LSH embedding near-dup: exact precision, high recall vs truth") {
+    val threshold = 0.95
+    val truth = Dedup.embeddingNearDup(
+        emb.withColumn("__one", lit(1)), "vec_id", "embedding", "__one", threshold)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", threshold)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "every emitted pair is a true near-dup (exact verify)")
+    assert(truth.isEmpty || got.size >= truth.size * 0.8,
+      s"recall ${got.size}/${truth.size} below 0.8")
+  }
+
+  test("multimodal frame sampling: 1->N rows, correct strides and slices") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // 10-byte payload, 2-byte frames, stride 2 -> frames 0, 2, 4
+    val df = Seq((1L, "0123456789"), (2L, "abc"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val framed = Multimodal.sampleFrames(
+      Multimodal.withPayload(df, "s", "payload").select("id", "payload"),
+      "payload", frameBytes = 2, stride = 2)
+    val got = framed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+    assert(got.toSet == Set((1L, 0, "01"), (1L, 2, "45"), (1L, 4, "89"), (2L, 0, "ab")),
+      s"got ${got.toSeq}")
+    assert(framed.schema.fieldNames.toSeq == Seq("id", "frame_idx", "frame"))
+  }
+
+  test("multimodal resize: bounded payloads pass through, larger ones subsample") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val df = Multimodal.withPayload(
+      Seq((1L, "0123456789"), (2L, "ab")).toDF("id", "s"), "s", "payload")
+      .select("id", "payload")
+    val resized = Multimodal.resizePayload(df, "payload", targetBytes = 4).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1))).toMap
+    assert(resized(2L) == "ab", "short payload unchanged")
+    assert(resized(1L).length == 4, "long payload subsampled to target")
+  }
 }
