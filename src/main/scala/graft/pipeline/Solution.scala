@@ -320,12 +320,14 @@ object Solution {
             Sources.readJsonList(s"$fsOut/optimal_features.txt").toSeq)
           val nClasses = train.select(target).distinct().count()
           val hpoCfgBase = "hp_optimization.bayes.hpo_space.single_model_solution"
-          val trials = cfg.getInt(s"$hpoCfgBase.init_points") + cfg.getInt(s"$hpoCfgBase.n_iter")
-          val r = graft.hpo.RandomSearch.optimize(
+          // TPE sequential optimizer = the bayes_opt analogue
+          // (init_points warmup + n_iter guided proposals)
+          val r = graft.hpo.Tpe.optimize(
             train, features, target, idCol, space,
             p => modelFor(model, nClasses, p),
             cvConfigFor(nClasses), cfg.getLong("modeling_settings.hpo_seed_value"),
-            nTrials = trials)
+            initPoints = cfg.getInt(s"$hpoCfgBase.init_points"),
+            nIter = cfg.getInt(s"$hpoCfgBase.n_iter"))
           Sources.writeJsonManifest(s"$hpoOut/optimized_hp.txt",
             r.bestParams.map { case (k, v) => k -> v.toString })
           train.unpersist()

@@ -104,4 +104,35 @@ class EnsembleSpec extends SparkSpec {
     assert(r.bestParams("maxIter") == math.round(r.bestParams("maxIter")).toDouble,
       "int coercion applied")
   }
+
+  test("hpo: TPE proposals concentrate near the optimum and beat random draws") {
+    import graft.hpo.Tpe
+    val space = RandomSearch.Space(
+      bounds = Map("x" -> (0.0, 10.0), "y" -> (0.0, 10.0)), intParams = Set.empty)
+    // maximize -((x-7)^2 + (y-3)^2): optimum at (7, 3)
+    def f(p: Map[String, Double]): (Double, Double) =
+      (-(math.pow(p("x") - 7, 2) + math.pow(p("y") - 3, 2)), 0.0)
+    val trials = Tpe.optimizeFn(space, f _, seedVal = 27L,
+      initPoints = 8, nIter = 24, maximize = true)
+    assert(trials.size == 32)
+    val bestTpe = trials.map(_._2).max
+    // same-seed determinism
+    val again = Tpe.optimizeFn(space, f _, seedVal = 27L,
+      initPoints = 8, nIter = 24, maximize = true)
+    assert(trials == again, "deterministic under a fixed seed")
+    // pure random with the same budget and seed family
+    val rng = new scala.util.Random(27L)
+    val bestRnd = (1 to 32).map { _ =>
+      f(Map("x" -> rng.nextDouble() * 10, "y" -> rng.nextDouble() * 10))._1
+    }.max
+    assert(bestTpe >= bestRnd, s"TPE ($bestTpe) not worse than random ($bestRnd)")
+    assert(bestTpe > -1.0, s"TPE best $bestTpe should land near the optimum")
+    // guided phase should concentrate: mean distance of the last 8
+    // proposals to (7,3) is below that of the 8 warmup draws
+    def dist(t: (Int, Double, Double, Map[String, Double])): Double =
+      math.sqrt(math.pow(t._4("x") - 7, 2) + math.pow(t._4("y") - 3, 2))
+    val warm = trials.take(8).map(dist).sum / 8
+    val tail = trials.takeRight(8).map(dist).sum / 8
+    assert(tail < warm, s"guided tail ($tail) tighter than warmup ($warm)")
+  }
 }
