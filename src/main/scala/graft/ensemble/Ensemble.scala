@@ -123,14 +123,15 @@ object Ensemble {
     BlendCvResult(oof, fs, cvScore, cvStd, weightsHist.reverse)
   }
 
-  /** M8: weighted-vote blender — seeded random search over the weight
-    * simplex maximizing the metric of the weighted vote on the OOF
-    * frame (blender.py:119-398; the reference optimizes with
-    * bayes_opt — a seeded random search over the same [0,1]^k box is
-    * the documented v1 stand-in, SURVEY §7.3). Voting type mirrors
-    * `_detect_voting_type` (blender.py:202-227): soft (weighted mean)
-    * when predictions are fractional, hard (weighted argmax vote) when
-    * all are integer labels.
+  /** M8: weighted-vote blender — TPE sequential search over the
+    * [0,1]^k weight box maximizing the metric of the weighted vote on
+    * the OOF frame, the analogue of the reference's per-weight
+    * bayes_opt search (blender.py:119-398); trial 0 is always the
+    * uniform-weight baseline so the blend can never select worse than
+    * equal weighting. Voting type mirrors `_detect_voting_type`
+    * (blender.py:202-227): soft (weighted mean) when predictions are
+    * fractional, hard (weighted argmax vote) when all are integer
+    * labels.
     */
   def blend(
       oof: DataFrame, predCols: Seq[String], target: String,
@@ -142,25 +143,40 @@ object Ensemble {
     val metric = Metrics.registry(metricName)
     val better: (Double, Double) => Boolean =
       if (Metrics.greaterIsBetter(metricName)) _ > _ else _ < _
-    val rng = new scala.util.Random(seed)
+    val maximize = Metrics.greaterIsBetter(metricName)
     val cached = oof.cache()
 
-    val trials = (0 until nIter).map { it =>
-      val raw =
-        if (it == 0) predCols.map(_ => 1.0) // uniform baseline first
-        else predCols.map(_ => rng.nextDouble())
+    def normalize(raw: Seq[Double]): Seq[Double] = {
       val s = raw.sum
-      val w = raw.map(x => BigDecimal(x / s).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val safe = if (s <= 0) raw.map(_ => 1.0 / raw.size) else raw.map(_ / s)
+      safe.map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def scoreOf(w: Seq[Double]): Double = {
       val voted =
         if (hardVote)
           cached.withColumn("__blend",
             graft.ops.RowOps.weightedVote(predCols.map(col), w).cast("double"))
         else
           cached.withColumn("__blend", graft.ops.RowOps.weightedMean(predCols.map(col), w))
-      val score = BigDecimal(metric(voted, target, "__blend"))
+      BigDecimal(metric(voted, target, "__blend"))
         .setScale(metricsDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (it, score, w)
     }
+
+    val uniform = normalize(predCols.map(_ => 1.0))
+    val baseline = (0, scoreOf(uniform), uniform)
+    val guidedBudget = nIter - 1
+    val tpeTrials =
+      if (guidedBudget <= 0) Seq.empty
+      else {
+        val space = graft.hpo.RandomSearch.Space(
+          predCols.map(c => c -> (0.0, 1.0)).toMap, Set.empty)
+        val init = math.max(1, guidedBudget / 2)
+        graft.hpo.Tpe.optimizeFn(space,
+            p => (scoreOf(normalize(predCols.map(p))), 0.0),
+            seed, init, guidedBudget - init, maximize)
+          .map { case (it, sc, _, p) => (it, sc, normalize(predCols.map(p))) }
+      }
+    val trials = baseline +: tpeTrials
     cached.unpersist()
 
     val best = trials.reduce((a, b) => if (better(b._2, a._2)) b else a)
