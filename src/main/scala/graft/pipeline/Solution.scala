@@ -108,6 +108,23 @@ object Solution {
       graft.ensemble.Ensemble.joinOof(base, idCol, target, frames)
     }
 
+    /** Join per-model test.csv predictions on the row id (no target
+      * column on the test side — prediction columns keep the plain
+      * target name, prediction.py:301-309). */
+    def loadTestMatrix(inputs: Seq[(String, String)]): DataFrame = {
+      val frames = inputs.map { case (m, dir) =>
+        m -> Sources.readCsv(spark, s"$dir/test.csv")
+      }
+      frames.foldLeft(frames.head._2.select(col(idCol))) {
+        case (acc, (m, df)) =>
+          val preds = df.columns.filterNot(_ == idCol)
+          acc.join(df.select(
+            (col(idCol) +: preds.map(c => col(c).as(s"${m}_$c"))).toSeq: _*), Seq(idCol))
+      }
+    }
+
+    val predictTestGlobal =
+      !cfg.has("modeling_settings.predict_test") || cfg.getBool("modeling_settings.predict_test")
     val singleInputs = models.map(r => r.model -> r.outputDir)
 
     // ---- stacking branch -------------------------------------------
@@ -119,7 +136,8 @@ object Solution {
         val outDir = Paths.get(projectLocation, stackDir).toString
         var score = (0.0, 0.0)
         val task = Pipeline.Task(s"RunSingleStacker_$meta",
-          Seq(s"$outDir/train_OOF.csv", s"$outDir/cv_results.csv"))(() => {
+          Seq(s"$outDir/train_OOF.csv", s"$outDir/cv_results.csv") ++
+            (if (predictTestGlobal) Seq(s"$outDir/test.csv") else Seq.empty))(() => {
           val oofMatrix = loadOofMatrix(singleInputs)
           val sc = cfg.getConfig("stacker.cv_params")
           val nClasses = oofMatrix.select(target).distinct().count()
@@ -134,11 +152,15 @@ object Solution {
             metricsDecimals = cfg.getInt(s"stacker.$meta.metrics_decimals"))
           val seeds = cfg.getLongList("modeling_settings.model_seeds_list")
           val usedSeeds = if (runBagging) seeds else seeds.take(1)
-          val r = graft.ensemble.Ensemble.stack(oofMatrix, None, target, idCol,
+          val testOof =
+            if (predictTestGlobal) Some(loadTestMatrix(singleInputs)) else None
+          val r = graft.ensemble.Ensemble.stack(oofMatrix, testOof, target, idCol,
             modelFor(meta, nClasses), cc, usedSeeds)
           score = (r.cvScore, r.cvStd)
           Sources.writeCsv(r.oof.orderBy(idCol), s"$outDir/train_OOF.csv",
             floatDecimals = Some(cc.targetDecimals).filter(_ > 0))
+          r.testPreds.foreach(tp => Sources.writeCsv(tp.orderBy(idCol),
+            s"$outDir/test.csv", floatDecimals = Some(cc.targetDecimals).filter(_ > 0)))
           Sources.writeCsv(r.cvResults.withColumn("cv_score_per_each_fold",
               concat_ws(",", col("cv_score_per_each_fold"))),
             s"$outDir/cv_results.csv",
@@ -155,9 +177,11 @@ object Solution {
         val method = cfg.getString("modeling_settings.blender_method")
         val (_, blendDir) = paths.blendedSolutionDir(method)
         val outDir = Paths.get(projectLocation, blendDir).toString
+        val blendTest = predictTestGlobal
         var score = 0.0
         val task = Pipeline.Task(s"RunSingleBlender_$method",
-          Seq(s"$outDir/blend_weights.txt", s"$outDir/blend_history.csv"))(() => {
+          Seq(s"$outDir/blend_weights.txt", s"$outDir/blend_history.csv") ++
+            (if (blendTest) Seq(s"$outDir/test.csv") else Seq.empty))(() => {
           val useStacked = cfg.getBool("modeling_settings.blend_stacked_results") &&
             stackers.nonEmpty
           val inputs = if (useStacked) stackers.map(r => r.model -> r.outputDir)
@@ -180,6 +204,22 @@ object Solution {
           Sources.writeJsonManifest(s"$outDir/blend_weights.txt",
             r.weights.map { case (k, v) => k -> v.toString })
           Sources.writeCsv(r.history, s"$outDir/blend_history.csv", floatDecimals = None)
+          // test-side blend: apply the optimal weights to the joined
+          // per-model test predictions (blender.py:369-384)
+          if (blendTest) {
+            val joined = loadTestMatrix(inputs)
+            // OOF weight keys carry the reference's _OOF suffix; test
+            // prediction columns do not (prediction.py:301-309)
+            val wByCol = r.weights.map { case (k, v) => k.stripSuffix("_OOF") -> v }
+            val predCols = joined.columns.filterNot(_ == idCol).toSeq
+            val w = predCols.map(c => wByCol.getOrElse(c, 0.0))
+            val blendedCol =
+              if (hard) graft.ops.RowOps.weightedVote(predCols.map(col), w).cast("double")
+              else graft.ops.RowOps.weightedMean(predCols.map(col), w)
+            Sources.writeCsv(
+              joined.withColumn(target, blendedCol).select(col(idCol), col(target))
+                .orderBy(idCol), s"$outDir/test.csv", floatDecimals = None)
+          }
         })
         val report = Pipeline.execute(task) // must run before reading `score`
         Some(ModelRun(method, outDir, score, 0.0, report))

@@ -76,10 +76,14 @@ class PipelineStreamingSpec extends SparkSpec {
     result.stackers.foreach { s =>
       assert(s.cvScore > 0.7, s"stacker ${s.model} accuracy ${s.cvScore}")
       assert(Files.exists(Paths.get(s"${s.outputDir}/train_OOF.csv")))
+      assert(Files.exists(Paths.get(s"${s.outputDir}/test.csv")),
+        "stacker test predictions (predict_test)")
     }
     // blending branch (run_blending=True)
     val bl = result.blender.get
     assert(Files.exists(Paths.get(s"${bl.outputDir}/blend_weights.txt")))
+    assert(Files.exists(Paths.get(s"${bl.outputDir}/test.csv")),
+      "test-side blended predictions (blender.py:369-384)")
     assert(bl.cvScore > 0.7, s"blended accuracy ${bl.cvScore}")
     // memoization: a second build skips every stage
     val again = Solution.buildSolution(spark, proj, "configs", "solution.conf")
