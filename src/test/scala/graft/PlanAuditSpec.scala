@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Machine-checked physical-plan properties of shipped queries — the
+  * executable form of the PLANS.md audit. These are regression guards
+  * for the scale-critical plan shapes: column pruning and filter
+  * pushdown reaching the parquet scan, dimension broadcasts on the
+  * star join, whole-stage codegen on expression-heavy projections, and
+  * the partial window-group-limit that bounds shuffle volume on
+  * keep-first dedup.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String = {
+    df.collect() // finalize AQE so the executed plan is the real one
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q27 projection: column pruning reaches the parquet scan, no exchange") {
+    val plan = formatted(Queries.registry("q27_projection")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"excluded columns must not be read:\n$readSchema")
+    assert(!plan.contains("Exchange"), "pure projection must not shuffle")
+  }
+
+  test("q1 aggregate: filter pushed to the scan, partial+final aggregation") {
+    val plan = formatted(Queries.registry("q1_agg")(spark, sf))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity"),
+      s"quantity filter must reach the scan:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "map-side partial aggregation expected")
+  }
+
+  test("q17 star join: dimension sides broadcast, fact side never shuffles pre-agg") {
+    val plan = formatted(Queries.registry("q17_join_revenue")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"nation/region/customer-orders dims must broadcast:\n${plan.take(1500)}")
+  }
+
+  test("q8 transform ladder: single whole-stage codegen span, no shuffle") {
+    val plan = formatted(Queries.registry("q8_transform_ladder")(spark, sf))
+    // formatted mode marks whole-stage-codegen operators with a `*`
+    assert(plan.contains("* Project"), s"expression ladder must codegen:\n${plan.take(500)}")
+    assert(!plan.contains("Exchange"), "row-wise transforms must not shuffle")
+  }
+
+  test("q47 keep-first dedup: partial group-limit bounds shuffle volume") {
+    val plan = formatted(Queries.registry("q47_dedup_first")(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"partial + final group limit expected (row_number<=1 optimization):\n${plan.take(1500)}")
+  }
+}
