@@ -78,9 +78,43 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleK: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    minHashOverShingles(hashedShingles(df, idCol, textCol, shingleK),
+      threshold, bands, rowsPerBand, maxBucketSize)
+
+  /** Distinct character n-grams as the Jaccard unit set: (id, s) with
+    * s = xxhash64 of each n-char window of the trimmed text. The
+    * character-level variant catches near-dups word shingles miss
+    * (reorderings/typos inside tokens, whitespace-insensitive). */
+  private[dedup] def hashedCharNgrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = df.select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
+    val grams = when(length(col("__t")) >= n,
+      transform(sequence(lit(1), length(col("__t")) - n + 1),
+        i => col("__t").substr(i, lit(n))))
+      .otherwise(array())
+    t.select(col("id"), explode(grams).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("s")).distinct()
+  }
+
+  /** N-gram Jaccard near-dup: the MinHash/banding/exact-verify pipeline
+    * over character n-gram sets instead of word shingles. Same scale
+    * properties (bucketed candidates, never all-pairs). */
+  def ngramJaccardNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame =
+    minHashOverShingles(hashedCharNgrams(df, idCol, textCol, n),
+      threshold, bands, rowsPerBand, maxBucketSize)
+
+  /** Shared MinHash LSH core over any hashed unit-set table
+    * (id, s: long). */
+  private def minHashOverShingles(
+      shingleTable: DataFrame, threshold: Double,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = hashedShingles(df, idCol, textCol, shingleK).cache()
+    val sh = shingleTable.cache()
 
     // one-pass signature: min over shingles of each seeded hash
     val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))

@@ -154,6 +154,43 @@ object LlmQueries {
       |) ORDER BY query_id, neighbor_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q69: character-n-gram Jaccard near-dup — the MinHash/band/verify
+  // pipeline over char-3-gram sets at threshold 0.8. Char-3-gram
+  // similarity between ordinary English docs is dense up to ~0.7, then
+  // the corpus gaps until the true near-dups at j>=0.9 — banding miss
+  // probability there is (1-0.9^2)^16 ~ 3e-12, so the all-pairs oracle
+  // agrees exactly (same argument as q34; measured distribution:
+  // 0 pairs in [0.8, 0.9))
+  // -------------------------------------------------------------------
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardNearDup(docs(s, d), "doc_id", "text", threshold = 0.8, n = 3)
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_1", "id_2")
+
+  val ngramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS txt FROM documents
+      |),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |         substr(txt, CAST(i AS INT), 3) AS s
+      |  FROM t, unnest(range(1, len(txt) - 1)) AS u(i)
+      |  WHERE len(txt) >= 3
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_1, id_2,
+      |       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_1
+      |JOIN cnt cb ON cb.doc_id = id_2
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+      |ORDER BY id_1, id_2""".stripMargin
+
+  // -------------------------------------------------------------------
   // q67: IVF top-k with nProbe = nCells — probing every cell drives the
   // whole IVF machinery (KMeans coarse quantizer, cell assignment,
   // probe-cell ranking, candidate join, exact re-rank) while making the
@@ -359,6 +396,7 @@ object LlmQueries {
     "q34_dedup_near" -> (dedupNear _),
     "q35_ann_topk" -> (annTopK _),
     "q67_ivf_topk" -> (ivfTopK _),
+    "q69_ngram_jaccard" -> (ngramJaccard _),
     "q40_simhash" -> (simhash _),
     "q41_embed_dedup" -> (embedDedup _),
     "q42_token_stats" -> (tokenStats _),
@@ -377,6 +415,7 @@ object LlmQueries {
     "q34_dedup_near" -> dedupNearSql,
     "q35_ann_topk" -> annTopKSql,
     "q67_ivf_topk" -> ivfTopKSql,
+    "q69_ngram_jaccard" -> ngramJaccardSql,
     "q40_simhash" -> simhashSql,
     "q41_embed_dedup" -> embedDedupSql,
     "q42_token_stats" -> tokenStatsSql,
