@@ -178,6 +178,108 @@ object Preprocess {
     "div3" -> (c / 3),
     "div4" -> (c / 4))
 
+  /** Result of the composed skew-reduction pass: `data` = input with
+    * abs() applied in place to all-negative columns and one winning
+    * transform column appended per improved feature; `summary` rows =
+    * (feature, original_skew, chosen, chosen_skew). */
+  final case class SkewTransformResult(
+      data: DataFrame, summary: DataFrame,
+      transformed: Map[String, String], appliedAbs: Seq[String])
+
+  /** The reference's full `transform_skewed_features` driver
+    * (preprocessing.py:326-415), distributed: two aggregate passes
+    * total (one for per-column skew/min/max/zero stats, one for the
+    * skew of every candidate transform of every column) instead of the
+    * reference's per-feature loop.
+    *
+    * Behavior-as-spec notes (SURVEY §7.4.7):
+    *  - all-values<=0 columns get abs() applied in place
+    *    (preprocessing.py:356-367); skew(|x|) = -skew(x) there, used
+    *    analytically for the post-abs baseline;
+    *  - log1p when the column contains 0, log otherwise
+    *    (preprocessing.py:374-378);
+    *  - skew<0 -> the "root" ladder, which by the x**1/N precedence
+    *    bug is x/2, x/3, x/4; skew>0 -> x^2, x^3, x^4
+    *    (preprocessing.py:277-300,380-387);
+    *  - winner = min |skew| over [original, log-family, ladder] in that
+    *    column order (dict-order tie-break, preprocessing.py:393-394),
+    *    kept only when |  |best| - |orig|  | > minSkewImprovement;
+    *  - exact skew == 0.0 (and undefined skew) -> feature skipped.
+    */
+  def transformSkewed(df: DataFrame, cols: Seq[String],
+      minSkewImprovement: Double = 0.15): SkewTransformResult = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val statAggs = cols.flatMap(c => Seq(
+      skewness(col(c)).as(s"sk_$c"), min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c"),
+      max(when(col(c) === 0, 1).otherwise(0)).as(s"z_$c")))
+    val r1 = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    def num(r: org.apache.spark.sql.Row, n: String): Double =
+      r.getAs[Any](n) match { case null => Double.NaN; case x: Number => x.doubleValue }
+
+    val absCols = cols.filter(c => num(r1, s"mn_$c") < 0.0 && num(r1, s"mx_$c") <= 0.0).toSet
+    val baseSkew = cols.map { c =>
+      c -> (if (absCols(c)) -num(r1, s"sk_$c") else num(r1, s"sk_$c"))
+    }.toMap
+    val hasZero = cols.map(c => c -> (num(r1, s"z_$c") == 1.0)).toMap
+    def base(c: String): Column = if (absCols(c)) abs(col(c)) else col(c)
+
+    val active = cols.filter(c => baseSkew(c) != 0.0 && !baseSkew(c).isNaN)
+    val candidates: Seq[(String, String, Column)] = active.flatMap { c =>
+      val logCand =
+        if (hasZero(c)) Seq((c, s"${c}_LOG1P", log1p(base(c))))
+        else Seq((c, s"${c}_LOG", log(base(c))))
+      val ladder =
+        if (baseSkew(c) < 0)
+          Seq(s"$c^1/2" -> base(c) / 2, s"$c^1/3" -> base(c) / 3, s"$c^1/4" -> base(c) / 4)
+        else
+          Seq(s"$c^2" -> pow(base(c), 2), s"$c^3" -> pow(base(c), 3), s"$c^4" -> pow(base(c), 4))
+      logCand ++ ladder.map { case (n, e) => (c, n, e) }
+    }
+
+    val r2 =
+      if (candidates.isEmpty) null
+      else {
+        val candAggs = candidates.map { case (_, n, e) => skewness(e).as(n) }
+        df.agg(candAggs.head, candAggs.tail: _*).collect()(0)
+      }
+
+    val chosen: Map[String, (String, Double)] = active.flatMap { c =>
+      val cands = candidates.collect { case (`c`, n, _) => n -> num(r2, n) }
+      val all = ((c, baseSkew(c)) +: cands).filterNot(_._2.isNaN)
+      val best = all.minBy { case (_, s) => math.abs(s) } // first minimal wins ties
+      if (best._1 != c &&
+          math.abs(math.abs(best._2) - math.abs(baseSkew(c))) > minSkewImprovement)
+        Some(c -> best)
+      else None
+    }.toMap
+
+    val inPlace = df.columns.map(cn =>
+      if (absCols(cn)) abs(col(cn)).as(cn) else col(cn))
+    val winners = chosen.toSeq.sortBy(_._1).map { case (_, (n, _)) =>
+      candidates.find(_._2 == n).get._3.as(n)
+    }
+    val data = df.select((inPlace ++ winners).toSeq: _*)
+
+    val summary = cols.map { c =>
+      val orig = baseSkew(c)
+      chosen.get(c) match {
+        case Some((n, s)) => (c, r6(orig), n, r6(s))
+        case None => (c, r6(orig), "none", r6(orig))
+      }
+    }.toDF("feature", "original_skew", "chosen", "chosen_skew")
+      .orderBy("feature")
+
+    SkewTransformResult(data, summary,
+      chosen.map { case (c, (n, _)) => c -> n }, cols.filter(absCols).toList)
+  }
+
+  private def r6(x: Double): Double =
+    if (x.isNaN) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** F7: integer-likeness test. The reference samples 100 values and
     * checks np.allclose(x, int(x)) (preprocessing.py:157-176); the
     * distributed form is an exact full-column scan (cheaper than a

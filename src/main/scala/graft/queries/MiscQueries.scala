@@ -145,6 +145,35 @@ object MiscQueries {
       |       CAST(sum(support) AS BIGINT) FROM m2
       |ORDER BY class""".stripMargin
 
+  /** Composed skew reduction (transform_skewed_features,
+    * preprocessing.py:326-415): events.value is genuinely
+    * right-skewed (skew ~1.93) with no zeros, so the LOG candidate
+    * wins by a wide margin; user_id is near-uniform, so nothing beats
+    * the 0.15 improvement threshold and it stays untransformed. */
+  def skewTransform(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preprocess.transformSkewed(
+      Tables.events(s, d).select(col("value"), col("user_id").cast("double").as("user_id")),
+      Seq("value", "user_id")).summary
+
+  // Population skew via explicit moments (Spark/scipy convention;
+  // DuckDB's skewness() built-in is the bias-corrected sample form).
+  private def popSkewSql(expr: String): String =
+    s"""(SELECT avg(pow(v - av, 3)) / pow(avg(pow(v - av, 2)), 1.5) FROM
+       |  (SELECT v, avg(v) OVER () AS av FROM
+       |    (SELECT $expr AS v FROM events WHERE $expr IS NOT NULL)))""".stripMargin
+
+  val skewTransformSql: String =
+    s"""SELECT 'user_id' AS feature,
+       |       round(${popSkewSql("CAST(user_id AS DOUBLE)")}, 6) AS original_skew,
+       |       'none' AS chosen,
+       |       round(${popSkewSql("CAST(user_id AS DOUBLE)")}, 6) AS chosen_skew
+       |UNION ALL
+       |SELECT 'value',
+       |       round(${popSkewSql("value")}, 6),
+       |       'value_LOG',
+       |       round(${popSkewSql("ln(value)")}, 6)
+       |ORDER BY feature""".stripMargin
+
   /** O6: argmax row with deterministic tie-break. */
   def argmaxRow(s: SparkSession, d: String): DataFrame =
     Misc.argmax(Tables.lineitem(s, d), "l_extendedprice",
@@ -267,7 +296,8 @@ object MiscQueries {
     "q54_argmax" -> (argmaxRow _),
     "q55_hist_cut" -> (histCut _),
     "q56_multimodal" -> (multimodal _),
-    "q68_class_report" -> (classReport _))
+    "q68_class_report" -> (classReport _),
+    "q70_skew_transform" -> (skewTransform _))
 
   val oracles: Map[String, String] = Map(
     "q57_hourly_events" -> hourlyEventsSql,
@@ -282,5 +312,6 @@ object MiscQueries {
     "q54_argmax" -> argmaxRowSql,
     "q55_hist_cut" -> histCutSql,
     "q56_multimodal" -> multimodalSql,
-    "q68_class_report" -> classReportSql)
+    "q68_class_report" -> classReportSql,
+    "q70_skew_transform" -> skewTransformSql)
 }

@@ -42,6 +42,31 @@ class PropertiesSpec extends SparkSpec {
     assert(rep("weighted avg") == ((0.666667, 0.666667, 0.622222, 6L)))
   }
 
+  test("transformSkewed: abs branch, log1p-on-zeros branch, threshold gate") {
+    import graft.ops.Preprocess
+    // neg: all values <= 0 -> abs applied in place; the abs'd column is
+    // exponential-ish (right-skewed) so LOG wins.
+    // zeroed: contains 0 -> LOG1P candidate; wins on the same shape.
+    // flat: near-uniform -> nothing beats the 0.15 threshold.
+    val n = 400
+    val rows = (1 to n).map { i =>
+      val e = math.exp(i % 7 + (i % 13) * 0.5) // right-skewed positive
+      (-e, if (i == 1) 0.0 else e, i.toDouble % 50)
+    }
+    val df = rows.toDF("neg", "zeroed", "flat")
+    val r = Preprocess.transformSkewed(df, Seq("neg", "zeroed", "flat"))
+    assert(r.appliedAbs == Seq("neg"))
+    assert(r.transformed("neg") == "neg_LOG", s"got ${r.transformed}")
+    assert(r.transformed("zeroed") == "zeroed_LOG1P")
+    assert(!r.transformed.contains("flat"))
+    assert(r.data.columns.toSet ==
+      Set("neg", "zeroed", "flat", "neg_LOG", "zeroed_LOG1P"))
+    // abs applied in place: the output column is nonnegative
+    assert(r.data.filter(col("neg") < 0).isEmpty)
+    val summ = r.summary.collect().map(x => x.getString(0) -> x.getString(2)).toMap
+    assert(summ == Map("neg" -> "neg_LOG", "zeroed" -> "zeroed_LOG1P", "flat" -> "none"))
+  }
+
   test("rowMode matches scipy mode (max count, smallest-value tie-break)") {
     val gen = Gen.listOfN(40, Gen.listOfN(5, Gen.chooseNum(0, 3).map(_.toDouble)))
     samples(gen, 5).foreach { data =>
