@@ -155,15 +155,19 @@ object LlmQueries {
 
   // -------------------------------------------------------------------
   // q69: character-n-gram Jaccard near-dup — the MinHash/band/verify
-  // pipeline over char-3-gram sets at threshold 0.8. Char-3-gram
-  // similarity between ordinary English docs is dense up to ~0.7, then
-  // the corpus gaps until the true near-dups at j>=0.9 — banding miss
-  // probability there is (1-0.9^2)^16 ~ 3e-12, so the all-pairs oracle
-  // agrees exactly (same argument as q34; measured distribution:
-  // 0 pairs in [0.8, 0.9))
+  // pipeline over char-5-gram sets at threshold 0.5. Gram width and
+  // band shape are tuned to the similarity distribution: char 3-grams
+  // are so common in English that ordinary doc pairs sit at j~0.5-0.7
+  // and the default 2-row bands turn the candidate set into all-pairs
+  // (measured: 156 s at sf0.1); 5-grams push ordinary pairs below 0.3
+  // while true near-dups stay at j>=0.9, and 8 bands x 4 rows put the
+  // s-curve midpoint at 0.6 — candidate probability 0.3% for the dense
+  // j~0.25 mass, miss probability 2e-4 at j=0.9 — so the all-pairs
+  // oracle agrees exactly and the candidate set stays tiny.
   // -------------------------------------------------------------------
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardNearDup(docs(s, d), "doc_id", "text", threshold = 0.8, n = 3)
+    Dedup.ngramJaccardNearDup(docs(s, d), "doc_id", "text", threshold = 0.5,
+        n = 5, bands = 8, rowsPerBand = 4)
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_1", "id_2")
 
@@ -173,9 +177,9 @@ object LlmQueries {
       |),
       |g AS (
       |  SELECT DISTINCT doc_id,
-      |         substr(txt, CAST(i AS INT), 3) AS s
-      |  FROM t, unnest(range(1, len(txt) - 1)) AS u(i)
-      |  WHERE len(txt) >= 3
+      |         substr(txt, CAST(i AS INT), 5) AS s
+      |  FROM t, unnest(range(1, len(txt) - 3)) AS u(i)
+      |  WHERE len(txt) >= 5
       |),
       |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |inter AS (
@@ -187,7 +191,7 @@ object LlmQueries {
       |FROM inter
       |JOIN cnt ca ON ca.doc_id = id_1
       |JOIN cnt cb ON cb.doc_id = id_2
-      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
       |ORDER BY id_1, id_2""".stripMargin
 
   // -------------------------------------------------------------------
