@@ -195,6 +195,62 @@ object LlmQueries {
       |ORDER BY id_1, id_2""".stripMargin
 
   // -------------------------------------------------------------------
+  // q71: the north-star composition — end-to-end corpus preparation
+  // (language filter -> quality filter -> exact dedup keep-min-id ->
+  // near-dup removal keep-smaller-id -> per-source accounting), every
+  // stage replayed exactly by the oracle.
+  // -------------------------------------------------------------------
+  def corpusPrep(s: SparkSession, d: String): DataFrame =
+    graft.text.Corpus.prepare(docs(s, d), "doc_id", "text",
+        langs = Seq("en", "de", "fr"), minQuality = 0.5, jaccard = 0.5)
+      .stats
+      .select(col("source"), col("n_docs"), col("total_tokens"))
+
+  val corpusPrepSql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, trim(text) AS txt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |),
+      |q AS (
+      |  SELECT doc_id,
+      |    round((least(len(w) / 50.0, 1.0)
+      |      + 1.0 - least(((len(txt) - len(regexp_replace(txt, '[^\w\s]', '', 'g'))) * 1.0
+      |                     / greatest(len(txt), 1)) * 5.0, 1.0)
+      |      + len(list_distinct(w)) * 1.0 / len(w)
+      |      + CASE WHEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+      |             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality
+      |  FROM t0
+      |),
+      |kept AS (
+      |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+      |  WHERE d.lang IN ('en', 'de', 'fr') AND q.quality >= 0.5
+      |),
+      |exact AS (
+      |  SELECT * FROM kept
+      |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |),
+      |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM exact),
+      |idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT id_2 FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_1
+      |  JOIN cnt cb ON cb.doc_id = id_2
+      |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),
+      |final AS (
+      |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_2 FROM drops)
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+      |FROM final GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // q67: IVF top-k with nProbe = nCells — probing every cell drives the
   // whole IVF machinery (KMeans coarse quantizer, cell assignment,
   // probe-cell ranking, candidate join, exact re-rank) while making the
@@ -401,6 +457,7 @@ object LlmQueries {
     "q35_ann_topk" -> (annTopK _),
     "q67_ivf_topk" -> (ivfTopK _),
     "q69_ngram_jaccard" -> (ngramJaccard _),
+    "q71_corpus_prep" -> (corpusPrep _),
     "q40_simhash" -> (simhash _),
     "q41_embed_dedup" -> (embedDedup _),
     "q42_token_stats" -> (tokenStats _),
@@ -420,6 +477,7 @@ object LlmQueries {
     "q35_ann_topk" -> annTopKSql,
     "q67_ivf_topk" -> ivfTopKSql,
     "q69_ngram_jaccard" -> ngramJaccardSql,
+    "q71_corpus_prep" -> corpusPrepSql,
     "q40_simhash" -> simhashSql,
     "q41_embed_dedup" -> embedDedupSql,
     "q42_token_stats" -> tokenStatsSql,

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** The north-star composition: end-to-end training-corpus preparation
+  * over a documents table, chaining the LLM-data operator families into
+  * the pipeline a 100 TB pre-training data job actually runs —
+  * language filter → quality filter → exact dedup → near-dup removal →
+  * per-source accounting. Every stage is the already-tested primitive;
+  * this object only sequences them, keeping the whole plan lazy so
+  * Catalyst fuses the filters into the scan.
+  */
+object Corpus {
+
+  /** Result: `corpus` = cleaned documents (original columns);
+    * `stats` = per-source (n_docs, total_tokens) accounting table. */
+  final case class PrepResult(corpus: DataFrame, stats: DataFrame)
+
+  /** @param langs       metadata languages to keep
+    * @param minQuality  TextOps.qualityScore threshold in [0,1]
+    * @param jaccard     word-3-shingle MinHash near-dup threshold;
+    *                    of each near-dup pair the smaller doc_id wins
+    *                    (canonical-representative contract shared with
+    *                    Dedup.duplicateClusters)
+    */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String], minQuality: Double,
+      jaccard: Double = 0.5): PrepResult = {
+    val byLang = docs.filter(col("lang").isin(langs: _*))
+    val quality = TextOps.qualityScore(byLang, idCol, textCol)
+    val kept = byLang.join(
+      quality.filter(col("quality") >= minQuality).select(idCol), Seq(idCol))
+
+    // exact dedup with a deterministic representative: smallest id per
+    // distinct content (hash-partitioned window, no global sort)
+    val exact = Dedup.keepFirst(kept, Seq(textCol), Seq(col(idCol)))
+
+    // near-dup removal on the exact-deduped corpus: each qualifying
+    // pair (id_1 < id_2) drops its larger side
+    val pairs = Dedup.minHashNearDup(exact, idCol, textCol, jaccard)
+    val corpus = exact.join(
+      pairs.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+    val stats = corpus
+      .select(col("source"), size(Dedup.tokens(col(textCol))).as("__nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("total_tokens"))
+      .orderBy("source")
+    PrepResult(corpus, stats)
+  }
+}
