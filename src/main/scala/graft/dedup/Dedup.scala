@@ -86,7 +86,7 @@ object Dedup {
     * s = xxhash64 of each n-char window of the trimmed text. The
     * character-level variant catches near-dups word shingles miss
     * (reorderings/typos inside tokens, whitespace-insensitive). */
-  private[dedup] def hashedCharNgrams(
+  private[graft] def hashedCharNgrams(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val t = df.select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
     val grams = when(length(col("__t")) >= n,

@@ -112,6 +112,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("char-n-gram units: exact windows, short-text guard, jaccard parity") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef"), (2L, "abcdeX"), (3L, "ab")).toDF("id", "text")
+    // doc 1: grams of "abcdef" with n=5 -> {abcde, bcdef}; doc 3 too short -> none
+    val grams = Dedup.hashedCharNgrams(df, "id", "text", 5)
+    val counts = grams.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L), s"got $counts (short text excluded)")
+    // docs 1/2 share {abcde} of union {abcde, bcdef, bcdeX} -> j = 1/3
+    val pairs = Dedup.ngramJaccardNearDup(df, "id", "text",
+      threshold = 0.3, n = 5, bands = 16, rowsPerBand = 1)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e6) / 1e6))
+    assert(got.toSeq == Seq((1L, 2L, 0.333333)), s"got ${got.toSeq}")
+  }
+
   test("unblocked LSH embedding near-dup: exact precision, high recall vs truth") {
     val threshold = 0.95
     val truth = Dedup.embeddingNearDup(
