@@ -412,6 +412,25 @@ object Solution {
         Sources.writeCsv(r.cvResults.withColumn("cv_score_per_each_fold",
             concat_ws(",", col("cv_score_per_each_fold"))),
           s"$outDir/cv_results.csv", floatDecimals = Some(cc.metricsDecimals).filter(_ > 0))
+        // S8-as-tables: the reference plots a confusion matrix from the
+        // OOF predictions (prediction.py:532-605, labels_mapper applied
+        // when predicting probabilities, create_solution.py:345-349);
+        // we emit the underlying table. Mapper specs resolve through
+        // the closed LabelMappers registry — never eval'd.
+        if (nClasses <= 20) {
+          val oofCol = s"${target}_OOF"
+          val predLabels = cfg.getStringOrNull("modeling_settings.labels_mapper") match {
+            case Some(spec) if cc.predictProbability =>
+              graft.ml.LabelMappers.resolve(spec)(col(oofCol))
+            case _ if cc.predictProbability && nClasses == 2 =>
+              when(col(oofCol) > 0.5, 1).otherwise(0) // reference default cut
+            case _ => col(oofCol)
+          }
+          Sources.writeCsv(
+            graft.ops.Stats.confusion(
+              r.oof.withColumn("__pred", predLabels), target, "__pred"),
+            s"$outDir/confusion_matrix.csv", floatDecimals = None)
+        }
         if (bagging) {
           // per-seed tables (prediction.py:444-445; FILENAME_*_BAGGED)
           Sources.writeCsv(r.oofBagged.orderBy(idCol), s"$outDir/train_OOF_bagged.csv",

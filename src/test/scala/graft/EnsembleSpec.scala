@@ -105,6 +105,21 @@ class EnsembleSpec extends SparkSpec {
       "int coercion applied")
   }
 
+  test("labels_mapper registry: named + structural lambda forms, eval rejected") {
+    import graft.ml.LabelMappers
+    import spark.implicits._
+    val scores = Seq(0.2, 0.5, 0.7).toDF("s")
+    def apply(spec: String) = scores.select(LabelMappers.resolve(spec)(col("s")).as("m"))
+      .collect().map(_.get(0).toString.toDouble.toInt).toSeq
+    assert(apply("threshold(0.5)") == Seq(0, 0, 1))
+    assert(apply("lambda x: 1 if x > 0.5 else 0") == Seq(0, 0, 1), "credit_scoring shape")
+    assert(apply("lambda x: 1 if x >= 0.5 else 0") == Seq(0, 1, 1))
+    assert(apply("round") == Seq(0, 1, 1)) // Spark round is HALF_UP: 0.5 -> 1
+    intercept[IllegalArgumentException] {
+      LabelMappers.resolve("lambda x: __import__('os')")
+    }
+  }
+
   test("hpo: TPE proposals concentrate near the optimum and beat random draws") {
     import graft.hpo.Tpe
     val space = RandomSearch.Space(

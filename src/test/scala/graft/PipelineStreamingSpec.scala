@@ -64,6 +64,8 @@ class PipelineStreamingSpec extends SparkSpec {
       assert(Files.exists(Paths.get(s"${r.outputDir}/train_OOF_bagged.csv")),
         "bagged per-seed table (run_bagging=True, 3 seeds)")
       assert(Files.exists(Paths.get(s"${r.outputDir}/solution.conf")), "config copied (S7)")
+      assert(Files.exists(Paths.get(s"${r.outputDir}/confusion_matrix.csv")),
+        "confusion table emitted in place of the S8 plot")
     }
     // FS stage ran for lightgbm (run_fs flipped on) and HPO for all
     assert(Files.exists(Paths.get(
