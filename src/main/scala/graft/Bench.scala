@@ -1,6 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,27 +17,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Checksum over every column forces full evaluation — a bare
+    // count() lets Catalyst prune unreferenced projections, so
+    // expression-heavy queries would be measured as scan-only.
+    // bit_xor (not sum): sum(xxhash64) overflows LongType under
+    // Spark 4 ANSI mode for any multi-row result, aborting the job
+    // mid-flight and timing only to first task failure.
+    def checksum(df: DataFrame): Unit =
+      df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
     // untimed warmup: JVM/codegen/session initialization otherwise
     // lands entirely on whichever query the Map iterates first
-    try {
-      val w = SparkEntry.queries("q1_agg")(spark, sfDir)
-      w.agg(sum(xxhash64(w.columns.map(col): _*))).collect()
-    } catch { case _: Throwable => () }
+    try checksum(SparkEntry.queries("q1_agg")(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    var failures = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // Checksum over every column forces full evaluation — a bare
-      // count() lets Catalyst prune unreferenced projections, so
-      // expression-heavy queries would be measured as scan-only.
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
-      } catch { case _: Throwable => () }
+      try checksum(fn(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          // A bench that can't fail can't be trusted: report and count,
+          // so a partial timing is never mistaken for a full one.
+          failures += 1
+          System.err.println(s"[bench] $name FAILED: ${e.toString.linesIterator.next()}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (failures > 0) System.err.println(s"[bench] $failures of ${results.size} queries failed")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
   }
 }
