@@ -306,6 +306,72 @@ object MlQueries {
       |FROM f JOIN oof ON f.fold = oof.fold
       |ORDER BY row_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // A12 metric table, oracle-checked against the REAL model's OOF:
+  // the driver dumps q31's result parquet, and this query recomputes the
+  // cvResults table (prediction.py:398-408, 490-493) from the same
+  // rounded OOF scores — so the DuckDB oracle can replay the identical
+  // per-fold rank-AUC + mean/std from the dumped file (path templated by
+  // Verify as __VERIFY_OUT__). Fits stay MLlib-only; the metric math is
+  // what is hash-checked.
+  // -------------------------------------------------------------------
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def cvMetricReplay(s: SparkSession, d: String): DataFrame = {
+    val oof = cvOof(s, d)
+      .select(col("fold"), col("target"), col("oof_score")).cache()
+    val foldScores = (0 until 3).map { f =>
+      round6(Metrics.rocAuc(oof.filter(col("fold") === f), "target", "oof_score"))
+    }
+    oof.unpersist()
+    val mean = foldScores.sum / foldScores.size
+    val std = math.sqrt(
+      foldScores.map(v => (v - mean) * (v - mean)).sum / foldScores.size)
+    import s.implicits._
+    Seq((27, round6(mean), round6(std),
+        foldScores(0), foldScores(1), foldScores(2)))
+      .toDF("seed", "cv_mean_score", "cv_std",
+        "fold0_score", "fold1_score", "fold2_score")
+  }
+
+  /** Replays the identical metric from q31's driver-dumped parquet; the
+    * `__VERIFY_OUT__` placeholder is replaced with the absolute verify
+    * out-dir by graft.Verify at dump time. Same average-rank AUC shape
+    * as metricsSql, partitioned per fold; population std over the
+    * rounded fold scores with an unrounded mean, exactly as the Spark
+    * side computes it. */
+  val cvMetricReplaySql: String =
+    """WITH oof AS (
+      |  SELECT fold, CAST(target AS DOUBLE) AS t, oof_score AS s
+      |  FROM read_parquet('__VERIFY_OUT__/q31_cv_oof/*.parquet')
+      |),
+      |g AS (
+      |  SELECT fold, s, count(*) AS n, sum(t) AS pos
+      |  FROM oof GROUP BY fold, s
+      |),
+      |r AS (
+      |  SELECT fold, pos, n,
+      |         sum(n) OVER (PARTITION BY fold ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - n + (n + 1) / 2.0 AS avg_rank
+      |  FROM g
+      |),
+      |auc AS (
+      |  SELECT fold,
+      |         round((sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
+      |               / (sum(pos) * sum(n - pos)), 6) AS v
+      |  FROM r GROUP BY fold
+      |),
+      |m AS (SELECT avg(v) AS mu FROM auc)
+      |SELECT 27 AS seed,
+      |       round((SELECT avg(v) FROM auc), 6) AS cv_mean_score,
+      |       round(sqrt((SELECT avg((v - mu) * (v - mu)) FROM auc, m)), 6) AS cv_std,
+      |       max(CASE WHEN fold = 0 THEN v END) AS fold0_score,
+      |       max(CASE WHEN fold = 1 THEN v END) AS fold1_score,
+      |       max(CASE WHEN fold = 2 THEN v END) AS fold2_score
+      |FROM auc""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_cv_dummy_oof" -> (cvDummyOof _),
     "q62_seed_bind" -> (seedBind _),
@@ -315,9 +381,11 @@ object MlQueries {
     "q32_cv_scores" -> (cvScores _),
     "q37_feature_scores" -> (featureScores _),
     "q48_rank_pick" -> (rankPick _),
-    "q38_oof_join" -> (oofJoin _))
+    "q38_oof_join" -> (oofJoin _),
+    "q72_cv_metric_replay" -> (cvMetricReplay _))
 
   val oracles: Map[String, String] = Map(
+    "q72_cv_metric_replay" -> cvMetricReplaySql,
     "q63_cv_dummy_oof" -> cvDummyOofSql,
     "q62_seed_bind" -> seedBindSql,
     "q36_metrics" -> metricsSql,
