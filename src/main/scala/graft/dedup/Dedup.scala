@@ -232,7 +232,15 @@ object Dedup {
     * pairwise-similar docs), and the loop is bounded by `maxIter` with
     * a driver-side fixpoint check per round. Input: (id_1, id_2) with
     * id_1 < id_2. Output: (id, cluster) for every id in a pair. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter)._1
+
+  /** As `duplicateClusters`, also returning the number of propagation
+    * rounds executed — pointer jumping doubles label reach per round,
+    * so even a worst-case chain component of diameter d converges in
+    * ~log2(d) rounds (asserted adversarially in LlmOpsSpec). */
+  def duplicateClustersWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // localCheckpoint (eager) rather than cache: iterative algorithms
     // grow the logical plan linearly under cache (compute is reused but
     // every round re-analyzes the whole history); checkpointing
@@ -264,7 +272,7 @@ object Dedup {
       labels = jumped.select("id", "cluster")
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** Embedding near-duplicate pairs within blocking groups: exact

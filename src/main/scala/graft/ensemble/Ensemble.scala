@@ -24,27 +24,68 @@ object Ensemble {
     * (ensembler.py:85-91); the target is taken from `base` (the frame
     * holding id + target), with consistency validated against every
     * model frame that carries it (ensembler.py:32-39).
+    *
+    * Scale design: the reference's per-model length/series asserts are
+    * fused into the join itself — one full-outer join chain carrying a
+    * presence marker (and the model's own target) per side, then a
+    * SINGLE aggregate checks row alignment, id uniqueness, and target
+    * equality for every model at once. No serial `count()`/`except()`
+    * actions, no extra shuffles beyond the joins the output needs
+    * anyway. `validate = false` skips the checks entirely (plain inner
+    * joins) for trusted inputs at scale.
     */
   def joinOof(
       base: DataFrame, idCol: String, target: String,
-      models: Seq[(String, DataFrame)], targetDecimals: Int = 6): DataFrame = {
-    val n = base.count()
-    val joined = models.foldLeft(base.select(col(idCol), col(target))) {
-      case (acc, (modelId, df)) =>
-        require(df.count() == n,
-          s"$modelId OOF row count ${df.count()} != base $n (ensembler.py:33)")
-        if (df.columns.contains(target)) {
-          val mismatch = df.select(col(idCol), col(target))
-            .except(base.select(col(idCol), col(target))).count()
-          require(mismatch == 0,
-            s"$modelId target series differs from base on $mismatch rows (ensembler.py:36-37)")
+      models: Seq[(String, DataFrame)], targetDecimals: Int = 6,
+      validate: Boolean = true): DataFrame = {
+    def preds(modelId: String, df: DataFrame): Seq[org.apache.spark.sql.Column] =
+      df.columns.filterNot(c => c == idCol || c == target).toSeq
+        .map(c => round(col(c), targetDecimals).as(s"${modelId}_$c"))
+    val baseSel = base.select(col(idCol), col(target))
+    if (!validate) {
+      models.foldLeft(baseSel) { case (acc, (modelId, df)) =>
+        acc.join(df.select((col(idCol) +: preds(modelId, df)): _*), Seq(idCol))
+      }
+    } else {
+      val joined = models.foldLeft(baseSel.withColumn("__base_hit", lit(1))) {
+        case (acc, (modelId, df)) =>
+          val aux = lit(1).as(s"__hit_$modelId") +:
+            (if (df.columns.contains(target))
+              Seq(col(target).as(s"__tgt_$modelId"))
+            else Nil)
+          acc.join(
+            df.select((col(idCol) +: (preds(modelId, df) ++ aux)): _*),
+            Seq(idCol), "full_outer")
+      }
+      val checks =
+        Seq(count(lit(1)).as("__rows"),
+          count_distinct(col(idCol)).as("__ids"),
+          sum(when(col("__base_hit").isNull, 1).otherwise(0)).as("__extra")) ++
+        models.flatMap { case (modelId, df) =>
+          sum(when(col(s"__hit_$modelId").isNull, 1).otherwise(0))
+            .as(s"__miss_$modelId") +:
+          (if (df.columns.contains(target))
+            Seq(sum(when(!(col(target) <=> col(s"__tgt_$modelId")), 1)
+              .otherwise(0)).as(s"__bad_$modelId"))
+          else Nil)
         }
-        val predCols = df.columns.filterNot(c => c == idCol || c == target)
-        val renamed = df.select(
-          (col(idCol) +: predCols.map(c => round(col(c), targetDecimals).as(s"${modelId}_$c"))).toSeq: _*)
-        acc.join(renamed, Seq(idCol))
+      val r = joined.agg(checks.head, checks.tail: _*).head()
+      require(r.getAs[Long]("__rows") == r.getAs[Long]("__ids"),
+        s"duplicate $idCol values across OOF frames (ensembler.py:32)")
+      require(r.getAs[Long]("__extra") == 0L,
+        s"${r.getAs[Long]("__extra")} OOF rows missing from base (ensembler.py:33)")
+      models.foreach { case (modelId, df) =>
+        require(r.getAs[Long](s"__miss_$modelId") == 0L,
+          s"$modelId OOF misses ${r.getAs[Long](s"__miss_$modelId")} base rows (ensembler.py:33)")
+        if (df.columns.contains(target))
+          require(r.getAs[Long](s"__bad_$modelId") == 0L,
+            s"$modelId target series differs from base on ${r.getAs[Long](s"__bad_$modelId")} rows (ensembler.py:36-37)")
+      }
+      // drop exactly the aux columns added above — user columns may
+      // legitimately start with "__" (e.g. the pipeline's __row_id)
+      joined.drop("__base_hit" +: models.flatMap { case (m, _) =>
+        Seq(s"__hit_$m", s"__tgt_$m") }: _*)
     }
-    joined
   }
 
   /** M9: stacker — the OOF matrix becomes the feature table of a

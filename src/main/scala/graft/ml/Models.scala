@@ -152,6 +152,64 @@ object Models {
     }
   }
 
+  /** M2/M3 multiclass analogue: one-vs-rest gradient-boosted trees —
+    * closes the reference's multiclass objective (solution.conf:393,
+    * LightGBM `num_class`) with the boosted-tree family itself instead
+    * of the RandomForest stand-in (MLlib GBT is binary-only). K binary
+    * GBTs fit on class-k-vs-rest indicators over ONE cached assembled
+    * frame; scoring chains the K transforms in a single plan, normalizes
+    * the per-class positive probabilities to a distribution, and takes
+    * argmax (first-max on ties, numpy argmax convention). Importances
+    * are the mean of the K binary models'. Labels must be 0-based class
+    * indices (the labels_mapper contract, generic_tools/utils.py). */
+  final case class OvrGbtClassifier(maxIter: Int = 50, maxDepth: Int = 5,
+      stepSize: Double = 0.1) extends ModelWrapper {
+    val name = "ovr_gbt_classifier"
+    val isClassifier = true
+    def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
+        labelCol: String, seed: Long): FittedModel = {
+      val assembled = assemble(train, features).cache()
+      val nClasses = assembled.agg(max(col(labelCol).cast("int"))).head().getInt(0) + 1
+      require(nClasses >= 2, s"ovr_gbt needs >=2 classes, got $nClasses")
+      val models = (0 until nClasses).map { k =>
+        val est = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(maxDepth)
+          .setStepSize(stepSize).setSeed(seed + k)
+          .setFeaturesCol("__features").setLabelCol("__ovr")
+        val m = est.fit(assembled.withColumn("__ovr", (col(labelCol) === k).cast("double")))
+        // per-class output column names so the K transforms can chain
+        m.set(m.predictionCol, s"__pr_$k")
+        m.set(m.rawPredictionCol, s"__raw_$k")
+        m.set(m.probabilityCol, s"__pb_$k")
+        m
+      }
+      assembled.unpersist()
+      val imps = features.indices
+        .map(i => models.map(_.featureImportances.toArray(i)).sum / nClasses)
+      new FittedModel {
+        private def withProbs(df: DataFrame): DataFrame = {
+          val scored = models.foldLeft(assemble(df, features))(
+            (acc, m) => m.transform(acc))
+          val ps = models.indices.map(k => vector_to_array(col(s"__pb_$k")).getItem(1))
+          val total = ps.reduce(_ + _)
+          scored
+            .withColumn("__probs", array(ps.map(_ / total): _*))
+            .drop("__features")
+            .drop(models.indices.flatMap(k =>
+              Seq(s"__pr_$k", s"__raw_$k", s"__pb_$k")): _*)
+        }
+        def score(df: DataFrame, predictProbability: Boolean, classLabel: Int): DataFrame = {
+          val s =
+            if (predictProbability) element_at(col("__probs"), classLabel + 1)
+            else array_position(col("__probs"), array_max(col("__probs"))) - 1
+          withProbs(df).withColumn("__score", s.cast("double")).drop("__probs")
+        }
+        override def scoreAll(df: DataFrame): DataFrame = withProbs(df)
+        def featureImportances: Option[Seq[(String, Double)]] =
+          Some(features.zip(imps))
+      }
+    }
+  }
+
   /** M4 analogue of sklearn LinearRegression. */
   final case class LinReg(regParam: Double = 0.0) extends ModelWrapper {
     val name = "linear_regression"
@@ -217,12 +275,13 @@ object Models {
     * names map to their MLlib stand-ins. */
   def byName(name: String): ModelWrapper = name match {
     case "lightgbm" | "xgboost" | "gbt" => GbtBinaryClassifier()
+    case "ovr_gbt" | "multiclass_gbt" => OvrGbtClassifier()
     case "et" | "random_forest" => RfClassifier()
     case "lr" | "logistic_regression" => LogReg()
     case "linreg" | "linear_regression" => LinReg()
     case "gbt_regressor" => GbtRegressorW()
     case "random_forest_regressor" => RfRegressor()
     case other => throw new IllegalArgumentException(
-      s"unknown model '$other'; known: lightgbm,xgboost,gbt,et,random_forest,lr,linreg,gbt_regressor,random_forest_regressor")
+      s"unknown model '$other'; known: lightgbm,xgboost,gbt,ovr_gbt,multiclass_gbt,et,random_forest,lr,linreg,gbt_regressor,random_forest_regressor")
   }
 }

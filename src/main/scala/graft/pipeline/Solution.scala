@@ -51,7 +51,14 @@ object Solution {
       case "lightgbm" | "xgboost" | "gbt" if nClasses <= 2 =>
         Models.GbtBinaryClassifier(maxIter = i("n_estimators", 50),
           maxDepth = treeDepth, stepSize = f("learning_rate", 0.1))
-      case "lightgbm" | "xgboost" | "gbt" | "et" | "random_forest" =>
+      case "lightgbm" | "xgboost" | "gbt" =>
+        // multiclass objective (solution.conf num_class): one-vs-rest
+        // boosted trees, the boosted-family answer instead of the old
+        // RandomForest stand-in. Boost rounds default low: each round is
+        // K sequential tree fits, and CV x seeds x HPO multiplies them.
+        Models.OvrGbtClassifier(maxIter = i("n_estimators", 10),
+          maxDepth = treeDepth, stepSize = f("learning_rate", 0.1))
+      case "et" | "random_forest" =>
         Models.RfClassifier(numTrees = nTrees, maxDepth = treeDepth,
           subsamplingRate = f("subsample", 1.0))
       case "logistic_regression" | "lr" =>

@@ -67,6 +67,29 @@ class CrossValidationSpec extends SparkSpec {
     assert(imp.columns.toSet == Set("feature", "importance", "fold"))
   }
 
+  test("ovr_gbt: multiclass CV with normalized probabilities and argmax labels") {
+    // 3-class target from orderstatus -- boosted-tree multiclass via
+    // one-vs-rest (the reference's LightGBM num_class objective).
+    val mc = core.Tables.orders(spark, sf).select(
+      col("o_orderkey").as("row_id"),
+      when(col("o_orderstatus") === "O", 0)
+        .when(col("o_orderstatus") === "F", 1).otherwise(2).as("target"),
+      col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey"))
+    val model = Models.OvrGbtClassifier(maxIter = 5, maxDepth = 3)
+    val fitted = model.fit(mc, None, Seq("o_totalprice", "o_custkey"), "target", 27L)
+    val probs = fitted.scoreAll(mc)
+    val badSum = probs.select(abs(aggregate(col("__probs"), lit(0.0), _ + _) - 1.0).as("d"))
+      .filter(col("d") > 1e-9).count()
+    assert(badSum == 0, "per-class probabilities normalize to 1")
+    val labels = fitted.score(mc, predictProbability = false)
+    val range = labels.agg(min("__score"), max("__score")).head()
+    assert(range.getDouble(0) >= 0.0 && range.getDouble(1) <= 2.0, "argmax label in class range")
+    val acc = Metrics.accuracy(labels.withColumn("__score", col("__score").cast("int")),
+      "target", "__score")
+    assert(acc > 0.4, s"ovr_gbt multiclass accuracy degenerate: $acc")
+    assert(fitted.featureImportances.get.size == 2, "mean importances per feature")
+  }
+
   test("metric registry orientation") {
     assert(Metrics.greaterIsBetter("roc_auc_score"))
     assert(!Metrics.greaterIsBetter("log_loss"))

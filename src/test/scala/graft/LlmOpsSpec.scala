@@ -96,6 +96,29 @@ class LlmOpsSpec extends SparkSpec {
       s"chain 1-2-3-4 collapses to 1; pair 7-9 to 7: $got")
   }
 
+  test("duplicateClusters: 10^4-node chain converges in ~log2 rounds with flat plans") {
+    // Adversarial worst case for label propagation: a single chain
+    // component of diameter 10^4. Plain min-label propagation needs
+    // O(diameter) rounds; pointer jumping doubles label reach per round
+    // (reach 2^k - 1 after k rounds), so convergence must take
+    // ~log2(10^4) ≈ 14 rounds plus the final no-change round.
+    import spark.implicits._
+    val n = 10000
+    val pairs = spark.range(0, n - 1)
+      .select(col("id").as("id_1"), (col("id") + 1).as("id_2"))
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs, maxIter = 30)
+    assert(rounds <= 18,
+      s"chain of $n nodes took $rounds rounds - pointer jumping regressed to O(diameter)")
+    val clusters = labels.groupBy("cluster").count().collect()
+    assert(clusters.length == 1 && clusters.head.getLong(0) == 0L
+      && clusters.head.getLong(1) == n,
+      s"all $n nodes must collapse to cluster 0: ${clusters.mkString(",")}")
+    // localCheckpoint truncates lineage: the result's plan must be a
+    // constant-size scan, not 14 rounds of accumulated joins.
+    val planLines = labels.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(planLines <= 10, s"result plan grew with rounds ($planLines lines)")
+  }
+
   test("language-id scores are rates in [0,1]; quality in [0,1]") {
     val lid = TextOps.langId(docs, "doc_id", "text")
     assert(lid.filter(col("best_score") < 0 || col("best_score") > 1).isEmpty)
