@@ -117,7 +117,7 @@ object CrossValidation {
       oofParts ::= oofK
 
       testCached.foreach { t =>
-        subParts ::= fitted.score(t, cfg.predictProbability, cfg.classLabel)
+        subParts ::= fitted.scoreTest(t, cfg.predictProbability, cfg.classLabel)
           .select(col(idCol), col("__score").as("sub_score"))
       }
 

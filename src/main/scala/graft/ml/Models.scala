@@ -48,6 +48,14 @@ trait FittedModel {
   /** feature -> importance, None for models without importances (e.g.
     * logistic regression — prediction.py:393-396 sets None). */
   def featureImportances: Option[Seq[(String, Double)]]
+  /** Test-side scoring, defaulting to `score`. The reference predicts
+    * test with `round(best_iter_in_fold * 1.1)` boosting rounds —
+    * 10% past the validation optimum (prediction.py:376-383); GBT
+    * wrappers with `testIterBoost` set reproduce that via a refit with
+    * the extended round count (MLlib has no predict-with-first-n-trees
+    * API, so the extension is a refit — a documented approximation). */
+  def scoreTest(df: DataFrame, predictProbability: Boolean, classLabel: Int = 1): DataFrame =
+    score(df, predictProbability, classLabel)
 }
 
 object Models {
@@ -131,7 +139,8 @@ object Models {
     * validation-based stop (validationTol stands in for
     * early_stopping_rounds — an approximation, documented). */
   final case class GbtBinaryClassifier(maxIter: Int = 50, maxDepth: Int = 5,
-      stepSize: Double = 0.1, validationTol: Option[Double] = None) extends ModelWrapper {
+      stepSize: Double = 0.1, validationTol: Option[Double] = None,
+      testIterBoost: Option[Double] = None) extends ModelWrapper {
     val name = "gbt_classifier"
     val isClassifier = true
     def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
@@ -148,7 +157,30 @@ object Models {
           est.fit(assemble(all, features))
         case _ => est.fit(assemble(train, features))
       }
-      new FittedClassifier(fitted, features, Some(fitted.featureImportances.toArray.toSeq))
+      val base = new FittedClassifier(fitted, features,
+        Some(fitted.featureImportances.toArray.toSeq))
+      testIterBoost match {
+        case None => base
+        case Some(boost) =>
+          // best-iteration x boost analogue (prediction.py:376-383):
+          // the validation stop fixed the round count; the test-side
+          // model refits on train alone with that count extended.
+          val rounds = math.max(1, math.round(fitted.trees.length * boost).toInt)
+          val est2 = new GBTClassifier().setMaxIter(rounds).setMaxDepth(maxDepth)
+            .setStepSize(stepSize).setSeed(seed)
+            .setFeaturesCol("__features").setLabelCol(labelCol)
+          val boosted = new FittedClassifier(
+            est2.fit(assemble(train, features)), features, None)
+          new FittedModel {
+            def score(df: DataFrame, predictProbability: Boolean, classLabel: Int): DataFrame =
+              base.score(df, predictProbability, classLabel)
+            override def scoreAll(df: DataFrame): DataFrame = base.scoreAll(df)
+            override def scoreTest(df: DataFrame, predictProbability: Boolean, classLabel: Int): DataFrame =
+              boosted.score(df, predictProbability, classLabel)
+            def featureImportances: Option[Seq[(String, Double)]] =
+              base.featureImportances
+          }
+      }
     }
   }
 

@@ -56,6 +56,15 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 27L): DataFrame = {
+    val (assigned, cents) = quantize(corpus, idCol, vecCol, nCells, seed)
+    rerank(assigned, probeCells(cents, probes, idCol, vecCol, nProbe), k)
+  }
+
+  /** KMeans coarse quantizer: (assigned corpus with a `cell` column,
+    * centroid table (cell, centroid)). Deterministic for a seed. */
+  private def quantize(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -64,19 +73,31 @@ object Similarity {
       .withColumn("__fv", array_to_vector(asDouble(col("cvec"))))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__fv").setPredictionCol("cell").fit(c)
-    val assigned = model.transform(c).drop("__fv")
     val cents = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    (model.transform(c).drop("__fv"), cents)
+  }
+
+  /** Each probe's `nProbe` nearest cells: (query_id, pvec, cell). */
+  private def probeCells(
+      cents: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"))
     val wCells = Window.partitionBy("query_id")
       .orderBy(col("__csim").desc, col("cell").asc)
-    val probeCells = p.crossJoin(broadcast(cents))
+    p.crossJoin(broadcast(cents))
       .withColumn("__csim",
         graft.functions.GraftFunctions.cosineSim(spark, col("pvec"), col("centroid")))
       .withColumn("__rn", row_number().over(wCells))
       .filter(col("__rn") <= nProbe)
       .select("query_id", "pvec", "cell")
-    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+  }
+
+  /** Exact cosine re-rank of the probed cells' candidates. */
+  private def rerank(assigned: DataFrame, pc: DataFrame, k: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val scored = assigned.join(broadcast(pc), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.cosineSim(spark, col("pvec"), col("cvec")).as("cosine"))
@@ -84,6 +105,44 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Persist the IVF index: the assigned corpus written
+    * `partitionBy("cell")` (coarse, bounded cardinality — the on-disk
+    * layout of an inverted file) plus the centroid table. Probing via
+    * `ivfTopKIndexed` then reads ONLY the probed cells' partitions —
+    * the partition-column filter prunes at file-listing time, so each
+    * probe batch scans ~nProbe/nCells of the corpus no matter how large
+    * the corpus grows (BucketingSpec asserts the pruned scan). */
+  def ivfIndexWrite(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, seed: Long = 27L): Unit = {
+    val (assigned, cents) = quantize(corpus, idCol, vecCol, nCells, seed)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The pruned read of an `ivfIndexWrite` index: only the partitions
+    * of `cells` are listed/scanned (static partition pruning on the
+    * partition column). */
+  def ivfProbedScan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells: _*))
+
+  /** IVF top-k over a persisted index. The probed cell set (bounded by
+    * nCells — a driver-side scalar list, never row-scale) is collected
+    * first so the corpus scan is statically pruned to those partitions. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val pc = probeCells(cents, probes, idCol, vecCol, nProbe)
+      .localCheckpoint() // reused: cell-id collect + the re-rank join
+    val cells = pc.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    rerank(ivfProbedScan(spark, path, cells), pc, k)
   }
 
   /** Sign-random-projection bucket id: `planes` pseudo-random

@@ -51,4 +51,27 @@ object Corpus {
       .orderBy("source")
     PrepResult(corpus, stats)
   }
+
+  /** The incremental slice of `prepare` for a document STREAM: the
+    * stateless stages (language + quality filters) apply per
+    * micro-batch unchanged, and exact dedup becomes
+    * `dropDuplicatesWithinWatermark` on the text — first arrival wins
+    * within the event-time horizon, the streaming analogue of
+    * keepFirst's smallest-id representative when ids arrive in order.
+    * Near-dup LSH stays a batch compaction pass over the accumulated
+    * corpus (its candidate generation needs corpus-wide bucket joins);
+    * PipelineStreamingSpec asserts stream==batch on these stages at
+    * watermark close. */
+  def prepareStream(docs: DataFrame, textCol: String, tsCol: String,
+      langs: Seq[String], minQuality: Double,
+      watermark: String = "1 hour"): DataFrame = {
+    val keep = docs.columns.map(col).toSeq
+    docs.filter(col("lang").isin(langs: _*))
+      .withColumn("__t", trim(col(textCol)))
+      .withColumn("__w", TextOps.tokens(col(textCol)))
+      .filter(TextOps.qualityCol(col("__t"), col("__w")) >= minQuality)
+      .select(keep: _*)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(textCol)
+  }
 }

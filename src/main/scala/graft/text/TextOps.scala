@@ -66,11 +66,17 @@ object TextOps {
     * punctuation sparsity, token diversity, and mean-token-length
     * plausibility — the shape of production quality filters
     * (length/punct/stopword-ratio features). */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), trim(col(textCol)).as("__t"),
-      tokens(col(textCol)).as("__w"))
-    val t = col("__t")
-    val w = col("__w")
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), trim(col(textCol)).as("__t"),
+        tokens(col(textCol)).as("__w"))
+      .select(col(idCol), qualityCol(col("__t"), col("__w")).as("quality"))
+
+  /** The quality expression over a pre-projected trimmed text `t` and
+    * token array `w` (projected once — the token array is reused by
+    * four sub-scores). Shared by the batch scorer above and the
+    * streaming corpus slice (Corpus.prepareStream), so both paths
+    * apply bit-identical thresholds. */
+  def qualityCol(t: Column, w: Column): Column = {
     val nTok = size(w).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val punct = length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))
@@ -79,8 +85,7 @@ object TextOps {
     val diversity = size(array_distinct(w)).cast("double") / nTok
     val meanLen = aggregate(w, lit(0.0), (acc, x) => acc + length(x)) / nTok
     val lenPlaus = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
-    tok.select(col(idCol),
-      round((lenScore + punctScore + diversity + lenPlaus) / 4.0, 6).as("quality"))
+    round((lenScore + punctScore + diversity + lenPlaus) / 4.0, 6)
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

@@ -46,4 +46,35 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("persisted IVF index: probe scan prunes to probed cell partitions") {
+    import graft.sim.Similarity
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    val emb = core.Tables.embeddings(spark, sf)
+    val probes = emb.limit(5)
+    val (nCells, nProbe, seed) = (8, 2, 27L)
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", dir, nCells, seed)
+
+    // static partition pruning: the probed scan lists only the probed
+    // cells' directories, not the whole corpus
+    val scan = Similarity.ivfProbedScan(spark, dir, Seq(0, 3))
+    val fs = scan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fs.nonEmpty, "expected a file scan")
+    assert(fs.head.metadata("PartitionFilters").contains("cell"),
+      s"partition filter missing: ${fs.head.metadata("PartitionFilters")}")
+    assert(fs.head.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions of $nCells, got ${fs.head.selectedPartitions.partitionCount}")
+
+    // the indexed path returns exactly what the in-memory path returns
+    // (same seed => same KMeans quantizer)
+    val direct = Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 3, nCells, nProbe, seed)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nProbe)
+    assert(indexed.count() == direct.count())
+    assert(indexed.except(direct).isEmpty && direct.except(indexed).isEmpty,
+      "indexed IVF equals in-memory IVF")
+  }
 }

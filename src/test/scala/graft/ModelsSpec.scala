@@ -105,6 +105,38 @@ class ModelsSpec extends SparkSpec {
     assert(Models.byName("et").name == "random_forest_classifier")
     assert(Models.byName("lr").name == "logistic_regression")
     assert(Models.byName("linreg").name == "linear_regression")
+    assert(Models.byName("ovr_gbt").name == "ovr_gbt_classifier")
     intercept[IllegalArgumentException](Models.byName("catboost"))
+  }
+
+  test("testIterBoost: test-side scoring uses the extended-round refit") {
+    val frame = core.Tables.orders(spark, sf).select(
+      col("o_orderkey").as("row_id"),
+      (col("o_orderstatus") === "O").cast("int").as("target"),
+      col("o_totalprice"), col("o_custkey").cast("double").as("o_custkey"))
+    val Array(tr, va) = frame.randomSplit(Array(0.8, 0.2), seed = 5)
+    val feats = Seq("o_totalprice", "o_custkey")
+
+    // without the knob, scoreTest IS score
+    val plain = Models.GbtBinaryClassifier(maxIter = 5, maxDepth = 3)
+      .fit(tr, Some(va), feats, "target", 27L)
+    assert(plain.score(va, predictProbability = true)
+      .select(col("row_id"), col("__score"))
+      .except(plain.scoreTest(va, predictProbability = true)
+        .select(col("row_id"), col("__score"))).isEmpty,
+      "no boost => identical test-side scores")
+
+    // with boost=2.0, the test-side model has ~2x rounds => different scores
+    val boosted = Models.GbtBinaryClassifier(maxIter = 5, maxDepth = 3,
+      validationTol = Some(0.01), testIterBoost = Some(2.0))
+      .fit(tr, Some(va), feats, "target", 27L)
+    val sValid = boosted.score(va, predictProbability = true)
+      .select(col("row_id"), col("__score"))
+    val sTest = boosted.scoreTest(va, predictProbability = true)
+      .select(col("row_id"), col("__score"))
+    val mm = sTest.agg(min("__score"), max("__score")).head()
+    assert(mm.getDouble(0) >= 0 && mm.getDouble(1) <= 1, "boosted scores are probabilities")
+    assert(sValid.except(sTest).count() > 0,
+      "boosted refit must score differently from the early-stopped model")
   }
 }

@@ -170,6 +170,48 @@ class PipelineStreamingSpec extends SparkSpec {
       "three distinct events survive the dedup")
   }
 
+  test("streaming: corpus-prep slice equals the batch stages at watermark close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(h: Double) = new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    // rows: (doc_id, ts, lang, text) — covers all three drop reasons
+    // (wrong language, low quality, duplicate content) plus keepers
+    val rows = Seq(
+      (1L, ts(1.0), "en", "the quick brown fox jumps over the lazy dog and keeps going"),
+      (2L, ts(1.1), "de", "der schnelle braune fuchs springt gerne"),
+      (3L, ts(1.2), "en", "aa aa aa aa"),
+      (4L, ts(1.3), "en", "distributed engines shuffle partitions across many worker nodes"),
+      (5L, ts(1.4), "en", "the quick brown fox jumps over the lazy dog and keeps going"),
+      (6L, ts(1.5), "en", "watermarks bound the state a streaming dedup must retain"))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)](spark)
+    val df = input.toDF().toDF("doc_id", "ts", "lang", "text")
+    val out = graft.text.Corpus.prepareStream(df, "text", "ts", Seq("en"), 0.5)
+    val q = out.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows.take(4): _*) // doc 5's duplicate arrives a batch later
+    q.processAllAvailable()
+    input.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("corpus_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    // batch equivalent: the same q71 stages over the same static frame
+    val staticDf = rows.toDF("doc_id", "ts", "lang", "text")
+    val byLang = staticDf.filter(col("lang") === "en")
+    val kept = byLang.join(
+      graft.text.TextOps.qualityScore(byLang, "doc_id", "text")
+        .filter(col("quality") >= 0.5).select("doc_id"), Seq("doc_id"))
+    val exact = graft.dedup.Dedup.keepFirst(kept, Seq("text"), Seq(col("doc_id")))
+    val batch = exact.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(streamed == batch,
+      s"streamed corpus slice $streamed must equal batch stages $batch")
+    assert(streamed == Set(1L, 4L, 6L),
+      "en + quality>=0.5 + first-arrival dedup keeps exactly docs 1, 4, 6")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
