@@ -195,14 +195,23 @@ object Models {
     * are the mean of the K binary models'. Labels must be 0-based class
     * indices (the labels_mapper contract, generic_tools/utils.py). */
   final case class OvrGbtClassifier(maxIter: Int = 50, maxDepth: Int = 5,
-      stepSize: Double = 0.1) extends ModelWrapper {
+      stepSize: Double = 0.1, numClasses: Int = 0) extends ModelWrapper {
     val name = "ovr_gbt_classifier"
     val isClassifier = true
     def fit(train: DataFrame, valid: Option[DataFrame], features: Seq[String],
         labelCol: String, seed: Long): FittedModel = {
       val assembled = assemble(train, features).cache()
-      val nClasses = assembled.agg(max(col(labelCol).cast("int"))).head().getInt(0) + 1
+      // numClasses comes from the caller (Solution computes it over the
+      // FULL frame) so a CV fold whose train split lacks the top class
+      // can't silently train fewer one-vs-rest models; 0 = infer from
+      // train. Either way the split must cover every class, loudly.
+      val seen = assembled.select(col(labelCol).cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val nClasses = if (numClasses > 0) numClasses else seen.max + 1
       require(nClasses >= 2, s"ovr_gbt needs >=2 classes, got $nClasses")
+      val missing = (0 until nClasses).filterNot(seen)
+      require(missing.isEmpty,
+        s"ovr_gbt train split is missing class(es) ${missing.mkString(",")} of 0 until $nClasses")
       val models = (0 until nClasses).map { k =>
         val est = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(maxDepth)
           .setStepSize(stepSize).setSeed(seed + k)

@@ -57,7 +57,8 @@ object Solution {
         // RandomForest stand-in. Boost rounds default low: each round is
         // K sequential tree fits, and CV x seeds x HPO multiplies them.
         Models.OvrGbtClassifier(maxIter = i("n_estimators", 10),
-          maxDepth = treeDepth, stepSize = f("learning_rate", 0.1))
+          maxDepth = treeDepth, stepSize = f("learning_rate", 0.1),
+          numClasses = nClasses)
       case "et" | "random_forest" =>
         Models.RfClassifier(numTrees = nTrees, maxDepth = treeDepth,
           subsamplingRate = f("subsample", 1.0))

@@ -324,12 +324,16 @@ object MlQueries {
     val foldScores = (0 until 3).map { f =>
       round6(Metrics.rocAuc(oof.filter(col("fold") === f), "target", "oof_score"))
     }
+    // cv_mean_score is the metric over the FULL OOF (prediction.py:405,
+    // CrossValidation.cvScore), not the mean of per-fold scores; cv_std
+    // stays the population std of the fold scores (prediction.py:482).
+    val fullOof = round6(Metrics.rocAuc(oof, "target", "oof_score"))
     oof.unpersist()
     val mean = foldScores.sum / foldScores.size
     val std = math.sqrt(
       foldScores.map(v => (v - mean) * (v - mean)).sum / foldScores.size)
     import s.implicits._
-    Seq((27, round6(mean), round6(std),
+    Seq((27, fullOof, round6(std),
         foldScores(0), foldScores(1), foldScores(2)))
       .toDF("seed", "cv_mean_score", "cv_std",
         "fold0_score", "fold1_score", "fold2_score")
@@ -338,9 +342,10 @@ object MlQueries {
   /** Replays the identical metric from q31's driver-dumped parquet; the
     * `__VERIFY_OUT__` placeholder is replaced with the absolute verify
     * out-dir by graft.Verify at dump time. Same average-rank AUC shape
-    * as metricsSql, partitioned per fold; population std over the
-    * rounded fold scores with an unrounded mean, exactly as the Spark
-    * side computes it. */
+    * as metricsSql, partitioned per fold for the fold columns and
+    * unpartitioned for cv_mean_score (the full-OOF metric,
+    * prediction.py:405); population std over the rounded fold scores
+    * with an unrounded mean, exactly as the Spark side computes it. */
   val cvMetricReplaySql: String =
     """WITH oof AS (
       |  SELECT fold, CAST(target AS DOUBLE) AS t, oof_score AS s
@@ -363,9 +368,24 @@ object MlQueries {
       |               / (sum(pos) * sum(n - pos)), 6) AS v
       |  FROM r GROUP BY fold
       |),
+      |gf AS (
+      |  SELECT s, count(*) AS n, sum(t) AS pos FROM oof GROUP BY s
+      |),
+      |rf AS (
+      |  SELECT pos, n,
+      |         sum(n) OVER (ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - n + (n + 1) / 2.0 AS avg_rank
+      |  FROM gf
+      |),
+      |aucfull AS (
+      |  SELECT round((sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
+      |               / (sum(pos) * sum(n - pos)), 6) AS v
+      |  FROM rf
+      |),
       |m AS (SELECT avg(v) AS mu FROM auc)
       |SELECT 27 AS seed,
-      |       round((SELECT avg(v) FROM auc), 6) AS cv_mean_score,
+      |       (SELECT v FROM aucfull) AS cv_mean_score,
       |       round(sqrt((SELECT avg((v - mu) * (v - mu)) FROM auc, m)), 6) AS cv_std,
       |       max(CASE WHEN fold = 0 THEN v END) AS fold0_score,
       |       max(CASE WHEN fold = 1 THEN v END) AS fold1_score,
