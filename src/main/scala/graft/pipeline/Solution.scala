@@ -58,7 +58,7 @@ object Solution {
         // K sequential tree fits, and CV x seeds x HPO multiplies them.
         Models.OvrGbtClassifier(maxIter = i("n_estimators", 10),
           maxDepth = treeDepth, stepSize = f("learning_rate", 0.1),
-          numClasses = nClasses)
+          numClasses = nClasses.toInt)
       case "et" | "random_forest" =>
         Models.RfClassifier(numTrees = nTrees, maxDepth = treeDepth,
           subsamplingRate = f("subsample", 1.0))
