@@ -100,6 +100,42 @@ class ModelsSpec extends SparkSpec {
     assert(tSums.filter(abs(col("s") - 1.0) > 1e-6).isEmpty)
   }
 
+  test("ovr_gbt degenerate folds: missing class gets a constant-negative stand-in") {
+    import spark.implicits._
+    // 2 features, labels {0,1} only, but numClasses=3 (the full frame
+    // had a rare class 2 that this fold's train split missed). The
+    // reference (lightgbm num_class) trains regardless — so must we.
+    val tr = (1 to 200).map(i =>
+      (i.toLong, (i % 2), i.toDouble, (i * 7 % 13).toDouble))
+      .toDF("row_id", "target", "f1", "f2")
+    val m = Models.OvrGbtClassifier(maxIter = 3, maxDepth = 2, numClasses = 3)
+      .fit(tr, None, Seq("f1", "f2"), "target", 27L)
+    val probs = m.scoreAll(tr)
+    // class 2 probability is exactly 0 (pre-normalization constant 0)
+    assert(probs.filter(element_at(col("__probs"), 3) =!= 0.0).isEmpty)
+    // rows still carry a distribution over the 3 classes
+    val s = probs.select(aggregate(col("__probs"), lit(0.0), (a, x) => a + x).as("s"))
+    assert(s.filter(abs(col("s") - 1.0) > 1e-9).isEmpty)
+    // argmax never picks the missing class
+    val pred = m.score(tr, predictProbability = false, classLabel = 0)
+    assert(pred.filter(col("__score") === 2.0).isEmpty)
+
+    // empty split: clear error, not empty.max
+    val empty = tr.filter(col("row_id") < 0)
+    val eEmpty = intercept[IllegalArgumentException](
+      Models.OvrGbtClassifier(maxIter = 3, numClasses = 3)
+        .fit(empty, None, Seq("f1", "f2"), "target", 27L))
+    assert(eEmpty.getMessage.contains("empty train split"))
+
+    // out-of-range labels name the real contract violation
+    val bad = tr.withColumn("target",
+      when(col("target") === 1, 3).otherwise(col("target")))
+    val eRange = intercept[IllegalArgumentException](
+      Models.OvrGbtClassifier(maxIter = 3, numClasses = 3)
+        .fit(bad, None, Seq("f1", "f2"), "target", 27L))
+    assert(eRange.getMessage.contains("outside [0, 3)"))
+  }
+
   test("factory resolves reference model names; unknown rejected") {
     assert(Models.byName("lightgbm").name == "gbt_classifier")
     assert(Models.byName("et").name == "random_forest_classifier")
