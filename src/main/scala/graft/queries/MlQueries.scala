@@ -125,16 +125,21 @@ object MlQueries {
   private val cvFeatures = Seq("o_totalprice", "o_custkey", "o_epoch")
 
   /** q31: one-seed CV OOF table — every train row scored exactly once
-    * by a model that never saw it (run_cv_one_seed). */
-  def cvOof(s: SparkSession, d: String): DataFrame = {
-    val r = CrossValidation.runCvOneSeed(
-      cvFrame(s, d), test = None, cvFeatures, "target", "row_id",
-      Models.LogReg(maxIter = 10),
-      CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
-      seedVal = 27)
-    r.oof.select(col("row_id"), col("target"), col("fold"),
-      round(col("oof_score"), 4).as("oof_score")).orderBy("row_id")
-  }
+    * by a model that never saw it (run_cv_one_seed). Memoized per
+    * session+dir: the fits are deterministic (seeded), and q72 replays
+    * metrics over this exact table — reusing the fitted plan instead of
+    * refitting three identical models. */
+  def cvOof(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"q31_cv_oof:${s.sparkContext.applicationId}:$d") {
+      val r = CrossValidation.runCvOneSeed(
+        cvFrame(s, d), test = None, cvFeatures, "target", "row_id",
+        Models.LogReg(maxIter = 10),
+        CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
+        seedVal = 27)
+      r.oof.select(col("row_id"), col("target"), col("fold"),
+        round(col("oof_score"), 4).as("oof_score")).orderBy("row_id")
+    }
 
   /** q32: bagged CV results table (seed, cv_mean_score, cv_std,
     * cv_score_per_each_fold) — prediction.py:490-493. */
