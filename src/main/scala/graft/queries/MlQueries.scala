@@ -397,6 +397,108 @@ object MlQueries {
       |       max(CASE WHEN fold = 2 THEN v END) AS fold2_score
       |FROM auc""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M5: SHAP values, natively (prediction.py:256-286 runs the shap
+  // library over LightGBM models; here TreeSHAP over MLlib GBT trees,
+  // graft.ml.Shap). The recursion itself is pinned to brute-force
+  // Shapley values in ShapSpec; the driver-level check replays the
+  // additivity identity bias + sum(phi) = raw margin: `check` is
+  // round(margin, 6) computed by MLlib's own predictor on the Spark
+  // side, and round(bias + sum of the dumped shap columns, 6) on the
+  // DuckDB side — the two agree only if the attribution is exact.
+  // -------------------------------------------------------------------
+  def treeShapQ(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"q73_tree_shap:${s.sparkContext.applicationId}:$d") {
+      val frame = cvFrame(s, d).withColumn("__label",
+        col("target").cast("double"))
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(cvFeatures.toArray).setOutputCol("__features")
+        .transform(frame)
+      val m = new org.apache.spark.ml.classification.GBTClassifier()
+        .setMaxIter(5).setMaxDepth(3).setSeed(27)
+        .setFeaturesCol("__features").setLabelCol("__label")
+        .fit(assembled)
+      val shap = graft.ml.Shap.treeShap(
+        frame.drop("__label"), graft.ml.Shap.gbtEnsemble(m), cvFeatures)
+      val margin = m.transform(assembled).select(col("row_id"),
+        org.apache.spark.ml.functions
+          .vector_to_array(col("rawPrediction")).getItem(1).as("margin"))
+      shap.join(margin, "row_id")
+        .select(col("row_id"), col("shap_o_totalprice"), col("shap_o_custkey"),
+          col("shap_o_epoch"), col("shap_bias"),
+          round(col("margin"), 6).as("check"))
+        .orderBy("row_id")
+    }
+
+  val treeShapSql: String =
+    """SELECT row_id, shap_o_totalprice, shap_o_custkey, shap_o_epoch,
+      |       shap_bias,
+      |       round(shap_bias + shap_o_totalprice + shap_o_custkey
+      |             + shap_o_epoch, 6) AS check
+      |FROM read_parquet('__VERIFY_OUT__/q73_tree_shap/*.parquet')
+      |ORDER BY row_id""".stripMargin
+
+  /** M5 summary table: mean |shap| per feature — the data behind the
+    * reference's shap summary output. Single aggregate pass over the
+    * memoized q73 frame; oracle recomputes from q73's dump. */
+  def shapImportance(s: SparkSession, d: String): DataFrame = {
+    val shap = treeShapQ(s, d)
+    val aggs = cvFeatures.map(f =>
+      round(avg(abs(col(s"shap_$f"))), 6).as(f))
+    shap.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"""stack(${cvFeatures.size},
+           |${cvFeatures.map(f => s"'$f', $f").mkString(", ")})
+           |AS (feature, mean_abs_shap)""".stripMargin)
+      .orderBy("feature")
+  }
+
+  val shapImportanceSql: String =
+    """WITH s AS (
+      |  SELECT * FROM read_parquet('__VERIFY_OUT__/q73_tree_shap/*.parquet')
+      |)
+      |SELECT feature, mean_abs_shap FROM (
+      |  SELECT 'o_totalprice' AS feature,
+      |         round(avg(abs(shap_o_totalprice)), 6) AS mean_abs_shap FROM s
+      |  UNION ALL SELECT 'o_custkey', round(avg(abs(shap_o_custkey)), 6) FROM s
+      |  UNION ALL SELECT 'o_epoch', round(avg(abs(shap_o_epoch)), 6) FROM s
+      |) ORDER BY feature""".stripMargin
+
+  // -------------------------------------------------------------------
+  // M5 linear branch: LinearSHAP with a genuinely external oracle. The
+  // single-feature OLS slope has the closed form covar_pop/var_pop, so
+  // DuckDB recomputes the identical attribution from the raw table —
+  // no dump replay involved. (MLlib LinearRegression's coefficient
+  // equals this slope; ShapSpec ties the model-object path in.)
+  // -------------------------------------------------------------------
+  def linearShapQ(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.orders(s, d).select(
+      col("o_orderkey").as("row_id"),
+      col("o_custkey").cast("double").as("x"),
+      col("o_totalprice").as("y"))
+    val r = df.agg(
+      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("coef"),
+      avg("x").as("mx"), avg("y").as("my")).head()
+    val coef = r.getDouble(0); val mx = r.getDouble(1); val my = r.getDouble(2)
+    graft.ml.Shap.linearShap(df, Seq("x"),
+        Array(coef), Array(mx), intercept = my - coef * mx)
+      .select(col("row_id"), round(col("shap_x"), 4).as("shap_x"),
+        round(col("shap_bias"), 4).as("shap_bias"))
+      .orderBy("row_id")
+  }
+
+  val linearShapSql: String =
+    """WITH s AS (
+      |  SELECT covar_pop(o_custkey, o_totalprice) / var_pop(o_custkey) AS c,
+      |         avg(o_custkey) AS mx, avg(o_totalprice) AS my
+      |  FROM orders
+      |)
+      |SELECT o_orderkey AS row_id,
+      |       round(s.c * (o_custkey - s.mx), 4) AS shap_x,
+      |       round(s.my, 4) AS shap_bias
+      |FROM orders, s ORDER BY row_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_cv_dummy_oof" -> (cvDummyOof _),
     "q62_seed_bind" -> (seedBind _),
@@ -407,10 +509,16 @@ object MlQueries {
     "q37_feature_scores" -> (featureScores _),
     "q48_rank_pick" -> (rankPick _),
     "q38_oof_join" -> (oofJoin _),
-    "q72_cv_metric_replay" -> (cvMetricReplay _))
+    "q72_cv_metric_replay" -> (cvMetricReplay _),
+    "q73_tree_shap" -> (treeShapQ _),
+    "q74_linear_shap" -> (linearShapQ _),
+    "q75_shap_importance" -> (shapImportance _))
 
   val oracles: Map[String, String] = Map(
     "q72_cv_metric_replay" -> cvMetricReplaySql,
+    "q73_tree_shap" -> treeShapSql,
+    "q74_linear_shap" -> linearShapSql,
+    "q75_shap_importance" -> shapImportanceSql,
     "q63_cv_dummy_oof" -> cvDummyOofSql,
     "q62_seed_bind" -> seedBindSql,
     "q36_metrics" -> metricsSql,
