@@ -458,8 +458,143 @@ object LlmQueries {
       |      '''(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+', 0)) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q76: Gopher/MassiveText repetition quality rules — per-doc token
+  // bigram repetition fractions (Rae et al. 2021 §A1.1 filters
+  // threshold on exactly these columns).
+  // -------------------------------------------------------------------
+  def gopherRepetition(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.repetitionStats(docs(s, d), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  val gopherRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)),
+      |                               i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM tok WHERE len(w) >= 2
+      |),
+      |counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_grams,
+      |  count(*) AS n_distinct_grams,
+      |  CAST(max(c) AS BIGINT) AS top_gram_cnt,
+      |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |    AS dup_gram_frac,
+      |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_gram_frac
+      |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q77: PII redaction. The synthetic corpus carries no PII, so both
+  // sides inject a deterministic email + IPv4 per document first —
+  // making the redaction path (count + mask) a real transformation the
+  // oracle replays, not a no-op over clean text.
+  // -------------------------------------------------------------------
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" reach user"), col("doc_id"),
+        lit("@example.com or 10.1."), col("doc_id") % 256,
+        lit(".9 end")).as("text"))
+    graft.text.Curation.redactPii(injected, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+        col("n_ips").cast("long").as("n_ips"), col("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    // Java regex and RE2 agree on these patterns; DuckDB standard
+    // single-quoted literals pass backslashes through verbatim.
+    val email = graft.text.Curation.emailRe
+    val ip = graft.text.Curation.ipv4Re
+    s"""WITH inj AS (
+      |  SELECT doc_id,
+      |         text || ' reach user' || doc_id || '@example.com or 10.1.'
+      |              || (doc_id % 256) || '.9 end' AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+      |                 '$ip', '<IP>', 'g') AS redacted
+      |FROM inj ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q78: benchmark decontamination — docs with doc_id % 50 == 0 stand
+  // in for the held-out benchmark; every training doc is scored by its
+  // distinct shared-8-gram count (GPT-3 §C overlap check). The corpus's
+  // planted near-duplicates make the expected flags non-trivial.
+  // -------------------------------------------------------------------
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    graft.text.Curation.decontaminate(
+      base.filter(col("doc_id") % 50 =!= 0),
+      base.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 6), i ->
+      |           w[i]   || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+      |  FROM tok WHERE len(w) >= 8
+      |),
+      |traing AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0),
+      |benchg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+      |shared AS (
+      |  SELECT doc_id, count(*) AS n_shared
+      |  FROM traing JOIN benchg USING (gram) GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+      |       coalesce(s.n_shared, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      |LEFT JOIN shared s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q79: fixed-size token chunking — each doc split into 32-token
+  // chunks (final chunk ragged), the pre-packing step of a training
+  // tokenization pipeline.
+  // -------------------------------------------------------------------
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.chunkTokens(docs(s, d), "doc_id", "text", chunkSize = 32)
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkDocsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, CAST(ceil(len(w) / 32.0) AS INT)),
+      |           i -> {'chunk_id': i,
+      |                 'chunk': array_to_string(w[i*32+1 : i*32+32], ' ')})) AS u
+      |  FROM tok
+      |)
+      |SELECT doc_id,
+      |       CAST(u.chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(len(string_split(u.chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
+      |       u.chunk AS chunk
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
+    "q76_gopher_repetition" -> (gopherRepetition _),
+    "q77_pii_redact" -> (piiRedact _),
+    "q78_decontaminate" -> (decontaminate _),
+    "q79_chunk_docs" -> (chunkDocs _),
     "q64_weighted_sample" -> (weightedSample _),
     "q65_bpe_tokens" -> (bpeTokens _),
     "q33_dedup_exact" -> (dedupExact _),
@@ -480,6 +615,10 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "q66_dup_clusters" -> dupClustersSql,
+    "q76_gopher_repetition" -> gopherRepetitionSql,
+    "q77_pii_redact" -> piiRedactSql,
+    "q78_decontaminate" -> decontaminateSql,
+    "q79_chunk_docs" -> chunkDocsSql,
     "q64_weighted_sample" -> weightedSampleSql,
     "q65_bpe_tokens" -> bpeTokensSql,
     "q33_dedup_exact" -> dedupExactSql,

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (LLM-data
+  * extension family, complementing TextOps/Dedup): repetition-based
+  * quality rules, PII redaction, benchmark decontamination, and
+  * fixed-size token chunking. Like TextOps, every operator is either a
+  * pure column expression or an explode + aggregate whose math is
+  * SQL-expressible for the DuckDB oracle — no UDFs, no driver loops.
+  *
+  * The repetition rules follow the published Gopher/MassiveText data
+  * quality filters (Rae et al. 2021, arXiv:2112.11446 §A1.1: documents
+  * are dropped when the fraction of tokens in duplicated n-grams or in
+  * the single most frequent n-gram exceeds a threshold); the
+  * decontamination operator is the standard train/test n-gram-overlap
+  * check (e.g. GPT-3, Brown et al. 2020 §C: 13-gram collision against
+  * benchmark sets — parameterized n here).
+  */
+object Curation {
+
+  /** Token n-grams as space-joined strings; empty array when the
+    * document has fewer than n tokens. `w` must be a materialized token
+    * array column (TextOps.tokens in its own projection). The guard
+    * keeps `sequence` ascending (sequence(1, 0) would count DOWN). */
+  def ngrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition statistics per document over token
+    * n-grams: total grams, distinct grams, the most frequent gram's
+    * count, and the two derived fractions the MassiveText filters
+    * threshold on (duplicate-gram fraction, top-gram fraction).
+    *
+    * Distributed shape: explode grams → two-level aggregate, i.e. the
+    * same hash-partitioned explode+agg as the dedup shingle path — per
+    * doc work is linear in document length, and the shuffle key
+    * (doc_id, gram) is as fine-grained as the data itself, so there is
+    * no skew pivot at corpus scale. Documents with < n tokens have no
+    * grams and are excluded (mirrored in the oracle's WHERE).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val tok = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+    val grams = tok.select(col(idCol), explode(ngrams(col("__w"), n)).as("gram"))
+    grams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_gram_cnt"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("n_distinct_grams"),
+        col("top_gram_cnt"),
+        round(lit(1.0) - col("n_distinct_grams") / col("n_grams"), 6)
+          .as("dup_gram_frac"),
+        round(col("top_gram_cnt") / col("n_grams"), 6).as("top_gram_frac"))
+  }
+
+  // Portable between Java regex (Spark) and RE2 (DuckDB): character
+  // classes, bounded repetition and \b only — no backrefs, no lookarounds.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: count and mask email addresses and IPv4 literals.
+    * Pure column expressions (regexp_count / regexp_replace are
+    * codegen'd), so redaction runs scan-local at any scale. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(emailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4Re)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>").as("redacted"))
+
+  /** Benchmark decontamination: per training document, the number of
+    * distinct token n-grams it shares with a benchmark corpus, plus the
+    * contamination flag (n_shared > 0). The GPT-3 §C check, n
+    * parameterized.
+    *
+    * Distributed shape: distinct (doc, gram) pairs on the train side,
+    * distinct grams on the benchmark side, one equi-join on the gram
+    * string, one re-aggregate by doc — never all-pairs across
+    * documents. At 100 TB both sides hash-partition on the gram; the
+    * benchmark side (a handful of eval sets) is broadcast-sized after
+    * `distinct`, so AQE turns the join into a broadcast probe.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def gramSet(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+ TextOps.tokens(col(textCol)).as("__w")): _*)
+        .select((cols :+ explode(ngrams(col("__w"), n)).as("gram")): _*)
+        .distinct()
+    val trainGrams = gramSet(train, col(idCol))
+    val benchGrams = gramSet(benchmark)
+    val shared = trainGrams
+      .join(benchGrams, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Fixed-size token chunking: split each document into consecutive
+    * chunks of `chunkSize` tokens (final chunk ragged) — the standard
+    * pre-tokenization step before sequence packing. posexplode keeps
+    * the chunk index; per-row work is linear and chunk construction is
+    * scan-local (no shuffle at all). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32): DataFrame = {
+    val tok = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(w) / lit(chunkSize.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(w, i * chunkSize + 1, lit(chunkSize))))
+    tok
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        col("chunk"))
+  }
+}

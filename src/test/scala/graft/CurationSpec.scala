@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+/** Hand-computed cases for the corpus-curation operators (Gopher
+  * repetition rules, PII redaction, decontamination, token chunking).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: bigram counts and Gopher fractions by hand") {
+    // "a b a b a": bigrams = [a b, b a, a b, b a] -> n=4, distinct=2,
+    // top=2, dup_frac = 1 - 2/4 = 0.5, top_frac = 2/4 = 0.5
+    // "x y z":     bigrams = [x y, y z]           -> all distinct
+    val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "txt")
+    val got = Curation.repetitionStats(df, "id", "txt", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(1L) == ((4L, 2L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.0, 0.5)))
+  }
+
+  test("repetitionStats: documents shorter than n produce no grams") {
+    val df = Seq((1L, "only"), (2L, "two words")).toDF("id", "txt")
+    val got = Curation.repetitionStats(df, "id", "txt", n = 2).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("redactPii masks emails and IPv4 literals and counts them") {
+    val df = Seq(
+      (1L, "write to a.user+tag@sub.example.org from 192.168.0.1 now"),
+      (2L, "no pii here at all")).toDF("id", "txt")
+    val got = Curation.redactPii(df, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((1, 1, "write to <EMAIL> from <IP> now")))
+    assert(got(2L) == ((0, 0, "no pii here at all")))
+  }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram") {
+    // 3-grams; train doc 10 shares "c d e" with the benchmark doc,
+    // train doc 11 shares nothing, train doc 12 is too short to gram.
+    val train = Seq(
+      (10L, "a b c d e f"), (11L, "p q r s t"), (12L, "u v")).toDF("id", "txt")
+    val bench = Seq((90L, "z c d e z")).toDF("id", "txt")
+    val got = Curation.decontaminate(train, bench, "id", "txt", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(10L) == ((1L, true)))
+    assert(got(11L) == ((0L, false)))
+    assert(got(12L) == ((0L, false))) // still present, just unflagged
+  }
+
+  test("chunkTokens: ragged final chunk, exact token coverage") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5")).toDF("id", "txt")
+    val got = Curation.chunkTokens(df, "id", "txt", chunkSize = 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((0L, 2L, "t1 t2"), (1L, 2L, "t3 t4"), (2L, 1L, "t5")))
+  }
+
+  test("ngrams helper: guard keeps short docs empty, order preserved") {
+    val df = Seq((1L, "a b c")).toDF("id", "txt")
+    val grams = df.select(
+      Curation.ngrams(graft.text.TextOps.tokens(col("txt")), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(grams == Seq("a b", "b c"))
+  }
+}
