@@ -589,8 +589,67 @@ object LlmQueries {
       |       u.chunk AS chunk
       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q80: GPT-style sequence-packing offsets — concatenate-in-id-order
+  // token offsets and 512-token window spans per document, computed as
+  // a distributed prefix sum (never a single-partition window).
+  // -------------------------------------------------------------------
+  def packOffsets(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.packOffsets(docs(s, d), "doc_id", "text", window = 512)
+      .orderBy("doc_id")
+
+  val packOffsetsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS start_offset
+      |  FROM tok
+      |)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       CAST(start_offset // 512 AS BIGINT) AS start_window,
+      |       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_window
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q81: per-vector uint8 linear quantization of the embedding corpus —
+  // range metadata, integer-exact code checksum, and the (order-
+  // independent) worst reconstruction error per vector.
+  // -------------------------------------------------------------------
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    graft.sim.Quantize.quantizeStats(emb(s, d), "vec_id", "embedding", levels = 255)
+      .orderBy("vec_id")
+
+  val embedQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+      |),
+      |s AS (
+      |  SELECT vec_id, x,
+      |         list_aggregate(x, 'min') AS vmin,
+      |         list_aggregate(x, 'max') AS vmax
+      |  FROM e
+      |),
+      |q AS (SELECT *, (vmax - vmin) / 255.0 AS scale FROM s)
+      |SELECT vec_id,
+      |  round(vmin, 6) AS vmin,
+      |  round(vmax, 6) AS vmax,
+      |  CAST(list_sum(list_transform(x,
+      |    v -> CAST(round((v - vmin) / scale) AS BIGINT))) AS BIGINT) AS code_sum,
+      |  round(list_aggregate(list_transform(x,
+      |    v -> abs(vmin + CAST(round((v - vmin) / scale) AS BIGINT) * scale - v)),
+      |    'max'), 6) AS max_abs_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
+    "q80_pack_offsets" -> (packOffsets _),
+    "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
     "q77_pii_redact" -> (piiRedact _),
     "q78_decontaminate" -> (decontaminate _),
@@ -615,6 +674,8 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "q66_dup_clusters" -> dupClustersSql,
+    "q80_pack_offsets" -> packOffsetsSql,
+    "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,
     "q77_pii_redact" -> piiRedactSql,
     "q78_decontaminate" -> decontaminateSql,

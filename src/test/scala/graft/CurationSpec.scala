@@ -59,6 +59,55 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L, "t1 t2"), (1L, 2L, "t3 t4"), (2L, 1L, "t5")))
   }
 
+  test("packOffsets: concat-and-split window spans by hand") {
+    // window=4; concat order: "a b c"(3) "d e"(2) "f g h i j"(5)
+    // offsets 0,3,5; windows: [0,0], [0,1], [1,2]
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j")).toDF("id", "txt")
+    val got = Curation.packOffsets(df, "id", "txt", window = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((3L, 0L, 0L, 0L)))
+    assert(got(2L) == ((2L, 3L, 0L, 1L)))
+    assert(got(3L) == ((5L, 5L, 1L, 2L)))
+  }
+
+  test("packOffsets: distributed prefix sum matches driver-side cumsum") {
+    // Enough rows to span several range partitions; compare against a
+    // sequential fold over the same id order.
+    val docs = (0L until 500L).map(i => (i, ("tok " * (1 + (i % 7).toInt)).trim))
+    val df = docs.toDF("id", "txt").repartition(13)
+    val got = Curation.packOffsets(df, "id", "txt", window = 16)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var cum = 0L
+    docs.zip(got).foreach { case ((id, txt), (gid, n, start)) =>
+      val expectN = txt.split(" ").length.toLong
+      assert(gid == id && n == expectN && start == cum,
+        s"doc $id: got ($n, $start), expected ($expectN, $cum)")
+      cum += expectN
+    }
+  }
+
+  test("quantizeStats: codes, checksum and error bound by hand") {
+    // [0, 2, 1]: vmin=0 vmax=2 scale=2/255; codes [0, 255, 128]
+    // (round(127.5) rounds half up) -> code_sum 383;
+    // max err = |128 * 2/255 - 1| = 1/255 (exactly scale/2, the bound)
+    val df = Seq((7L, Seq(0.0f, 2.0f, 1.0f))).toDF("id", "emb")
+    val r = graft.sim.Quantize.quantizeStats(df, "id", "emb").head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 2.0)
+    assert(r.getLong(3) == 383L)
+    val scale = 2.0 / 255
+    // output is rounded to 6 decimals -> compare at 5e-7
+    assert(math.abs(r.getDouble(4) - 1.0 / 255) < 5e-7)
+    assert(r.getDouble(4) <= scale / 2 + 5e-7) // reconstruction bound
+  }
+
+  test("quantizeStats: constant vector quantizes to zero codes") {
+    val df = Seq((1L, Seq(3.5f, 3.5f, 3.5f))).toDF("id", "emb")
+    val r = graft.sim.Quantize.quantizeStats(df, "id", "emb").head()
+    assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+  }
+
   test("ngrams helper: guard keeps short docs empty, order preserved") {
     val df = Seq((1L, "a b c")).toDF("id", "txt")
     val grams = df.select(
