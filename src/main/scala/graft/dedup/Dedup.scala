@@ -38,12 +38,16 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word k-shingles: (id, shingle) — the unit set for Jaccard.
+  /** Word k-shingle occurrences: (id, shingle) — duplicates retained.
     * The token array is materialized in its own projection first: the
     * shingle lambda references it k+2 times, and inlining the regex
     * split into every reference re-tokenizes the document per shingle
     * element (measured ~6x slowdown; CollapseProject keeps the barrier
-    * because split is not a cheap expression). */
+    * because split is not a cheap expression). Consumers needing set
+    * semantics apply `.distinct()` themselves — the minhash signature
+    * path deliberately does NOT (min over a multiset equals min over
+    * its set, and skipping the distinct removes a corpus-scale shuffle
+    * before the map-side-combinable signature aggregation). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val tok = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
     val w = col("__w")
@@ -51,15 +55,16 @@ object Dedup {
       transform(sequence(lit(0), size(w) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
       .otherwise(array())
-    tok.select(col("id"), explode(sh).as("s")).distinct()
+    tok.select(col("id"), explode(sh).as("s"))
   }
 
-  /** Shingle sets with 64-bit-hashed shingles: every downstream join
-    * and minhash runs on fixed-width longs instead of multi-word
+  /** Shingle occurrences with 64-bit-hashed shingles: every downstream
+    * join and minhash runs on fixed-width longs instead of multi-word
     * strings — a large shuffle/compare win; set semantics survive
-    * hashing up to a ~1e-19 per-pair collision probability. */
+    * hashing up to a ~1e-19 per-pair collision probability. Multiset
+    * (see shingles). */
   private[dedup] def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingles(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s")).distinct()
+    shingles(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s"))
 
   /** MinHash near-duplicate pairs with exact-Jaccard verification.
     *
@@ -82,10 +87,11 @@ object Dedup {
     minHashOverShingles(hashedShingles(df, idCol, textCol, shingleK),
       threshold, bands, rowsPerBand, maxBucketSize)
 
-  /** Distinct character n-grams as the Jaccard unit set: (id, s) with
-    * s = xxhash64 of each n-char window of the trimmed text. The
+  /** Character n-gram occurrences as hashed Jaccard units: (id, s)
+    * with s = xxhash64 of each n-char window of the trimmed text. The
     * character-level variant catches near-dups word shingles miss
-    * (reorderings/typos inside tokens, whitespace-insensitive). */
+    * (reorderings/typos inside tokens, whitespace-insensitive).
+    * Multiset — see shingles for why the distinct is deferred. */
   private[graft] def hashedCharNgrams(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val t = df.select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
@@ -94,7 +100,7 @@ object Dedup {
         i => col("__t").substr(i, lit(n))))
       .otherwise(array())
     t.select(col("id"), explode(grams).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("s")).distinct()
+      .select(col("id"), xxhash64(col("g")).as("s"))
   }
 
   /** N-gram Jaccard near-dup: the MinHash/banding/exact-verify pipeline
@@ -108,15 +114,27 @@ object Dedup {
     minHashOverShingles(hashedCharNgrams(df, idCol, textCol, n),
       threshold, bands, rowsPerBand, maxBucketSize)
 
-  /** Shared MinHash LSH core over any hashed unit-set table
-    * (id, s: long). */
+  /** Shared MinHash LSH core over any hashed unit table (id, s: long).
+    * The input may be a multiset: the signature min-aggregation is
+    * idempotent over duplicates (and map-side combinable, so the gram
+    * explosion never crosses the shuffle at corpus scale), and the
+    * exact-verification path applies set semantics AFTER restricting to
+    * candidate ids — a corpus-scale `.distinct()` up front would be a
+    * full shuffle spent mostly on documents that never reach a bucket
+    * pair. */
   private def minHashOverShingles(
       shingleTable: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sh = shingleTable.cache()
 
-    // one-pass signature: min over shingles of each seeded hash
+    // one-pass signature: min over shingles of each seeded hash.
+    // Deliberately numHashes INDEPENDENT xxhash64 evaluations — the
+    // cheaper Kirsch-Mitzenmacher double-hashing derivation
+    // (h1 + j*h2) was tried and reverted: h_j linear in j makes the
+    // per-band argmin follow the lower envelope of lines across j, so
+    // band collisions correlate and banding recall collapses (a
+    // planted J=1/3 pair missed all 16 r=1 bands in spec).
     val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
     val sig = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
 
@@ -142,7 +160,13 @@ object Dedup {
       .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
       .cache()
 
-    val verified = exactJaccardOnPairs(cand, sh)
+    // set-semantics shingles for exact Jaccard, but only for documents
+    // that appear in a candidate pair (semi-join first, distinct after:
+    // the distinct shuffle is then candidate-sized, not corpus-sized).
+    val candIds = cand.select(col("id_1").as("id"))
+      .union(cand.select(col("id_2").as("id"))).distinct()
+    val shCand = sh.join(candIds, Seq("id"), "left_semi").distinct()
+    val verified = exactJaccardOnPairs(cand, shCand)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint() // materialize before releasing the caches below
     sized.unpersist()
