@@ -53,4 +53,42 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"partial + final group limit expected (row_number<=1 optimization):\n${plan.take(1500)}")
   }
+
+  test("q76 repetition: explode feeds partial+final aggregation") {
+    val plan = formatted(Queries.registry("q76_gopher_repetition")(spark, sf))
+    assert(plan.contains("Generate"), "gram explode expected")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "two-level (gram-count then doc) aggregation with map-side combine expected")
+  }
+
+  test("pii redaction is scan-local: codegen'd, no shuffle") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(graft.text.Curation.redactPii(docs, "doc_id", "text"))
+    assert(plan.contains("* Project"), "regex count/replace must codegen")
+    assert(!plan.contains("Exchange"), "per-row redaction must not shuffle")
+  }
+
+  test("token chunking is scan-local: explode without exchange") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(graft.text.Curation.chunkTokens(docs, "doc_id", "text", 32))
+    assert(plan.contains("Generate"), "chunk posexplode expected")
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+  }
+
+  test("q80 packing prefix sum: every window is partition-local (__pid)") {
+    val docs = core.Tables.documents(spark, sf)
+    val df = graft.text.Curation.packOffsets(docs, "doc_id", "text", 512)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "expected a window over the per-partition cumsum")
+    assert(windows.forall(_.contains("__pid")),
+      s"global-order window (single partition) forbidden:\n${windows.mkString("\n")}")
+  }
+
+  test("q81 quantization is scan-local: no shuffle") {
+    val emb = core.Tables.embeddings(spark, sf)
+    val plan = formatted(graft.sim.Quantize.quantizeStats(emb, "vec_id", "embedding"))
+    assert(!plan.contains("Exchange"), "per-vector quantization must not shuffle")
+  }
 }
