@@ -88,19 +88,21 @@ object Dedup {
       threshold, bands, rowsPerBand, maxBucketSize)
 
   /** Character n-gram occurrences as hashed Jaccard units: (id, s)
-    * with s = xxhash64 of each n-char window of the trimmed text. The
-    * character-level variant catches near-dups word shingles miss
-    * (reorderings/typos inside tokens, whitespace-insensitive).
-    * Multiset — see shingles for why the distinct is deferred. */
+    * with s = xxhash64 of each n-char window of the trimmed text,
+    * computed by the native HashedNgrams expression — one pass over
+    * the UTF-8 buffer, hashing windows in place, instead of the
+    * substr-per-window formulation that allocates a UTF8String copy
+    * per gram (a 1000-char doc = ~1000 allocations) inside an
+    * interpreted higher-order lambda. The character-level variant
+    * catches near-dups word shingles miss (reorderings/typos inside
+    * tokens, whitespace-insensitive). Multiset — see shingles for why
+    * the distinct is deferred. */
   private[graft] def hashedCharNgrams(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val t = df.select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
-    val grams = when(length(col("__t")) >= n,
-      transform(sequence(lit(1), length(col("__t")) - n + 1),
-        i => col("__t").substr(i, lit(n))))
-      .otherwise(array())
-    t.select(col("id"), explode(grams).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("s"))
+    t.select(col("id"), explode(
+      graft.functions.GraftFunctions.hashedNgrams(
+        df.sparkSession, col("__t"), n)).as("s"))
   }
 
   /** N-gram Jaccard near-dup: the MinHash/banding/exact-verify pipeline

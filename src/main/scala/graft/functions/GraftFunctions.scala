@@ -21,15 +21,34 @@ object GraftFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  private val ngramBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"hashed_ngrams expects 2 arguments, got ${children.size}")
+    val n = children(1) match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"hashed_ngrams n must be an integer literal, got $other")
+    }
+    HashedNgrams(children.head, n)
+  }
+
+  private val ngramInfo = new ExpressionInfo(
+    classOf[HashedNgrams].getCanonicalName, "hashed_ngrams")
+
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
+    ext.injectFunction((FunctionIdentifier("hashed_ngrams"), ngramInfo, ngramBuilder))
+  }
 
   /** Idempotent registration into an existing session's registry. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("cosine_sim")
-    if (!registry.functionExists(id))
-      registry.registerFunction(id, cosineInfo, cosineBuilder)
+    val cid = FunctionIdentifier("cosine_sim")
+    if (!registry.functionExists(cid))
+      registry.registerFunction(cid, cosineInfo, cosineBuilder)
+    val nid = FunctionIdentifier("hashed_ngrams")
+    if (!registry.functionExists(nid))
+      registry.registerFunction(nid, ngramInfo, ngramBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -37,6 +56,12 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("cosine_sim", a, b)
+  }
+
+  /** Column API for the native char-n-gram hasher. */
+  def hashedNgrams(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("hashed_ngrams", text, org.apache.spark.sql.functions.lit(n))
   }
 }
 

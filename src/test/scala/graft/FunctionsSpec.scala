@@ -69,4 +69,28 @@ class FunctionsSpec extends SparkSpec {
       bad.select(GraftFunctions.cosineSim(spark, col("a"), col("b"))).collect()
     }
   }
+
+  test("hashed_ngrams equals the substr+xxhash64 formulation per window") {
+    // parity across ASCII and multi-byte text, short strings, exact n
+    val texts = Seq("abcdef", "abcde", "abcd", "", "héllo wörld",
+      "你好世界啊", "a b a b a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val n = 5
+    val native = df.select(col("id"),
+      GraftFunctions.hashedNgrams(spark, col("t"), n).as("h"))
+    val composed = df.select(col("id"),
+      when(length(col("t")) >= n,
+        transform(sequence(lit(1), length(col("t")) - n + 1),
+          i => xxhash64(col("t").substr(i, lit(n)))))
+        .otherwise(array().cast("array<bigint>")).as("h"))
+    val a = native.orderBy("id").collect().map(_.getSeq[Long](1))
+    val b = composed.orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("hashed_ngrams resolves via SQL and nulls propagate") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT hashed_ngrams('abc', 2) AS h, hashed_ngrams(CAST(NULL AS STRING), 2) AS hn").head()
+    assert(r.getSeq[Long](0).length == 2 && r.isNullAt(1))
+  }
 }
