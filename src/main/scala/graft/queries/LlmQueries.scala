@@ -646,8 +646,45 @@ object LlmQueries {
       |    'max'), 6) AS max_abs_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q82: training-mixture sampling — thin three chosen sources to
+  // 50/25/25 token proportions; membership is a deterministic md5 coin
+  // so the oracle replays it exactly (same coin as q64).
+  // -------------------------------------------------------------------
+  def mixBySource(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.mixBySource(docs(s, d), "doc_id", "text", "source",
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+      .orderBy("doc_id")
+
+  val mixBySourceSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |tgt AS (SELECT * FROM (VALUES
+      |  ('src0', CAST(0.5 AS DOUBLE)),
+      |  ('src1', CAST(0.25 AS DOUBLE)),
+      |  ('src2', CAST(0.25 AS DOUBLE))) AS v(source, p)),
+      |tot AS (
+      |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+      |  FROM tok JOIN tgt USING (source) GROUP BY source
+      |),
+      |b AS (SELECT min(t / p) AS budget FROM tot JOIN tgt USING (source)),
+      |rates AS (
+      |  SELECT source, least(CAST(1.0 AS DOUBLE),
+      |                       p * (SELECT budget FROM b) / t) AS r
+      |  FROM tot JOIN tgt USING (source)
+      |)
+      |SELECT doc_id, source, n_tokens
+      |FROM tok JOIN rates USING (source)
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      |        / 1000000.0 < r
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
+    "q82_mix_sources" -> (mixBySource _),
     "q80_pack_offsets" -> (packOffsets _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
@@ -674,6 +711,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "q66_dup_clusters" -> dupClustersSql,
+    "q82_mix_sources" -> mixBySourceSql,
     "q80_pack_offsets" -> packOffsetsSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,

@@ -111,6 +111,44 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Training-mixture sampling: downsample each source so the kept
+    * corpus hits target token proportions (the data-mixing step of
+    * every large pretraining run — cf. the published mixture tables of
+    * GPT-3 Table 2.2 / LLaMA Table 1). Given target shares p_s over
+    * the listed sources, the achievable token budget is
+    * B = min_s T_s / p_s (the binding source is kept whole); every
+    * source is then thinned to rate p_s * B / T_s with a deterministic
+    * per-doc md5 coin — the same coin as TextOps.weightedSample, so a
+    * SQL oracle replays the exact membership. Sources without a target
+    * are dropped.
+    *
+    * Scale: one small per-source aggregate (sources are few — the
+    * collect is bounded), then a scan-local filter; no shuffle of the
+    * corpus itself. */
+  def mixBySource(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive proportions")
+    val tok = df.select(col(idCol), col(sourceCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val totals = tok
+      .filter(col(sourceCol).isin(targets.keys.toSeq.map(lit): _*))
+      .groupBy(sourceCol).agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = targets.collect {
+      case (s, p) if totals.contains(s) => totals(s) / p
+    }.min
+    val rates = targets.collect { case (s, p) if totals.contains(s) =>
+      s -> math.min(1.0, p * budget / totals(s))
+    }
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val coin = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").mod(1000000) / 1000000.0
+    tok.withColumn("__r", rateCol).filter(coin < col("__r")).drop("__r")
+  }
+
   /** GPT-style sequence-packing offsets: documents are conceptually
     * concatenated in id order and split into fixed `window`-token
     * training sequences; each document's token start offset and the

@@ -108,6 +108,30 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
   }
 
+  test("mixBySource: binding source kept whole, others thinned to rate") {
+    // A: 100 docs x 10 tokens, B: same; targets 0.8/0.2 ->
+    // budget = min(1000/0.8, 1000/0.2) = 1250; rA = 1.0, rB = 0.25
+    val docs = (0 until 100).map(i => (i.toLong, "A", ("t " * 10).trim)) ++
+      (100 until 200).map(i => (i.toLong, "B", ("t " * 10).trim))
+    val df = docs.toDF("id", "src", "txt")
+    val got = Curation.mixBySource(df, "id", "txt", "src",
+      Map("A" -> 0.8, "B" -> 0.2))
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("A") == 100L, s"binding source must be kept whole: $bySrc")
+    assert(bySrc("B") > 5 && bySrc("B") < 50,
+      s"B should thin to ~25 of 100 docs: $bySrc")
+    // deterministic: same membership on a second run
+    val again = Curation.mixBySource(df, "id", "txt", "src",
+      Map("A" -> 0.8, "B" -> 0.2)).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+    // untargeted sources are dropped entirely
+    val withC = df.union(Seq((500L, "C", "x y z")).toDF("id", "src", "txt"))
+    val keptC = Curation.mixBySource(withC, "id", "txt", "src",
+      Map("A" -> 0.8, "B" -> 0.2)).filter(col("src") === "C").count()
+    assert(keptC == 0L)
+  }
+
   test("ngrams helper: guard keeps short docs empty, order preserved") {
     val df = Seq((1L, "a b c")).toDF("id", "txt")
     val grams = df.select(
