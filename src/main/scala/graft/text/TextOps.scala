@@ -126,14 +126,14 @@ object TextOps {
   }
 
   /** Distinct character n-gram count — a size proxy used by char-level
-    * near-dup shingling. */
+    * near-dup shingling. Counts distinct 64-bit window hashes via the
+    * native hashed_ngrams expression instead of materializing gram
+    * strings (collision shortfall probability ~ grams^2 / 2^65 per doc
+    * — immaterial, and the string-gram DuckDB oracle still matches). */
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
-    val t = col("__t")
     tok.select(col(idCol),
-      when(length(t) >= n,
-        size(array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n))))))
-        .otherwise(0).as("n_char_ngrams"))
+      size(array_distinct(graft.functions.GraftFunctions.hashedNgrams(
+        df.sparkSession, col("__t"), n))).as("n_char_ngrams"))
   }
 }
