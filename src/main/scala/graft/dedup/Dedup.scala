@@ -61,10 +61,15 @@ object Dedup {
   /** Shingle occurrences with 64-bit-hashed shingles: every downstream
     * join and minhash runs on fixed-width longs instead of multi-word
     * strings — a large shuffle/compare win; set semantics survive
-    * hashing up to a ~1e-19 per-pair collision probability. Multiset
+    * hashing up to a ~1e-19 per-pair collision probability. Computed
+    * by the native HashedShingles expression (one pass over the byte
+    * buffer, no token/shingle string materialization; whitespace-
+    * normalized like the concat_ws form — see NgramHash). Multiset
     * (see shingles). */
   private[dedup] def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingles(df, idCol, textCol, k).select(col("id"), xxhash64(col("s")).as("s"))
+    df.select(col(idCol).as("id"), explode(
+      graft.functions.GraftFunctions.hashedShingles(
+        df.sparkSession, col(textCol), k)).as("s"))
 
   /** MinHash near-duplicate pairs with exact-Jaccard verification.
     *

@@ -35,9 +35,24 @@ object GraftFunctions {
   private val ngramInfo = new ExpressionInfo(
     classOf[HashedNgrams].getCanonicalName, "hashed_ngrams")
 
+  private val shingleBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"hashed_shingles expects 2 arguments, got ${children.size}")
+    val k = children(1) match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"hashed_shingles k must be an integer literal, got $other")
+    }
+    HashedShingles(children.head, k)
+  }
+
+  private val shingleInfo = new ExpressionInfo(
+    classOf[HashedShingles].getCanonicalName, "hashed_shingles")
+
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
     ext.injectFunction((FunctionIdentifier("hashed_ngrams"), ngramInfo, ngramBuilder))
+    ext.injectFunction((FunctionIdentifier("hashed_shingles"), shingleInfo, shingleBuilder))
   }
 
   /** Idempotent registration into an existing session's registry. */
@@ -49,6 +64,9 @@ object GraftFunctions {
     val nid = FunctionIdentifier("hashed_ngrams")
     if (!registry.functionExists(nid))
       registry.registerFunction(nid, ngramInfo, ngramBuilder)
+    val sid = FunctionIdentifier("hashed_shingles")
+    if (!registry.functionExists(sid))
+      registry.registerFunction(sid, shingleInfo, shingleBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -62,6 +80,12 @@ object GraftFunctions {
   def hashedNgrams(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function("hashed_ngrams", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Column API for the native k-token shingle hasher. */
+  def hashedShingles(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("hashed_shingles", text, org.apache.spark.sql.functions.lit(k))
   }
 }
 

@@ -45,6 +45,48 @@ object NgramHash {
     }
     new GenericArrayData(out)
   }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Hashes of all k-token shingle windows of s: tokens are maximal
+    * runs of non-whitespace (the same token set as split on \\s+ after
+    * trim), each token is hashed over its byte range, and a window's
+    * hash chains its k token hashes — so "a  b" and "a b" shingle
+    * identically (whitespace-normalized, like the concat_ws(" ") form)
+    * without ever materializing token or shingle strings. Empty array
+    * when there are fewer than k tokens. */
+  def hashTokenShingles(s: UTF8String, k: Int): ArrayData = {
+    val numBytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // collect per-token hashes in one pass over the bytes
+    var tokenHashes = new Array[Long](math.max(8, numBytes / 4))
+    var nt = 0
+    var i = 0
+    while (i < numBytes) {
+      while (i < numBytes && isSpace(Platform.getByte(base, off + i))) i += 1
+      if (i < numBytes) {
+        val start = i
+        while (i < numBytes && !isSpace(Platform.getByte(base, off + i))) i += 1
+        if (nt == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nt * 2)
+        tokenHashes(nt) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        nt += 1
+      }
+    }
+    if (nt < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nt - k + 1)
+    var w = 0
+    while (w <= nt - k) {
+      var h = 42L
+      var j = 0
+      while (j < k) { h = XXH64.hashLong(tokenHashes(w + j), h); j += 1 }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression: 64-bit hashes of all character n-gram
@@ -80,4 +122,32 @@ case class HashedNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "hashed_ngrams"
+}
+
+/** Native Catalyst expression: chained hashes of all k-token shingle
+  * windows of a string column, as array<bigint>. Same rationale as
+  * HashedNgrams — the composed form tokenizes with a regex split,
+  * builds every shingle with concat_ws and hashes the copies; this
+  * walks the byte buffer once. See NgramHash.hashTokenShingles for the
+  * normalization contract. */
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles expects (string, k >= 1), got ${child.dataType.catalogString}, k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHash.hashTokenShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHash.hashTokenShingles($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_shingles"
 }

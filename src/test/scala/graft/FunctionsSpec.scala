@@ -93,4 +93,18 @@ class FunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT hashed_ngrams('abc', 2) AS h, hashed_ngrams(CAST(NULL AS STRING), 2) AS hn").head()
     assert(r.getSeq[Long](0).length == 2 && r.isNullAt(1))
   }
+
+  test("hashed_shingles: window count, whitespace invariance, order sensitivity") {
+    GraftFunctions.register(spark)
+    def sh(t: String, k: Int): Seq[Long] =
+      spark.sql(s"SELECT hashed_shingles('$t', $k) AS h").head().getSeq[Long](0)
+    assert(sh("a b c d", 3).length == 2)   // numTokens - k + 1
+    assert(sh("a b", 3).isEmpty)           // too short
+    assert(sh("a  b\tc", 2) == sh("a b c", 2),   // \s-run normalization
+      "multiple whitespace must shingle like single spaces")
+    assert(sh("a b c", 2) != sh("a c b", 2), "token order must matter")
+    assert(sh("a b c", 3) != sh("x y z", 3))
+    val r = spark.sql("SELECT hashed_shingles(CAST(NULL AS STRING), 2) AS h").head()
+    assert(r.isNullAt(0))
+  }
 }
