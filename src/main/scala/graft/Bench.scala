@@ -46,8 +46,12 @@ object Bench {
     // co-tenant load spike inflates one pass, not both — min recovers
     // the machine-capability number (two recorded rounds were load-
     // contaminated; adjudicated by idle-box re-runs). The cross-query
-    // memo (q31→q72, q34→q66) is cleared between passes so every pass
-    // pays each query's full cost.
+    // memo (q31→q72/q73→q75, q34↔q66) is cleared between passes so
+    // every pass pays each shared computation exactly once. Attribution
+    // caveat, for reading per-query times: within a pass the shared
+    // cost lands on whichever query the Map iterates first (e.g. q34
+    // reads ~0.1s when q66 already built the MinHash pairs); the TOTAL
+    // is honest, per-query splits of memoized groups are not.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = (1 to reps).map { _ =>
       graft.core.Memo.clear()

@@ -212,6 +212,45 @@ class PipelineStreamingSpec extends SparkSpec {
       "en + quality>=0.5 + first-arrival dedup keeps exactly docs 1, 4, 6")
   }
 
+  test("streaming: stateless curation (redaction + chunking) equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // stateless ops stream under Append with no watermark — the same
+    // Curation code path serves batch backfills and live ingest
+    val rows = Seq(
+      (1L, "contact a.b@example.com from 10.0.0.1 about the deal"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7"),
+      (3L, "no pii but plenty of tokens to chunk into windows"))
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = graft.text.Curation.redactPii(df, "doc_id", "text")
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append()).start()
+    val qc = graft.text.Curation.chunkTokens(df, "doc_id", "text", 4)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable(); qc.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable(); qc.processAllAvailable()
+    q.stop(); qc.stop()
+
+    val streamedPii = spark.table("curation_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val batchPii = graft.text.Curation
+      .redactPii(rows.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(streamedPii == batchPii, "streamed redaction must equal batch")
+    assert(streamedPii.exists(_._4.contains("<EMAIL>")))
+
+    val streamedChunks = spark.table("chunk_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val batchChunks = graft.text.Curation
+      .chunkTokens(rows.toDF("doc_id", "text"), "doc_id", "text", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(streamedChunks == batchChunks, "streamed chunking must equal batch")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
