@@ -184,18 +184,27 @@ object Dedup {
 
   /** Exact Jaccard for an explicit candidate-pair set: two equi joins
     * against the shingle table (intersection), plus per-id set sizes. */
-  private[dedup] def exactJaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val sh1 = sh.select(col("id").as("id_1"), col("s"))
-    val sh2 = sh.select(col("id").as("id_2"), col("s"))
-    val inter = pairs
-      .join(sh1, Seq("id_1"))
-      .join(sh2, Seq("id_2", "s"))
-      .groupBy("id_1", "id_2").agg(count(lit(1)).as("i"))
+  /** Exact Jaccard for candidate pairs against a DISTINCT (id, s)
+    * unit table. Each candidate doc's unit set is aggregated once into
+    * a sorted long array; pairs join to their two arrays and the
+    * native SortedIntersectCount merge computes |A∩B| in codegen. The
+    * earlier formulation re-exploded every pair into (pair, gram) rows
+    * and counted matches with a second join — ~|pairs| x |grams/doc|
+    * intermediate rows (240M at sf0.1); here the shuffle is bounded by
+    * the candidate-doc count and the per-pair work is one O(|A|+|B|)
+    * merge. Array size is bounded by document length, not corpus size,
+    * so rows stay small at any scale. */
+  private[graft] def exactJaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    val gramSets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("gs"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(spark, col("gs1"), col("gs2"))
     pairs
-      .join(inter, Seq("id_1", "id_2"), "left").na.fill(0, Seq("i"))
-      .join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n", "n1"), Seq("id_1"))
-      .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n", "n2"), Seq("id_2"))
+      .join(gramSets.select(col("id").as("id_1"), col("gs").as("gs1")), Seq("id_1"))
+      .join(gramSets.select(col("id").as("id_2"), col("gs").as("gs2")), Seq("id_2"))
+      .select(col("id_1"), col("id_2"),
+        inter.as("i"), size(col("gs1")).as("n1"), size(col("gs2")).as("n2"))
       .select(col("id_1"), col("id_2"),
         (col("i") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
   }

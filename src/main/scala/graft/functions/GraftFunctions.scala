@@ -49,10 +49,20 @@ object GraftFunctions {
   private val shingleInfo = new ExpressionInfo(
     classOf[HashedShingles].getCanonicalName, "hashed_shingles")
 
+  private val isectBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"sorted_intersect_count expects 2 arguments, got ${children.size}")
+    SortedIntersectCount(children.head, children(1))
+  }
+
+  private val isectInfo = new ExpressionInfo(
+    classOf[SortedIntersectCount].getCanonicalName, "sorted_intersect_count")
+
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
     ext.injectFunction((FunctionIdentifier("hashed_ngrams"), ngramInfo, ngramBuilder))
     ext.injectFunction((FunctionIdentifier("hashed_shingles"), shingleInfo, shingleBuilder))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), isectInfo, isectBuilder))
   }
 
   /** Idempotent registration into an existing session's registry. */
@@ -67,6 +77,9 @@ object GraftFunctions {
     val sid = FunctionIdentifier("hashed_shingles")
     if (!registry.functionExists(sid))
       registry.registerFunction(sid, shingleInfo, shingleBuilder)
+    val iid = FunctionIdentifier("sorted_intersect_count")
+    if (!registry.functionExists(iid))
+      registry.registerFunction(iid, isectInfo, isectBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -86,6 +99,12 @@ object GraftFunctions {
   def hashedShingles(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("hashed_shingles", text, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column API for the native sorted-array intersection counter. */
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("sorted_intersect_count", a, b)
   }
 }
 
