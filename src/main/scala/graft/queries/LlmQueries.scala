@@ -682,9 +682,60 @@ object LlmQueries {
       |        / 1000000.0 < r
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q83: C4-style chunk-level duplication stats — per doc, how many of
+  // its 16-token chunks occur more than once corpus-wide.
+  // -------------------------------------------------------------------
+  def chunkDupStats(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.chunkDupStats(docs(s, d), "doc_id", "text", chunkSize = 16)
+      .orderBy("doc_id")
+
+  val chunkDupStatsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, CAST(ceil(len(w) / 16.0) AS INT)),
+      |           i -> array_to_string(w[i*16+1 : i*16+16], ' '))) AS chunk
+      |  FROM tok
+      |),
+      |cnt AS (SELECT chunk, count(*) AS c FROM ch GROUP BY chunk)
+      |SELECT doc_id,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS dup_chunk_frac
+      |FROM ch JOIN cnt USING (chunk)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q84: corpus-unigram LM score — mean log10 token probability under
+  // the corpus's own unigram distribution (CCNet-style quality signal).
+  // -------------------------------------------------------------------
+  def unigramLm(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.unigramLogProb(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val unigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |),
+      |counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+      |SELECT doc_id,
+      |  count(*) AS n_tokens,
+      |  round(avg(log10(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 6)
+      |    AS lm_score
+      |FROM tok JOIN counts USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
+    "q83_chunk_dup" -> (chunkDupStats _),
+    "q84_unigram_lm" -> (unigramLm _),
     "q80_pack_offsets" -> (packOffsets _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
@@ -712,6 +763,8 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q66_dup_clusters" -> dupClustersSql,
     "q82_mix_sources" -> mixBySourceSql,
+    "q83_chunk_dup" -> chunkDupStatsSql,
+    "q84_unigram_lm" -> unigramLmSql,
     "q80_pack_offsets" -> packOffsetsSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,

@@ -111,6 +111,57 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Chunk-level (paragraph-style) duplication statistics: split each
+    * document into fixed token chunks and report, per document, how
+    * many of its chunks occur more than once in the whole corpus — the
+    * C4-style sub-document dedup signal (Raffel et al. 2020 §2.2
+    * deduplicate three-sentence spans corpus-wide; token chunks are
+    * the tokenizer-aligned analogue).
+    *
+    * Distributed shape: chunking is scan-local; the corpus-wide chunk
+    * count is one hash-partitioned aggregate keyed by the chunk text
+    * (as fine-grained as the data), re-joined to the chunks on the
+    * same key, then re-aggregated per doc. Never all-pairs.
+    */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 16): DataFrame = {
+    val chunks = chunkTokens(df, idCol, textCol, chunkSize)
+      .select(col(idCol), col("chunk"))
+    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("__c"))
+    chunks.join(counts, "chunk")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks") / col("n_chunks"), 6).as("dup_chunk_frac"))
+  }
+
+  /** Corpus-unigram language-model score per document: the mean log10
+    * probability of the document's tokens under the corpus's own
+    * unigram distribution — the cheap stand-in for the CCNet-style
+    * LM-perplexity quality filter (Wenzek et al. 2020 use a KenLM
+    * 5-gram; the unigram version keeps the same two-phase shape:
+    * corpus statistics, then per-doc scoring). Low scores flag
+    * documents full of corpus-rare tokens.
+    *
+    * Distributed shape: one hash-partitioned token-count aggregate
+    * (vocabulary-sized output), one equi-join of token occurrences
+    * against it, one per-doc aggregate; the corpus total rides along
+    * as a broadcast 1-row frame. No collect of row-scale data.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt")).as("__total"))
+    tok.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("__cnt").cast("double") / col("__total"))), 6)
+          .as("lm_score"))
+  }
+
   /** Training-mixture sampling: downsample each source so the kept
     * corpus hits target token proportions (the data-mixing step of
     * every large pretraining run — cf. the published mixture tables of

@@ -132,6 +132,28 @@ class CurationSpec extends SparkSpec {
     assert(keptC == 0L)
   }
 
+  test("chunkDupStats: corpus-wide chunk counts by hand") {
+    // cs=2: doc1 -> ["a b", "c d"], doc2 -> ["a b", "x y"];
+    // "a b" occurs twice corpus-wide -> each doc: 1 of 2 chunks dup
+    val df = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("id", "txt")
+    val got = Curation.chunkDupStats(df, "id", "txt", chunkSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+  }
+
+  test("unigramLogProb: corpus unigram probabilities by hand") {
+    // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
+    // doc1 = "a a a": avg log10(0.75) = -0.124939 (rounded)
+    // doc2 = "b":     log10(0.25)     = -0.602060
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("id", "txt")
+    val got = Curation.unigramLogProb(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, -0.124939)))
+    assert(got(2L) == ((1L, -0.60206)))
+  }
+
   test("ngrams helper: guard keeps short docs empty, order preserved") {
     val df = Seq((1L, "a b c")).toDF("id", "txt")
     val grams = df.select(

@@ -107,4 +107,24 @@ class FunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT hashed_shingles(CAST(NULL AS STRING), 2) AS h").head()
     assert(r.isNullAt(0))
   }
+
+  test("sorted_intersect_count matches array_intersect size on random sets") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size.toLong)
+    }
+    val df = rows.toDF("a", "b", "expect")
+    val got = df.select(
+      GraftFunctions.sortedIntersectCount(spark, col("a"), col("b")).as("got"),
+      col("expect")).collect()
+    assert(got.forall(r => r.getLong(0) == r.getLong(1)))
+    // empty and null behavior
+    val e = spark.sql(
+      "SELECT sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L)) AS z, " +
+      "sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n").head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+  }
 }
