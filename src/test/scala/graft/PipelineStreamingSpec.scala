@@ -251,6 +251,46 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamedChunks == batchChunks, "streamed chunking must equal batch")
   }
 
+  test("streaming: minhash band candidates match batch, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // docs 1 and 5 are near-identical; 5 arrives a batch after 1, so
+    // the candidate pair can only come from cross-batch bucket state
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps going on"),
+      (2L, "completely different content about distributed query engines here"),
+      (3L, "watermarks bound the state a streaming dedup must retain forever"),
+      (5L, "the quick brown fox jumps over the lazy dog and keeps going onward"),
+      (6L, "another unrelated document that shares nothing with the others at all"))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.StreamingDedup
+      .nearDupCandidates(spark, df, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_stream")
+      .select("id_1", "id_2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch parity: the same operator body over the static frame
+    val batch = graft.streaming.StreamingDedup
+      .nearDupCandidates(spark, rows.toDF("doc_id", "text"), "doc_id", "text")
+      .toDF().select("id_1", "id_2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed candidates $streamed must equal batch candidates $batch")
+    assert(streamed.contains((1L, 5L)),
+      "the cross-batch near-dup pair must surface from bucket state")
+    // the banding pre-filter stays selective: unrelated docs don't pair
+    assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
