@@ -110,6 +110,24 @@ object Sources {
     else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
+  /** Columnar sinks/scans beyond the reference's CSV: parquet (used
+    * throughout) and ORC, both bucketing-capable Spark-native formats.
+    * At 100 TB the artifact tables should be columnar — CSV stays for
+    * reference-parity artifacts only. Partition columns cut scan cost
+    * for per-fold/per-seed artifact layouts. */
+  def writeColumnar(df: DataFrame, path: String, format: String = "parquet",
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(Set("parquet", "orc").contains(format), s"unsupported: $format")
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  def readColumnar(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    require(Set("parquet", "orc").contains(format), s"unsupported: $format")
+    spark.read.format(format).load(path)
+  }
+
   /** S7: copy the config file beside the results for traceability. */
   def copyConfig(srcConfig: String, outDir: String): Unit = {
     val src = Paths.get(srcConfig)

@@ -146,4 +146,24 @@ class IoSpec extends SparkSpec {
     Sources.copyConfig(irisConf, s"$dir/results")
     assert(Files.exists(Paths.get(s"$dir/results/solution.conf")))
   }
+
+  test("orc and parquet columnar round-trips, partitioned layout prunes") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "grp", "v")
+    for (fmt <- Seq("parquet", "orc")) {
+      val dir = Files.createTempDirectory(s"graft_$fmt").toString + "/t"
+      Sources.writeColumnar(df, dir, fmt, partitionBy = Seq("grp"))
+      val back = Sources.readColumnar(spark, dir, fmt)
+      assert(back.count() == 3)
+      assert(back.select("id", "grp", "v").orderBy("id").collect().map(_.getLong(0)).toSeq
+        == Seq(1L, 2L, 3L))
+      // partition pruning: the grp filter must reach the file listing
+      val pruned = back.filter(org.apache.spark.sql.functions.col("grp") === "a")
+      assert(pruned.count() == 2)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(!plan.contains("grp#") || plan.contains("PartitionFilters"),
+        s"grp filter should prune partitions in $fmt:\n${plan.take(400)}")
+    }
+  }
 }

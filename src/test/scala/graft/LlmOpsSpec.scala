@@ -190,4 +190,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(resized(2L) == "ab", "short payload unchanged")
     assert(resized(1L).length == 4, "long payload subsampled to target")
   }
+
+  test("minhash skew guard: oversized buckets are dropped, not joined") {
+    import spark.implicits._
+    // 30 identical docs land every band bucket at size 30; with the cap
+    // below that, the bucket self-join must see none of them -- the
+    // guard trades recall on degenerate stop-content for never building
+    // a quadratic bucket. With the default cap the pairs come back.
+    val clones = (1L to 30L).map(i => (i, "all these documents are exactly the same text"))
+    val df = clones.toDF("id", "text")
+    val guarded = Dedup.minHashNearDup(df, "id", "text",
+      threshold = 0.5, maxBucketSize = 10)
+    assert(guarded.count() == 0L, "capped buckets must produce no candidate pairs")
+    val open = Dedup.minHashNearDup(df, "id", "text", threshold = 0.5)
+    assert(open.count() == 30L * 29 / 2, "default cap keeps the full clique")
+  }
 }
