@@ -86,6 +86,18 @@ class PlanAuditSpec extends SparkSpec {
       s"global-order window (single partition) forbidden:\n${windows.mkString("\n")}")
   }
 
+  test("jaccard verification: native sorted-intersect merge, no pair explosion") {
+    import spark.implicits._
+    val docs = core.Tables.documents(spark, sf)
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_1", "id_2")
+    val sh = graft.dedup.Dedup.hashedCharNgrams(docs, "doc_id", "text", 5).distinct()
+    val plan = formatted(graft.dedup.Dedup.exactJaccardOnPairs(pairs, sh))
+    assert(plan.contains("sorted_intersect_count"),
+      s"verification must use the native merge kernel:\n${plan.take(800)}")
+    assert(plan.contains("sort_array") && plan.contains("collect_list"),
+      "gram sets must be pre-aggregated into sorted arrays")
+  }
+
   test("q81 quantization is scan-local: no shuffle") {
     val emb = core.Tables.embeddings(spark, sf)
     val plan = formatted(graft.sim.Quantize.quantizeStats(emb, "vec_id", "embedding"))
