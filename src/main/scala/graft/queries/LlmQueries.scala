@@ -731,11 +731,31 @@ object LlmQueries {
       |FROM tok JOIN counts USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q85: corpus-wide top-20 token bigrams — the BPE-round-one pair
+  // statistic, as a global TakeOrdered aggregate.
+  // -------------------------------------------------------------------
+  def topBigrams(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.topNgrams(docs(s, d), "text", n = 2, k = 20)
+
+  val topBigramsSql: String =
+    """WITH tok AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |grams AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |                               i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM tok WHERE len(w) >= 2
+      |)
+      |SELECT gram, count(*) AS cnt FROM grams
+      |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
     "q83_chunk_dup" -> (chunkDupStats _),
     "q84_unigram_lm" -> (unigramLm _),
+    "q85_top_bigrams" -> (topBigrams _),
     "q80_pack_offsets" -> (packOffsets _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
@@ -765,6 +785,7 @@ object LlmQueries {
     "q82_mix_sources" -> mixBySourceSql,
     "q83_chunk_dup" -> chunkDupStatsSql,
     "q84_unigram_lm" -> unigramLmSql,
+    "q85_top_bigrams" -> topBigramsSql,
     "q80_pack_offsets" -> packOffsetsSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,

@@ -111,6 +111,23 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Corpus-wide most-frequent token n-grams — the first statistic of
+    * tokenizer training (BPE merges pick the most frequent adjacent
+    * pair each round, Sennrich et al. 2016 §3.2; this is the
+    * distributed pair-count that drives round one, generalized to n).
+    * One explode + hash-partitioned count + TakeOrdered(k) — the
+    * shuffle carries (gram, partial count) pairs, never documents, and
+    * the top-k never materializes a full sort. Ties break on the gram
+    * string so the result is deterministic. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 20): DataFrame = {
+    val tok = df.select(TextOps.tokens(col(textCol)).as("__w"))
+    tok.select(explode(ngrams(col("__w"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Chunk-level (paragraph-style) duplication statistics: split each
     * document into fixed token chunks and report, per document, how
     * many of its chunks occur more than once in the whole corpus — the

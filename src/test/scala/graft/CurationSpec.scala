@@ -154,6 +154,15 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((1L, -0.60206)))
   }
 
+  test("topNgrams: BPE-style pair counts with deterministic tie-break") {
+    // bigrams: "a b" x3, then "b a"/"b c"/"c a" all x1 — the k=3 cut
+    // falls inside the tie, so the lexicographic tie-break decides
+    val df = Seq((1L, "a b a b"), (2L, "a b c a")).toDF("id", "txt")
+    val got = Curation.topNgrams(df, "txt", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("ngrams helper: guard keeps short docs empty, order preserved") {
     val df = Seq((1L, "a b c")).toDF("id", "txt")
     val grams = df.select(
