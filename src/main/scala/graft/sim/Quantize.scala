@@ -26,6 +26,25 @@ object Quantize {
     * bit-exact oracle comparison; the error bound scale/2 is asserted
     * in spec.
     */
+  /** Quantize-then-reconstruct: the vector a consumer would search
+    * over after uint8 storage (each element snapped to its nearest of
+    * `levels`+1 grid points in the vector's own [min, max] range).
+    * Used by the recall spec to show ANN top-k survives quantization;
+    * scan-local like quantizeStats. */
+  def dequantized(df: DataFrame, idCol: String, embCol: String,
+      levels: Int = 255): DataFrame = {
+    val stage1 = df.select(col(idCol),
+      transform(col(embCol), e => e.cast("double")).as("__x"))
+    stage1
+      .withColumn("__min", array_min(col("__x")))
+      .withColumn("__scale", (array_max(col("__x")) - col("__min")) / levels)
+      .select(col(idCol),
+        when(col("__scale") > 0,
+          transform(col("__x"), e =>
+            col("__min") + round((e - col("__min")) / col("__scale")) * col("__scale")))
+          .otherwise(col("__x")).as("emb_q"))
+  }
+
   def quantizeStats(df: DataFrame, idCol: String, embCol: String,
       levels: Int = 255): DataFrame = {
     val stage1 = df.select(col(idCol),

@@ -205,4 +205,22 @@ class LlmOpsSpec extends SparkSpec {
     val open = Dedup.minHashNearDup(df, "id", "text", threshold = 0.5)
     assert(open.count() == 30L * 29 / 2, "default cap keeps the full clique")
   }
+
+  test("uint8-quantized embeddings keep brute-force ANN recall") {
+    import org.apache.spark.sql.functions.col
+    val k = 5
+    val probes = emb.filter(col("vec_id") < 20)
+    val exact = graft.sim.Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dq = graft.sim.Quantize.dequantized(emb, "vec_id", "embedding").cache()
+    val approx = graft.sim.Similarity
+      .bruteForceTopK(dq, dq.filter(col("vec_id") < 20), "vec_id", "emb_q", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    dq.unpersist()
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@$k = $recall below 0.9")
+  }
 }
