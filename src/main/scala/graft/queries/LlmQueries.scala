@@ -750,12 +750,74 @@ object LlmQueries {
       |SELECT gram, count(*) AS cnt FROM grams
       |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q86: text normalization — lowercase, strip to letters/digits/space,
+  // collapse whitespace; the canonical-form step before exact dedup.
+  // PII is injected first (as in q77) so the strip path has real work.
+  // -------------------------------------------------------------------
+  def normalizeText(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" See: User"), col("doc_id"),
+        lit("@Example.COM!! (tel. 555-01"), col("doc_id") % 100,
+        lit(")")).as("text"))
+    graft.text.Curation.normalizeText(injected, "doc_id", "text")
+      .select(col("doc_id"), col("n_chars_raw").cast("long").as("n_chars_raw"),
+        col("n_chars_norm").cast("long").as("n_chars_norm"), col("normalized"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeTextSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |         text || ' See: User' || doc_id || '@Example.COM!! (tel. 555-01'
+      |              || (doc_id % 100) || ')' AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_chars_raw,
+      |  CAST(len(trim(regexp_replace(regexp_replace(lower(t),
+      |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
+      |    AS n_chars_norm,
+      |  trim(regexp_replace(regexp_replace(lower(t),
+      |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+      |FROM inj ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q87: per-source quality cap — keep only the 5 highest-quality docs
+  // per source (deterministic tie-break), the per-domain cap step of a
+  // curation pipeline; compiles to partial+final WindowGroupLimit.
+  // -------------------------------------------------------------------
+  def bestPerSource(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val scored = base.select(col("doc_id"), col("source"))
+      .join(TextOps.qualityScore(base, "doc_id", "text"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5).drop("__rn")
+      .orderBy("doc_id")
+  }
+
+  val bestPerSourceSql: String =
+    s"""WITH q AS ($qualitySql),
+      |j AS (
+      |  SELECT d.doc_id, d.source, q.quality
+      |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+      |)
+      |SELECT doc_id, source, quality FROM j
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |                           ORDER BY quality DESC, doc_id) <= 5
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
     "q83_chunk_dup" -> (chunkDupStats _),
     "q84_unigram_lm" -> (unigramLm _),
     "q85_top_bigrams" -> (topBigrams _),
+    "q86_normalize" -> (normalizeText _),
+    "q87_best_per_source" -> (bestPerSource _),
     "q80_pack_offsets" -> (packOffsets _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
@@ -786,6 +848,8 @@ object LlmQueries {
     "q83_chunk_dup" -> chunkDupStatsSql,
     "q84_unigram_lm" -> unigramLmSql,
     "q85_top_bigrams" -> topBigramsSql,
+    "q86_normalize" -> normalizeTextSql,
+    "q87_best_per_source" -> bestPerSourceSql,
     "q80_pack_offsets" -> packOffsetsSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,

@@ -63,6 +63,24 @@ object Curation {
         round(col("top_gram_cnt") / col("n_grams"), 6).as("top_gram_frac"))
   }
 
+  /** Text normalization: lowercase, strip everything but letters /
+    * digits / whitespace, collapse whitespace runs, trim — the
+    * canonical-form step before exact dedup and shingling (what C4's
+    * preprocessing and every tokenizer's pre-tokenizer do first).
+    * Unicode classes \p{L}/\p{N} are portable between Java regex and
+    * RE2, so the DuckDB oracle replays it; pure column expressions,
+    * scan-local. NFC normalization is intentionally out: Spark has no
+    * built-in and the corpus is ASCII — a deployment adds it as one
+    * more regexp-free map. */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_raw"),
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", " "),
+        "\\s+", " ")).as("normalized"))
+      .withColumn("n_chars_norm", length(col("normalized")))
+
   // Portable between Java regex (Spark) and RE2 (DuckDB): character
   // classes, bounded repetition and \b only — no backrefs, no lookarounds.
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -163,6 +163,16 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("normalizeText: lowercase, strip, collapse, trim by hand") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! (v2.0) "),
+      (2L, "already clean text")).toDF("id", "txt")
+    val got = Curation.normalizeText(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "hello world v2 0")
+    assert(got(2L) == "already clean text")
+  }
+
   test("ngrams helper: guard keeps short docs empty, order preserved") {
     val df = Seq((1L, "a b c")).toDF("id", "txt")
     val grams = df.select(

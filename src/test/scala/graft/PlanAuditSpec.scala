@@ -98,6 +98,12 @@ class PlanAuditSpec extends SparkSpec {
       "gram sets must be pre-aggregated into sorted arrays")
   }
 
+  test("q87 per-source cap: partial group-limit bounds shuffle volume") {
+    val plan = formatted(Queries.registry("q87_best_per_source")(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"partial + final group limit expected for the rn<=5 window:\n${plan.take(1200)}")
+  }
+
   test("q81 quantization is scan-local: no shuffle") {
     val emb = core.Tables.embeddings(spark, sf)
     val plan = formatted(graft.sim.Quantize.quantizeStats(emb, "vec_id", "embedding"))
