@@ -810,6 +810,56 @@ object LlmQueries {
       |                           ORDER BY quality DESC, doc_id) <= 5
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q88: curation capstone — normalize -> Gopher repetition filter ->
+  // keep-first exact dedup -> packing offsets, the full chain replayed
+  // stage by stage in the oracle.
+  // -------------------------------------------------------------------
+  def curationPrep(s: SparkSession, d: String): DataFrame =
+    graft.text.Corpus.curationPrep(docs(s, d), "doc_id", "text",
+      maxDupGramFrac = 0.05, window = 512)
+      .orderBy("doc_id")
+
+  val curationPrepSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(lower(text),
+      |           '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, string_split_regex(t, '\s+') AS w FROM norm),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                                       i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM tok WHERE len(w) >= 2
+      |),
+      |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      |keep AS (
+      |  SELECT doc_id FROM counts GROUP BY doc_id
+      |  HAVING round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |         <= 0.05
+      |),
+      |dedup AS (
+      |  SELECT n.doc_id, n.t FROM norm n JOIN keep USING (doc_id)
+      |  QUALIFY row_number() OVER (PARTITION BY n.t ORDER BY n.doc_id) = 1
+      |),
+      |sized AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM dedup
+      |),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS start_offset
+      |  FROM sized
+      |)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       CAST(start_offset // 512 AS BIGINT) AS start_window,
+      |       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_window
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
@@ -818,6 +868,7 @@ object LlmQueries {
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
     "q87_best_per_source" -> (bestPerSource _),
+    "q88_curation_prep" -> (curationPrep _),
     "q80_pack_offsets" -> (packOffsets _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
@@ -850,6 +901,7 @@ object LlmQueries {
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
     "q87_best_per_source" -> bestPerSourceSql,
+    "q88_curation_prep" -> curationPrepSql,
     "q80_pack_offsets" -> packOffsetsSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,

@@ -74,4 +74,30 @@ object Corpus {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(textCol)
   }
+
+  /** Round-6 capstone composition: the curation-side preparation a
+    * tokenizer-bound corpus runs AFTER language/quality selection —
+    * canonical-form normalization (Curation.normalizeText), the Gopher
+    * duplicate-bigram repetition filter (Rae et al. 2021 A1.1),
+    * exact dedup on the normalized text (keep-first by id so the
+    * representative is deterministic), and GPT-style sequence-packing
+    * offsets over what survives. Each stage is the already-oracle-
+    * gated primitive; this function only sequences them, and the q88
+    * oracle replays the full chain stage by stage.
+    *
+    * @param maxDupGramFrac Gopher duplicate-bigram-fraction cap;
+    *                       documents above it are dropped
+    * @param window         packing window in tokens
+    */
+  def curationPrep(docs: DataFrame, idCol: String, textCol: String,
+      maxDupGramFrac: Double = 0.05, window: Int = 512): DataFrame = {
+    val norm = Curation.normalizeText(docs, idCol, textCol)
+      .select(col(idCol), col("normalized").as(textCol))
+    val keepIds = Curation.repetitionStats(norm, idCol, textCol, n = 2)
+      .filter(col("dup_gram_frac") <= maxDupGramFrac)
+      .select(col(idCol))
+    val kept = norm.join(keepIds, idCol)
+    val deduped = Dedup.keepFirst(kept, Seq(textCol), Seq(col(idCol)))
+    Curation.packOffsets(deduped, idCol, textCol, window)
+  }
 }
