@@ -109,4 +109,19 @@ class PlanAuditSpec extends SparkSpec {
     val plan = formatted(graft.sim.Quantize.quantizeStats(emb, "vec_id", "embedding"))
     assert(!plan.contains("Exchange"), "per-vector quantization must not shuffle")
   }
+
+  test("q88 capstone: packing windows stay partition-local post-checkpoint") {
+    // the dedup stage's partial+final WindowGroupLimit is audited on
+    // keepFirst directly (q47 case); packOffsets' localCheckpoint hides
+    // it from this plan, so here we assert what remains visible: every
+    // window in the packing tail carries the __pid partition key.
+    val docs = core.Tables.documents(spark, sf)
+    val df = graft.text.Corpus.curationPrep(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, "expected the cumsum window in the packing tail")
+    assert(windows.forall(_.contains("__pid")),
+      s"global-order window forbidden in the capstone:\n${windows.mkString("\n")}")
+  }
 }
