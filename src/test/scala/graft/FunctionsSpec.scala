@@ -127,4 +127,26 @@ class FunctionsSpec extends SparkSpec {
       "sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n").head()
     assert(e.getLong(0) == 0L && e.isNullAt(1))
   }
+
+  test("hashed_ngrams: randomized unicode parity with the substr formulation") {
+    GraftFunctions.register(spark)
+    val alphabet = "ab χψω 漢字 é€ \t"
+    val rnd = new scala.util.Random(11)
+    val texts = (1 to 60).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(2, 5)) {
+      val native = df.select(col("id"),
+        GraftFunctions.hashedNgrams(spark, col("t"), n).as("h"))
+        .orderBy("id").collect().map(_.getSeq[Long](1))
+      val composed = df.select(col("id"),
+        when(length(col("t")) >= n,
+          transform(sequence(lit(1), length(col("t")) - n + 1),
+            i => xxhash64(col("t").substr(i, lit(n)))))
+          .otherwise(array().cast("array<bigint>")).as("h"))
+        .orderBy("id").collect().map(_.getSeq[Long](1))
+      assert(native.toSeq == composed.toSeq, s"n=$n parity failed")
+    }
+  }
 }
