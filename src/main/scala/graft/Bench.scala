@@ -61,7 +61,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    // Memoized groups share computation within a pass, so only the
+    // group SUBTOTAL is comparable round-over-round (see attribution
+    // caveat above). Emitted explicitly so readers need not rebuild
+    // them; `value` (the headline total) prints FIRST so a
+    // tail-truncated capture of this line still carries it.
+    val memoGroups = Map(
+      "cv_shap" -> Seq("q31_cv_oof", "q32_cv_scores", "q72_cv_metric_replay",
+        "q73_tree_shap", "q75_shap_importance"),
+      "rf_bag" -> Seq("q89_bag_oof", "q91_bag_vote"),
+      "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters"))
+    val groups = memoGroups.map { case (g, names) =>
+      s"\"" + g + "\":" + names.flatMap(results.get).sum
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"memo_groups":$groups,"queries":$qs}""")
     spark.stop()
   }
 }

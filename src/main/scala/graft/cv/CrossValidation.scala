@@ -240,32 +240,40 @@ object CrossValidation {
       idCol: String,
       model: ModelWrapper,
       cfg: CvConfig,
-      seeds: Seq[Long]): BaggedResult = {
+      seeds: Seq[Long],
+      preSeeded: Map[Long, SeedResult] = Map.empty): BaggedResult = {
     require(seeds.nonEmpty, "need at least one seed")
     val spark = train.sparkSession
     import spark.implicits._
 
-    // one fold assignment serves every seed (membership is a function
-    // of dataSplitSeed only)
-    val folded = Folds.assign(
+    // One fold assignment serves every fresh seed (membership is a
+    // function of dataSplitSeed only); skipped entirely when every
+    // needed fit is already supplied via preSeeded — callers that
+    // memoize a single-seed run (q31 -> q32) hand it in so the bagged
+    // query refits nothing.
+    lazy val folded = Folds.assign(
       train.select((idCol +: target +: features).map(col): _*),
       cfg.numFolds, cfg.dataSplitSeed,
       if (cfg.stratified) Some(target) else None).cache()
+    var foldedUsed = false
+    def fitSeed(s: Long): SeedResult = preSeeded.getOrElse(s, {
+      foldedUsed = true
+      runCvOneSeed(train, test, features, target, idCol, model, cfg, s,
+        preFolded = Some(folded))
+    })
     // Seedless models (hasSeedParam=false, model_wrappers.py:242-258
     // sklearn adapters without random_state) fit identically for every
     // seed — the reference still refits per seed; we run one CV and
     // reuse its result, which is observationally equivalent and k times
-    // cheaper for a k-seed bag.
+    // cheaper for a k-seed bag. A preSeeded entry for ANY seed serves
+    // all of them in that case.
     val perSeed =
-      if (model.hasSeedParam)
-        seeds.map(s => s -> runCvOneSeed(
-          train, test, features, target, idCol, model, cfg, s, preFolded = Some(folded)))
+      if (model.hasSeedParam) seeds.map(s => s -> fitSeed(s))
       else {
-        val one = runCvOneSeed(
-          train, test, features, target, idCol, model, cfg, seeds.head, preFolded = Some(folded))
+        val one = preSeeded.values.headOption.getOrElse(fitSeed(seeds.head))
         seeds.map(s => s -> one)
       }
-    folded.unpersist()
+    if (foldedUsed) folded.unpersist()
 
     val cvResults = perSeed.map { case (s, r) =>
       (s, r.cvScore, r.cvStd, r.foldScores)
@@ -334,7 +342,10 @@ object CrossValidation {
       if (imps.nonEmpty) Some(imps.reduce(_ unionByName _)) else None
     }
 
-    perSeed.foreach(_._2.oof.unpersist())
+    // Only release OOF caches this call created — preSeeded results are
+    // owned (and possibly still served) by the caller's memo.
+    val supplied = preSeeded.values.toSet
+    perSeed.map(_._2).distinct.filterNot(supplied).foreach(_.oof.unpersist())
     BaggedResult(oofBag, subBag, oofBagged, subBagged, cvResults, cvScore, cvStd, importances)
   }
 }
