@@ -182,8 +182,6 @@ object Dedup {
     verified
   }
 
-  /** Exact Jaccard for an explicit candidate-pair set: two equi joins
-    * against the shingle table (intersection), plus per-id set sizes. */
   /** Exact Jaccard for candidate pairs against a DISTINCT (id, s)
     * unit table. Each candidate doc's unit set is aggregated once into
     * a sorted long array; pairs join to their two arrays and the

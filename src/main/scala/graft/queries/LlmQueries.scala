@@ -488,6 +488,75 @@ object LlmQueries {
       |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q90: word-level Gopher/MassiveText quality rules (Rae 2021 §A1.1 —
+  // the non-repetition filter set q76 left out). The synthetic corpus
+  // is single-line prose, so both sides first append deterministic
+  // bullet / ellipsis / symbol lines keyed on doc_id — making the line
+  // fractions and symbol ratio real computations the oracle replays,
+  // not constants.
+  // -------------------------------------------------------------------
+  def gopherWord(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("- bullet item"))
+          .otherwise(lit("plain line")),
+        lit("\n"),
+        when(col("doc_id") % 4 === 0, lit("to be continued..."))
+          .otherwise(lit("the end")),
+        when(col("doc_id") % 5 === 0, lit(" ## #")).otherwise(lit(""))
+      ).as("text"))
+    graft.text.Curation.wordQualityStats(injected, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val gopherWordSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text || chr(10)
+      |      || CASE WHEN doc_id % 3 = 0 THEN '- bullet item' ELSE 'plain line' END
+      |      || chr(10)
+      |      || CASE WHEN doc_id % 4 = 0 THEN 'to be continued...' ELSE 'the end' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' ## #' ELSE '' END AS t
+      |  FROM documents
+      |),
+      |arr AS (
+      |  SELECT doc_id, t,
+      |         string_split_regex(trim(t), '\s+') AS w,
+      |         string_split(t, chr(10)) AS lines
+      |  FROM inj
+      |),
+      |stat AS (
+      |  SELECT doc_id,
+      |    len(w) AS n_words,
+      |    list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS mean_word_len,
+      |    len(regexp_extract_all(t, '#|\.\.\.|…')) * 1.0 / len(w) AS symbol_word_ratio,
+      |    len(lines) AS n_lines,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+      |      * 1.0 / len(lines) AS bullet_line_frac,
+      |    len(list_filter(lines,
+      |          l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+      |      * 1.0 / len(lines) AS ellipsis_line_frac,
+      |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      |      * 1.0 / len(w) AS alpha_word_frac
+      |  FROM arr
+      |)
+      |SELECT doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  round(mean_word_len, 6) AS mean_word_len,
+      |  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  round(bullet_line_frac, 6) AS bullet_line_frac,
+      |  round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+      |  round(alpha_word_frac, 6) AS alpha_word_frac,
+      |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+      |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+      |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8)
+      |    AS passes_gopher_word
+      |FROM stat ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q77: PII redaction. The synthetic corpus carries no PII, so both
   // sides inject a deterministic email + IPv4 per document first —
   // making the redaction path (count + mask) a real transformation the
@@ -640,9 +709,13 @@ object LlmQueries {
       |  round(vmin, 6) AS vmin,
       |  round(vmax, 6) AS vmax,
       |  CAST(list_sum(list_transform(x,
-      |    v -> CAST(round((v - vmin) / scale) AS BIGINT))) AS BIGINT) AS code_sum,
+      |    v -> CASE WHEN scale > 0
+      |              THEN CAST(round((v - vmin) / scale) AS BIGINT)
+      |              ELSE 0 END)) AS BIGINT) AS code_sum,
       |  round(list_aggregate(list_transform(x,
-      |    v -> abs(vmin + CAST(round((v - vmin) / scale) AS BIGINT) * scale - v)),
+      |    v -> abs(vmin + CASE WHEN scale > 0
+      |                        THEN CAST(round((v - vmin) / scale) AS BIGINT)
+      |                        ELSE 0 END * scale - v)),
       |    'max'), 6) AS max_abs_err
       |FROM q ORDER BY vec_id""".stripMargin
 
@@ -872,6 +945,7 @@ object LlmQueries {
     "q80_pack_offsets" -> (packOffsets _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
+    "q90_gopher_word" -> (gopherWord _),
     "q77_pii_redact" -> (piiRedact _),
     "q78_decontaminate" -> (decontaminate _),
     "q79_chunk_docs" -> (chunkDocs _),
@@ -905,6 +979,7 @@ object LlmQueries {
     "q80_pack_offsets" -> packOffsetsSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,
+    "q90_gopher_word" -> gopherWordSql,
     "q77_pii_redact" -> piiRedactSql,
     "q78_decontaminate" -> decontaminateSql,
     "q79_chunk_docs" -> chunkDocsSql,

@@ -18,14 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** Quantization summary per vector: value range, the exact sum of
-    * the integer codes, and the worst-case reconstruction error. The
-    * codes are round((x - min) / scale) with scale = (max - min)/levels
-    * — `code_sum` is integer-exact, and `max_abs_err` is
-    * order-independent (a max, not a float sum), so both survive a
-    * bit-exact oracle comparison; the error bound scale/2 is asserted
-    * in spec.
-    */
   /** Quantize-then-reconstruct: the vector a consumer would search
     * over after uint8 storage (each element snapped to its nearest of
     * `levels`+1 grid points in the vector's own [min, max] range).
@@ -45,6 +37,14 @@ object Quantize {
           .otherwise(col("__x")).as("emb_q"))
   }
 
+  /** Quantization summary per vector: value range, the exact sum of
+    * the integer codes, and the worst-case reconstruction error. The
+    * codes are round((x - min) / scale) with scale = (max - min)/levels
+    * — `code_sum` is integer-exact, and `max_abs_err` is
+    * order-independent (a max, not a float sum), so both survive a
+    * bit-exact oracle comparison; the error bound scale/2 is asserted
+    * in spec.
+    */
   def quantizeStats(df: DataFrame, idCol: String, embCol: String,
       levels: Int = 255): DataFrame = {
     val stage1 = df.select(col(idCol),

@@ -63,6 +63,56 @@ object Curation {
         round(col("top_gram_cnt") / col("n_grams"), 6).as("top_gram_frac"))
   }
 
+  /** Word-level Gopher/MassiveText quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the non-repetition half of the published
+    * filter set: word count bounds, mean word length bounds,
+    * symbol-to-word ratio (# and ellipsis), bullet-start and
+    * ellipsis-end line fractions, and the fraction of words containing
+    * at least one alphabetic character. `passes_gopher_word` applies
+    * the paper's thresholds (50 <= words <= 100k, 3 <= mean len <= 10,
+    * symbol ratio <= 0.1, bullet lines <= 90%, ellipsis lines <= 30%,
+    * alpha words >= 80%) on the unrounded values.
+    *
+    * Every statistic is a pure column expression over the token /
+    * line arrays (higher-order functions, codegen'd) — scan-local,
+    * zero Exchange, the same scale shape as redactPii. */
+  def wordQualityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = TextOps.tokens(t)
+    val lines = split(t, "\n")
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(transform(w, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    // non-overlapping matches, identical in Java regex and RE2
+    val nSymbols = regexp_count(t, lit("#|\\.\\.\\.|…")).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val meanLen = sumLen / nWords
+    val symbolRatio = nSymbols / nWords
+    val bulletFrac = bulletLines / nLines
+    val ellipsisFrac = ellipsisLines / nLines
+    val alphaFrac = alphaWords / nWords
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      nLines.as("n_lines"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3 && meanLen <= 10 &&
+        symbolRatio <= 0.1 &&
+        bulletFrac <= 0.9 &&
+        ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8).as("passes_gopher_word"))
+  }
+
   /** Text normalization: lowercase, strip everything but letters /
     * digits / whitespace, collapse whitespace runs, trim — the
     * canonical-form step before exact dedup and shingling (what C4's
