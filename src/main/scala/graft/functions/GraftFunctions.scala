@@ -56,7 +56,11 @@ object GraftFunctions {
   }
 
   private val isectInfo = new ExpressionInfo(
-    classOf[SortedIntersectCount].getCanonicalName, "sorted_intersect_count")
+    classOf[SortedIntersectCount].getCanonicalName, null, "sorted_intersect_count",
+    "_FUNC_(a, b) - Returns |a ∩ b| for two array<bigint> inputs that MUST " +
+      "be sorted ascending (e.g. via sort_array); unsorted input returns an " +
+      "undercount. Null elements match nothing; duplicates count pairwise-min.",
+    "")
 
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))

@@ -41,16 +41,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // null ELEMENTS match nothing (SQL equality), so they are skipped —
+  // getLong on a null slot would read an undefined value and silently
+  // miscount for SQL callers passing e.g. CAST(... AS ARRAY<BIGINT>).
+  // The null checks are only emitted when the input TYPE admits nulls,
+  // keeping the dedup hot path (collect_list output, containsNull =
+  // false) a branch-free two-pointer loop.
+  private def mayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0L
+    val checkNulls = mayBeNull
     while (i < nx && j < ny) {
-      val xi = x.getLong(i); val yj = y.getLong(j)
-      if (xi < yj) i += 1
-      else if (xi > yj) j += 1
-      else { c += 1; i += 1; j += 1 }
+      if (checkNulls && x.isNullAt(i)) i += 1
+      else if (checkNulls && y.isNullAt(j)) j += 1
+      else {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi < yj) i += 1
+        else if (xi > yj) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }
@@ -61,10 +77,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val c = ctx.freshName("c")
+      val nullSkip =
+        if (mayBeNull)
+          s"""if ($a.isNullAt($i)) { $i++; continue; }
+              if ($b.isNullAt($j)) { $j++; continue; }"""
+        else ""
       s"""
         int $nx = $a.numElements(); int $ny = $b.numElements();
         int $i = 0; int $j = 0; long $c = 0L;
         while ($i < $nx && $j < $ny) {
+          $nullSkip
           long $xi = $a.getLong($i); long $yj = $b.getLong($j);
           if ($xi < $yj) $i++;
           else if ($xi > $yj) $j++;

@@ -124,8 +124,11 @@ class FunctionsSpec extends SparkSpec {
     // empty and null behavior
     val e = spark.sql(
       "SELECT sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L)) AS z, " +
-      "sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n").head()
-    assert(e.getLong(0) == 0L && e.isNullAt(1))
+      "sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n, " +
+      // null ELEMENTS (sorted first, as sort_array places them) match
+      // nothing and are skipped, not misread as garbage longs
+      "sorted_intersect_count(array(NULL, 1L, 2L), array(CAST(NULL AS BIGINT), 2L)) AS s").head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.getLong(2) == 1L)
   }
 
   test("hashed_ngrams: randomized unicode parity with the substr formulation") {
