@@ -173,6 +173,44 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == "already clean text")
   }
 
+  test("hot-key skew: chunkDupStats exact on a degenerate corpus; salted fallback bit-identical") {
+    // adversarial fixture: one chunk text repeated 3000x concentrates a
+    // single aggregation key — the shape a pathological corpus (boiler-
+    // plate pages, license headers) produces at 100 TB
+    val hot = "x1 x2 x3 x4"
+    val docs = ((1 to 3000).map(i => (i.toLong, hot)) ++
+      (3001 to 3200).map(i => (i.toLong, s"u$i a$i b$i c$i")))
+      .toDF("doc_id", "text").repartition(8)
+    val stats = Curation.chunkDupStats(docs, "doc_id", "text", chunkSize = 4)
+    val agg = stats.agg(sum("n_dup_chunks").as("d"), sum("n_chunks").as("n")).head()
+    assert(agg.getLong(0) == 3000 && agg.getLong(1) == 3200,
+      "hot-key corpus must count exactly: 3000 duplicated chunks of 3200")
+
+    // the corpus-wide chunk count behind it partial-aggregates BEFORE
+    // the shuffle: the hot key crosses the wire as one partial row per
+    // map task, not 3000 rows — the property that makes the aggregate
+    // immune to key concentration
+    val chunks = Curation.chunkTokens(docs, "doc_id", "text", 4)
+      .select(col("doc_id"), col("chunk"))
+    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    counts.collect() // finalize AQE so the executed plan is the real one
+    val plan = counts.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"chunk count must map-side combine (partial+final HashAggregate):\n${plan.take(400)}")
+
+    // and the two-phase salted fallback (Skew.saltedAgg) — the manual
+    // escape hatch when a hot key does reach one reducer — merges to
+    // bit-identical counts on the same degenerate corpus
+    val direct = counts.orderBy("chunk").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val salted = graft.ops.Skew.saltedAgg(chunks, Seq("chunk"),
+        Seq(graft.ops.Skew.SaltedCount("cnt")), buckets = 16)
+      .orderBy("chunk").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(direct.sameElements(salted),
+      "salted two-phase aggregation must be bit-identical to direct groupBy")
+  }
+
   test("ngrams helper: guard keeps short docs empty, order preserved") {
     val df = Seq((1L, "a b c")).toDF("id", "txt")
     val grams = df.select(

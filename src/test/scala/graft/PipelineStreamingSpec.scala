@@ -291,6 +291,76 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("streaming: verified near-dup pairs equal batch minHashNearDup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // doc 5 (near-dup of 1) arrives a batch later: its verified pair
+    // can only come from cross-batch bucket state carrying doc 1's
+    // gram array
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps going on"),
+      (2L, "completely different content about distributed query engines here"),
+      (3L, "watermarks bound the state a streaming dedup must retain forever"),
+      (5L, "the quick brown fox jumps over the lazy dog and keeps going onward"),
+      (6L, "another unrelated document that shares nothing with the others at all"))
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDedup
+      .verifiedNearDup(spark, df, "doc_id", "text", threshold = 0.5)
+      .writeStream.format("memory").queryName("verified_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("verified_stream")
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("j"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val batch = graft.dedup.Dedup
+      .minHashNearDup(rows.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed == batch,
+      s"streamed verified pairs $streamed must equal batch minHashNearDup $batch")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 5L),
+      "the cross-batch near-dup pair must emerge verified")
+    assert(streamed.forall(_._3 >= 0.5), "no sub-threshold pair may leak")
+  }
+
+  test("streaming: bucket cap drops oversized buckets like the batch path") {
+    import spark.implicits._
+    // three near-identical docs land together in (almost) every bucket;
+    // cap=2 makes those buckets oversized -> the batch path drops them
+    // and the streamed operator (run statically: one group call per
+    // bucket, state from empty) must retract and emit nothing from them
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappaY"))
+    val df = rows.toDF("doc_id", "text")
+    val streamedStatic = graft.streaming.StreamingDedup
+      .verifiedNearDup(spark, df, "doc_id", "text", threshold = 0.1,
+        maxBucketSize = 2)
+      .toDF().select("id_1", "id_2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Dedup
+      .minHashNearDup(df, "doc_id", "text", threshold = 0.1,
+        maxBucketSize = 2)
+      .select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedStatic == batch,
+      s"capped streamed $streamedStatic must equal capped batch $batch")
+    // sanity: with the cap lifted both paths DO find the pairs
+    val uncapped = graft.dedup.Dedup
+      .minHashNearDup(df, "doc_id", "text", threshold = 0.1).count()
+    assert(uncapped > 0, "the fixture must contain real near-dup pairs")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
