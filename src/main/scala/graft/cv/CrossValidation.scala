@@ -131,8 +131,16 @@ object CrossValidation {
 
     val m = metric(cfg)
     val scoreCol = "oof_score"
-    val foldScores = (0 until cfg.numFolds).map { k =>
-      round6(m(oof.filter(col("fold") === k), target, scoreCol), cfg.metricsDecimals)
+    // all k per-fold scores in one grouped pass where the metric
+    // supports it (k filtered rank plans -> one), else per-fold filters
+    val foldScores = Metrics.byGroup(cfg.metricName) match {
+      case Some(f) =>
+        val byFold = f(oof, "fold", target, scoreCol)
+        (0 until cfg.numFolds).map(k => round6(byFold(k), cfg.metricsDecimals))
+      case None =>
+        (0 until cfg.numFolds).map { k =>
+          round6(m(oof.filter(col("fold") === k), target, scoreCol), cfg.metricsDecimals)
+        }
     }
     val cvScore = round6(m(oof, target, scoreCol), cfg.metricsDecimals)
     val cvStd = round6(stdPop(foldScores), cfg.metricsDecimals)

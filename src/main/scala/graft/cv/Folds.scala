@@ -1,8 +1,8 @@
 package graft.cv
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** K-fold assignment — the Spark-first replacement for sklearn
   * KFold/StratifiedKFold(shuffle=True, random_state) used by the
@@ -10,9 +10,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Design for scale (SURVEY §7.4.2): a naive
   * `row_number().over(Window.orderBy(rand))` collapses the frame into a
-  * single partition. Instead we do a distributed range-partitioned sort
-  * by (stratum, rand(seed)) and derive exact per-row indices with
-  * zipWithIndex (one extra count pass, no shuffle beyond the sort).
+  * single partition. Instead the frame is range-partition-sorted by
+  * (stratum, content hash) and the per-stratum row index is a
+  * distributed prefix sum — row_number within each (partition, stratum)
+  * block plus that block's start offset, computed from a bounded
+  * (numPartitions × strata)-row collected count — the same idiom as
+  * Metrics.rocAuc's rank prefix sum. Every stage is partition-parallel
+  * and stays in Tungsten rows (an earlier zipWithIndex formulation paid
+  * an RDD round-trip that broke codegen and re-scanned the source).
   * Fold id = per-stratum row index mod k — exact balance per stratum
   * (sizes differ by at most 1), like sklearn.
   *
@@ -43,44 +48,40 @@ object Folds {
       stratifyBy: Option[String] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = df.sparkSession
+    import spark.implicits._
     val strat = stratifyBy.map(col).getOrElse(lit(0))
     // Shuffle key = content hash seeded by `seed`: deterministic for a
     // given dataset regardless of physical partitioning (rand() is not —
     // it depends on partition index), so fold membership is reproducible
     // across runs and cluster sizes.
     val shuffleKey = xxhash64(lit(seed) +: df.columns.map(col): _*)
-    val sorted = df.withColumn("__strat", strat.cast("string"))
+    val parts = df.withColumn("__strat", strat.cast("string"))
       .withColumn("__h", shuffleKey)
       .repartitionByRange(col("__strat"), col("__h"))
       .sortWithinPartitions(col("__strat"), col("__h"))
-      .drop("__h")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // materialize the range shuffle once; two consumers
 
-    // Per-stratum offsets are derived from a cheap source-side count
-    // (strata = class labels, few by contract) collected BEFORE zipping,
-    // so the expensive repartition+sort+zip pipeline below has exactly
-    // one consumer — no persist needed, nothing cached for the life of
-    // the session (each HPO trial used to leak one cached copy here).
-    // Null strata sort first under range partitioning, matching the
-    // nulls-first driver sort below.
-    val counts = df.groupBy(strat.cast("string").as("__strat")).count()
-      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
-      .sortBy(_._1)(Ordering.Option(Ordering.String)) // None (null stratum) first
-    val offsets: Map[Option[String], Long] =
-      counts.scanLeft((Option.empty[String], 0L)) { case ((_, acc), (s0, n)) => (s0, acc + n) }
-        .drop(1).zip(counts).map { case ((s0, cum), (_, n)) => (s0, cum - n) }.toMap
-    val offsetExpr = counts.map { case (s0, _) =>
-      val cond = s0.map(v => col("__strat") === lit(v)).getOrElse(col("__strat").isNull)
-      (cond, lit(offsets(s0)))
-    }.foldRight(lit(0L): org.apache.spark.sql.Column) { case ((c0, v), acc) => when(c0, v).otherwise(acc) }
+    // Each (partition, stratum) block's start offset WITHIN its stratum:
+    // range partitioning puts a stratum's blocks in ascending pid order,
+    // so the offset is the count of same-stratum rows in lower pids.
+    // The collected frame is bounded by numPartitions × strata.
+    val counts = parts.groupBy("__pid", "__strat").count()
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).iterator.flatMap { case (s0, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, n) =>
+        val o = acc; acc += n; (pid, s0.orNull, o)
+      }
+    }.toSeq
+    val offDf = offsets.toDF("__opid", "__ostrat", "__off")
 
-    // zipWithIndex: global index in (stratum, rand) order without a
-    // single-partition window. Sort is range-partitioned → distributed.
-    val schema = StructType(sorted.schema.fields :+ StructField("__idx", LongType, nullable = false))
-    val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-    indexed
-      .withColumn("fold", ((col("__idx") - offsetExpr) % k).cast("int"))
-      .drop("__strat", "__idx")
+    val w = Window.partitionBy("__pid", "__strat").orderBy("__h")
+    parts
+      .join(broadcast(offDf),
+        col("__pid") === col("__opid") && col("__strat") <=> col("__ostrat"))
+      .withColumn("fold",
+        ((row_number().over(w) - 1 + col("__off")) % k).cast("int"))
+      .drop("__strat", "__h", "__pid", "__opid", "__ostrat", "__off")
   }
 }

@@ -86,6 +86,75 @@ object Metrics {
     (sumPosRank - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
   }
 
+  /** Per-group binary ROC AUC in ONE distributed plan — the per-fold CV
+    * scoring shape, which used to cost one full rank plan per fold.
+    * Same range-partitioned prefix sum as `rocAuc`, with the rank
+    * restarting per group: the window runs within each (partition,
+    * group) block and adds the block's start offset WITHIN its group,
+    * computed from a bounded (numPartitions × groups)-row collect. */
+  def rocAucByGroup(df: DataFrame, group: String, label: String,
+      score: String): Map[Int, Double] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df
+      .groupBy(col(group).cast("int").as("__g"), col(score).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col(label).cast("double")).as("__pos"))
+      .repartitionByRange(col("__g"), col("__s"))
+      .sortWithinPartitions("__g", "__s")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // materialize the range shuffle once; two consumers
+    val partTotals = grouped.groupBy("__pid", "__g").agg(sum("__n").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val offsets = partTotals.groupBy(_._2).iterator.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, t) => val o = acc; acc += t; (pid, g, o) }
+    }.toSeq
+    val offDf = offsets.toDF("__pid", "__g", "__off")
+    val w = Window.partitionBy("__pid", "__g").orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grouped.join(broadcast(offDf), Seq("__pid", "__g"))
+      .withColumn("__cum", sum(col("__n")).over(w) + col("__off"))
+      .withColumn("__avg_rank", col("__cum") - col("__n") + (col("__n") + 1) / 2.0)
+    ranked.groupBy("__g").agg(
+        sum(col("__pos") * col("__avg_rank")).as("spr"),
+        sum(col("__pos")).as("np"),
+        sum(col("__n") - col("__pos")).as("nn"))
+      .collect().map { r =>
+        val (g, spr, np, nn) =
+          (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        require(np > 0 && nn > 0, s"rocAucByGroup needs both classes in group $g")
+        g -> (spr - np * (np + 1) / 2.0) / (np * nn)
+      }.toMap
+  }
+
+  /** Per-group evaluation of a registry metric in one pass (one
+    * aggregation job for the scalar metrics, one grouped rank plan for
+    * AUC) — what the CV engine uses for its k per-fold scores instead
+    * of k filtered re-evaluations. None for metrics without a grouped
+    * form (callers fall back to the per-group filter loop). */
+  def byGroup(name: String): Option[(DataFrame, String, String, String) => Map[Int, Double]] = {
+    def scalarBy(mk: (Column, Column) => Column) =
+      (df: DataFrame, g: String, label: String, pred: String) =>
+        df.groupBy(col(g).cast("int").as("__g"))
+          .agg(mk(col(label), col(pred)).cast("double").as("__v"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    name match {
+      case "accuracy_score" =>
+        Some(scalarBy((l, p) => avg((l === p).cast("double"))))
+      case "mean_absolute_error" =>
+        Some(scalarBy((l, p) => avg(abs(l - p))))
+      case "rmse" =>
+        Some(scalarBy((l, p) => sqrt(avg(pow(l - p, 2)))))
+      case "log_loss" =>
+        Some(scalarBy { (l, p) =>
+          val c = least(greatest(p, lit(1e-15)), lit(1.0 - 1e-15))
+          -avg(l * log(c) + (lit(1) - l) * log(lit(1) - c))
+        })
+      case "roc_auc_score" => Some(rocAucByGroup _)
+      case _ => None
+    }
+  }
+
   /** Fused scalar-metric report: accuracy, log loss, MAE and RMSE in a
     * SINGLE aggregation pass (one job, one scan) — the shape to prefer
     * when several metrics are wanted from one predictions frame at

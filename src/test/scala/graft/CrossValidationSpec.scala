@@ -90,6 +90,31 @@ class CrossValidationSpec extends SparkSpec {
     assert(fitted.featureImportances.get.size == 2, "mean importances per feature")
   }
 
+  test("grouped metrics equal per-group filtered evaluation") {
+    // deterministic pseudo-predictions with ties (97 distinct scores)
+    // over 3 groups — exercises the grouped rank prefix sum against the
+    // single-group plan, and the scalar byGroup forms against filters
+    val preds = core.Tables.orders(spark, sf).select(
+      (col("o_orderkey") % 3).cast("int").as("fold"),
+      (((col("o_orderkey") * 2654435761L) % 97) / lit(96.0)).as("prob"),
+      ((col("o_orderkey") + col("o_custkey")) % 3 === 0).cast("int").as("label"))
+    val byFold = Metrics.rocAucByGroup(preds, "fold", "label", "prob")
+    (0 until 3).foreach { f =>
+      val single = Metrics.rocAuc(preds.filter(col("fold") === f), "label", "prob")
+      assert(math.abs(byFold(f) - single) < 1e-12,
+        s"grouped AUC must match the single-group plan for fold $f")
+    }
+    for (name <- Seq("accuracy_score", "mean_absolute_error", "rmse", "log_loss")) {
+      val grouped = Metrics.byGroup(name).get(preds, "fold", "label", "prob")
+      (0 until 3).foreach { f =>
+        val single = Metrics.registry(name)(
+          preds.filter(col("fold") === f), "label", "prob")
+        assert(math.abs(grouped(f) - single) < 1e-12,
+          s"$name byGroup must match filtered evaluation for fold $f")
+      }
+    }
+  }
+
   test("metric registry orientation") {
     assert(Metrics.greaterIsBetter("roc_auc_score"))
     assert(!Metrics.greaterIsBetter("log_loss"))
