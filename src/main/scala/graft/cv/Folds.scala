@@ -1,7 +1,6 @@
 package graft.cv
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-fold assignment — the Spark-first replacement for sklearn
@@ -12,14 +11,24 @@ import org.apache.spark.sql.functions._
   * `row_number().over(Window.orderBy(rand))` collapses the frame into a
   * single partition. Instead the frame is range-partition-sorted by
   * (stratum, content hash) and the per-stratum row index is a
-  * distributed prefix sum — row_number within each (partition, stratum)
-  * block plus that block's start offset, computed from a bounded
-  * (numPartitions × strata)-row collected count — the same idiom as
-  * Metrics.rocAuc's rank prefix sum. Every stage is partition-parallel
-  * and stays in Tungsten rows (an earlier zipWithIndex formulation paid
-  * an RDD round-trip that broke codegen and re-scanned the source).
-  * Fold id = per-stratum row index mod k — exact balance per stratum
-  * (sizes differ by at most 1), like sklearn.
+  * distributed prefix sum: after the sort each row's partition-local
+  * position is already carried by `monotonically_increasing_id` (pid in
+  * the high bits, a per-partition counter in the low bits), so the
+  * index is that counter minus the (partition, stratum) block's first
+  * counter plus the block's start offset within its stratum — both from
+  * one bounded (numPartitions × strata)-row collected aggregate. The
+  * range exchange is the ONLY full-data shuffle; no window (an earlier
+  * row_number formulation forced a second hash exchange the layout
+  * already satisfied, and the original zipWithIndex formulation paid an
+  * RDD round-trip that broke codegen). Fold id = per-stratum row index
+  * mod k — exact balance per stratum (sizes differ by at most 1), like
+  * sklearn.
+  *
+  * The output is coalesced toward `rowsPerPartition` rows per partition
+  * (narrow, no shuffle): at bench scale the downstream MLlib fit loop
+  * otherwise pays per-task dispatch on dozens of near-empty partitions
+  * for its many small jobs; at cluster scale the target is above the
+  * natural partition size, so the coalesce is a no-op.
   *
   * Fold *membership* intentionally differs from sklearn for the same
   * seed (different RNG); tests assert the invariants — partition,
@@ -55,33 +64,45 @@ object Folds {
     // it depends on partition index), so fold membership is reproducible
     // across runs and cluster sizes.
     val shuffleKey = xxhash64(lit(seed) +: df.columns.map(col): _*)
+    // __mid: partition-local row position (after the sort) in the low
+    // bits, pid in the high bits — captured INTO the checkpoint so both
+    // consumers below read one consistent materialization.
     val parts = df.withColumn("__strat", strat.cast("string"))
       .withColumn("__h", shuffleKey)
       .repartitionByRange(col("__strat"), col("__h"))
       .sortWithinPartitions(col("__strat"), col("__h"))
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint() // materialize the range shuffle once; two consumers
 
-    // Each (partition, stratum) block's start offset WITHIN its stratum:
-    // range partitioning puts a stratum's blocks in ascending pid order,
-    // so the offset is the count of same-stratum rows in lower pids.
-    // The collected frame is bounded by numPartitions × strata.
-    val counts = parts.groupBy("__pid", "__strat").count()
-      .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getLong(2)))
+    // Per (partition, stratum) block: its first __mid and its start
+    // offset WITHIN its stratum (range partitioning puts a stratum's
+    // blocks in ascending pid order, so the offset is the count of
+    // same-stratum rows in lower pids). Bounded: numPartitions × strata.
+    val counts = parts.groupBy("__pid", "__strat")
+      .agg(count(lit(1)).as("__n"), min("__mid").as("__minmid"))
+      .collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
     val offsets = counts.groupBy(_._2).iterator.flatMap { case (s0, rows) =>
       var acc = 0L
-      rows.sortBy(_._1).map { case (pid, _, n) =>
-        val o = acc; acc += n; (pid, s0.orNull, o)
+      rows.sortBy(_._1).map { case (pid, _, n, minMid) =>
+        val o = acc; acc += n; (pid, s0.orNull, o - minMid)
       }
     }.toSeq
-    val offDf = offsets.toDF("__opid", "__ostrat", "__off")
+    val offDf = offsets.toDF("__opid", "__ostrat", "__adj")
 
-    val w = Window.partitionBy("__pid", "__strat").orderBy("__h")
+    // Per-stratum index = __mid + (__off - __minmid) — a pure
+    // projection over the checkpointed blocks, no window, no exchange.
+    val n = counts.map(_._3).sum
+    val rowsPerPartition = 131072L
+    // coalesce never increases the partition count, so at cluster scale
+    // (natural partitions already bigger than the target) it's a no-op
+    val target = math.max(1L, (n + rowsPerPartition - 1) / rowsPerPartition).toInt
     parts
       .join(broadcast(offDf),
         col("__pid") === col("__opid") && col("__strat") <=> col("__ostrat"))
-      .withColumn("fold",
-        ((row_number().over(w) - 1 + col("__off")) % k).cast("int"))
-      .drop("__strat", "__h", "__pid", "__opid", "__ostrat", "__off")
+      .withColumn("fold", ((col("__mid") + col("__adj")) % k).cast("int"))
+      .drop("__strat", "__h", "__pid", "__mid", "__opid", "__ostrat", "__adj")
+      .coalesce(target)
   }
 }

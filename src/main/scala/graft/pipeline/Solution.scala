@@ -368,9 +368,11 @@ object Solution {
             Sources.readJsonList(s"$fsOut/optimal_features.txt").toSeq)
           val nClasses = train.select(target).distinct().count()
           val hpoCfgBase = "hp_optimization.bayes.hpo_space.single_model_solution"
-          // TPE sequential optimizer = the bayes_opt analogue
-          // (init_points warmup + n_iter guided proposals)
-          val r = graft.hpo.Tpe.optimize(
+          // hpo_method='bayes' -> the GP surrogate, the same family as
+          // the reference's bayes_opt (init_points warmup + n_iter
+          // UCB-guided proposals); seeded TPE stays available as the
+          // lighter proposal rule (graft.hpo.Tpe, same signature)
+          val r = graft.hpo.Gp.optimize(
             train, features, target, idCol, space,
             p => modelFor(model, nClasses, p),
             cvConfigFor(nClasses), cfg.getLong("modeling_settings.hpo_seed_value"),

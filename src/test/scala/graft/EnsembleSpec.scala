@@ -150,4 +150,50 @@ class EnsembleSpec extends SparkSpec {
     val tail = trials.takeRight(8).map(dist).sum / 8
     assert(tail < warm, s"guided tail ($tail) tighter than warmup ($warm)")
   }
+
+  test("hpo: GP posterior interpolates observations and is uncertain away from them") {
+    import graft.hpo.Gp
+    // 1-D smooth objective sampled at 6 points in [0,1]
+    val xs = Array(0.0, 0.2, 0.4, 0.6, 0.8, 1.0).map(Array(_))
+    val ys = xs.map(x => math.sin(3 * x(0)))
+    val (meanVar, ls) = Gp.fitPosterior(xs, ys)
+    assert(ls > 0)
+    xs.zip(ys).foreach { case (x, y) =>
+      val (mu, v) = meanVar(x)
+      assert(math.abs(mu - y) < 1e-3, s"posterior mean $mu interpolates $y at ${x(0)}")
+      assert(v < 1e-4, s"near-zero variance $v at an observed point")
+    }
+    // between observations the variance is strictly larger than at them
+    val (_, vMid) = meanVar(Array(0.5))
+    val vObs = xs.map(meanVar(_)._2).max
+    assert(vMid > vObs, s"mid-point variance $vMid exceeds observed-point max $vObs")
+  }
+
+  test("hpo: GP proposals concentrate near the optimum and beat random draws") {
+    import graft.hpo.Gp
+    val space = RandomSearch.Space(
+      bounds = Map("x" -> (0.0, 10.0), "y" -> (0.0, 10.0)), intParams = Set.empty)
+    def f(p: Map[String, Double]): (Double, Double) =
+      (-(math.pow(p("x") - 7, 2) + math.pow(p("y") - 3, 2)), 0.0)
+    val trials = Gp.optimizeFn(space, f _, seedVal = 27L,
+      initPoints = 8, nIter = 24, maximize = true)
+    assert(trials.size == 32)
+    val bestGp = trials.map(_._2).max
+    val again = Gp.optimizeFn(space, f _, seedVal = 27L,
+      initPoints = 8, nIter = 24, maximize = true)
+    assert(trials == again, "deterministic under a fixed seed")
+    val rng = new scala.util.Random(27L)
+    val bestRnd = (1 to 32).map { _ =>
+      f(Map("x" -> rng.nextDouble() * 10, "y" -> rng.nextDouble() * 10))._1
+    }.max
+    assert(bestGp >= bestRnd, s"GP ($bestGp) not worse than random ($bestRnd)")
+    assert(bestGp > -0.5, s"GP best $bestGp should land near the optimum")
+    // minimize orientation: same machinery on a positive bowl
+    def g(p: Map[String, Double]): (Double, Double) =
+      (math.pow(p("x") - 2, 2) + math.pow(p("y") - 8, 2), 0.0)
+    val minTrials = Gp.optimizeFn(space, g _, seedVal = 27L,
+      initPoints = 8, nIter = 16, maximize = false)
+    assert(minTrials.map(_._2).min < 1.0,
+      s"minimize orientation converges, got ${minTrials.map(_._2).min}")
+  }
 }
