@@ -62,11 +62,20 @@ object GraftFunctions {
       "undercount. Null elements match nothing; duplicates count pairwise-min.",
     "")
 
+  private val nfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, s"nfc_normalize expects 1 argument, got ${children.size}")
+    NfcNormalize(children.head)
+  }
+
+  private val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalize].getCanonicalName, "nfc_normalize")
+
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder))
     ext.injectFunction((FunctionIdentifier("hashed_ngrams"), ngramInfo, ngramBuilder))
     ext.injectFunction((FunctionIdentifier("hashed_shingles"), shingleInfo, shingleBuilder))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), isectInfo, isectBuilder))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"), nfcInfo, nfcBuilder))
   }
 
   /** Idempotent registration into an existing session's registry. */
@@ -84,6 +93,9 @@ object GraftFunctions {
     val iid = FunctionIdentifier("sorted_intersect_count")
     if (!registry.functionExists(iid))
       registry.registerFunction(iid, isectInfo, isectBuilder)
+    val fid = FunctionIdentifier("nfc_normalize")
+    if (!registry.functionExists(fid))
+      registry.registerFunction(fid, nfcInfo, nfcBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -109,6 +121,12 @@ object GraftFunctions {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("sorted_intersect_count", a, b)
+  }
+
+  /** Column API for the native Unicode NFC normalizer. */
+  def nfcNormalize(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    call_function("nfc_normalize", s)
   }
 }
 

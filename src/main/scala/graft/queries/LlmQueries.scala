@@ -857,6 +857,44 @@ object LlmQueries {
       |FROM inj ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q92: Unicode NFC normalization (native nfc_normalize expression)
+  // on CONSTRUCTED non-ASCII content — the corpus is ASCII, so each doc
+  // gets a deterministic decomposed suffix (e + COMBINING ACUTE, u +
+  // COMBINING DIAERESIS) that NFC composes to é/ü: the pre-NFC length
+  // shrinks by exactly the two composed pairs. DuckDB's nfc_normalize
+  // is the oracle for the JDK Normalizer kernel.
+  // -------------------------------------------------------------------
+  def nfcNormalizeQuery(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      // decomposed on purpose: e+U+0301, u+U+0308, i+U+0308 — NFC fuses
+      // each pair, so n_chars_nfc = n_chars_raw - 3 row-for-row
+      concat(col("text"), lit(" cafe\u0301 u\u0308ber nai\u0308ve"),
+        (col("doc_id") % 7).cast("string")).as("text"))
+    val nfc = graft.functions.GraftFunctions.nfcNormalize(s, col("text"))
+    injected.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(nfc).cast("long").as("n_chars_nfc"),
+        substring(nfc, -24, 24).as("tail_nfc"))
+      .orderBy("doc_id")
+  }
+
+  val nfcNormalizeSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber nai'
+      |              || chr(776) || 've' || CAST(doc_id % 7 AS VARCHAR) AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_chars_raw,
+      |  CAST(len(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+      |  CASE WHEN len(nfc_normalize(t)) >= 24
+      |       THEN right(nfc_normalize(t), 24) ELSE nfc_normalize(t) END AS tail_nfc
+      |FROM inj ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q87: per-source quality cap — keep only the 5 highest-quality docs
   // per source (deterministic tie-break), the per-domain cap step of a
   // curation pipeline; compiles to partial+final WindowGroupLimit.
@@ -940,6 +978,7 @@ object LlmQueries {
     "q84_unigram_lm" -> (unigramLm _),
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
+    "q92_nfc_normalize" -> (nfcNormalizeQuery _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
     "q80_pack_offsets" -> (packOffsets _),
@@ -974,6 +1013,7 @@ object LlmQueries {
     "q84_unigram_lm" -> unigramLmSql,
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
+    "q92_nfc_normalize" -> nfcNormalizeSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,
     "q80_pack_offsets" -> packOffsetsSql,

@@ -113,23 +113,28 @@ object Curation {
         alphaFrac >= 0.8).as("passes_gopher_word"))
   }
 
-  /** Text normalization: lowercase, strip everything but letters /
-    * digits / whitespace, collapse whitespace runs, trim — the
-    * canonical-form step before exact dedup and shingling (what C4's
-    * preprocessing and every tokenizer's pre-tokenizer do first).
-    * Unicode classes \p{L}/\p{N} are portable between Java regex and
-    * RE2, so the DuckDB oracle replays it; pure column expressions,
-    * scan-local. NFC normalization is intentionally out: Spark has no
-    * built-in and the corpus is ASCII — a deployment adds it as one
-    * more regexp-free map. */
-  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Text normalization: Unicode NFC composition, lowercase, strip
+    * everything but letters / digits / whitespace, collapse whitespace
+    * runs, trim — the canonical-form step before exact dedup and
+    * shingling (what C4's preprocessing and every tokenizer's
+    * pre-tokenizer do first). Unicode classes \p{L}/\p{N} are portable
+    * between Java regex and RE2, and DuckDB's nfc_normalize matches the
+    * native `nfc_normalize` expression, so the DuckDB oracle replays
+    * the whole chain; pure column expressions, scan-local. `nfc=false`
+    * skips the composition step for byte-exact legacy behavior. */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String,
+      nfc: Boolean = true): DataFrame = {
+    val raw =
+      if (nfc) graft.functions.GraftFunctions.nfcNormalize(df.sparkSession, col(textCol))
+      else col(textCol)
     df.select(
       col(idCol),
       length(col(textCol)).as("n_chars_raw"),
       trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", " "),
+        regexp_replace(lower(raw), "[^\\p{L}\\p{N}\\s]", " "),
         "\\s+", " ")).as("normalized"))
       .withColumn("n_chars_norm", length(col("normalized")))
+  }
 
   // Portable between Java regex (Spark) and RE2 (DuckDB): character
   // classes, bounded repetition and \b only — no backrefs, no lookarounds.

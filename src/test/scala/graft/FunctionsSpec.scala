@@ -152,4 +152,32 @@ class FunctionsSpec extends SparkSpec {
       assert(native.toSeq == composed.toSeq, s"n=$n parity failed")
     }
   }
+
+  test("nfc_normalize: composes decomposed sequences, ASCII fast path, nulls, SQL") {
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // e + combining acute -> \u00e9
+      ("u\u0308ber", "\u00fcber"),   // u + combining diaeresis -> \u00fc
+      ("plain ascii 123", "plain ascii 123"), // NFC-invariant, fast path
+      ("d\u00e9j\u00e0", "d\u00e9j\u00e0")) // already composed: unchanged
+      .toDF("s", "want")
+    val got = rows.select(
+      GraftFunctions.nfcNormalize(spark, col("s")).as("got"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"NFC(${r.getString(0)}) != ${r.getString(1)}")
+    }
+    // length shrinks by exactly the composed-pair count
+    val lens = rows.select(length(col("s")).as("raw"),
+      length(GraftFunctions.nfcNormalize(spark, col("s"))).as("nfc")).collect()
+    assert(lens(0).getInt(0) - lens(0).getInt(1) == 1)
+    assert(lens(2).getInt(0) == lens(2).getInt(1))
+    // null propagates; SQL registry path resolves
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(CAST(NULL AS STRING)), nfc_normalize('é')")
+      .head()
+    assert(viaSql.isNullAt(0))
+    assert(viaSql.getString(1) == "é")
+  }
 }
