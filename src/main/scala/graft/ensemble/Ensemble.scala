@@ -122,8 +122,8 @@ object Ensemble {
     * for each fold, optimize weights on the *other* folds' OOF rows,
     * vote on this fold with those weights, union the per-fold blended
     * predictions into a blender-OOF vector, and score it
-    * (blender.py:338-398; the reference optimizes with bayes_opt, we
-    * use the documented seeded-random-search stand-in). */
+    * (blender.py:338-398; per-fold weights come from the same
+    * GP-surrogate search as `blend`). */
   def blendCv(
       oofMatrix: DataFrame, predCols: Seq[String], target: String, idCol: String,
       metricName: String, numFolds: Int, dataSplitSeed: Long, blenderSeed: Long,
@@ -164,10 +164,10 @@ object Ensemble {
     BlendCvResult(oof, fs, cvScore, cvStd, weightsHist.reverse)
   }
 
-  /** M8: weighted-vote blender — TPE sequential search over the
+  /** M8: weighted-vote blender — GP-surrogate Bayesian search over the
     * [0,1]^k weight box maximizing the metric of the weighted vote on
-    * the OOF frame, the analogue of the reference's per-weight
-    * bayes_opt search (blender.py:119-398); trial 0 is always the
+    * the OOF frame, the same surrogate family as the reference's
+    * per-weight bayes_opt search (blender.py:119-398); trial 0 is always the
     * uniform-weight baseline so the blend can never select worse than
     * equal weighting. Voting type mirrors `_detect_voting_type`
     * (blender.py:202-227): soft (weighted mean) when predictions are
@@ -206,18 +206,20 @@ object Ensemble {
     val uniform = normalize(predCols.map(_ => 1.0))
     val baseline = (0, scoreOf(uniform), uniform)
     val guidedBudget = nIter - 1
-    val tpeTrials =
+    val guidedTrials =
       if (guidedBudget <= 0) Seq.empty
       else {
         val space = graft.hpo.RandomSearch.Space(
           predCols.map(c => c -> (0.0, 1.0)).toMap, Set.empty)
         val init = math.max(1, guidedBudget / 2)
-        graft.hpo.Tpe.optimizeFn(space,
+        // GP surrogate, like the reference's bayes_opt weight search
+        // (blender.py:119-398); Gp/Tpe share the optimizeFn contract
+        graft.hpo.Gp.optimizeFn(space,
             p => (scoreOf(normalize(predCols.map(p))), 0.0),
             seed, init, guidedBudget - init, maximize)
           .map { case (it, sc, _, p) => (it, sc, normalize(predCols.map(p))) }
       }
-    val trials = baseline +: tpeTrials
+    val trials = baseline +: guidedTrials
     cached.unpersist()
 
     val best = trials.reduce((a, b) => if (better(b._2, a._2)) b else a)

@@ -895,6 +895,90 @@ object LlmQueries {
       |FROM inj ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q93/q94: SemDeDup — q93 dumps the k-means assignment + rounded
+  // centroid similarity (model-driven -> rows-only, the q89 pattern);
+  // q94 is the keep/drop decision, whose oracle replays the ENTIRE
+  // rank-and-drop semantics in DuckDB from q93's dump joined back to
+  // the embeddings table (within-cluster pairwise cosine, ranked-ahead
+  // predicate, distinct drop set).
+  // -------------------------------------------------------------------
+  private def semDedupResult(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"semdedup:${s.sparkContext.applicationId}:$d") {
+      Similarity.semDedup(emb(s, d), "vec_id", "embedding",
+          threshold = 0.35, nCells = 16, seed = 27L)
+        .withColumnRenamed("id", "vec_id")
+        .localCheckpoint(false)
+    }
+
+  def semDedupAssign(s: SparkSession, d: String): DataFrame =
+    semDedupResult(s, d)
+      .select(col("vec_id"), col("cell"), col("centroid_sim"))
+      .orderBy("vec_id")
+
+  def semDedupKeep(s: SparkSession, d: String): DataFrame =
+    semDedupResult(s, d)
+      .select(col("vec_id"), col("cell"), col("keep"))
+      .orderBy("vec_id")
+
+  val semDedupKeepSql: String =
+    """WITH a AS (
+      |  SELECT vec_id, cell, centroid_sim
+      |  FROM read_parquet('__VERIFY_OUT__/q93_semdedup_assign/*.parquet')
+      |),
+      |v AS (
+      |  SELECT a.vec_id, a.cell, a.centroid_sim, e.embedding::DOUBLE[] AS vec
+      |  FROM a JOIN embeddings e USING (vec_id)
+      |),
+      |dropped AS (
+      |  SELECT DISTINCT y.vec_id
+      |  FROM v x JOIN v y ON x.cell = y.cell
+      |   AND (x.centroid_sim < y.centroid_sim OR
+      |        (x.centroid_sim = y.centroid_sim AND x.vec_id < y.vec_id))
+      |  WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.35
+      |)
+      |SELECT vec_id, cell,
+      |       vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+      |FROM v ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q95: CCNet-style head/middle/tail quality buckets per source —
+  // exact per-source percentile thresholds over the q84 LM score,
+  // broadcast back; the corpus never re-shuffles for the split.
+  // -------------------------------------------------------------------
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.ccnetBuckets(docs(s, d), "doc_id", "text", "source")
+      .orderBy("doc_id")
+
+  val ccnetBucketsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |),
+      |counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |         round(avg(log10(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))), 6)
+      |           AS lm_score
+      |  FROM tok JOIN counts USING (w) GROUP BY doc_id
+      |),
+      |s AS (
+      |  SELECT sc.doc_id, d.source, sc.n_tokens, sc.lm_score
+      |  FROM scored sc JOIN documents d USING (doc_id)
+      |),
+      |th AS (
+      |  SELECT source, quantile_cont(lm_score, 0.33) AS p33,
+      |         quantile_cont(lm_score, 0.67) AS p67
+      |  FROM s GROUP BY source
+      |)
+      |SELECT doc_id, source, n_tokens, lm_score,
+      |       CASE WHEN lm_score >= p67 THEN 'head'
+      |            WHEN lm_score >= p33 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM s JOIN th USING (source) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q87: per-source quality cap — keep only the 5 highest-quality docs
   // per source (deterministic tie-break), the per-domain cap step of a
   // curation pipeline; compiles to partial+final WindowGroupLimit.
@@ -979,6 +1063,9 @@ object LlmQueries {
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
+    "q93_semdedup_assign" -> (semDedupAssign _),
+    "q94_semdedup_keep" -> (semDedupKeep _),
+    "q95_ccnet_buckets" -> (ccnetBuckets _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
     "q80_pack_offsets" -> (packOffsets _),
@@ -1014,6 +1101,8 @@ object LlmQueries {
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,
+    "q94_semdedup_keep" -> semDedupKeepSql,
+    "q95_ccnet_buckets" -> ccnetBucketsSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,
     "q80_pack_offsets" -> packOffsetsSql,

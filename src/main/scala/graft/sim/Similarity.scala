@@ -145,6 +145,45 @@ object Similarity {
     rerank(ivfProbedScan(spark, path, cells), pc, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means clustering + within-cluster pairwise
+    * cosine. A document is dropped when some cluster-mate ranked AHEAD
+    * of it is within `threshold` cosine; rank = (centroid similarity
+    * ASC, id ASC) — the paper keeps, within each duplicate relation,
+    * the example FARTHEST from its cluster centroid. Returns
+    * (id, cell, centroid_sim, keep), centroid_sim rounded to 6 so a
+    * dump-replay oracle can reproduce the ranking exactly.
+    *
+    * Scale shape: the quadratic is per-cell (never corpus-wide) and
+    * `nCells` grows with the corpus — the paper runs 110k clusters
+    * over LAION — so cell sizes stay bounded; the KMeans fit samples/
+    * iterates out-of-core under MLlib. The rank needs no window: the
+    * "ranked ahead" predicate rides the same per-cell join that
+    * computes the pairwise cosine, and the drop set is a DISTINCT over
+    * qualifying pairs, all hash-partitioned by cell/id. */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nCells: Int = 16, seed: Long = 27L): DataFrame = {
+    val spark = corpus.sparkSession
+    val (assigned, cents) = quantize(corpus, idCol, vecCol, nCells, seed)
+    val a = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("neighbor_id").as("id"), col("cell"), col("cvec").as("vec"),
+        round(graft.functions.GraftFunctions.cosineSim(spark,
+          col("cvec"), col("centroid")), 6).as("centroid_sim"))
+    val x = a.select(col("id").as("xid"), col("cell"),
+      col("vec").as("xvec"), col("centroid_sim").as("xsim"))
+    val dropped = a.join(x, Seq("cell"))
+      .filter(col("xsim") < col("centroid_sim") ||
+        (col("xsim") === col("centroid_sim") && col("xid") < col("id")))
+      .filter(round(graft.functions.GraftFunctions.cosineSim(spark,
+        col("xvec"), col("vec")), 6) >= threshold)
+      .select("id").distinct()
+      .withColumn("__dropped", lit(true))
+    a.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("centroid_sim"),
+        col("__dropped").isNull.as("keep"))
+  }
+
   /** Sign-random-projection bucket id: `planes` pseudo-random
     * hyperplanes derived from xxhash64(seed, dim, plane) — deterministic
     * with no driver-side randomness, computable per-partition. */

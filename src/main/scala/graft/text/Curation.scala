@@ -252,6 +252,32 @@ object Curation {
           .as("lm_score"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, §4.3): split
+    * each source's documents into head / middle / tail by LM-score
+    * percentile — CCNet orders each language's corpus by document
+    * perplexity and keeps the thirds separately (head = most fluent;
+    * here, highest `unigramLogProb` score). Thresholds are the EXACT
+    * per-source 0.33/0.67 percentiles (A14 semantics).
+    *
+    * Scale shape: the thresholds come from a bounded per-source
+    * aggregate broadcast back onto the scored frame — the corpus
+    * itself never re-shuffles for the split (a per-source ntile window
+    * would sort every source's full partition; CCNet itself pays that
+    * sort, the percentile formulation doesn't need to). */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val scored = unigramLogProb(df, idCol, textCol)
+      .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val th = scored.groupBy(sourceCol).agg(
+      expr("percentile(lm_score, 0.33d)").as("__p33"),
+      expr("percentile(lm_score, 0.67d)").as("__p67"))
+    scored.join(broadcast(th), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("lm_score"),
+        when(col("lm_score") >= col("__p67"), "head")
+          .when(col("lm_score") >= col("__p33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Training-mixture sampling: downsample each source so the kept
     * corpus hits target token proportions (the data-mixing step of
     * every large pretraining run — cf. the published mixture tables of

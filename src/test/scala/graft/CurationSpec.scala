@@ -154,6 +154,36 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((1L, -0.60206)))
   }
 
+  test("ccnetBuckets: per-source thirds, head = highest LM score") {
+    import spark.implicits._
+    // source A: 9 docs with strictly ordered scores (unique rare-word
+    // mixes); source B: 3 docs. Bucket sizes per source must be ~n/3
+    // and the head bucket must hold the highest-scoring docs.
+    val common = "the and of to in" // 5 common tokens, high unigram prob
+    val docs = ((1 to 9).map { i =>
+      // i rare singleton tokens -> monotonically WORSE (lower) lm_score
+      val rares = (1 to i).map(j => s"rare${i}_$j").mkString(" ")
+      (i.toLong, s"$common $rares", "A")
+    } ++ (10 to 12).map { i =>
+      val rares = (1 to (i - 9)).map(j => s"rare${i}_$j").mkString(" ")
+      (i.toLong, s"$common $rares", "B")
+    }).toDF("doc_id", "text", "source")
+    val r = graft.text.Curation.ccnetBuckets(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getString(4))).toMap
+    val aHead = (1 to 9).filter(i => r(i.toLong)._2 == "head").map(_.toLong)
+    val aTail = (1 to 9).filter(i => r(i.toLong)._2 == "tail").map(_.toLong)
+    // doc 1 has the fewest rare tokens -> best score -> head;
+    // doc 9 the most -> tail
+    assert(aHead.contains(1L) && !aHead.contains(9L), s"head=$aHead")
+    assert(aTail.contains(9L) && !aTail.contains(1L), s"tail=$aTail")
+    // per-source split: every bucket non-empty for A, B split 1/1/1
+    val aBuckets = (1 to 9).map(i => r(i.toLong)._2).groupBy(identity)
+    assert(aBuckets.keySet == Set("head", "middle", "tail"))
+    val bBuckets = (10 to 12).map(i => r(i.toLong)._2)
+    assert(bBuckets.toSet == Set("head", "middle", "tail"),
+      s"3 docs in B split one per bucket, got $bBuckets")
+  }
+
   test("topNgrams: BPE-style pair counts with deterministic tie-break") {
     // bigrams: "a b" x3, then "b a"/"b c"/"c a" all x1 — the k=3 cut
     // falls inside the tie, so the lexicographic tie-break decides

@@ -163,6 +163,42 @@ class LlmOpsSpec extends SparkSpec {
       s"recall ${got.size}/${truth.size} below 0.8")
   }
 
+  test("semDedup: keep-farthest rule, drop symmetry, determinism") {
+    import spark.implicits._
+    // 3 planted groups far apart (clusters) with near-identical members
+    // inside; nCells=3 so each group is one cell
+    def v(base: Array[Double], eps: Double) = base.map(_ + eps)
+    val g1 = Array(10.0, 0.0, 0.0); val g2 = Array(0.0, 10.0, 0.0)
+    val g3 = Array(0.0, 0.0, 10.0)
+    val rows = Seq(
+      (1L, v(g1, 0.0)), (2L, v(g1, 0.01)), (3L, v(g1, 0.02)), // near-dups
+      (4L, v(g2, 0.0)), (5L, v(g2, 0.01)),                    // near-dups
+      (6L, v(g3, 0.0)),                                       // alone
+      (7L, Array(0.0, 7.0, 7.0))) // in some cluster, dissimilar to all
+    val df = rows.toDF("id", "vec")
+    val r = Similarity.semDedup(df, "id", "vec", threshold = 0.999,
+      nCells = 3, seed = 27L).cache()
+    val keep = r.filter(col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    val byId = r.collect().map(x => x.getLong(0) ->
+      (x.getInt(1), x.getDouble(2), x.getBoolean(3))).toMap
+    // each planted dup group keeps exactly one member; singletons survive
+    assert(Set(1L, 2L, 3L).intersect(keep).size == 1, s"g1 keeps one, kept=$keep")
+    assert(Set(4L, 5L).intersect(keep).size == 1, s"g2 keeps one, kept=$keep")
+    assert(keep.contains(6L) && keep.contains(7L), "singletons always kept")
+    // the kept member of a dup group is the one ranked first:
+    // (centroid_sim ASC, id ASC) — farthest from its centroid
+    val g1Kept = Set(1L, 2L, 3L).intersect(keep).head
+    val g1Rank = Seq(1L, 2L, 3L).sortBy(id => (byId(id)._2, id))
+    assert(g1Kept == g1Rank.head,
+      s"kept $g1Kept must be the farthest-from-centroid member ${g1Rank.head}")
+    // deterministic under the seed
+    val again = Similarity.semDedup(df, "id", "vec", threshold = 0.999,
+      nCells = 3, seed = 27L)
+      .filter(col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == keep)
+    r.unpersist()
+  }
+
   test("multimodal frame sampling: 1->N rows, correct strides and slices") {
     import graft.multimodal.Multimodal
     import spark.implicits._

@@ -86,6 +86,27 @@ class PlanAuditSpec extends SparkSpec {
       s"global-order window (single partition) forbidden:\n${windows.mkString("\n")}")
   }
 
+  test("fold assignment: no window, no exchange past the checkpointed range sort") {
+    // The range exchange is materialized inside Folds.assign's
+    // localCheckpoint; everything AFTER it (the executed plan of the
+    // returned frame) must be a broadcast join + projection — an
+    // earlier row_number formulation forced a second full-data hash
+    // exchange here, which this guards against.
+    val orders = core.Tables.orders(spark, sf).select(
+      org.apache.spark.sql.functions.col("o_orderkey").as("row_id"),
+      (org.apache.spark.sql.functions.col("o_orderkey") % 2).cast("int").as("target"),
+      org.apache.spark.sql.functions.col("o_totalprice"))
+    val df = graft.cv.Folds.assign(orders, 3, 789987L, Some("target"))
+    val plan = formatted(df)
+    assert(!plan.contains("Window"),
+      s"fold index must come from the mid counter, not a window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"no full-data shuffle after the checkpointed range sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "offsets must join via broadcast")
+  }
+
   test("jaccard verification: native sorted-intersect merge, no pair explosion") {
     import spark.implicits._
     val docs = core.Tables.documents(spark, sf)
