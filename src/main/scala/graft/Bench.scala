@@ -70,6 +70,7 @@ object Bench {
       "cv_shap" -> Seq("q31_cv_oof", "q32_cv_scores", "q72_cv_metric_replay",
         "q73_tree_shap", "q75_shap_importance"),
       "rf_bag" -> Seq("q89_bag_oof", "q91_bag_vote"),
+      "semdedup" -> Seq("q93_semdedup_assign", "q94_semdedup_keep"),
       "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters"))
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum

@@ -263,14 +263,20 @@ object Curation {
     * aggregate broadcast back onto the scored frame — the corpus
     * itself never re-shuffles for the split (a per-source ntile window
     * would sort every source's full partition; CCNet itself pays that
-    * sort, the percentile formulation doesn't need to). */
+    * sort, the percentile formulation doesn't need to). Exact
+    * `percentile` holds one counts-map entry per distinct score in the
+    * aggregation buffer — fine for 6-decimal-rounded scores; set
+    * `exact=false` at extreme scale to bound the buffer with
+    * `approx_percentile`'s sketch instead (bucket boundaries shift
+    * within the sketch error; membership FRACTIONS stay ~thirds). */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
-      sourceCol: String): DataFrame = {
+      sourceCol: String, exact: Boolean = true): DataFrame = {
     val scored = unigramLogProb(df, idCol, textCol)
       .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val pfun = if (exact) "percentile" else "approx_percentile"
     val th = scored.groupBy(sourceCol).agg(
-      expr("percentile(lm_score, 0.33d)").as("__p33"),
-      expr("percentile(lm_score, 0.67d)").as("__p67"))
+      expr(s"$pfun(lm_score, 0.33d)").as("__p33"),
+      expr(s"$pfun(lm_score, 0.67d)").as("__p67"))
     scored.join(broadcast(th), Seq(sourceCol))
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("lm_score"),
         when(col("lm_score") >= col("__p67"), "head")

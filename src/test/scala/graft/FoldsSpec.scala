@@ -63,6 +63,27 @@ class FoldsSpec extends SparkSpec {
     folded.unpersist()
   }
 
+  test("assignment is physical-layout independent: repartitioned input, same folds") {
+    // the shuffle key is a content hash, and the per-stratum index is
+    // derived from the range-sorted order of that hash — so fold
+    // membership must not depend on how the INPUT happens to be
+    // partitioned (a cluster resize or a different upstream plan must
+    // not re-deal the folds)
+    val base = core.Tables.orders(spark, sf).select(
+      col("o_orderkey").as("id"),
+      (col("o_orderkey") % 3).cast("int").as("y"),
+      col("o_totalprice"))
+    def foldsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Folds.assign(df, 4, 27L, Some("y"))
+        .select("id", "fold").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = foldsOf(base)
+    val b = foldsOf(base.repartition(7, col("o_totalprice")))
+    val c = foldsOf(base.coalesce(1))
+    assert(a == b, "hash-partitioned input must yield identical folds")
+    assert(a == c, "single-partition input must yield identical folds")
+  }
+
   test("same seed → same assignment, different seed → different") {
     val a = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
     val b = Folds.assign(df, 3, 5L).select("o_orderkey", "fold")
