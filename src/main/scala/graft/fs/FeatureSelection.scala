@@ -1,9 +1,8 @@
 package graft.fs
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.cv.CrossValidation
 import graft.cv.CrossValidation.CvConfig
 import graft.ml.ModelWrapper
@@ -27,16 +26,32 @@ object FeatureSelection {
 
   /** R1: random permutation of one column's values across rows,
     * seeded and partition-safe: both sides get a dense index from a
-    * range-partitioned sort + zipWithIndex (no single-partition
-    * window), then re-join on the index. */
+    * range-partitioned sort (no single-partition window), then re-join
+    * on the index. The index is the `monotonically_increasing_id`
+    * partition-local counter plus a broadcast per-partition offset from
+    * a bounded collected count — the same no-window, no-RDD prefix-sum
+    * idiom as `Folds.assign` (the earlier zipWithIndex formulation paid
+    * an RDD round-trip that broke codegen). */
   def shuffleColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     def indexed(in: DataFrame, orderKey: Column): DataFrame = {
-      val sorted = in.withColumn("__k", orderKey)
-        .repartitionByRange(col("__k")).sortWithinPartitions(col("__k")).drop("__k")
-      val schema = StructType(sorted.schema.fields :+ StructField("__idx", LongType, false))
-      spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+      val parts = in.withColumn("__k", orderKey)
+        .repartitionByRange(col("__k")).sortWithinPartitions(col("__k"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__mid", monotonically_increasing_id())
+        .localCheckpoint() // one materialization; counts + output consumers
+      val counts = parts.groupBy("__pid")
+        .agg(count(lit(1)).as("__n"), min("__mid").as("__m"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      var acc = 0L
+      val adj = counts.sortBy(_._1).map { case (pid, n, m) =>
+        val o = acc; acc += n; (pid, o - m)
+      }.toSeq
+      parts.join(broadcast(adj.toDF("__apid", "__adj")),
+          col("__pid") === col("__apid"))
+        .withColumn("__idx", col("__mid") + col("__adj"))
+        .drop("__k", "__pid", "__mid", "__apid", "__adj")
     }
     val others = df.drop(c)
     val rest = indexed(others,

@@ -590,7 +590,69 @@ object MlQueries {
       |       round(s.my, 4) AS shap_bias
       |FROM orders, s ORDER BY row_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // A15/A16 with REAL fits, oracle-checked via dump-replay (the q89
+  // pattern): q96 dumps the actual-importance fit (run=0) plus 3
+  // null-importance fits on permuted targets (runs 1-3) — model
+  // outputs, rows-only; q97 runs the scoring math over that dump and
+  // its DuckDB oracle recomputes act-mean / null-p75 / log-score from
+  // the same parquet. q37 oracles the scoring math on synthetic
+  // frames; this pair oracles it over the real permutation engine.
+  // -------------------------------------------------------------------
+  private def fsExplorer = Models.RfClassifier(
+    numTrees = 3, maxDepth = 3, subsamplingRate = 0.7)
+
+  private def nullImpDump(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"null_imp:${s.sparkContext.applicationId}:$d") {
+      val frame = cvFrame(s, d).filter(col("row_id") % 4 === 0)
+      val actual = graft.fs.FeatureSelection.importancesOnce(
+          frame, cvFeatures, "target", fsExplorer, 27L, shuffleSeed = None)
+        .withColumn("run", lit(0))
+      val nulls = graft.fs.FeatureSelection.nullImportances(
+        frame, cvFeatures, "target", fsExplorer, 27L, nbRuns = 3)
+      actual.unionByName(nulls)
+        .select(col("feature"), round(col("importance_gain"), 6).as("importance_gain"),
+          round(col("importance_split"), 6).as("importance_split"), col("run"))
+        .localCheckpoint(false)
+    }
+
+  /** q96: the dumped importance runs (rows-only — model outputs). */
+  def nullImportancesDump(s: SparkSession, d: String): DataFrame =
+    nullImpDump(s, d).orderBy("run", "feature")
+
+  /** q97: A16 scoring over the dump — DuckDB replays act-mean,
+    * null-p75 and the log score from q96's parquet. */
+  def nullImportanceScores(s: SparkSession, d: String): DataFrame = {
+    val dump = nullImpDump(s, d)
+    graft.fs.FeatureSelection.scoreFeatures(
+      dump.filter(col("run") === 0), dump.filter(col("run") > 0))
+  }
+
+  val nullImportanceScoresSql: String =
+    """WITH dump AS (
+      |  SELECT feature, importance_gain, importance_split, run
+      |  FROM read_parquet('__VERIFY_OUT__/q96_null_imp_dump/*.parquet')
+      |),
+      |act AS (
+      |  SELECT feature, avg(importance_gain) AS act_gain,
+      |         avg(importance_split) AS act_split
+      |  FROM dump WHERE run = 0 GROUP BY feature
+      |),
+      |nul AS (
+      |  SELECT feature, quantile_cont(importance_gain, 0.75) AS p_gain,
+      |         quantile_cont(importance_split, 0.75) AS p_split
+      |  FROM dump WHERE run > 0 GROUP BY feature
+      |)
+      |SELECT feature,
+      |       round(ln(1e-10 + act_gain / (1 + p_gain)), 6) AS gain_score,
+      |       round(ln(1e-10 + act_split / (1 + p_split)), 6) AS split_score
+      |FROM act JOIN nul USING (feature)
+      |ORDER BY gain_score, split_score, feature""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_null_imp_dump" -> (nullImportancesDump _),
+    "q97_null_imp_scores" -> (nullImportanceScores _),
     "q63_cv_dummy_oof" -> (cvDummyOof _),
     "q62_seed_bind" -> (seedBind _),
     "q36_metrics" -> (metrics _),
@@ -608,6 +670,7 @@ object MlQueries {
     "q75_shap_importance" -> (shapImportance _))
 
   val oracles: Map[String, String] = Map(
+    "q97_null_imp_scores" -> nullImportanceScoresSql,
     "q91_bag_vote" -> bagVoteSql,
     "q72_cv_metric_replay" -> cvMetricReplaySql,
     "q73_tree_shap" -> treeShapSql,
