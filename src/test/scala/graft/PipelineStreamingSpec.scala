@@ -32,6 +32,63 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(runs == Map("a" -> 1, "b" -> 2))
   }
 
+  test("corpus build: config-driven curation pipeline with file-target resume") {
+    val proj = Files.createTempDirectory("graft_corpus").toString
+    Files.createDirectories(Paths.get(s"$proj/configs"))
+    // min_words 20 (the sf0.001 docs are 10-99 words; the paper's 50
+    // would halve the corpus) and a mixture pass over two sources
+    val conf = s"""
+      |corpus_pipeline {
+      |  input {
+      |    parquet       = "$sf/documents.parquet"
+      |    id_column     = doc_id
+      |    text_column   = text
+      |    source_column = source
+      |  }
+      |  normalize { nfc = true }
+      |  quality {
+      |    gopher_word_rules = false
+      |    min_words         = 20
+      |    max_dup_gram_frac = 0.3
+      |  }
+      |  dedup   { near_dup_threshold = 0.5 }
+      |  mixture { run = true, targets { src0 = 0.6, src1 = 0.4 } }
+      |  pack    { window = 128 }
+      |  output_dirname = "corpus_prep_001"
+      |}""".stripMargin
+    Files.writeString(Paths.get(s"$proj/configs/corpus.conf"), conf)
+
+    val r = graft.pipeline.CorpusSolution.buildCorpus(
+      spark, proj, "configs", "corpus.conf")
+    assert(r.report.ran == Seq("NormalizeCorpus", "QualityFilter", "Deduplicate",
+      "MixtureSampling", "PackOffsets", "CorpusStats"))
+    val out = r.outputDir
+    // stage monotonicity: each filter stage only removes rows
+    def n(d: String) = spark.read.parquet(s"$out/$d").count()
+    assert(n("normalized") == core.Tables.documents(spark, sf).count())
+    assert(n("quality") < n("normalized"), "min_words=20 must drop short docs")
+    assert(n("quality") > 0)
+    assert(n("deduped") <= n("quality"))
+    assert(n("mixture") <= n("deduped"))
+    assert(n("packed") == n("mixture"), "packing keeps every surviving doc")
+    // mixture honors the target list (only the listed sources remain)
+    val srcs = spark.read.parquet(s"$out/mixture")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.subsetOf(Set("src0", "src1")))
+    // packed offsets are a dense prefix sum over the mixture corpus
+    val packed = spark.read.parquet(s"$out/packed")
+      .orderBy("start_offset").collect()
+    assert(packed.head.getAs[Long]("start_offset") == 0L)
+    // stats artifacts: per-source accounting + stage-count manifest
+    assert(r.stats.columns.toSeq == Seq("source", "n_docs", "total_tokens"))
+    assert(Files.exists(Paths.get(s"$out/corpus_stats.json")))
+    // Luigi resume: a second build skips every stage
+    val again = graft.pipeline.CorpusSolution.buildCorpus(
+      spark, proj, "configs", "corpus.conf")
+    assert(again.report.ran.isEmpty && again.report.skipped.nonEmpty,
+      "all corpus stages skipped on re-run")
+  }
+
   test("solution build: iris end-to-end with reference artifact layout") {
     // materialize the reference's iris project skeleton in a temp dir
     val ref = "/root/reference/examples/classification/multiclass/iris"
