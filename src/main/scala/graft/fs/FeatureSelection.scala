@@ -33,32 +33,54 @@ object FeatureSelection {
     * idiom as `Folds.assign` (the earlier zipWithIndex formulation paid
     * an RDD round-trip that broke codegen). */
   def shuffleColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    def indexed(in: DataFrame, orderKey: Column): DataFrame = {
-      val parts = in.withColumn("__k", orderKey)
-        .repartitionByRange(col("__k")).sortWithinPartitions(col("__k"))
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__mid", monotonically_increasing_id())
-        .localCheckpoint() // one materialization; counts + output consumers
-      val counts = parts.groupBy("__pid")
-        .agg(count(lit(1)).as("__n"), min("__mid").as("__m"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      var acc = 0L
-      val adj = counts.sortBy(_._1).map { case (pid, n, m) =>
-        val o = acc; acc += n; (pid, o - m)
-      }.toSeq
-      parts.join(broadcast(adj.toDF("__apid", "__adj")),
-          col("__pid") === col("__apid"))
-        .withColumn("__idx", col("__mid") + col("__adj"))
-        .drop("__k", "__pid", "__mid", "__apid", "__adj")
-    }
     val others = df.drop(c)
     val rest = indexed(others,
       xxhash64((lit(seed) +: lit("rows") +: others.columns.map(col)): _*))
     val vals = indexed(df.select(c), xxhash64(lit(seed), lit("vals"), col(c)))
     rest.join(vals, Seq("__idx")).drop("__idx")
       .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Repeated permutations of the same column (the A15 null-importance
+    * loop): the row side is indexed ONCE with a seed-independent key
+    * and reused across every run — the composed permutation
+    * rowOrder ∘ valsOrder(seed)⁻¹ is (re-)randomized entirely by the
+    * per-seed value side, so each run pays one range shuffle of ONE
+    * column instead of two of the whole frame. */
+  def shuffleColumnRuns(df: DataFrame, c: String, seeds: Seq[Long]): Seq[DataFrame] = {
+    val others = df.drop(c)
+    val rest = indexed(others,
+      xxhash64((lit("rows") +: others.columns.map(col)): _*))
+    seeds.map { s =>
+      val vals = indexed(df.select(c), xxhash64(lit(s), lit("vals"), col(c)))
+      rest.join(vals, Seq("__idx")).drop("__idx")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Dense 0..n-1 index in `orderKey` order: range-partitioned sort,
+    * partition-local position from `monotonically_increasing_id`'s low
+    * bits, broadcast per-partition offsets from a bounded collected
+    * count — no RDD hop, no window (same idiom as Folds.assign). */
+  private def indexed(in: DataFrame, orderKey: Column): DataFrame = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    val parts = in.withColumn("__k", orderKey)
+      .repartitionByRange(col("__k")).sortWithinPartitions(col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint() // one materialization; counts + output consumers
+    val counts = parts.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), min("__mid").as("__m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    var acc = 0L
+    val adj = counts.sortBy(_._1).map { case (pid, n, m) =>
+      val o = acc; acc += n; (pid, o - m)
+    }.toSeq
+    parts.join(broadcast(adj.toDF("__apid", "__adj")),
+        col("__pid") === col("__apid"))
+      .withColumn("__idx", col("__mid") + col("__adj"))
+      .drop("__k", "__pid", "__mid", "__apid", "__adj")
   }
 
   /** One explorer fit → (feature, importance_gain, importance_split)
@@ -78,14 +100,18 @@ object FeatureSelection {
   }
 
   /** A15: the null-importance distribution — nbRuns explorer fits on
-    * shuffled targets, tagged by run (feature_selection.py:183-198). */
+    * shuffled targets, tagged by run (feature_selection.py:183-198).
+    * Permutations come from `shuffleColumnRuns`, so the feature side is
+    * indexed once across all runs. */
   def nullImportances(
       train: DataFrame, features: Seq[String], target: String,
-      model: ModelWrapper, seed: Long, nbRuns: Int): DataFrame =
-    (1 to nbRuns).map { run =>
-      importancesOnce(train, features, target, model, seed, Some(seed + run))
-        .withColumn("run", lit(run))
+      model: ModelWrapper, seed: Long, nbRuns: Int): DataFrame = {
+    val frames = shuffleColumnRuns(train, target, (1 to nbRuns).map(seed + _))
+    frames.zipWithIndex.map { case (frame, i) =>
+      importancesOnce(frame, features, target, model, seed, shuffleSeed = None)
+        .withColumn("run", lit(i + 1))
     }.reduce(_ unionByName _)
+  }
 
   /** A16 default scoring function: log(1e-10 + act_mean /
     * (1 + percentile75(null))) (feature_selection.py:225-227). */

@@ -8,13 +8,16 @@ import graft.sim.Similarity
 import graft.text.TextOps
 
 /** Driver-checked queries for the LLM-data-pipeline operator families:
-  * dedup (exact / MinHash near-dup / SimHash / embedding-cosine),
-  * similarity search, and text analysis. Every query here has a full
-  * DuckDB oracle — near-dup verification is exact (MinHash only prunes
-  * candidates, so the oracle's all-pairs Jaccard at sf0.01 must agree
-  * with the banded pipeline's output; miss probability at the 0.5
-  * threshold with r=2,b=16 is < 1e-17 for the qualifying pairs, which
-  * all sit at J>=0.97 in this corpus).
+  * dedup (exact / MinHash near-dup / SimHash / embedding-cosine /
+  * SemDeDup), similarity search, text analysis, corpus curation
+  * (quality rules, PII, decontamination, packing, mixing, NFC
+  * canonicalization, CCNet bucketing) and embedding quantization.
+  * Every query here has a full DuckDB oracle or a dump-replay pair —
+  * near-dup verification is exact (MinHash only prunes candidates, so
+  * the oracle's all-pairs Jaccard at sf0.01 must agree with the banded
+  * pipeline's output; miss probability at the 0.5 threshold with
+  * r=2,b=16 is < 1e-17 for the qualifying pairs, which all sit at
+  * J>=0.97 in this corpus).
   */
 object LlmQueries {
 

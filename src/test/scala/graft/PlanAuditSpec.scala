@@ -86,6 +86,29 @@ class PlanAuditSpec extends SparkSpec {
       s"global-order window (single partition) forbidden:\n${windows.mkString("\n")}")
   }
 
+  test("ccnet buckets: threshold join broadcast, corpus not re-shuffled for the split") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(
+      graft.text.Curation.ccnetBuckets(docs, "doc_id", "text", "source"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source thresholds must join via broadcast")
+    // the split itself must add no exchange beyond the LM-score
+    // aggregation's own shuffles: no per-source rank/ntile window
+    // (which would sort every source's full partition)
+    assert(!plan.contains("Window"),
+      s"percentile-threshold formulation must not rank/sort the corpus:\n$plan")
+  }
+
+  test("semDedup: centroid table and drop set broadcast back, no window") {
+    import spark.implicits._
+    val emb = core.Tables.embeddings(spark, sf)
+    val plan = formatted(
+      graft.sim.Similarity.semDedup(emb, "vec_id", "embedding", 0.35, nCells = 4))
+    assert(plan.contains("BroadcastHashJoin"), "centroids/drop-set join via broadcast")
+    assert(!plan.contains("Window"),
+      s"rank must ride the pairwise join, not a window:\n$plan")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
