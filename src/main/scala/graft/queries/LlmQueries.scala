@@ -786,6 +786,202 @@ object LlmQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q98: line-level corpus dedup (CCNet/RefinedWeb boilerplate strip).
+  // The synthetic corpus is single-line, so both sides first reshape
+  // each document into lines: the original text, one of two repeated
+  // boilerplate footers (dropped — each occurs ~250x), and a
+  // per-document unique line (kept). The original line is dropped
+  // exactly when the whole document text is an exact corpus duplicate.
+  // -------------------------------------------------------------------
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("all rights reserved"))
+          .otherwise(lit("subscribe to the newsletter")),
+        lit("\nunique footer line "), col("doc_id")).as("text"))
+    graft.text.Curation.lineDedup(injected, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val lineDedupSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text || chr(10)
+      |      || CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
+      |              ELSE 'subscribe to the newsletter' END
+      |      || chr(10) || 'unique footer line ' || doc_id AS t
+      |  FROM documents
+      |),
+      |arr AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM inj),
+      |lines AS (
+      |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+      |  FROM arr
+      |),
+      |cnt AS (SELECT md5(line) AS h, count(*) AS c FROM lines GROUP BY 1)
+      |SELECT doc_id,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+      |  round(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS dup_line_frac,
+      |  coalesce(string_agg(CASE WHEN c < 2 THEN line END, chr(10)
+      |                      ORDER BY pos), '') AS kept_text
+      |FROM lines JOIN cnt ON md5(line) = h
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q99: exact-substring duplicate spans (Lee et al. 2021 stand-in).
+  // Every document gets a shared 12-token boilerplate tail, so the
+  // 6-token windows inside the tail are corpus-duplicated and merge
+  // into one maximal span per document; any genuinely repeated 6-grams
+  // in the synthetic bodies surface as additional spans. Both sides
+  // compute 0-based inclusive token indices.
+  // -------------------------------------------------------------------
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" standard legal boilerplate text follows here twelve shared tokens exactly now")
+      ).as("text"))
+    graft.text.Curation.dupSpans(injected, "doc_id", "text", k = 6)
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dupSpansSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id, text ||
+      |    ' standard legal boilerplate text follows here twelve shared tokens exactly now'
+      |    AS t
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS w FROM inj),
+      |gr AS (
+      |  SELECT doc_id,
+      |         generate_subscripts(gs, 1) - 1 AS pos,
+      |         unnest(gs) AS gram
+      |  FROM (SELECT doc_id,
+      |          list_transform(range(0, greatest(len(w) - 5, 0)),
+      |            i -> array_to_string(w[i+1 : i+6], ' ')) AS gs
+      |        FROM tok)
+      |),
+      |cnt AS (SELECT md5(gram) AS h, count(*) AS c FROM gr GROUP BY 1),
+      |dup AS (
+      |  SELECT doc_id, pos FROM gr JOIN cnt ON md5(gram) = h WHERE c >= 2
+      |),
+      |gap AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+      |         THEN 1 ELSE 0 END AS g
+      |  FROM dup
+      |),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(g) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM gap
+      |)
+      |SELECT doc_id,
+      |  CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+      |  CAST(max(pos) + 5 - min(pos) + 1 AS BIGINT) AS span_tokens,
+      |  count(*) AS n_windows
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q100: BM25 ranked keyword search over the corpus for a fixed
+  // three-term query; top-20 by score with id tie-break. The oracle
+  // replays the exact Okapi math (Lucene-style non-negative IDF).
+  // -------------------------------------------------------------------
+  def bm25Search(s: SparkSession, d: String): DataFrame =
+    graft.text.TextOps.bm25(docs(s, d), "doc_id", "text",
+      query = Seq("hash", "join", "window"), topK = 20)
+
+  val bm25SearchSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl FROM tok
+      |),
+      |tf AS (
+      |  SELECT doc_id, term,
+      |         CAST(count(*) AS DOUBLE) AS tf,
+      |         CAST(max(dl) AS DOUBLE) AS dl
+      |  FROM (SELECT doc_id, len(w) AS dl,
+      |          unnest(list_filter(w, t -> t IN ('hash', 'join', 'window'))) AS term
+      |        FROM tok)
+      |  GROUP BY doc_id, term
+      |),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |  round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+      |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+      |  CAST(sum(tf) AS BIGINT) AS n_matches,
+      |  count(*) AS n_terms
+      |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q101: DSIR importance resampling — select the 100 most src0-like
+  // documents from the whole corpus by hashed-ngram importance weight
+  // with the deterministic Gumbel-top-k. The oracle replays the full
+  // chain: bucket hash, both smoothed bag-of-words models, per-doc
+  // log-weight, Gumbel perturbation, top-k.
+  // -------------------------------------------------------------------
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    graft.text.Curation.dsirSelect(
+      all, all.filter(col("source") === "src0"), "doc_id", "text",
+      buckets = 10000, k = 100)
+  }
+
+  val dsirSelectSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |),
+      |gr AS (
+      |  SELECT doc_id, source,
+      |    unnest(w || list_transform(range(1, len(w)),
+      |                               i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM tok
+      |),
+      |gb AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % 10000 AS bucket
+      |  FROM gr
+      |),
+      |qc AS (SELECT bucket, count(*) AS qcnt FROM gb GROUP BY 1),
+      |pc AS (SELECT bucket, count(*) AS pcnt FROM gb WHERE source = 'src0'
+      |       GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(qcnt) FROM qc) AS tq,
+      |               (SELECT coalesce(sum(pcnt), 0) FROM pc) AS tp),
+      |model AS (
+      |  SELECT q.bucket,
+      |    ln((coalesce(p.pcnt, 0) + 1.0) / (tp + 10000))
+      |      - ln((q.qcnt + 1.0) / (tq + 10000)) AS ld
+      |  FROM qc q LEFT JOIN pc p USING (bucket) CROSS JOIN tot
+      |),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_grams, sum(ld) AS lw
+      |  FROM gb JOIN model USING (bucket) GROUP BY doc_id
+      |),
+      |g AS (
+      |  SELECT doc_id, n_grams, lw,
+      |    -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      |             + 0.5) / 1000000.0)) AS gum
+      |  FROM sc
+      |)
+      |SELECT doc_id, n_grams,
+      |  round(lw, 6) AS log_weight,
+      |  round(lw + gum, 6) AS gumbel_key
+      |FROM g
+      |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -1062,6 +1258,10 @@ object LlmQueries {
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
     "q83_chunk_dup" -> (chunkDupStats _),
+    "q98_line_dedup" -> (lineDedup _),
+    "q99_dup_spans" -> (dupSpans _),
+    "q100_bm25" -> (bm25Search _),
+    "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
@@ -1100,6 +1300,10 @@ object LlmQueries {
     "q66_dup_clusters" -> dupClustersSql,
     "q82_mix_sources" -> mixBySourceSql,
     "q83_chunk_dup" -> chunkDupStatsSql,
+    "q98_line_dedup" -> lineDedupSql,
+    "q99_dup_spans" -> dupSpansSql,
+    "q100_bm25" -> bm25SearchSql,
+    "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,

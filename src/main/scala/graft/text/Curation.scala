@@ -226,6 +226,88 @@ object Curation {
         round(col("n_dup_chunks") / col("n_chunks"), 6).as("dup_chunk_frac"))
   }
 
+  /** Line-level corpus deduplication: drop every line that occurs at
+    * least `minCount` times across the whole corpus and reassemble each
+    * document from its surviving lines — the CCNet/RefinedWeb paragraph
+    * dedup step (Wenzek et al. 2020 §4.1 dedup paragraphs by hash;
+    * Penedo et al. 2023 §G.2.2 remove duplicated lines), which strips
+    * boilerplate (headers, footers, cookie banners) that document-level
+    * dedup never sees. Returns per document: line counts, the dropped
+    * fraction, and the reassembled `kept_text`.
+    *
+    * Distributed shape: lines posexplode scan-local; the corpus-wide
+    * line count is one map-side-combinable aggregate keyed by the
+    * line's md5 (16-byte bounded key, not the raw line — the shuffle
+    * carries digests; a 2^-64 collision over-counts one line, the
+    * standard hash-dedup trade); occurrences re-join on the same
+    * digest; reassembly is one per-doc aggregate whose sort is the
+    * in-group `array_sort` over (pos, line) structs, not a window.
+    * Never all-pairs, no global sort, no skew pivot beyond the line
+    * key itself (a pathologically hot line is one aggregate cell,
+    * and its join-back fan-out equals its true occurrence count).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__h", md5(col("line")))
+    val counts = lines.groupBy("__h").agg(count(lit(1)).as("__c"))
+    lines.join(counts, "__h")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__c") >= minCount, 1L).otherwise(0L)).as("n_dup_lines"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(col("__c") < minCount, struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("kept_text"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        round(col("n_dup_lines") / col("n_lines"), 6).as("dup_line_frac"),
+        col("kept_text"))
+  }
+
+  /** Exact-substring duplicate spans: every maximal token span whose
+    * k-token windows ALL occur at least `minCount` times corpus-wide —
+    * the scalable stand-in for suffix-array substring dedup (Lee et al.
+    * 2021, arXiv:2107.06499 §4.1 remove 50-token substrings that repeat;
+    * the window-hash formulation finds the same spans whenever the
+    * duplicated substring is at least k tokens, trading the suffix
+    * array's global sort for a hash aggregate). Emits one row per span:
+    * (id, span_start, span_end, span_tokens, n_windows), token indices
+    * 0-based inclusive.
+    *
+    * Distributed shape: windows are the scan-local n-gram transform;
+    * corpus-wide window counts key on the window's md5 (bounded 16-byte
+    * shuffle key, map-side combinable); duplicated window positions
+    * re-join on the digest; span merging is a per-document
+    * gaps-and-islands (lag + running sum + per-island aggregate) whose
+    * windows are all `partitionBy(id)` — keys as fine as the data, no
+    * global sort anywhere. The suffix array this replaces cannot be
+    * built without a corpus-wide ordered structure; this shape scales
+    * like every other gram pipeline here.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    val tok = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+    val wins = tok
+      .select(col(idCol), posexplode(ngrams(col("__w"), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), md5(col("gram")).as("__h"))
+    val counts = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+    val dup = wins.join(counts, "__h").filter(col("__c") >= minCount)
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__gap")).over(byDoc))
+      .groupBy(col(idCol), col("__island")).agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
   /** Corpus-unigram language-model score per document: the mean log10
     * probability of the document's tokens under the corpus's own
     * unigram distribution — the cheap stand-in for the CCNet-style
@@ -250,6 +332,60 @@ object Curation {
         count(lit(1)).as("n_tokens"),
         round(avg(log10(col("__cnt").cast("double") / col("__total"))), 6)
           .as("lm_score"))
+  }
+
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    * every raw document by how target-like its hashed n-gram features
+    * are, then resample the top `k` by Gumbel-perturbed importance
+    * weight — importance resampling from the raw distribution toward
+    * the target. Features are unigrams + bigrams hashed into `buckets`
+    * cells (§3.2); both bag-of-words models use add-1 smoothing;
+    * log w(d) = Σ_grams [ln p̂_target(bucket) - ln p̂_raw(bucket)], and
+    * the Gumbel-top-k trick (g = -ln(-ln u)) turns weighted sampling
+    * WITHOUT replacement into a top-k. The Gumbel's u comes from the
+    * engine's deterministic per-doc md5 coin (the q64/q82
+    * construction), so a SQL oracle replays the exact selection.
+    *
+    * Distributed shape: the two bag-of-words models are bucket-keyed
+    * aggregates of bounded size (`buckets` rows — broadcast back);
+    * corpus totals ride along as broadcast 1-row frames; per-doc
+    * scoring is explode → broadcast-join → per-doc sum (grams never
+    * shuffle against each other, only (doc, bucket) rows keyed by
+    * doc); the selection is TakeOrdered(k), never a full sort. The
+    * bucket hash is the md5-prefix construction rather than xxhash64
+    * so the oracle can recompute it. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10000, k: Int = 100): DataFrame = {
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val tok = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      tok.select(col(idCol),
+          explode(concat(col("__w"), ngrams(col("__w"), 2))).as("gram"))
+        .select(col(idCol),
+          (conv(substring(md5(col("gram")), 1, 15), 16, 10)
+            .cast("long") % buckets).as("bucket"))
+    }
+    val rawB = gramBuckets(raw)
+    val qCnt = rawB.groupBy("bucket").agg(count(lit(1)).as("__qc"))
+    val pCnt = gramBuckets(target).groupBy("bucket").agg(count(lit(1)).as("__pc"))
+    val model = qCnt.join(pCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("__pc"))
+      .crossJoin(broadcast(qCnt.agg(sum("__qc").as("__tq"))))
+      .crossJoin(broadcast(pCnt.agg(sum("__pc").as("__tp"))))
+      .select(col("bucket"),
+        (log((col("__pc") + 1) / (col("__tp") + buckets)) -
+         log((col("__qc") + 1) / (col("__tq") + buckets))).as("__ld"))
+    val coin = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").mod(1000000)
+    val gumbel = -log(-log((coin + 0.5) / 1000000.0))
+    rawB.join(broadcast(model), "bucket")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("__ld")).as("__lw"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__lw"), 6).as("log_weight"),
+        round(col("__lw") + gumbel, 6).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
   }
 
   /** CCNet-style quality bucketing (Wenzek et al. 2020, §4.3): split

@@ -130,6 +130,47 @@ object TextOps {
     * native hashed_ngrams expression instead of materializing gram
     * strings (collision shortfall probability ~ grams^2 / 2^65 per doc
     * — immaterial, and the string-gram DuckDB oracle still matches). */
+  /** BM25 ranked keyword search (Robertson & Sparck Jones's Okapi
+    * weighting, with the Lucene-style `ln(1 + (N-df+0.5)/(df+0.5))`
+    * IDF that never goes negative): score every document containing at
+    * least one query term and return the top `topK` by score, ties on
+    * id.
+    *
+    * Distributed shape: one pass projects each document's length and
+    * its query-term occurrences — `filter(w, isin(query))` runs inside
+    * the scan, so ONLY postings for the query's terms ever explode or
+    * shuffle (a |query|-term search over 100 TB moves |matching
+    * postings|, not the corpus). Document frequencies and the corpus
+    * (N, avgdl) statistics are term-count- and 1-row-sized aggregates
+    * broadcast back; the final top-k is TakeOrdered, never a full
+    * sort. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val stats = tok.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__w"))).as("__avgdl"))
+    val tf = tok
+      .select(col(idCol), size(col("__w")).cast("double").as("__dl"),
+        explode(filter(col("__w"), t => t.isInCollection(query))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val tfNorm = col("__tf") * lit(k1 + 1) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol)).agg(
+        round(sum(idf * tfNorm), 6).as("bm25"),
+        sum(col("__tf")).cast("long").as("n_matches"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
     tok.select(col(idCol),

@@ -51,6 +51,71 @@ class CurationSpec extends SparkSpec {
     assert(got(12L) == ((0L, false))) // still present, just unflagged
   }
 
+  test("lineDedup: drops corpus-duplicated lines, reassembles in order") {
+    // "footer" occurs in all three docs (dropped); each "body N" line is
+    // unique (kept); doc 3's body duplicates doc 1's (both dropped).
+    val df = Seq(
+      (1L, "body one\nfooter\nextra one"),
+      (2L, "body two\nfooter"),
+      (3L, "body one\nfooter")).toDF("id", "txt")
+    val got = Curation.lineDedup(df, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(got(1L) == ((3L, 2L, "extra one")))
+    assert(got(2L) == ((2L, 1L, "body two")))
+    assert(got(3L) == ((2L, 2L, ""))) // every line duplicated -> empty doc
+  }
+
+  test("lineDedup: minCount raises the drop threshold") {
+    val df = Seq(
+      (1L, "twice\nunique a"), (2L, "twice\nunique b")).toDF("id", "txt")
+    val keep2 = Curation.lineDedup(df, "id", "txt", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(keep2(1L) == "twice\nunique a") // 2 occurrences < minCount 3
+  }
+
+  test("dupSpans: duplicated windows merge into maximal 0-based spans") {
+    // k=2: docs 1 and 2 share "a b" and "b c" (windows 0,1 in both) ->
+    // merged span [0,2]. Doc 1's "x y" repeats within doc 1 (windows 5
+    // and 7, gap 2 = k -> contiguous coverage, merged) -> span [5,8];
+    // the 4-window gap between 1 and 5 separates the islands. "y x"
+    // (window 6) occurs once and is not part of any duplicated window,
+    // yet lands inside the span via the merge. Doc 3 shares nothing.
+    val df = Seq(
+      (1L, "a b c m n x y x y"),
+      (2L, "a b c"),
+      (3L, "p q r s")).toDF("id", "txt")
+    val got = Curation.dupSpans(df, "id", "txt", k = 2)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, 3L, 2L),
+      (1L, 5L, 8L, 4L, 2L),
+      (2L, 0L, 2L, 3L, 2L)))
+  }
+
+  test("dsirSelect: target-vocabulary docs outrank off-target docs") {
+    // Raw corpus: 40 docs over vocab {aa..dd} and 40 over {ww..zz};
+    // target speaks only {aa..dd}. The selection must be dominated by
+    // the target-like half, and log weights must be higher for every
+    // target-like doc than every off-target doc.
+    val talk = Seq("aa", "bb", "cc", "dd")
+    val noise = Seq("ww", "xx", "yy", "zz")
+    def doc(words: Seq[String], i: Int): String =
+      (0 until 12).map(j => words((i + j) % 4)).mkString(" ")
+    val raw = ((0 until 40).map(i => (i.toLong, doc(talk, i))) ++
+      (40 until 80).map(i => (i.toLong, doc(noise, i)))).toDF("id", "txt")
+    val target = (0 until 10).map(i => (1000L + i, doc(talk, i))).toDF("id", "txt")
+    val sel = Curation.dsirSelect(raw, target, "id", "txt",
+      buckets = 1000, k = 40).collect()
+    assert(sel.length == 40)
+    val ids = sel.map(_.getLong(0)).toSet
+    assert(ids.count(_ < 40) >= 35, s"selection should be mostly target-like: $ids")
+    val again = Curation.dsirSelect(raw, target, "id", "txt",
+      buckets = 1000, k = 40).collect().map(_.getLong(0)).toSet
+    assert(again == ids, "selection is deterministic")
+  }
+
   test("chunkTokens: ragged final chunk, exact token coverage") {
     val df = Seq((1L, "t1 t2 t3 t4 t5")).toDF("id", "txt")
     val got = Curation.chunkTokens(df, "id", "txt", chunkSize = 2)

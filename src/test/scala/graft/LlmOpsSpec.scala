@@ -199,6 +199,26 @@ class LlmOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("bm25: hand-computed Okapi scores, rank order, and coverage") {
+    import spark.implicits._
+    // corpus: 3 docs, query = [x, z]. N=3, avgdl = (4+2+3)/3 = 3.
+    // "x" appears in docs 1 (tf 2, dl 4) and 2 (tf 1, dl 2): df=2.
+    // "z" appears only in doc 3 (tf 1, dl 3): df=1.
+    val df = Seq(
+      (1L, "x a x b"), (2L, "x c"), (3L, "p q z")).toDF("id", "txt")
+    val got = TextOps.bm25(df, "id", "txt", query = Seq("x", "z"), topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    def idf(n: Double, dfq: Double) = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((r6(idf(3, 2) * tfn(2, 4)), 2L, 1L)))
+    assert(got(2L) == ((r6(idf(3, 2) * tfn(1, 2)), 1L, 1L)))
+    assert(got(3L) == ((r6(idf(3, 1) * tfn(1, 3)), 1L, 1L)))
+    // rarer term scores higher here: doc 3's idf(df=1) beats doc 2's
+    assert(got(3L)._1 > got(2L)._1)
+  }
+
   test("multimodal frame sampling: 1->N rows, correct strides and slices") {
     import graft.multimodal.Multimodal
     import spark.implicits._
