@@ -71,6 +71,7 @@ object Bench {
         "q73_tree_shap", "q75_shap_importance"),
       "rf_bag" -> Seq("q89_bag_oof", "q91_bag_vote"),
       "semdedup" -> Seq("q93_semdedup_assign", "q94_semdedup_keep"),
+      "pq" -> Seq("q102_pq_codebook", "q103_pq_codes", "q104_pq_adc_topk"),
       "null_imp" -> Seq("q96_null_imp_dump", "q97_null_imp_scores"),
       "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters"))
     val groups = memoGroups.map { case (g, names) =>

@@ -1094,6 +1094,100 @@ object LlmQueries {
       |FROM inj ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q102/q103/q104: product-quantization ANN (Jégou 2011). q102 dumps
+  // the trained per-subspace codebooks (model-driven → rows-only, the
+  // q89 pattern); q103's oracle re-derives every vector's codes from
+  // the dumped codebook in DuckDB (argmin over rounded subspace
+  // distances, code tie-break); q104's oracle replays the ADC top-k
+  // search from the two dumps. Probes = vec_id < 20, matching q35/q67.
+  // m=4 here bounds the bench's KMeans fit count; parity is
+  // m-independent, and the m=16 quality config (NN-in-shortlist
+  // recall 0.8) is pinned in LlmOpsSpec.
+  // -------------------------------------------------------------------
+  private val pqM = 4
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"pq_codebook:${s.sparkContext.applicationId}:$d") {
+      graft.sim.Pq.train(emb(s, d), "vec_id", "embedding",
+          m = pqM, ks = 16, seed = 27L)
+        .localCheckpoint(false)
+    }
+
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"pq_codes:${s.sparkContext.applicationId}:$d") {
+      graft.sim.Pq.encode(emb(s, d), pqCodebook(s, d), "vec_id", "embedding",
+          m = pqM)
+        .localCheckpoint(false)
+    }
+
+  def pqCodebookDump(s: SparkSession, d: String): DataFrame =
+    pqCodebook(s, d).orderBy("sub", "code")
+
+  def pqCodesQuery(s: SparkSession, d: String): DataFrame =
+    pqCodes(s, d).orderBy("vec_id", "sub")
+
+  val pqCodesSql: String =
+    """WITH cb AS (
+      |  SELECT sub, code, centroid
+      |  FROM read_parquet('__VERIFY_OUT__/q102_pq_codebook/*.parquet')
+      |),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      |sr AS (
+      |  SELECT vec_id, t.sub, x[t.sub*16+1 : t.sub*16+16] AS subvec
+      |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS sub) t
+      |),
+      |d AS (
+      |  SELECT vec_id, sr.sub, cb.code,
+      |    round(list_sum(list_transform(range(1, 17),
+      |      i -> (subvec[i] - centroid[i]) * (subvec[i] - centroid[i]))), 6) AS dist
+      |  FROM sr JOIN cb ON sr.sub = cb.sub
+      |)
+      |SELECT vec_id, sub, code, dist FROM d
+      |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+      |                           ORDER BY dist, code) = 1
+      |ORDER BY vec_id, sub""".stripMargin
+
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.sim.Pq.adcTopK(pqCodes(s, d), pqCodebook(s, d),
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, m = pqM)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val pqAdcTopKSql: String =
+    """WITH cb AS (
+      |  SELECT sub, code, centroid
+      |  FROM read_parquet('__VERIFY_OUT__/q102_pq_codebook/*.parquet')
+      |),
+      |codes AS (
+      |  SELECT vec_id, sub, code
+      |  FROM read_parquet('__VERIFY_OUT__/q103_pq_codes/*.parquet')
+      |),
+      |p AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+      |      WHERE vec_id < 20),
+      |psr AS (
+      |  SELECT vec_id AS query_id, t.sub, x[t.sub*16+1 : t.sub*16+16] AS subvec
+      |  FROM p CROSS JOIN (SELECT unnest(range(4)) AS sub) t
+      |),
+      |qd AS (
+      |  SELECT query_id, psr.sub, cb.code,
+      |    round(list_sum(list_transform(range(1, 17),
+      |      i -> (subvec[i] - centroid[i]) * (subvec[i] - centroid[i]))), 6) AS qd
+      |  FROM psr JOIN cb ON psr.sub = cb.sub
+      |),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id, round(sum(qd), 6) AS adist
+      |  FROM codes c JOIN qd ON c.sub = qd.sub AND c.code = qd.code
+      |  WHERE c.vec_id <> query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, adist FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY adist, neighbor_id) <= 5
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q93/q94: SemDeDup — q93 dumps the k-means assignment + rounded
   // centroid similarity (model-driven -> rows-only, the q89 pattern);
   // q94 is the keep/drop decision, whose oracle replays the ENTIRE
@@ -1268,6 +1362,9 @@ object LlmQueries {
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
     "q93_semdedup_assign" -> (semDedupAssign _),
     "q94_semdedup_keep" -> (semDedupKeep _),
+    "q102_pq_codebook" -> (pqCodebookDump _),
+    "q103_pq_codes" -> (pqCodesQuery _),
+    "q104_pq_adc_topk" -> (pqAdcTopK _),
     "q95_ccnet_buckets" -> (ccnetBuckets _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
@@ -1309,6 +1406,8 @@ object LlmQueries {
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,
     "q94_semdedup_keep" -> semDedupKeepSql,
+    "q103_pq_codes" -> pqCodesSql,
+    "q104_pq_adc_topk" -> pqAdcTopKSql,
     "q95_ccnet_buckets" -> ccnetBucketsSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,

@@ -199,6 +199,65 @@ class LlmOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("pq: codes cover all subspaces, ADC distance is exact on centroid-grid vectors") {
+    import spark.implicits._
+    // Vectors whose subvectors ARE codebook centroids: 8-dim, m=2,
+    // 4 distinct subvectors per subspace repeated enough that KMeans
+    // (k=4) must place a centroid on each point -> quantization error
+    // 0 and the ADC distance equals the true squared L2 distance.
+    def vec(a: Int, b: Int): Seq[Float] =
+      Seq(a, a, 0, 0, b, 0, b, 0).map(_.toFloat)
+    val rows = for (i <- 0 until 4; j <- 0 until 4; r <- 0 until 3)
+      yield ((i * 16 + j * 4 + r).toLong, vec(i * 10, j * 10))
+    val df = rows.toDF("id", "emb")
+    val cb = graft.sim.Pq.train(df, "id", "emb", m = 2, ks = 4, seed = 1L)
+    assert(cb.count() == 8) // 2 subspaces x 4 codes
+    val codes = graft.sim.Pq.encode(df, cb, "id", "emb", m = 2).cache()
+    assert(codes.count() == rows.size * 2)
+    assert(codes.agg(max("dist")).head.getDouble(0) == 0.0,
+      "every subvector sits exactly on a centroid")
+    // ADC vs true distance for one probe against all vectors
+    val probe = df.filter(col("id") === 0L)
+    val adc = graft.sim.Pq.adcTopK(codes, cb, probe, "id", "emb", k = 5, m = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val truth = df.filter(col("id") =!= 0L).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val p = vec(0, 0)
+        r.getLong(0) -> v.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum.toDouble
+      }.toMap
+    adc.foreach { case (id, d) =>
+      assert(math.abs(d - truth(id)) < 1e-6, s"ADC exact on grid: $id $d ${truth(id)}")
+    }
+    codes.unpersist()
+  }
+
+  test("pq: ADC shortlist recall against brute force on real embeddings") {
+    // The operational ANN property: the TRUE nearest neighbor lands in
+    // the ADC top-10 shortlist (which an exact rerank then recovers).
+    // m=16 x ks=16 (64-bit codes) is the quality config; the near-random
+    // synthetic embeddings are PQ's worst case, so the floor is 0.6
+    // where a numpy reference measures 0.8.
+    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding", m = 16, ks = 16, seed = 27L)
+    val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding", m = 16)
+    val probes = emb.filter(col("vec_id") < 20)
+    val adc = graft.sim.Pq.adcTopK(codes, cb, probes, "vec_id", "embedding",
+        k = 10, m = 16)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val all = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val hit = adc.toSeq.map { case (q, approx) =>
+      val p = all(q)
+      val nn = all.toSeq.filter(_._1 != q)
+        .minBy { case (id, v) =>
+          (v.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum, id) }._1
+      if (approx.contains(nn)) 1.0 else 0.0
+    }
+    val recall = hit.sum / hit.size
+    assert(recall >= 0.6, s"PQ NN-in-top10 recall = $recall below floor")
+  }
+
   test("bm25: hand-computed Okapi scores, rank order, and coverage") {
     import spark.implicits._
     // corpus: 3 docs, query = [x, z]. N=3, avgdl = (4+2+3)/3 = 3.
