@@ -670,6 +670,41 @@ object LlmQueries {
     graft.text.Curation.packOffsets(docs(s, d), "doc_id", "text", window = 512)
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------------
+  // q105: packed-sequence materialization — each document's slice
+  // contributions to its fixed-512-token training sequences, the
+  // assembly table a training loader consumes. Oracle replays q80's
+  // window math plus the slice intersection arithmetic.
+  // -------------------------------------------------------------------
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.packSequences(docs(s, d), "doc_id", "text", window = 512)
+      .orderBy("seq_id", "doc_id")
+
+  val packSequencesSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS s
+      |  FROM tok
+      |),
+      |x AS (
+      |  SELECT doc_id, n_tokens, s,
+      |         unnest(range(s // 512, (s + n_tokens - 1) // 512 + 1)) AS seq_id
+      |  FROM c
+      |)
+      |SELECT seq_id, doc_id,
+      |  greatest(seq_id * 512 - s, 0) AS doc_tok_start,
+      |  greatest(s - seq_id * 512, 0) AS seq_tok_start,
+      |  least((seq_id + 1) * 512, s + n_tokens) - greatest(seq_id * 512, s)
+      |    AS n_tokens_in_seq
+      |FROM x ORDER BY seq_id, doc_id""".stripMargin
+
   val packOffsetsSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
@@ -1188,6 +1223,96 @@ object LlmQueries {
       |ORDER BY query_id, neighbor_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q106/q107/q108: BPE tokenizer. q106 dumps the learned merge table
+  // (the training loop is driver-side over the bounded word dictionary
+  // — rows-only; its round-1 pick is independently oracle-checked by
+  // q85's top-bigram). q107 segments every DISTINCT word and its
+  // oracle replays the full greedy merge loop in DuckDB as a RECURSIVE
+  // CTE over q106's dump (boundary-padded separator matching; one
+  // merge application per recursion step converges to the same
+  // fixpoint as the kernel's merge-all — the chosen pair stays the
+  // rank-minimum until exhausted). q108's per-doc stats oracle joins
+  // the corpus against q107's verified segmentation.
+  // -------------------------------------------------------------------
+  private def bpeTable(s: SparkSession, d: String): graft.functions.BpeTable =
+    graft.core.Memo.getOrElseUpdate(
+        s"bpe_table:${s.sparkContext.applicationId}:$d") {
+      graft.text.Bpe.train(docs(s, d), "text", nMerges = 20)
+    }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.mergesDf(s, bpeTable(s, d)).orderBy("rank")
+
+  def bpeSegments(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    words.select(col("w"),
+        graft.text.Bpe.bpeEncode(col("w"), bpeTable(s, d)).as("__p"))
+      .select(col("w"),
+        size(col("__p")).cast("long").as("n_pieces"),
+        concat_ws(" ", col("__p")).as("segmented"))
+      .orderBy("w")
+  }
+
+  val bpeSegmentsSql: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT rank, "left" AS l, "right" AS r
+      |  FROM read_parquet('__VERIFY_OUT__/q106_bpe_merges/*.parquet')
+      |),
+      |words AS (
+      |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |),
+      |init AS (
+      |  SELECT w,
+      |    chr(31) || array_to_string(list_transform(range(1, len(w) + 1),
+      |      i -> substr(w, CAST(i AS INT), 1)), chr(31))
+      |      || chr(31) || '</w>' || chr(31) AS cur
+      |  FROM words
+      |),
+      |enc AS (
+      |  SELECT w, cur FROM init
+      |  UNION ALL
+      |  SELECT w, replace(cur, pat, rep) AS cur FROM (
+      |    SELECT e.w, e.cur,
+      |      chr(31) || m.l || chr(31) || m.r || chr(31) AS pat,
+      |      chr(31) || m.l || m.r || chr(31) AS rep,
+      |      row_number() OVER (PARTITION BY e.w ORDER BY m.rank) AS rn
+      |    FROM enc e JOIN m
+      |      ON contains(e.cur, chr(31) || m.l || chr(31) || m.r || chr(31))
+      |  ) WHERE rn = 1
+      |)
+      |SELECT w,
+      |  CAST(len(string_split(trim(cur, chr(31)), chr(31))) AS BIGINT) AS n_pieces,
+      |  array_to_string(string_split(trim(cur, chr(31)), chr(31)), ' ') AS segmented
+      |FROM enc e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM m
+      |  WHERE contains(e.cur, chr(31) || m.l || chr(31) || m.r || chr(31)))
+      |ORDER BY w""".stripMargin
+
+  def bpeStats(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.pieceStats(docs(s, d), "doc_id", "text", bpeTable(s, d))
+      .orderBy("doc_id")
+
+  val bpeStatsSql: String =
+    """WITH seg AS (
+      |  SELECT w, n_pieces
+      |  FROM read_parquet('__VERIFY_OUT__/q107_bpe_segments/*.parquet')
+      |),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  count(*) AS n_words,
+      |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 6) AS fertility
+      |FROM tok JOIN seg USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q93/q94: SemDeDup — q93 dumps the k-means assignment + rounded
   // centroid similarity (model-driven -> rows-only, the q89 pattern);
   // q94 is the keep/drop decision, whose oracle replays the ENTIRE
@@ -1363,12 +1488,16 @@ object LlmQueries {
     "q93_semdedup_assign" -> (semDedupAssign _),
     "q94_semdedup_keep" -> (semDedupKeep _),
     "q102_pq_codebook" -> (pqCodebookDump _),
+    "q106_bpe_merges" -> (bpeMerges _),
+    "q107_bpe_segments" -> (bpeSegments _),
+    "q108_bpe_stats" -> (bpeStats _),
     "q103_pq_codes" -> (pqCodesQuery _),
     "q104_pq_adc_topk" -> (pqAdcTopK _),
     "q95_ccnet_buckets" -> (ccnetBuckets _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
     "q80_pack_offsets" -> (packOffsets _),
+    "q105_pack_sequences" -> (packSequences _),
     "q81_embed_quantize" -> (embedQuantize _),
     "q76_gopher_repetition" -> (gopherRepetition _),
     "q90_gopher_word" -> (gopherWord _),
@@ -1407,11 +1536,14 @@ object LlmQueries {
     "q92_nfc_normalize" -> nfcNormalizeSql,
     "q94_semdedup_keep" -> semDedupKeepSql,
     "q103_pq_codes" -> pqCodesSql,
+    "q107_bpe_segments" -> bpeSegmentsSql,
+    "q108_bpe_stats" -> bpeStatsSql,
     "q104_pq_adc_topk" -> pqAdcTopKSql,
     "q95_ccnet_buckets" -> ccnetBucketsSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,
     "q80_pack_offsets" -> packOffsetsSql,
+    "q105_pack_sequences" -> packSequencesSql,
     "q81_embed_quantize" -> embedQuantizeSql,
     "q76_gopher_repetition" -> gopherRepetitionSql,
     "q90_gopher_word" -> gopherWordSql,

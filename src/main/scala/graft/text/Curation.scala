@@ -499,6 +499,36 @@ object Curation {
         floor((col("__cum") - lit(1)) / window).cast("long").as("end_window"))
   }
 
+  /** Materialize the packed training sequences `packOffsets` describes:
+    * one row per (sequence, document) contribution — which slice of the
+    * document's tokens lands in which fixed-`window` training sequence,
+    * with the in-sequence position (GPT-style packing, Brown et al.
+    * 2020 §B; this is the assembly step a training loader consumes).
+    * Output: (seq_id, id, doc_tok_start, seq_tok_start, n_tokens_in_seq),
+    * token indices 0-based, `doc_tok_start` within the document,
+    * `seq_tok_start` within the sequence.
+    *
+    * Scale shape: `packOffsets`' distributed prefix sum plus one
+    * scan-local explode of each document into the (usually 1-2, at most
+    * n_tokens/window + 1) sequences it spans — no new shuffle beyond
+    * the prefix sum's range partition; a training loader then groups by
+    * seq_id, a shuffle whose key is as fine as the output. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 512): DataFrame = {
+    val off = packOffsets(df, idCol, textCol, window)
+    off
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("start_window"), col("end_window"))).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        greatest(col("seq_id") * window - col("start_offset"), lit(0L))
+          .as("doc_tok_start"),
+        greatest(col("start_offset") - col("seq_id") * window, lit(0L))
+          .as("seq_tok_start"),
+        (least((col("seq_id") + 1) * window, col("start_offset") + col("n_tokens"))
+          - greatest(col("seq_id") * window, col("start_offset")))
+          .as("n_tokens_in_seq"))
+  }
+
   /** Fixed-size token chunking: split each document into consecutive
     * chunks of `chunkSize` tokens (final chunk ragged) — the standard
     * pre-tokenization step before sequence packing. posexplode keeps

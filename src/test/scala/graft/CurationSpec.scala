@@ -116,6 +116,48 @@ class CurationSpec extends SparkSpec {
     assert(again == ids, "selection is deterministic")
   }
 
+  test("bpe: classic dictionary learns the expected merges in order") {
+    // Sennrich et al. 2016 §3.2's worked dictionary:
+    // low:5 lower:2 newest:6 widest:3. Pair counts round 1:
+    // (e,s)=9, (s,t)=9, (t,</w>)=9, (w,e)=8(newest6+lower2)... wait
+    // (w,e): newest 6 + lower 2 = 8; (l,o)=7; tie among the three 9s
+    // breaks lexicographically: (e,s) < (s,t) < (t,</w>).
+    val dict = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val table = graft.text.Bpe.trainOnDict(dict, nMerges = 4)
+    val got = table.pairs.toSeq
+    assert(got(0) == (("e", "s")), s"merge 1: ${got(0)}")
+    assert(got(1) == (("es", "t")), s"merge 2: ${got(1)}")
+    assert(got(2) == (("est", "</w>")), s"merge 3: ${got(2)}")
+    // round 4: (l,o) count 7 beats (n,e)/(w,i)=6 etc.
+    assert(got(3) == (("l", "o")), s"merge 4: ${got(3)}")
+  }
+
+  test("bpe: encode applies merges greedily by rank; concat identity holds") {
+    import org.apache.spark.sql.Row
+    val dict = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val table = graft.text.Bpe.trainOnDict(dict, nMerges = 10)
+    val df = Seq((1L, "newest lowest low")).toDF("id", "txt")
+    val enc = graft.text.Bpe.encodeDocs(df, "id", "txt", table)
+    val pieces = enc.head().getSeq[String](1)
+    // every word's pieces concatenate back to word + </w>
+    val rejoined = pieces.mkString("").split("</w>", -1).filter(_.nonEmpty)
+    assert(rejoined.toSeq == Seq("newest", "lowest", "low"))
+    // "newest" is fully merged after 10 rounds (freq-6 word)
+    assert(pieces.contains("newest</w>"),
+      s"newest should be a single piece in $pieces")
+    val stats = graft.text.Bpe.pieceStats(df, "id", "txt", table).head()
+    assert(stats.getLong(1) == 3L) // n_words
+    assert(stats.getLong(2) == pieces.length.toLong)
+  }
+
+  test("bpe: unseen characters survive as singleton pieces") {
+    val table = graft.text.Bpe.trainOnDict(Array(("abc", 3L)), nMerges = 5)
+    val df = Seq((1L, "xyz")).toDF("id", "txt")
+    val pieces = graft.text.Bpe.encodeDocs(df, "id", "txt", table)
+      .head().getSeq[String](1)
+    assert(pieces == Seq("x", "y", "z", "</w>"))
+  }
+
   test("chunkTokens: ragged final chunk, exact token coverage") {
     val df = Seq((1L, "t1 t2 t3 t4 t5")).toDF("id", "txt")
     val got = Curation.chunkTokens(df, "id", "txt", chunkSize = 2)
@@ -134,6 +176,25 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) == ((3L, 0L, 0L, 0L)))
     assert(got(2L) == ((2L, 3L, 0L, 1L)))
     assert(got(3L) == ((5L, 5L, 1L, 2L)))
+  }
+
+  test("packSequences: slice contributions cover each doc exactly once") {
+    // window=4; concat: "a b c"(3) "d e"(2) "f g h i j"(5) -> 10 tokens,
+    // sequences 0..2. Doc 1 -> seq 0 [0,3); doc 2 -> seq 0 pos 3 (1 tok)
+    // + seq 1 pos 0 (1 tok); doc 3 -> seq 1 pos 1 (3 toks) + seq 2 (2).
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j")).toDF("id", "txt")
+    val got = Curation.packSequences(df, "id", "txt", window = 4)
+      .orderBy("seq_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 3L),
+      (0L, 2L, 0L, 3L, 1L),
+      (1L, 2L, 1L, 0L, 1L),
+      (1L, 3L, 0L, 1L, 3L),
+      (2L, 3L, 3L, 0L, 2L)))
+    // coverage identity: per doc, slice lengths sum to n_tokens
+    val byDoc = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 2L, 3L -> 5L))
   }
 
   test("packOffsets: distributed prefix sum matches driver-side cumsum") {
