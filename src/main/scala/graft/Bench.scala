@@ -74,7 +74,8 @@ object Bench {
       "pq" -> Seq("q102_pq_codebook", "q103_pq_codes", "q104_pq_adc_topk"),
       "bpe" -> Seq("q106_bpe_merges", "q107_bpe_segments", "q108_bpe_stats"),
       "null_imp" -> Seq("q96_null_imp_dump", "q97_null_imp_scores"),
-      "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters"))
+      "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters",
+        "q110_fuzzy_dedup_apply"))
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")

@@ -1017,6 +1017,93 @@ object LlmQueries {
       |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
 
   // -------------------------------------------------------------------
+  // q109: within-document line dedup (self-repetition strip). The
+  // injection plants an intra-doc repeated line plus a unique line, so
+  // both sides drop exactly the second occurrence.
+  // -------------------------------------------------------------------
+  def selfLineDedup(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit("\nnav menu home about\nunique line "), col("doc_id"),
+        lit("\nnav menu home about")).as("text"))
+    graft.text.Curation.selfLineDedup(injected, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val selfLineDedupSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'nav menu home about'
+      |         || chr(10) || 'unique line ' || doc_id
+      |         || chr(10) || 'nav menu home about' AS t
+      |  FROM documents
+      |),
+      |arr AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM inj),
+      |lines AS (
+      |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+      |  FROM arr
+      |),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM lines
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) = 1
+      |),
+      |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+      |k AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(line, chr(10) ORDER BY pos) AS kept_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_lines, n_kept,
+      |  n_lines - n_kept AS n_self_dup, kept_text
+      |FROM tot JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q110: fuzzy-dedup application — keep each near-dup cluster's
+  // representative (the min-id member q66 labels) plus all singletons,
+  // reported as per-source kept/dropped counts and kept token mass.
+  // Oracle reads q66's verified cluster dump.
+  // -------------------------------------------------------------------
+  def fuzzyDedupApply(s: SparkSession, d: String): DataFrame = {
+    val dropIds = dupClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(true).as("__dropped"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      .join(dropIds, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__dropped").isNull, col("__nt")).otherwise(0L))
+          .as("n_kept_tokens"))
+      .orderBy("source")
+  }
+
+  val fuzzyDedupApplySql: String =
+    """WITH cl AS (
+      |  SELECT doc_id, cluster
+      |  FROM read_parquet('__VERIFY_OUT__/q66_dup_clusters/*.parquet')
+      |),
+      |d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+      |  FROM documents
+      |),
+      |j AS (
+      |  SELECT d.source, d.nt,
+      |         (cl.doc_id IS NOT NULL AND cl.doc_id <> cl.cluster) AS is_drop
+      |  FROM d LEFT JOIN cl USING (doc_id)
+      |)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN is_drop THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN is_drop THEN 0 ELSE nt END) AS BIGINT) AS n_kept_tokens
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -1479,6 +1566,8 @@ object LlmQueries {
     "q83_chunk_dup" -> (chunkDupStats _),
     "q98_line_dedup" -> (lineDedup _),
     "q99_dup_spans" -> (dupSpans _),
+    "q109_self_line_dedup" -> (selfLineDedup _),
+    "q110_fuzzy_dedup_apply" -> (fuzzyDedupApply _),
     "q100_bm25" -> (bm25Search _),
     "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
@@ -1528,6 +1617,8 @@ object LlmQueries {
     "q83_chunk_dup" -> chunkDupStatsSql,
     "q98_line_dedup" -> lineDedupSql,
     "q99_dup_spans" -> dupSpansSql,
+    "q109_self_line_dedup" -> selfLineDedupSql,
+    "q110_fuzzy_dedup_apply" -> fuzzyDedupApplySql,
     "q100_bm25" -> bm25SearchSql,
     "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,

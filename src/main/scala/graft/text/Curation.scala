@@ -265,6 +265,29 @@ object Curation {
         col("kept_text"))
   }
 
+  /** WITHIN-document line dedup: keep only each line's first occurrence
+    * inside its own document and reassemble — the self-repetition strip
+    * most pipelines run before corpus-level dedup (repeated nav/footer
+    * blocks inside one page; cf. the line-level half of RefinedWeb's
+    * repetition removal, Penedo et al. 2023 §G.2.2). Unlike `lineDedup`
+    * this needs NO corpus-wide state: the keep-first scan is a pure
+    * per-row column expression (a fold over the line array), so the
+    * operator is scan-local with zero Exchange at any scale.
+    */
+  def selfLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // fold: append a line only when it has not been seen yet
+    val kept = aggregate(lines, array().cast("array<string>"),
+      (acc, l) => when(array_contains(acc, l), acc)
+        .otherwise(concat(acc, array(l))))
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_self_dup"),
+      concat_ws("\n", kept).as("kept_text"))
+  }
+
   /** Exact-substring duplicate spans: every maximal token span whose
     * k-token windows ALL occur at least `minCount` times corpus-wide —
     * the scalable stand-in for suffix-array substring dedup (Lee et al.

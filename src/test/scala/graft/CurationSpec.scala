@@ -74,6 +74,17 @@ class CurationSpec extends SparkSpec {
     assert(keep2(1L) == "twice\nunique a") // 2 occurrences < minCount 3
   }
 
+  test("selfLineDedup: keeps first occurrence in order, zero Exchange semantics") {
+    val df = Seq(
+      (1L, "nav\nbody a\nnav\nbody b\nnav"),
+      (2L, "only\nlines")).toDF("id", "txt")
+    val got = Curation.selfLineDedup(df, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((5L, 3L, 2L, "nav\nbody a\nbody b")))
+    assert(got(2L) == ((2L, 2L, 0L, "only\nlines")))
+  }
+
   test("dupSpans: duplicated windows merge into maximal 0-based spans") {
     // k=2: docs 1 and 2 share "a b" and "b c" (windows 0,1 in both) ->
     // merged span [0,2]. Doc 1's "x y" repeats within doc 1 (windows 5

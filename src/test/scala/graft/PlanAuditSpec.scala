@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Machine-checked physical-plan properties of shipped queries — the
   * executable form of the PLANS.md audit. These are regression guards
@@ -107,6 +108,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "centroids/drop-set join via broadcast")
     assert(!plan.contains("Window"),
       s"rank must ride the pairwise join, not a window:\n$plan")
+  }
+
+  test("q109 self line dedup is scan-local: no Exchange at all") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(
+      graft.text.Curation.selfLineDedup(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"),
+      s"the keep-first fold is a pure column expression:\n$plan")
+  }
+
+  test("q98 line dedup: digest-keyed count, no window anywhere") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(
+      graft.text.Curation.lineDedup(docs, "doc_id", "text"))
+    assert(!plan.contains("Window"),
+      s"reassembly must be the in-group array_sort, not a window:\n$plan")
+  }
+
+  test("q100 bm25: term filter precedes the explode, top-k is TakeOrdered") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(
+      graft.text.TextOps.bm25(docs, "doc_id", "text", Seq("hash", "join"), topK = 10))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must never be a full sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "document frequencies and corpus stats must broadcast")
+  }
+
+  test("q101 dsir: model broadcasts back, selection is TakeOrdered") {
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(graft.text.Curation.dsirSelect(
+      docs, docs.filter(col("source") === "src0"), "doc_id", "text",
+      buckets = 1000, k = 20))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Gumbel-top-k must never be a full sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket model join must broadcast")
+  }
+
+  test("pq encode: codebook broadcasts, argmin is an aggregate not a window") {
+    import spark.implicits._
+    val emb = core.Tables.embeddings(spark, sf)
+    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding", m = 2, ks = 4, seed = 1L)
+    val plan = formatted(
+      graft.sim.Pq.encode(emb, cb, "vec_id", "embedding", m = 2))
+    assert(plan.contains("BroadcastHashJoin"), "codebook join must broadcast")
+    assert(!plan.contains("Window"),
+      s"argmin must be the in-group struct-min, not a window:\n$plan")
   }
 
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
