@@ -100,11 +100,10 @@ object CrossValidation {
 
     val testCached = test.map(_.cache())
 
-    var oofParts = List.empty[DataFrame]
-    var subParts = List.empty[DataFrame]
-    var impRows = List.empty[(String, Double, Int)]
-
-    (0 until cfg.numFolds).foreach { k =>
+    // Independent per-fold fits run concurrently (graft.core.Par):
+    // the blocking MLlib fit dominates and its fixed multi-job
+    // overhead overlaps across folds; scored frames are lazy plans.
+    val perFold = graft.core.Par.mapPar(0 until cfg.numFolds) { k =>
       val trainK = folded.filter(col("fold") =!= k)
       val validK = folded.filter(col("fold") === k)
       val fitted: FittedModel =
@@ -114,17 +113,20 @@ object CrossValidation {
         .score(validK, cfg.predictProbability, cfg.classLabel)
         .select(col(idCol), col(target), col("fold"),
           col("__score").as("oof_score"))
-      oofParts ::= oofK
 
-      testCached.foreach { t =>
-        subParts ::= fitted.scoreTest(t, cfg.predictProbability, cfg.classLabel)
+      val subK = testCached.map { t =>
+        fitted.scoreTest(t, cfg.predictProbability, cfg.classLabel)
           .select(col(idCol), col("__score").as("sub_score"))
       }
 
-      fitted.featureImportances.foreach { imps =>
-        impRows :::= imps.map { case (f, v) => (f, v, k + 1) }.toList
+      val impsK = fitted.featureImportances.toList.flatMap { imps =>
+        imps.map { case (f, v) => (f, v, k + 1) }
       }
+      (oofK, subK, impsK)
     }
+    val oofParts = perFold.map(_._1)
+    val subParts = perFold.flatMap(_._2)
+    val impRows = perFold.toList.flatMap(_._3)
 
     val oof = oofParts.reduce(_ unionByName _).cache()
     oof.count() // materialize before computing k + 1 metrics over it
@@ -205,17 +207,18 @@ object CrossValidation {
       if (cfg.stratified) Some(target) else None).cache()
     val testCached = test.map(_.cache())
 
-    var oofParts = List.empty[DataFrame]
-    var subParts = List.empty[DataFrame]
-    (0 until cfg.numFolds).foreach { k =>
+    val perFold = graft.core.Par.mapPar(0 until cfg.numFolds) { k =>
       val fitted = model.fit(folded.filter(col("fold") =!= k), None, features, target, seedVal)
-      oofParts ::= fitted.scoreAll(folded.filter(col("fold") === k))
+      val oofK = fitted.scoreAll(folded.filter(col("fold") === k))
         .select(col(idCol), col(target), col("fold"), col("__probs").as("oof_probs"))
-      testCached.foreach { t =>
-        subParts ::= fitted.scoreAll(t)
+      val subK = testCached.map { t =>
+        fitted.scoreAll(t)
           .select(col(idCol), col("__probs").as("sub_probs"))
       }
+      (oofK, subK)
     }
+    val oofParts = perFold.map(_._1)
+    val subParts = perFold.flatMap(_._2)
     val oof = oofParts.reduce(_ unionByName _).cache()
     oof.count()
     val m: (DataFrame, String, String) => Double =
@@ -276,7 +279,7 @@ object CrossValidation {
     // cheaper for a k-seed bag. A preSeeded entry for ANY seed serves
     // all of them in that case.
     val perSeed =
-      if (model.hasSeedParam) seeds.map(s => s -> fitSeed(s))
+      if (model.hasSeedParam) graft.core.Par.mapPar(seeds)(s => s -> fitSeed(s))
       else {
         val one = preSeeded.values.headOption.getOrElse(fitSeed(seeds.head))
         seeds.map(s => s -> one)

@@ -107,7 +107,10 @@ object FeatureSelection {
       train: DataFrame, features: Seq[String], target: String,
       model: ModelWrapper, seed: Long, nbRuns: Int): DataFrame = {
     val frames = shuffleColumnRuns(train, target, (1 to nbRuns).map(seed + _))
-    frames.zipWithIndex.map { case (frame, i) =>
+    // Independent explorer fits run concurrently (graft.core.Par);
+    // each run's permutation frame is already built, so only the
+    // blocking fit overlaps. Output order is preserved.
+    graft.core.Par.mapPar(frames.zipWithIndex) { case (frame, i) =>
       importancesOnce(frame, features, target, model, seed, shuffleSeed = None)
         .withColumn("run", lit(i + 1))
     }.reduce(_ unionByName _)

@@ -223,7 +223,10 @@ object Models {
         System.err.println(s"[ovr_gbt] train split is missing class(es) " +
           s"${missing.mkString(",")} of 0 until $nClasses; fitting " +
           "constant-negative stand-ins (reference parity: lightgbm trains regardless)")
-      val models = (0 until nClasses).map { k =>
+      // Independent one-vs-rest fits run concurrently (graft.core.Par);
+      // each is seeded `seed + k`, so output order and content are
+      // identical to the sequential loop.
+      val models = graft.core.Par.mapPar(0 until nClasses) { k =>
         if (missing.contains(k)) None
         else {
           val est = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(maxDepth)
