@@ -51,7 +51,8 @@ object Queries {
       queries.RowWise.registry ++
       queries.MlQueries.registry ++
       queries.LlmQueries.registry ++
-      queries.MiscQueries.registry
+      queries.MiscQueries.registry ++
+      queries.TemporalQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -59,5 +60,6 @@ object Queries {
       queries.RowWise.oracles ++
       queries.MlQueries.oracles ++
       queries.LlmQueries.oracles ++
-      queries.MiscQueries.oracles
+      queries.MiscQueries.oracles ++
+      queries.TemporalQueries.oracles
 }

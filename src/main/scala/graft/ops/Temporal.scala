@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and sessionization — the event-stream operators a
+  * feature/training-data pipeline needs that Spark SQL has no native
+  * operator for (as-of join, interval overlap join) or that deserve a
+  * fixed scale-safe shape (gaps-and-islands sessionization).
+  *
+  * All three are compositions of built-in operators chosen so every
+  * shuffle key is as fine as the data:
+  *
+  *  - `asofJoin` is the union-and-running-last formulation: one hash
+  *    exchange on the key, one per-key ordered window — never a
+  *    per-row subquery or a range join. This is how kdb's `aj` /
+  *    pandas `merge_asof` semantics map onto a shuffle engine.
+  *  - `rangeJoinCount` buckets time into granules so interval
+  *    containment becomes an equi-join on the granule id — the plan
+  *    Spark's optimizer cannot derive itself (a bare `BETWEEN` join
+  *    with no equi key degenerates to BroadcastNestedLoopJoin,
+  *    quadratic work at corpus scale).
+  *  - `sessionize` is one per-user window + running sum of gap flags
+  *    (gaps-and-islands), then a per-(user, session) aggregate.
+  *
+  * All second-resolution math uses integer microseconds
+  * (`unix_micros` here, `epoch_us` in the DuckDB oracles) — exact on
+  * both engines, no float-epoch drift.
+  */
+object Temporal {
+
+  /** As-of join: for every probe row, the single most recent build row
+    * of the same `key` with `build.ts <= probe.ts` (pandas
+    * `merge_asof(direction='backward')` / DuckDB `ASOF JOIN`
+    * semantics). Probes with no prior build row keep null payloads.
+    *
+    * Build rows must be unique per (key, ts) — pre-aggregate ties
+    * before calling (ASOF tie order is otherwise undefined in every
+    * engine) — and `payload` names must not collide with probe
+    * columns (rename on the build side first). Null build payload
+    * values are skipped by the running `last(ignoreNulls)`, i.e.
+    * treated as no observation.
+    *
+    * Shape: union the two sides with a side tag, then one window
+    * `partitionBy(key).orderBy(ts, side)` with `last(payload,
+    * ignoreNulls=true)` over the unbounded-preceding frame — build
+    * rows sort before probe rows at equal ts, so an exact-ts match is
+    * visible to its probe. One shuffle on `key`, partitions as fine
+    * as the key cardinality, no range predicate anywhere. */
+  def asofJoin(probes: DataFrame, build: DataFrame, key: String,
+      ts: String, payload: Seq[String]): DataFrame = {
+    val pCols = probes.columns.toSeq
+    require(payload.forall(!pCols.contains(_)),
+      s"payload columns ${payload.mkString(",")} must not collide with probe columns")
+    val probeSide = probes
+      .withColumn("__side", lit(1))
+      .withColumns(payload.map(c => c -> lit(null).cast(
+        build.schema(c).dataType)).toMap)
+    val buildSide = build
+      .select((key +: ts +: payload).map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumns(pCols.filterNot(Set(key, ts))
+        .map(c => c -> lit(null).cast(probes.schema(c).dataType)).toMap)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = probeSide.unionByName(buildSide)
+      .withColumns(payload.map(c =>
+        s"__asof_$c" -> last(col(c), ignoreNulls = true).over(w)).toMap)
+    filled.filter(col("__side") === 1)
+      .select(pCols.map(col) ++
+        payload.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Interval-overlap join, aggregated: for every interval
+    * [startCol, endCol) of `intervals`, the count and value-sum of
+    * `points` rows with start <= pt < end — with NO equi key linking
+    * the two sides.
+    *
+    * Scale shape: a bare non-equi join plans as
+    * BroadcastNestedLoopJoin — |intervals| x |points| comparisons.
+    * Instead, time is bucketed into `granuleSec` granules; each
+    * interval explodes into the granules it overlaps (sequence over
+    * the floor-divided bounds), each point maps to exactly ONE
+    * granule, and the join is an equi-join on the granule id with the
+    * exact containment predicate as a post-filter. Because a point
+    * owns a single granule, no pair can match twice — no dedup pass.
+    * Work is |intervals| x (span/granule + 1) + |points|, linear at
+    * any scale while spans are bounded; the granule id is the shuffle
+    * key, so skew maps to genuinely-hot time ranges only (AQE's skew
+    * handling applies). */
+  def rangeJoinCount(intervals: DataFrame, points: DataFrame,
+      intervalId: String, startCol: String, endCol: String,
+      ptTs: String, valueCol: String, granuleSec: Long): DataFrame = {
+    val g = lit(granuleSec * 1000000L)
+    val iGr = intervals.select(
+        col(intervalId), col(startCol), col(endCol),
+        explode(sequence(
+          floor(unix_micros(col(startCol)) / g).cast("long"),
+          floor(unix_micros(col(endCol)) / g).cast("long")))
+          .as("__gran"))
+    val pGr = points.select(
+        col(ptTs).as("__pt"), col(valueCol).as("__pv"),
+        floor(unix_micros(col(ptTs)) / g).cast("long").as("__gran"))
+    iGr.join(pGr, Seq("__gran"))
+      .filter(col("__pt") >= col(startCol) && col("__pt") < col(endCol))
+      .groupBy(intervalId)
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__pv")), 6).as("sum_value"))
+  }
+
+  /** Gaps-and-islands sessionization: events of one `key` belong to
+    * the same session while consecutive gaps stay under `gapSec`
+    * (strictly-greater gap starts a new session). Output one row per
+    * (key, session) with event count, start/end, integer-microsecond
+    * duration, and the value sum; `session` is 1-based in time order
+    * per key.
+    *
+    * One window `partitionBy(key).orderBy(ts)` computes the previous
+    * timestamp (lag) and the running count of gap breaks — both over
+    * the same per-key frame, so Spark executes ONE shuffle and one
+    * sort; the session aggregate then groups by (key, session), keys
+    * as fine as the data. No global window, no self-join. */
+  def sessionize(events: DataFrame, key: String, ts: String,
+      valueCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc)
+    val us = unix_micros(col(ts))
+    val flagged = events.withColumn("__gap",
+      when(us - lag(us, 1).over(w) > gapSec * 1000000L, 1).otherwise(0))
+    flagged
+      .withColumn("session",
+        sum(col("__gap")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) + 1)
+      .groupBy(col(key), col("session"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        (unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
+          .as("duration_us"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Temporal
+
+/** Driver-checked queries for the temporal operator family (as-of
+  * join, granule-bucketed interval join, sessionization) over the
+  * events table. Each Spark side is the scale-safe composition in
+  * `ops/Temporal.scala`; each oracle is the naive declarative
+  * formulation (DuckDB native ASOF JOIN / bare range join / the same
+  * gaps-and-islands windows), so the oracle checks that the
+  * shuffle-friendly plan computes exactly the textbook semantics.
+  */
+object TemporalQueries {
+
+  /** Events with the nanos-long `ts` converted to a proper timestamp
+    * (micros, floor-div — identical to DuckDB's ns→us truncation). */
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Events.normalize(Tables.events(s, d))
+
+  // -------------------------------------------------------------------
+  // q111: as-of join — every event annotated with the same user's most
+  // recent purchase value at-or-before the event's timestamp.
+  // Build side deduped to one row per (user, ts) first (max value):
+  // ASOF tie order is undefined in every engine.
+  // -------------------------------------------------------------------
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(col("value")).as("purchase_value"))
+    Temporal.asofJoin(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        purchases, "user_id", "ts", Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("asof_purchase_value"), 6).as("asof_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |       round(p.purchase_value, 6) AS asof_purchase_value
+      |FROM events e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q112: interval-overlap (range) join with no equi key — for each
+  // error event's 2-minute incident window, the count and value-sum of
+  // ALL purchases (any user) inside the window. Spark side buckets
+  // time into 120 s granules (equi-join, linear); the oracle is the
+  // bare quadratic range join DuckDB can afford at sf0.01.
+  // -------------------------------------------------------------------
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 MINUTES")).as("w_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("ts", "value")
+    Temporal.rangeJoinCount(windows, purchases, "window_id",
+        "w_start", "w_end", "ts", "value", granuleSec = 120L)
+      .orderBy("window_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH w AS (
+      |  SELECT event_id AS window_id, ts AS w_start,
+      |         ts + INTERVAL 2 MINUTE AS w_end
+      |  FROM events WHERE event_type = 'error'
+      |),
+      |p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT window_id, count(*) AS n_points,
+      |       round(sum(value), 6) AS sum_value
+      |FROM w JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
+      |GROUP BY window_id ORDER BY window_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q113: sessionization — 30-minute-gap sessions per user with
+  // count / bounds / exact microsecond duration / value sum.
+  // -------------------------------------------------------------------
+  def sessions(s: SparkSession, d: String): DataFrame =
+    Temporal.sessionize(events(s, d), "user_id", "ts", "value",
+        gapSec = 1800L)
+      .select(col("user_id"), col("session"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_us"),
+        col("sum_value"))
+      .orderBy("user_id", "session")
+
+  val sessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM events
+      |),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(1 + sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+      |  FROM o
+      |)
+      |SELECT user_id, session, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+      |  round(sum(value), 6) AS sum_value
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_asof_join" -> (asofJoin _),
+    "q112_range_join" -> (rangeJoin _),
+    "q113_sessions" -> (sessions _))
+
+  val oracles: Map[String, String] = Map(
+    "q111_asof_join" -> asofJoinSql,
+    "q112_range_join" -> rangeJoinSql,
+    "q113_sessions" -> sessionsSql)
+}

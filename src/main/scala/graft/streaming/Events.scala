@@ -18,7 +18,10 @@ object Events {
 
   /** epoch-nanos long -> timestamp (micro precision). */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // Integer floor-div, NOT `/ 1000`: epoch nanos (~1.7e18) exceed a
+    // double's 53-bit mantissa, so float division drifts by ±1 µs.
+    // DuckDB's ns→us parquet read truncates the same way.
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Hourly per-type windowed aggregate with a 1-hour watermark:
     * identical semantics batch or stream (run it on `readStream` for

@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+/** Hand-computed cases + plan-shape guards for the temporal family:
+  * as-of join (union-and-running-last), granule-bucketed interval
+  * join, gaps-and-islands sessionization. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin: backward match, exact-ts match, no-prior-build null") {
+    val probes = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),  // after b1 -> 10.0
+      (2L, 7L, ts("2024-01-01 12:00:00")),  // exactly at b2 -> 20.0
+      (3L, 7L, ts("2024-01-01 09:00:00")),  // before any build -> null
+      (4L, 8L, ts("2024-01-01 11:00:00")))  // other key, no build -> null
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 10.0),
+      (7L, ts("2024-01-01 12:00:00"), 20.0))
+      .toDF("user_id", "ts", "pval")
+    val got = Temporal.asofJoin(probes, build, "user_id", "ts", Seq("pval"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> None, 4L -> None))
+  }
+
+  test("asofJoin: exactly one exchange (the key hash partition)") {
+    val ev = graft.streaming.Events.normalize(core.Tables.events(spark, sf))
+    val build = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pval"))
+    val df = Temporal.asofJoin(
+      ev.select("event_id", "user_id", "ts"), build, "user_id", "ts", Seq("pval"))
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Read only the executed (final) AQE tree — the formatted dump
+    // repeats nodes in the initial plan and the detail section.
+    val finalTree = plan.split("== Initial Plan ==").head
+    val exchanges = finalTree.linesIterator.count(_.contains("Exchange ("))
+    // build-side dedup aggregates by (user_id, ts) and the union window
+    // repartitions by user_id — nothing else may shuffle
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$finalTree")
+    assert(!plan.contains("SinglePartition"), s"no global exchange:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"asof must never be a range join:\n$plan")
+  }
+
+  test("rangeJoinCount: containment boundaries and granule-spanning intervals") {
+    // granule = 10 s. Interval A [00:05, 00:25) spans granules 0-2;
+    // interval B [00:30, 00:40) exactly one granule.
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:25")),
+      (2L, ts("2024-01-01 00:00:30"), ts("2024-01-01 00:00:40")))
+      .toDF("window_id", "w_start", "w_end")
+    val points = Seq(
+      (ts("2024-01-01 00:00:05"), 1.0),   // == A start -> inside A
+      (ts("2024-01-01 00:00:24"), 2.0),   // inside A, third granule
+      (ts("2024-01-01 00:00:25"), 4.0),   // == A end -> excluded
+      (ts("2024-01-01 00:00:39"), 8.0),   // inside B
+      (ts("2024-01-01 00:00:40"), 16.0))  // == B end -> excluded
+      .toDF("ts", "value")
+    val got = Temporal.rangeJoinCount(intervals, points, "window_id",
+        "w_start", "w_end", "ts", "value", granuleSec = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> ((2L, 3.0)), 2L -> ((1L, 8.0))))
+  }
+
+  test("rangeJoinCount: the plan is an equi-join on the granule, never a nested loop") {
+    val ev = graft.streaming.Events.normalize(core.Tables.events(spark, sf))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 MINUTES")).as("w_end"))
+    val points = ev.filter(col("event_type") === "purchase").select("ts", "value")
+    val df = Temporal.rangeJoinCount(intervals, points, "window_id",
+      "w_start", "w_end", "ts", "value", granuleSec = 120L)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"granule bucketing must make this an equi-join:\n$plan")
+  }
+
+  test("sessionize: gap splits, duration, per-key independence") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1.0),
+      (7L, ts("2024-01-01 10:10:00"), 2.0),   // 600 s gap -> same session
+      (7L, ts("2024-01-01 11:00:00"), 4.0),   // 3000 s gap -> new session
+      (8L, ts("2024-01-01 10:00:00"), 8.0))   // other key -> own session 1
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.sessionize(ev, "user_id", "ts", "value", gapSec = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5), r.getDouble(6))).toMap
+    assert(got == Map(
+      (7L, 1L) -> ((2L, 600000000L, 3.0)),
+      (7L, 2L) -> ((1L, 0L, 4.0)),
+      (8L, 1L) -> ((1L, 0L, 8.0))))
+  }
+
+  test("sessionize: exactly a 1800 s gap does NOT split (strictly-greater rule)") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1.0),
+      (7L, ts("2024-01-01 10:30:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.sessionize(ev, "user_id", "ts", "value", gapSec = 1800L)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(2) == 2L)
+  }
+
+  test("sessionize: no single-partition exchange at events scale") {
+    val df = Temporal.sessionize(
+      graft.streaming.Events.normalize(core.Tables.events(spark, sf)),
+      "user_id", "ts", "value", gapSec = 1800L)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("SinglePartition"),
+      s"sessionization must stay per-key partitioned:\n$plan")
+  }
+}
