@@ -52,7 +52,8 @@ object Queries {
       queries.MlQueries.registry ++
       queries.LlmQueries.registry ++
       queries.MiscQueries.registry ++
-      queries.TemporalQueries.registry
+      queries.TemporalQueries.registry ++
+      queries.SketchQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -61,5 +62,6 @@ object Queries {
       queries.MlQueries.oracles ++
       queries.LlmQueries.oracles ++
       queries.MiscQueries.oracles ++
-      queries.TemporalQueries.oracles
+      queries.TemporalQueries.oracles ++
+      queries.SketchQueries.oracles
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Driver-checked queries for the approximate/sketch operator family:
+  * HyperLogLog++ distinct counts, quantile sketches, and the Bloom
+  * runtime-filter decontamination path.
+  *
+  * Sketch outputs are approximate, so the oracle pattern differs from
+  * the exact queries: the Spark side computes BOTH the exact value and
+  * the sketch's published error-bound check, and emits the exact value
+  * plus the boolean; the DuckDB oracle recomputes the exact value and
+  * emits the boolean as `true`. A sketch that ever violates its bound
+  * flips the boolean and fails the hash compare — the bound itself is
+  * the oracled property (the q52 invariant-oracle pattern). At 100 TB
+  * these sketches replace exact distinct/percentile shuffles with
+  * mergeable fixed-size state — the only way those statistics are
+  * computable at all on a 1000-executor corpus scan.
+  */
+object SketchQueries {
+
+  // -------------------------------------------------------------------
+  // q114: per-source distinct-token cardinality — HLL++ estimate
+  // (rsd 2%) checked against the exact distinct count at 5 sigma.
+  // -------------------------------------------------------------------
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), 0.02).as("__est"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("__est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.1).as("hll_ok"))
+      .orderBy("source")
+
+  val hllDistinctSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |)
+      |SELECT source, count(DISTINCT tok) AS exact_distinct, true AS hll_ok
+      |FROM tok GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q115: per-type median sketch — approx_percentile at accuracy 10k
+  // guarantees rank error <= n/10000; the check brackets the exact
+  // rank interval of the returned value around n/2 (lower rank counts
+  // strict-less, upper rank counts <=, so ties are handled exactly).
+  // -------------------------------------------------------------------
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Events.normalize(Tables.events(s, d))
+    val sk = ev.groupBy("event_type")
+      .agg(approx_percentile(col("value"), lit(0.5), lit(10000)).as("__a"))
+    ev.join(broadcast(sk), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("__a"), 1L).otherwise(0L)).as("__lo"),
+        sum(when(col("value") <= col("__a"), 1L).otherwise(0L)).as("__hi"))
+      .select(col("event_type"), col("n"),
+        (col("__lo") <= col("n") / 2 + col("n") / 10000 + 1 &&
+          col("__hi") >= col("n") / 2 - col("n") / 10000 - 1).as("rank_ok"))
+      .orderBy("event_type")
+  }
+
+  val quantileSketchSql: String =
+    """SELECT event_type, count(*) AS n, true AS rank_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q116: Bloom-prefiltered decontamination — same inputs and oracle
+  // as q78 (the Bloom pass cannot change the verified output), but the
+  // corpus gram stream is pruned inside the scan by the native
+  // bloom_might_contain probe before the distinct+join shuffle.
+  // -------------------------------------------------------------------
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    graft.text.Curation.decontaminateBloom(
+      base.filter(col("doc_id") % 50 =!= 0),
+      base.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  val bloomDecontaminateSql: String = LlmQueries.decontaminateSql
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_hll_distinct" -> (hllDistinct _),
+    "q115_quantile_sketch" -> (quantileSketch _),
+    "q116_bloom_decontaminate" -> (bloomDecontaminate _))
+
+  val oracles: Map[String, String] = Map(
+    "q114_hll_distinct" -> hllDistinctSql,
+    "q115_quantile_sketch" -> quantileSketchSql,
+    "q116_bloom_decontaminate" -> bloomDecontaminateSql)
+}

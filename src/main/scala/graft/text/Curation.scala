@@ -184,6 +184,45 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — output identical to
+    * `decontaminate` (the Bloom filter admits false positives, never
+    * false negatives, and every positive is verified by the same exact
+    * equi-join), but the corpus-side distinct+join shuffle shrinks
+    * from ALL training grams to (true matches + ~1% false positives):
+    * the benchmark gram set — broadcast-scale by the operator's
+    * contract, exactly as in `decontaminate` — is collected once,
+    * packed into a `bitsPerKey`-bits-per-gram Bloom filter
+    * (`functions/BloomMightContain.scala`), and probed inside the
+    * scan's whole-stage pipeline before any Exchange. At 100 TB this
+    * is the difference between shuffling every 8-gram of the corpus
+    * and shuffling ~nothing. */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, bitsPerKey: Int = 12): DataFrame = {
+    import graft.functions.Bloom
+    val spark = train.sparkSession
+    import spark.implicits._
+    val collected = benchmark
+      .select(TextOps.tokens(col(textCol)).as("__w"))
+      .select(explode(ngrams(col("__w"), n)).as("gram")).distinct()
+      .select(col("gram"), xxhash64(col("gram")).as("__h"))
+      .collect() // bounded: benchmark sets are broadcast-scale by contract
+    val bloom = Bloom.build(collected.map(_.getLong(1)), bitsPerKey)
+    val benchLocal = collected.map(_.getString(0)).toSeq.toDF("gram")
+    val trainGrams = train
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(ngrams(col("__w"), n)).as("gram"))
+      .filter(Bloom.mightContainCol(bloom, xxhash64(col("gram"))))
+      .distinct()
+    val shared = trainGrams.join(broadcast(benchLocal), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Corpus-wide most-frequent token n-grams — the first statistic of
     * tokenizer training (BPE merges pick the most frequent adjacent
     * pair each round, Sennrich et al. 2016 §3.2; this is the

@@ -85,6 +85,18 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 0L, "only\nlines")))
   }
 
+  test("decontaminateBloom: identical output to the exact decontaminate") {
+    val base = core.Tables.documents(spark, sf)
+    val train = base.filter(col("doc_id") % 50 =!= 0)
+    val bench = base.filter(col("doc_id") % 50 === 0)
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloomed = Curation.decontaminateBloom(train, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloomed == exact)
+    assert(exact.values.exists(_._2), "fixture should contain contaminated docs")
+  }
+
   test("dupSpans: duplicated windows merge into maximal 0-based spans") {
     // k=2: docs 1 and 2 share "a b" and "b c" (windows 0,1 in both) ->
     // merged span [0,2]. Doc 1's "x y" repeats within doc 1 (windows 5

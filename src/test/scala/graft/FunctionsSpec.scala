@@ -180,4 +180,27 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.isNullAt(0))
     assert(viaSql.getString(1) == "é")
   }
+
+  test("bloom: no false negatives, FP rate near the design point, codegen parity") {
+    import graft.functions.Bloom
+    val rnd = new scala.util.Random(27)
+    val memberSet = scala.collection.mutable.LongMap.empty[Unit]
+    val members = Array.fill(20000)(rnd.nextLong())
+    members.foreach(memberSet.update(_, ()))
+    val bf = Bloom.build(members, bitsPerKey = 10)
+    // no false negatives, ever
+    assert(members.forall(bf.mightContain), "bloom lost a member")
+    // FP rate at 10 bits/key is ~0.8%; assert under 3x design
+    val probes = Array.fill(50000)(rnd.nextLong()).filterNot(memberSet.contains)
+    val fp = probes.count(bf.mightContain).toDouble / probes.length
+    assert(fp < 0.025, s"false-positive rate $fp is far above the 10-bits/key design")
+    // the column expression (codegen path) agrees with the driver kernel
+    val df = members.take(500).toSeq.toDF("h")
+      .unionByName(probes.take(500).toSeq.toDF("h"))
+    val got = df.select(col("h"), Bloom.mightContainCol(bf, col("h")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    got.foreach { case (h, m) =>
+      assert(m == bf.mightContain(h), s"codegen/driver mismatch for $h")
+    }
+  }
 }

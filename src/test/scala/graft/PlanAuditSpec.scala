@@ -158,6 +158,20 @@ class PlanAuditSpec extends SparkSpec {
       s"argmin must be the in-group struct-min, not a window:\n$plan")
   }
 
+  test("q116 bloom decontamination: the probe filters inside the scan stage") {
+    val base = core.Tables.documents(spark, sf)
+    val plan = formatted(graft.text.Curation.decontaminateBloom(
+      base.filter(col("doc_id") % 50 =!= 0),
+      base.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8))
+    assert(plan.contains("bloom_might_contain"),
+      s"the native bloom probe must appear in the executed plan:\n$plan")
+    // the probe must run BEFORE the distinct's exchange: in the
+    // formatted dump the Filter carrying it sits in a WholeStageCodegen
+    // stage whose detail section lists no Exchange above the scan
+    val filterLine = plan.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    assert(filterLine >= 0)
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
