@@ -110,6 +110,33 @@ object Temporal {
         round(sum(col("__pv")), 6).as("sum_value"))
   }
 
+  /** Rolling event-time features: for every row, the count and value
+    * sum of the SAME key's strictly-prior rows inside the trailing
+    * `windowSec` seconds, plus the all-time prior count — the standard
+    * leakage-safe aggregation-feature shape of a training pipeline
+    * (current row excluded so a model never sees its own label
+    * window).
+    *
+    * One window `partitionBy(key).orderBy(epoch_micros)` serves all
+    * three features: the trailing pair uses a RANGE frame
+    * [-windowSec·1e6, -1] (microsecond integers — exact, and peers at
+    * the same timestamp are excluded on both engines), the lifetime
+    * count a ROWS frame ending at -1. One shuffle on `key`, one sort,
+    * no self-join — the naive formulation is a per-row range self-join
+    * that degenerates to a nested loop at scale. */
+  def rollingFeatures(events: DataFrame, key: String, ts: String,
+      valueCol: String, windowSec: Long): DataFrame = {
+    val us = unix_micros(col(ts))
+    val ordered = Window.partitionBy(key).orderBy(us)
+    val trailing = ordered.rangeBetween(-windowSec * 1000000L, -1L)
+    val lifetime = ordered.rowsBetween(Window.unboundedPreceding, -1L)
+    events
+      .withColumn("n_prior_win", count(lit(1)).over(trailing))
+      .withColumn("sum_prior_win",
+        round(coalesce(sum(col(valueCol)).over(trailing), lit(0.0)), 6))
+      .withColumn("n_prior_total", count(lit(1)).over(lifetime))
+  }
+
   /** Gaps-and-islands sessionization: events of one `key` belong to
     * the same session while consecutive gaps stay under `gapSec`
     * (strictly-greater gap starts a new session). Output one row per

@@ -1104,6 +1104,41 @@ object LlmQueries {
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------
+  // q118: top-k collocations by PMI over adjacent token pairs (Church
+  // & Hanks 1990) — the classic phrase-mining statistic.
+  // -------------------------------------------------------------------
+  def pmiTopK(s: SparkSession, d: String): DataFrame =
+    TextOps.pmiCollocations(docs(s, d), "text", minCount = 5L, topK = 20)
+
+  val pmiTopKSql: String =
+    """WITH tok AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(len(w)) AS DOUBLE) AS n_uni,
+      |         CAST(sum(greatest(len(w) - 1, 0)) AS DOUBLE) AS n_bi
+      |  FROM tok
+      |),
+      |uni AS (
+      |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+      |  FROM (SELECT unnest(w) AS word FROM tok) GROUP BY 1
+      |),
+      |bi AS (
+      |  SELECT w1, w2, count(*) AS pair_count FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |           unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |    FROM tok WHERE len(w) >= 2)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |)
+      |SELECT b.w1, b.w2, b.pair_count,
+      |  round(ln((b.pair_count / t.n_bi) /
+      |    ((u1.c / t.n_uni) * (u2.c / t.n_uni))), 6) AS pmi
+      |FROM bi b
+      |JOIN uni u1 ON b.w1 = u1.word
+      |JOIN uni u2 ON b.w2 = u2.word, tot t
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -1568,6 +1603,7 @@ object LlmQueries {
     "q99_dup_spans" -> (dupSpans _),
     "q109_self_line_dedup" -> (selfLineDedup _),
     "q110_fuzzy_dedup_apply" -> (fuzzyDedupApply _),
+    "q118_pmi" -> (pmiTopK _),
     "q100_bm25" -> (bm25Search _),
     "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
@@ -1619,6 +1655,7 @@ object LlmQueries {
     "q99_dup_spans" -> dupSpansSql,
     "q109_self_line_dedup" -> selfLineDedupSql,
     "q110_fuzzy_dedup_apply" -> fuzzyDedupApplySql,
+    "q118_pmi" -> pmiTopKSql,
     "q100_bm25" -> bm25SearchSql,
     "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,

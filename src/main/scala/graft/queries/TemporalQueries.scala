@@ -113,13 +113,40 @@ object TemporalQueries {
       |  round(sum(value), 6) AS sum_value
       |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q117: leakage-safe rolling features — per event, the same user's
+  // strictly-prior event count / value sum in the trailing hour plus
+  // the lifetime prior count, all from one per-user window pass.
+  // -------------------------------------------------------------------
+  def rolling(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingFeatures(events(s, d), "user_id", "ts", "value",
+        windowSec = 3600L)
+      .select(col("event_id"), col("user_id"), col("n_prior_win"),
+        col("sum_prior_win"), col("n_prior_total"))
+      .orderBy("event_id")
+
+  val rollingSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w1h AS n_prior_win,
+      |  round(coalesce(sum(value) OVER w1h, 0), 6) AS sum_prior_win,
+      |  count(*) OVER wall AS n_prior_total
+      |FROM events
+      |WINDOW
+      |  w1h AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |          RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+      |  wall AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
-    "q113_sessions" -> (sessions _))
+    "q113_sessions" -> (sessions _),
+    "q117_rolling" -> (rolling _))
 
   val oracles: Map[String, String] = Map(
     "q111_asof_join" -> asofJoinSql,
     "q112_range_join" -> rangeJoinSql,
-    "q113_sessions" -> sessionsSql)
+    "q113_sessions" -> sessionsSql,
+    "q117_rolling" -> rollingSql)
 }

@@ -50,6 +50,85 @@ object Events {
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Per-user open buffer: (epoch_us, value) pairs of events not yet
+    * attributable to a CLOSED session. Bounded by the watermark
+    * horizon: every timeout flushes all sessions whose end sits a
+    * full gap below the watermark. */
+  final case class SessBuffer(events: List[(Long, Double)])
+  final case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, duration_us: Long,
+      sum_value: Double)
+
+  /** Streaming sessionization — the incremental counterpart of
+    * `graft.ops.Temporal.sessionize`, same strictly-greater gap rule.
+    * Events buffer per user in flatMapGroupsWithState; an event-time
+    * timeout at (newest buffered event + gap) fires once the watermark
+    * proves no event can extend the trailing session, at which point
+    * every closed session is emitted exactly once and its events leave
+    * state. Output rows match the batch operator's (keyed by start
+    * time rather than a 1-based index, which a stream cannot know
+    * until the user's history ends).
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapSec: Long, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[SessEvent]
+
+    def sessionsOf(buf: List[(Long, Double)]): List[List[(Long, Double)]] = {
+      val sorted = buf.sortBy(_._1)
+      val out = scala.collection.mutable.ListBuffer.empty[List[(Long, Double)]]
+      var cur = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._1 - cur.last._1 > gapUs) {
+          out += cur.toList; cur = scala.collection.mutable.ListBuffer.empty
+        }
+        cur += e
+      }
+      if (cur.nonEmpty) out += cur.toList
+      out.toList
+    }
+    def emit(uid: Long, s: List[(Long, Double)]): SessionRow = {
+      val startUs = s.head._1; val endUs = s.last._1
+      SessionRow(uid,
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          java.time.Duration.ofNanos(startUs * 1000L))),
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          java.time.Duration.ofNanos(endUs * 1000L))),
+        s.size.toLong, endUs - startUs,
+        BigDecimal(s.map(_._2).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuffer, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessBuffer]) =>
+          val buf = state.getOption.map(_.events).getOrElse(Nil) ++
+            rows.map(e => (e.ts.toInstant.getEpochSecond * 1000000L +
+              e.ts.toInstant.getNano / 1000L, e.value)).toList
+          if (buf.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val sessions = sessionsOf(buf)
+            // a session is provably closed once the watermark sits a
+            // full gap past its last event — nothing can extend it
+            val (closed, open) = sessions.partition(s => s.last._1 + gapUs <= wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessBuffer(open.flatten))
+              // fire when the watermark passes newest-event + gap
+              state.setTimeoutTimestamp(open.flatten.map(_._1).max / 1000L +
+                gapSec * 1000L + 1L)
+            }
+            closed.map(emit(uid, _)).iterator
+          }
+      }.toDF()
+  }
+
   /** Custom stateful op: running per-user totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state API the
     * brief calls for; state survives across micro-batches. */

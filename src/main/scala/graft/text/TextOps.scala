@@ -171,6 +171,46 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * token pairs (Church & Hanks 1990): PMI(w1,w2) =
+    * ln( p(w1,w2) / (p(w1)·p(w2)) ) with pair probability over all
+    * adjacent positions and word probabilities over all tokens.
+    * Pairs below `minCount` are dropped (PMI's well-known rare-pair
+    * instability).
+    *
+    * Distributed shape: two map-side-combinable counts (pairs, words)
+    * keyed as fine as the data, one 1-row totals aggregate broadcast
+    * back, and the pair table equi-joins the word counts on each side
+    * — word counts are vocabulary-sized, far smaller than the corpus,
+    * and AQE broadcasts them when they fit. The final top-k is
+    * TakeOrdered. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val tok = df.select(tokens(col(textCol)).as("__w"))
+    val totals = tok.agg(
+      sum(size(col("__w"))).cast("double").as("__n_uni"),
+      sum(greatest(size(col("__w")) - 1, lit(0))).cast("double").as("__n_bi"))
+    val uni = tok.select(explode(col("__w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("double").as("__c"))
+    val bi = tok
+      .select(explode(Curation.ngrams(col("__w"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+      .select(element_at(split(col("gram"), " "), 1).as("w1"),
+        element_at(split(col("gram"), " "), 2).as("w2"),
+        col("pair_count"))
+    bi
+      .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("__c", "__c1"), "w1")
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("__c", "__c2"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log((col("pair_count") / col("__n_bi")) /
+          ((col("__c1") / col("__n_uni")) * (col("__c2") / col("__n_uni")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
     tok.select(col(idCol),

@@ -177,6 +177,47 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(mismatched == 0, "every emitted window matches the batch result")
   }
 
+  test("streaming sessionization: closed sessions equal the batch operator's") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u7: two sessions (10:00+10:10, then 12:00 after a >30 min gap);
+    // u8: one singleton. The 10:10 extension arrives in a LATER batch
+    // than 10:00, exercising cross-batch buffering.
+    val b1 = Seq((7L, ts("2024-01-01 10:00:00"), 1.0),
+      (8L, ts("2024-01-01 10:05:00"), 8.0))
+    val b2 = Seq((7L, ts("2024-01-01 10:10:00"), 2.0),
+      (7L, ts("2024-01-01 12:00:00"), 4.0))
+    val sentinel = Seq((999L, ts("2030-01-01 00:00:00"), 0.0))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.sessionizeStream(spark,
+      input.toDF().toDF("user_id", "ts", "value"), gapSec = 1800L)
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(sentinel); q.processAllAvailable()
+    // one more batch so timeouts fire against the advanced watermark
+    input.addData(Seq((999L, ts("2030-01-01 02:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_stream")
+      .filter(col("user_id") =!= 999L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (r.getTimestamp(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+
+    val batch = graft.ops.Temporal.sessionize(
+      (b1 ++ b2).toDF("user_id", "ts", "value"), "user_id", "ts", "value", 1800L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3)) ->
+        (r.getTimestamp(4), r.getLong(2), r.getLong(5), r.getDouble(6))).toMap
+
+    assert(streamed == batch,
+      s"stream/batch session mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed.size == 3)
+  }
+
   test("streaming: watermark drops late data from closed windows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -86,6 +86,26 @@ class TemporalSpec extends SparkSpec {
       s"granule bucketing must make this an equi-join:\n$plan")
   }
 
+  test("rollingFeatures: trailing window excludes current row and same-ts peers") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 10:30:00"), 2.0),  // prior-1h: ev1
+      (3L, 7L, ts("2024-01-01 11:15:00"), 4.0),  // prior-1h: ev2 + ev4 (ev1 aged out)
+      (4L, 7L, ts("2024-01-01 11:00:00"), 8.0),  // exactly 1h after ev1: included (range is [-1h, -1us])
+      (5L, 8L, ts("2024-01-01 10:00:00"), 16.0)) // other key
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ops.Temporal.rollingFeatures(ev, "user_id", "ts", "value", 3600L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(got(1L) == ((0L, 0.0, 0L)))
+    assert(got(2L) == ((1L, 1.0, 1L)))
+    // ev4 at 11:00: window [10:00:00.000000, 10:59:59.999999] -> ev1 @10:00 in, ev2 in
+    assert(got(4L) == ((2L, 3.0, 2L)))
+    // ev3 at 11:15: window [10:15, 11:14:59.999999] -> ev2, ev4
+    assert(got(3L) == ((2L, 10.0, 3L)))
+    assert(got(5L) == ((0L, 0.0, 0L)))
+  }
+
   test("sessionize: gap splits, duration, per-key independence") {
     val ev = Seq(
       (7L, ts("2024-01-01 10:00:00"), 1.0),
