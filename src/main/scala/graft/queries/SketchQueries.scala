@@ -89,13 +89,36 @@ object SketchQueries {
 
   val bloomDecontaminateSql: String = LlmQueries.decontaminateSql
 
+  // -------------------------------------------------------------------
+  // q119: exact heavy hitters (freq >= 0.1%) — Misra-Gries candidate
+  // pass + exact broadcast-filtered recount; the no-false-negative
+  // guarantee makes the output EXACTLY the naive full-count answer,
+  // which is the oracle.
+  // -------------------------------------------------------------------
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.text.TextOps.heavyHitters(Tables.documents(s, d), "text", phi = 0.001)
+
+  val heavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT token, count(*) AS cnt
+      |FROM tok, tot
+      |GROUP BY token, n
+      |HAVING count(*) >= 0.001 * n
+      |ORDER BY cnt DESC, token""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_hll_distinct" -> (hllDistinct _),
     "q115_quantile_sketch" -> (quantileSketch _),
-    "q116_bloom_decontaminate" -> (bloomDecontaminate _))
+    "q116_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q119_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "q114_hll_distinct" -> hllDistinctSql,
     "q115_quantile_sketch" -> quantileSketchSql,
-    "q116_bloom_decontaminate" -> bloomDecontaminateSql)
+    "q116_bloom_decontaminate" -> bloomDecontaminateSql,
+    "q119_heavy_hitters" -> heavyHittersSql)
 }

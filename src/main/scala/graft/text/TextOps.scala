@@ -211,6 +211,32 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Exact heavy hitters via the Misra-Gries sketch: tokens with
+    * frequency >= phi·N, with EXACT counts. Two passes: (1) the
+    * mergeable `mg_sketch` aggregate (`functions/MgSketch.scala`)
+    * produces a candidate set with no false negatives for any item
+    * above N/(capacity+1) < phi·N; (2) one broadcast-filtered
+    * aggregation recounts ONLY the candidates exactly. The full
+    * token-frequency table — the thing that shuffles every distinct
+    * token of a 100 TB corpus — is never built; pass 1 moves
+    * fixed-size summaries, pass 2 moves <= capacity keys. */
+  def heavyHitters(df: DataFrame, textCol: String, phi: Double = 0.001): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val capacity = math.max(16, math.ceil(2.0 / phi).toInt)
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val summary = toks.agg(
+      graft.functions.MgSketch.sketchCol(col("token"), capacity).as("__mg"),
+      count(lit(1)).as("__n"))
+    val cands = summary.select(col("__n"),
+      explode(col("__mg")).as("__e")).select(col("__n"), col("__e.item").as("token"))
+    toks.join(broadcast(cands), "token")
+      .groupBy(col("token"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(phi) * col("__n"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
     tok.select(col(idCol),

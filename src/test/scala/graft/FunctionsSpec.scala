@@ -181,6 +181,42 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.getString(1) == "é")
   }
 
+  test("mg_sketch: no false negatives above N/(cap+1), counters are underestimates") {
+    import graft.functions.MgSketch
+    // adversarial stream: heavy item interleaved with a churn of
+    // distinct singletons that constantly trigger decrements
+    val heavy = Seq.fill(400)("hot")
+    val churn = (0 until 3000).map(i => s"one_$i")
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(heavy ++ churn)
+    val df = stream.toDF("t").repartition(7) // force partials + merges
+    val out = df.agg(MgSketch.sketchCol(col("t"), 16).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item"), col("e.count_lower"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stream.size
+    // freq(hot)=400 > N/(cap+1)=3400/17=200 -> must be present
+    assert(out.contains("hot"), s"guaranteed heavy item missing from $out")
+    assert(out("hot") <= 400L, "counter must underestimate")
+    assert(out("hot") >= 400L - n / 17 - 1, "error bound exceeded")
+    assert(out.size <= 16, "summary must respect capacity")
+  }
+
+  test("heavyHitters: equals the exact full-count answer") {
+    val docs = core.Tables.documents(spark, sf)
+    val exact = docs
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+    val n = exact.count()
+    val truth = exact.groupBy("t").count()
+      .filter(col("count") >= lit(0.001) * lit(n.toDouble))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.text.TextOps.heavyHitters(docs, "text", phi = 0.001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == truth, s"sketch-verified heavies differ from exact: " +
+      s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+    assert(truth.nonEmpty, "fixture should have heavy hitters")
+  }
+
   test("bloom: no false negatives, FP rate near the design point, codegen parity") {
     import graft.functions.Bloom
     val rnd = new scala.util.Random(27)
