@@ -110,13 +110,48 @@ object SketchQueries {
       |HAVING count(*) >= 0.001 * n
       |ORDER BY cnt DESC, token""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q120/q121: PCA — q120 dumps the trained component matrix
+  // (model-driven → rows-only, the q102 pattern); q121's oracle
+  // replays the projection of every embedding from the dump.
+  // -------------------------------------------------------------------
+  private def pcaComponents(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"pca_components:${s.sparkContext.applicationId}:$d") {
+      graft.sim.Pca.fit(Tables.embeddings(s, d), "embedding", k = 8)
+        .localCheckpoint(false)
+    }
+
+  def pcaComponentsDump(s: SparkSession, d: String): DataFrame =
+    pcaComponents(s, d).orderBy("pc")
+
+  def pcaProject(s: SparkSession, d: String): DataFrame =
+    graft.sim.Pca.project(Tables.embeddings(s, d), pcaComponents(s, d),
+        "vec_id", "embedding")
+      .orderBy("vec_id", "pc")
+
+  val pcaProjectSql: String =
+    """WITH c AS (
+      |  SELECT pc, warr
+      |  FROM read_parquet('__VERIFY_OUT__/q120_pca_components/*.parquet')
+      |),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
+      |SELECT e.vec_id, c.pc,
+      |  round(list_sum(list_transform(range(1, len(x) + 1),
+      |    i -> x[i] * warr[i])), 6) AS proj
+      |FROM e CROSS JOIN c
+      |ORDER BY vec_id, pc""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_pca_components" -> (pcaComponentsDump _),
+    "q121_pca_project" -> (pcaProject _),
     "q114_hll_distinct" -> (hllDistinct _),
     "q115_quantile_sketch" -> (quantileSketch _),
     "q116_bloom_decontaminate" -> (bloomDecontaminate _),
     "q119_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "q121_pca_project" -> pcaProjectSql,
     "q114_hll_distinct" -> hllDistinctSql,
     "q115_quantile_sketch" -> quantileSketchSql,
     "q116_bloom_decontaminate" -> bloomDecontaminateSql,

@@ -11,6 +11,41 @@ class LlmOpsSpec extends SparkSpec {
   private lazy val docs = core.Tables.documents(spark, sf)
   private lazy val emb = core.Tables.embeddings(spark, sf)
 
+  test("pca: rounded components are orthonormal and projection matches MLlib") {
+    import org.apache.spark.sql.functions._
+    val comp = graft.sim.Pca.fit(emb, "embedding", k = 4)
+    val rows = comp.orderBy("pc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.size == 4)
+    for (i <- 0L until 4L; j <- i until 4L) {
+      val dot = rows(i).zip(rows(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-3,
+        s"components $i,$j dot=$dot (rounding tolerance exceeded)")
+    }
+    // explained variance decreasing
+    val evs = comp.orderBy("pc").collect().map(_.getDouble(2))
+    assert(evs.sliding(2).forall(p => p(0) >= p(1)))
+    // projection parity vs MLlib's own transform (unrounded components
+    // differ from the dumped ones by <= 5e-7 per weight; 64-dim dot
+    // stays within ~1e-4 on unit-scale embeddings)
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val model = new org.apache.spark.ml.feature.PCA().setK(4)
+      .setInputCol("__fv").setOutputCol("__pc")
+      .fit(emb.select(array_to_vector(transform(col("embedding"),
+        _.cast("double"))).as("__fv")))
+    val mlib = model.transform(emb.select(col("vec_id"),
+        array_to_vector(transform(col("embedding"), _.cast("double"))).as("__fv")))
+      .select(col("vec_id"), posexplode(vector_to_array(col("__pc")))
+        .as(Seq("pc", "mproj")))
+    val ours = graft.sim.Pca.project(emb, comp, "vec_id", "embedding")
+    val joined = ours.join(mlib,
+        ours("vec_id") === mlib("vec_id") && ours("pc") === mlib("pc"))
+      .select(abs(col("proj") - col("mproj")).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(joined < 1e-3, s"projection drift vs MLlib transform: $joined")
+  }
+
   test("minhash near-dup: pairs are symmetric-free, above threshold, and real") {
     val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5).cache()
     val rows = pairs.collect()
