@@ -73,6 +73,7 @@ object Bench {
       "semdedup" -> Seq("q93_semdedup_assign", "q94_semdedup_keep"),
       "pq" -> Seq("q102_pq_codebook", "q103_pq_codes", "q104_pq_adc_topk"),
       "pca" -> Seq("q120_pca_components", "q121_pca_project"),
+      "qlr" -> Seq("q122_quality_model", "q123_quality_lr_scores"),
       "bpe" -> Seq("q106_bpe_merges", "q107_bpe_segments", "q108_bpe_stats"),
       "null_imp" -> Seq("q96_null_imp_dump", "q97_null_imp_scores"),
       "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters",

@@ -1139,6 +1139,63 @@ object LlmQueries {
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q122/q123: trained quality-classifier filter (CCNet/GPT-3 LR
+  // pattern) — q122 dumps the rounded (feature, coef) model (rows-only,
+  // model-driven); q123's oracle recomputes the four q44-pinned
+  // features in DuckDB and replays the sigmoid scoring from the dump.
+  // Label: lang == 'en' (the langid+quality filter composition).
+  // -------------------------------------------------------------------
+  private def qualityLrModel(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"quality_lr_model:${s.sparkContext.applicationId}:$d") {
+      graft.text.QualityClassifier.train(
+          docs(s, d).withColumn("is_en", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "is_en")
+        .localCheckpoint(false)
+    }
+
+  def qualityLrDump(s: SparkSession, d: String): DataFrame =
+    qualityLrModel(s, d).orderBy("feature")
+
+  def qualityLrScores(s: SparkSession, d: String): DataFrame =
+    graft.text.QualityClassifier.score(docs(s, d), qualityLrModel(s, d),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qualityLrScoresSql: String =
+    """WITH m AS (
+      |  SELECT feature, coef
+      |  FROM read_parquet('__VERIFY_OUT__/q122_quality_model/*.parquet')
+      |),
+      |t AS (
+      |  SELECT doc_id, trim(text) AS txt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |),
+      |f AS (
+      |  SELECT doc_id,
+      |    round(least(len(w) / 50.0, 1.0), 6) AS len_score,
+      |    round(1.0 - least(((len(txt) - len(regexp_replace(txt, '[^\w\s]', '', 'g'))) * 1.0
+      |                 / greatest(len(txt), 1)) * 5.0, 1.0), 6) AS punct_score,
+      |    round(len(list_distinct(w)) * 1.0 / len(w), 6) AS diversity,
+      |    round(CASE WHEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+      |              BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END, 6) AS len_plaus
+      |  FROM t
+      |),
+      |c AS (
+      |  SELECT
+      |    (SELECT coef FROM m WHERE feature = '__intercept') AS b,
+      |    (SELECT coef FROM m WHERE feature = 'len_score')   AS w1,
+      |    (SELECT coef FROM m WHERE feature = 'punct_score') AS w2,
+      |    (SELECT coef FROM m WHERE feature = 'diversity')   AS w3,
+      |    (SELECT coef FROM m WHERE feature = 'len_plaus')   AS w4
+      |)
+      |SELECT doc_id,
+      |  round(1.0 / (1.0 + exp(-(b + len_score * w1 + punct_score * w2
+      |    + diversity * w3 + len_plaus * w4))), 6) AS quality_prob
+      |FROM f, c ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -1604,6 +1661,8 @@ object LlmQueries {
     "q109_self_line_dedup" -> (selfLineDedup _),
     "q110_fuzzy_dedup_apply" -> (fuzzyDedupApply _),
     "q118_pmi" -> (pmiTopK _),
+    "q122_quality_model" -> (qualityLrDump _),
+    "q123_quality_lr_scores" -> (qualityLrScores _),
     "q100_bm25" -> (bm25Search _),
     "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
@@ -1656,6 +1715,7 @@ object LlmQueries {
     "q109_self_line_dedup" -> selfLineDedupSql,
     "q110_fuzzy_dedup_apply" -> fuzzyDedupApplySql,
     "q118_pmi" -> pmiTopKSql,
+    "q123_quality_lr_scores" -> qualityLrScoresSql,
     "q100_bm25" -> bm25SearchSql,
     "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,

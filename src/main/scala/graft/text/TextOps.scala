@@ -76,16 +76,27 @@ object TextOps {
     * four sub-scores). Shared by the batch scorer above and the
     * streaming corpus slice (Corpus.prepareStream), so both paths
     * apply bit-identical thresholds. */
-  def qualityCol(t: Column, w: Column): Column = {
-    val nTok = size(w).cast("double")
-    val lenScore = least(nTok / 50.0, lit(1.0))
+  def qualityCol(t: Column, w: Column): Column =
+    round((lenScoreCol(w) + punctScoreCol(t) + diversityCol(w) +
+      lenPlausCol(w)) / 4.0, 6)
+
+  /** The four quality sub-scores, exposed individually so the trained
+    * quality classifier (`QualityClassifier`) uses bit-identical
+    * feature definitions (and the same DuckDB SQL formulations the
+    * q44 oracle already pins). */
+  def lenScoreCol(w: Column): Column =
+    least(size(w).cast("double") / 50.0, lit(1.0))
+  def punctScoreCol(t: Column): Column = {
     val punct = length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))
     val punctRatio = punct.cast("double") / greatest(length(t), lit(1)).cast("double")
-    val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
-    val diversity = size(array_distinct(w)).cast("double") / nTok
-    val meanLen = aggregate(w, lit(0.0), (acc, x) => acc + length(x)) / nTok
-    val lenPlaus = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
-    round((lenScore + punctScore + diversity + lenPlaus) / 4.0, 6)
+    lit(1.0) - least(punctRatio * 5.0, lit(1.0))
+  }
+  def diversityCol(w: Column): Column =
+    size(array_distinct(w)).cast("double") / size(w).cast("double")
+  def lenPlausCol(w: Column): Column = {
+    val meanLen = aggregate(w, lit(0.0), (acc, x) => acc + length(x)) /
+      size(w).cast("double")
+    when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

@@ -85,6 +85,27 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 0L, "only\nlines")))
   }
 
+  test("quality classifier: separates planted junk from clean docs; score is the dumped model's sigmoid") {
+    import graft.text.QualityClassifier
+    // clean: diverse words, plausible lengths; junk: one repeated short
+    // token plus punctuation storms -> low diversity + punct scores
+    val clean = (0 until 30).map(i =>
+      (i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel item$i juliet kilo lima", 1))
+    val junk = (100 until 130).map(i =>
+      (i.toLong, "x x x x x x x x x x !!! ??? !!! ??? !!! ???", 0))
+    val df = (clean ++ junk).toDF("id", "txt", "label")
+    val model = QualityClassifier.train(df, "id", "txt", "label")
+    val coefs = model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(coefs.size == 5 && coefs.contains("__intercept"))
+    val scores = QualityClassifier.score(df, model, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cleanMin = clean.map(c => scores(c._1)).min
+    val junkMax = junk.map(j => scores(j._1)).max
+    assert(cleanMin > junkMax,
+      s"classifier failed to separate: cleanMin=$cleanMin junkMax=$junkMax")
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
   test("decontaminateBloom: identical output to the exact decontaminate") {
     val base = core.Tables.documents(spark, sf)
     val train = base.filter(col("doc_id") % 50 =!= 0)
