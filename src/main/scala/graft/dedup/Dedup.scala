@@ -132,26 +132,8 @@ object Dedup {
   private def minHashOverShingles(
       shingleTable: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val sh = shingleTable.cache()
-
-    // one-pass signature: min over shingles of each seeded hash.
-    // Deliberately numHashes INDEPENDENT xxhash64 evaluations — the
-    // cheaper Kirsch-Mitzenmacher double-hashing derivation
-    // (h1 + j*h2) was tried and reverted: h_j linear in j makes the
-    // per-band argmin follow the lower envelope of lines across j, so
-    // band collisions correlate and banding recall collapses (a
-    // planted J=1/3 pair missed all 16 r=1 bands in spec).
-    val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
-    val sig = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
-
-    // band signature rows: (id, band, bsig)
-    val bandCols = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bsig"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("id"), col("bs.band"), col("bs.bsig"))
+    val banded = bandedSignatures(sh, bands, rowsPerBand)
 
     // drop pathological buckets (stop-shingle skew guard at scale);
     // cache: the self-join below consumes this frame twice, and without
@@ -192,10 +174,99 @@ object Dedup {
     * the candidate-doc count and the per-pair work is one O(|A|+|B|)
     * merge. Array size is bounded by document length, not corpus size,
     * so rows stay small at any scale. */
-  private[graft] def exactJaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    val gramSets = sh.groupBy("id")
+  /** (id, band, bsig) rows of the banded MinHash signature over a
+    * hashed unit table (id, s) — the shared front half of the LSH
+    * pipeline and the persisted band index.
+    *
+    * One-pass signature: min over units of each seeded hash.
+    * Deliberately bands·rowsPerBand INDEPENDENT xxhash64 evaluations —
+    * the cheaper Kirsch-Mitzenmacher double-hashing derivation
+    * (h1 + j*h2) was tried and reverted: h_j linear in j makes the
+    * per-band argmin follow the lower envelope of lines across j, so
+    * band collisions correlate and banding recall collapses (a
+    * planted J=1/3 pair missed all 16 r=1 bands in spec). */
+  private def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val sig = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bsig"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.bsig"))
+  }
+
+  /** Persist a MinHash band index for INCREMENTAL dedup — the
+    * corpus-growth path: the existing corpus is shingled, min-hashed
+    * and banded exactly once; every future batch dedups against the
+    * index by joining its (band, bsig) rows and re-verifying against
+    * the stored sorted gram arrays, without ever touching the old
+    * corpus text again. Layout: `bands/` partitioned by `band`
+    * (bounded cardinality) and `grams/` with the set-semantics sorted
+    * arrays used for exact verification. */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 2): Unit = {
+    val sh = hashedShingles(df, idCol, textCol, shingleK).cache()
+    bandedSignatures(sh, bands, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    sh.distinct().groupBy("id")
       .agg(sort_array(collect_list(col("s"))).as("gs"))
+      .write.mode("overwrite").parquet(s"$path/grams")
+    sh.unpersist()
+  }
+
+  /** Verified near-dup pairs between a NEW batch and a persisted band
+    * index (id_1 = indexed doc, id_2 = new doc; ids must be disjoint
+    * from the indexed set). Only the new batch is shingled/hashed; the
+    * candidate join moves |new bands| + matching index buckets, and
+    * exact verification joins the stored gram arrays — incremental
+    * cost is proportional to the batch, not the corpus. The same
+    * `maxBucketSize` skew guard caps pathological buckets, counted
+    * over the combined (indexed + new) bucket population exactly like
+    * the batch pipeline. */
+  def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      threshold: Double = 0.5, shingleK: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    val shNew = hashedShingles(newDocs, idCol, textCol, shingleK).cache()
+    val bNew = bandedSignatures(shNew, bands, rowsPerBand)
+    val bOld = spark.read.parquet(s"$path/bands")
+    val combined = bOld.withColumn("__new", lit(false))
+      .unionByName(bNew.withColumn("__new", lit(true)))
+    val sized = combined.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("band", "bsig")))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val cand = sized.filter(!col("__new")).as("a")
+      .join(sized.filter(col("__new")).as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
+      .cache()
+    val gsNew = shNew
+      .join(cand.select(col("id_2").as("id")).distinct(), Seq("id"), "left_semi")
+      .distinct()
+      .groupBy("id").agg(sort_array(collect_list(col("s"))).as("gs"))
+    val gsOld = spark.read.parquet(s"$path/grams")
+      .join(cand.select(col("id_1").as("id")).distinct(), Seq("id"), "left_semi")
+    val verified = jaccardFromGramSets(cand, gsOld.unionByName(gsNew))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    cand.unpersist()
+    shNew.unpersist()
+    verified
+  }
+
+  private[graft] def exactJaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame =
+    jaccardFromGramSets(pairs, sh.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("gs")))
+
+  /** The pair-join + merge-count over pre-aggregated (id, gs sorted
+    * array) gram sets — shared by the in-corpus verification path and
+    * the persisted-index incremental path (whose indexed side stores
+    * the arrays directly). */
+  private[graft] def jaccardFromGramSets(pairs: DataFrame, gramSets: DataFrame): DataFrame = {
+    val spark = gramSets.sparkSession
     val inter = graft.functions.GraftFunctions
       .sortedIntersectCount(spark, col("gs1"), col("gs2"))
     pairs

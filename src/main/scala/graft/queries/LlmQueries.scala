@@ -82,6 +82,49 @@ object LlmQueries {
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_1", "id_2")
 
+  // -------------------------------------------------------------------
+  // q124: INCREMENTAL near-dup against a persisted band index — the
+  // corpus-growth path. Even doc_ids stand in for the already-indexed
+  // corpus (shingled/hashed exactly once, at index-write time); odd
+  // doc_ids are the incoming batch, verified against the stored gram
+  // arrays. Oracle: all-pairs exact Jaccard across the two halves.
+  // -------------------------------------------------------------------
+  private def bandIndexPath(s: SparkSession, d: String): String =
+    graft.core.Memo.getOrElseUpdate(
+        s"band_index:${s.sparkContext.applicationId}:$d") {
+      val p = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+      Dedup.writeBandIndex(docs(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", p)
+      p
+    }
+
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupAgainstIndex(s,
+        docs(s, d).filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        bandIndexPath(s, d), threshold = 0.5)
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_1", "id_2")
+
+  val dedupIncrementalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |  GROUP BY 1, 2)
+      |SELECT id_1, id_2,
+      |       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_1
+      |JOIN cnt cb ON cb.doc_id = id_2
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY id_1, id_2""".stripMargin
+
   val dedupNearSql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -1663,6 +1706,7 @@ object LlmQueries {
     "q118_pmi" -> (pmiTopK _),
     "q122_quality_model" -> (qualityLrDump _),
     "q123_quality_lr_scores" -> (qualityLrScores _),
+    "q124_dedup_incremental" -> (dedupIncremental _),
     "q100_bm25" -> (bm25Search _),
     "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
@@ -1716,6 +1760,7 @@ object LlmQueries {
     "q110_fuzzy_dedup_apply" -> fuzzyDedupApplySql,
     "q118_pmi" -> pmiTopKSql,
     "q123_quality_lr_scores" -> qualityLrScoresSql,
+    "q124_dedup_incremental" -> dedupIncrementalSql,
     "q100_bm25" -> bm25SearchSql,
     "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,

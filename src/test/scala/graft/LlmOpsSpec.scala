@@ -46,6 +46,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(joined < 1e-3, s"projection drift vs MLlib transform: $joined")
   }
 
+  test("incremental dedup against a persisted band index equals the batch cross-pairs") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    Dedup.writeBandIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    val inc = Dedup.nearDupAgainstIndex(spark,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        math.rint(r.getDouble(2) * 1e6) / 1e6).toMap
+    val batchCross = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (a % 2 == b % 2) None
+        else Some((if (a % 2 == 0) (a, b) else (b, a)) -> math.rint(j * 1e6) / 1e6)
+      }.toMap
+    assert(inc == batchCross,
+      s"missing=${batchCross.keySet -- inc.keySet} extra=${inc.keySet -- batchCross.keySet}")
+    assert(inc.nonEmpty, "fixture plants cross-half near-dups")
+  }
+
   test("minhash near-dup: pairs are symmetric-free, above threshold, and real") {
     val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5).cache()
     val rows = pairs.collect()
