@@ -172,6 +172,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterLine >= 0)
   }
 
+  test("q117 rolling features: one partitioned window pass, no self-join, no global exchange") {
+    val plan = formatted(Queries.registry("q117_rolling")(spark, sf))
+    assert(!plan.contains("SinglePartition"), s"no global exchange:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"rolling features must never be a range self-join:\n$plan")
+    val windowNodes = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windowNodes <= 2, s"one window pass expected (plus AQE reuse):\n$plan")
+  }
+
+  test("q123 quality-classifier scoring is scan-local: no Exchange before the sort") {
+    val base = core.Tables.documents(spark, sf)
+    val model = graft.text.QualityClassifier.train(
+      base.withColumn("is_en", (col("lang") === "en").cast("int")),
+      "doc_id", "text", "is_en")
+    val plan = formatted(graft.text.QualityClassifier.score(
+      base, model, "doc_id", "text"))
+    assert(!plan.contains("Exchange"),
+      s"serve-time scoring must be a pure column expression:\n$plan")
+  }
+
+  test("q119 heavy hitters: sketch rides partial/final aggregation, recount join broadcasts") {
+    val plan = formatted(Queries.registry("q119_heavy_hitters")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"mg_sketch must aggregate as a typed imperative (partial+final):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the candidate recount join must broadcast the candidate set:\n$plan")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
