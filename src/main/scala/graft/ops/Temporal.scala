@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** As-of join: for every probe row, the single most recent build row
-    * of the same `key` with `build.ts <= probe.ts` (pandas
-    * `merge_asof(direction='backward')` / DuckDB `ASOF JOIN`
-    * semantics). Probes with no prior build row keep null payloads.
+  /** As-of join with full pandas `merge_asof` semantics: for every
+    * probe row, the single nearest build row of the same `key` —
+    * `direction="backward"` (default) takes the newest build row with
+    * `build.ts <= probe.ts` (DuckDB `ASOF JOIN ... >=`), `"forward"`
+    * the oldest with `build.ts >= probe.ts`; `toleranceSec` masks
+    * matches farther than the tolerance to null; `emitBuildTs` adds
+    * the matched row's timestamp as `asof_ts`. Probes with no match
+    * keep null payloads.
     *
     * Build rows must be unique per (key, ts) — pre-aggregate ties
     * before calling (ASOF tie order is otherwise undefined in every
@@ -49,28 +53,61 @@ object Temporal {
     * visible to its probe. One shuffle on `key`, partitions as fine
     * as the key cardinality, no range predicate anywhere. */
   def asofJoin(probes: DataFrame, build: DataFrame, key: String,
-      ts: String, payload: Seq[String]): DataFrame = {
+      ts: String, payload: Seq[String],
+      direction: String = "backward",
+      toleranceSec: Option[Long] = None,
+      emitBuildTs: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val pCols = probes.columns.toSeq
     require(payload.forall(!pCols.contains(_)),
       s"payload columns ${payload.mkString(",")} must not collide with probe columns")
+    // the matched build row's own timestamp rides along as an internal
+    // payload — it drives the tolerance mask and the optional asof_ts
+    val allPayload = payload :+ "__bts"
     val probeSide = probes
       .withColumn("__side", lit(1))
+      .withColumn("__bts", lit(null).cast(probes.schema(ts).dataType))
       .withColumns(payload.map(c => c -> lit(null).cast(
         build.schema(c).dataType)).toMap)
     val buildSide = build
       .select((key +: ts +: payload).map(col): _*)
       .withColumn("__side", lit(0))
+      .withColumn("__bts", col(ts))
       .withColumns(pCols.filterNot(Set(key, ts))
         .map(c => c -> lit(null).cast(probes.schema(c).dataType)).toMap)
-    val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: newest build row at-or-before the probe — running last
+    // over the preceding frame, build rows sorting BEFORE probes at
+    // equal ts. forward: oldest build row at-or-after — first over the
+    // following frame, build rows sorting AFTER probes at equal ts.
+    val (w, pick) =
+      if (direction == "backward") {
+        val fr = Window.partitionBy(key)
+          .orderBy(col(ts).asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (fr, (c: String) => last(col(c), ignoreNulls = true).over(fr))
+      } else {
+        val fr = Window.partitionBy(key)
+          .orderBy(col(ts).asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        (fr, (c: String) => first(col(c), ignoreNulls = true).over(fr))
+      }
     val filled = probeSide.unionByName(buildSide)
-      .withColumns(payload.map(c =>
-        s"__asof_$c" -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .withColumns(allPayload.map(c => s"__asof_$c" -> pick(c)).toMap)
+    val within = toleranceSec match {
+      case None => col(s"__asof___bts").isNotNull
+      case Some(t) =>
+        col(s"__asof___bts").isNotNull &&
+          abs(unix_micros(col(s"__asof___bts")) - unix_micros(col(ts))) <=
+            t * 1000000L
+    }
+    val outPayload = payload.map(c =>
+      when(within, col(s"__asof_$c")).otherwise(lit(null)).as(s"asof_$c")) ++
+      (if (emitBuildTs)
+        Seq(when(within, col(s"__asof___bts")).otherwise(lit(null)).as("asof_ts"))
+      else Nil)
     filled.filter(col("__side") === 1)
-      .select(pCols.map(col) ++
-        payload.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+      .select(pCols.map(col) ++ outPayload: _*)
   }
 
   /** Interval-overlap join, aggregated: for every interval

@@ -114,6 +114,45 @@ object TemporalQueries {
       |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin
 
   // -------------------------------------------------------------------
+  // q125: forward as-of join with tolerance — every event annotated
+  // with the same user's NEXT purchase value and the wait in integer
+  // microseconds, masked to null when the next purchase is more than
+  // 30 minutes away (merge_asof direction='forward', tolerance).
+  // -------------------------------------------------------------------
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(col("value")).as("next_purchase_value"))
+    Temporal.asofJoin(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        purchases, "user_id", "ts", Seq("next_purchase_value"),
+        direction = "forward", toleranceSec = Some(1800L), emitBuildTs = true)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("asof_next_purchase_value"), 6).as("next_purchase_value"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("wait_us"))
+      .orderBy("event_id")
+  }
+
+  val asofForwardSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS pv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |),
+      |j AS (
+      |  SELECT e.event_id, e.user_id, e.event_type, e.ts AS ets,
+      |         p.ts AS pts, p.pv
+      |  FROM events e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts <= p.ts
+      |)
+      |SELECT event_id, user_id, event_type,
+      |  CASE WHEN pts IS NOT NULL AND epoch_us(pts) - epoch_us(ets) <= 1800000000
+      |    THEN round(pv, 6) END AS next_purchase_value,
+      |  CASE WHEN pts IS NOT NULL AND epoch_us(pts) - epoch_us(ets) <= 1800000000
+      |    THEN epoch_us(pts) - epoch_us(ets) END AS wait_us
+      |FROM j ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q117: leakage-safe rolling features — per event, the same user's
   // strictly-prior event count / value sum in the trailing hour plus
   // the lifetime prior count, all from one per-user window pass.
@@ -142,9 +181,11 @@ object TemporalQueries {
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
     "q113_sessions" -> (sessions _),
-    "q117_rolling" -> (rolling _))
+    "q117_rolling" -> (rolling _),
+    "q125_asof_forward" -> (asofForward _))
 
   val oracles: Map[String, String] = Map(
+    "q125_asof_forward" -> asofForwardSql,
     "q111_asof_join" -> asofJoinSql,
     "q112_range_join" -> rangeJoinSql,
     "q113_sessions" -> sessionsSql,

@@ -86,6 +86,28 @@ class TemporalSpec extends SparkSpec {
       s"granule bucketing must make this an equi-join:\n$plan")
   }
 
+  test("asofJoin forward + tolerance: nearest following match, exact-ts hit, tolerance mask") {
+    val probes = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),  // next build 10:20 -> within 30 min
+      (2L, 7L, ts("2024-01-01 10:20:00")),  // exact-ts build -> wait 0
+      (3L, 7L, ts("2024-01-01 11:00:00")),  // next build 12:00 -> masked (40+ min)
+      (4L, 7L, ts("2024-01-01 13:00:00")))  // nothing follows -> null
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (7L, ts("2024-01-01 10:20:00"), 5.0),
+      (7L, ts("2024-01-01 12:00:00"), 9.0))
+      .toDF("user_id", "ts", "pval")
+    val got = Temporal.asofJoin(probes, build, "user_id", "ts", Seq("pval"),
+        direction = "forward", toleranceSec = Some(1800L), emitBuildTs = true)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+         if (r.isNullAt(4)) None else Some(r.getTimestamp(4)))).toMap
+    assert(got(1L) == ((Some(5.0), Some(ts("2024-01-01 10:20:00")))))
+    assert(got(2L) == ((Some(5.0), Some(ts("2024-01-01 10:20:00")))))
+    assert(got(3L) == ((None, None)), "beyond tolerance must mask to null")
+    assert(got(4L) == ((None, None)))
+  }
+
   test("rollingFeatures: trailing window excludes current row and same-ts peers") {
     val ev = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
