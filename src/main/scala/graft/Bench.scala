@@ -64,8 +64,7 @@ object Bench {
     // Memoized groups share computation within a pass, so only the
     // group SUBTOTAL is comparable round-over-round (see attribution
     // caveat above). Emitted explicitly so readers need not rebuild
-    // them; `value` (the headline total) prints FIRST so a
-    // tail-truncated capture of this line still carries it.
+    // them.
     val memoGroups = Map(
       "cv_shap" -> Seq("q31_cv_oof", "q32_cv_scores", "q72_cv_metric_replay",
         "q73_tree_shap", "q75_shap_importance"),
@@ -82,6 +81,13 @@ object Bench {
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"memo_groups":$groups,"queries":$qs}""")
+    // The driver's capture keeps the TAIL of output (round 7 showed the
+    // big line above truncated from the front → parsed:null), so a
+    // short self-contained summary prints LAST — it always survives and
+    // always parses. And a bench with failures exits nonzero: a partial
+    // timing must never be mistaken for a clean run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"memo_groups":$groups}""")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

@@ -22,11 +22,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave an EMPTY output dir behind: the driver's checker walks
+        // dirs, so a missing dir silently drops the row from the
+        // correctness artifact — an empty dir instead surfaces as an
+        // explicit "no spark output" failure. (Round-7 lesson: 8
+        // analysis-time failures were invisible in CORRECTNESS_r07.)
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        d.listFiles().foreach(f => if (f.isFile) f.delete())
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,5 +61,10 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // rc stays 0 — the driver must still run the checker over the dump
+    // dirs (including the empty ones left above); the failure count is
+    // loud on stderr and visible as "no spark output" rows downstream.
+    if (failures > 0)
+      System.err.println(s"[verify] $failures of ${SparkEntry.queries.size} queries failed")
   }
 }

@@ -20,10 +20,17 @@ import org.apache.spark.sql.types._
   * `array_intersect` would materialize the intersection array and
   * build a hash set per row; only the count is needed.
   *
-  * Inputs MUST be sorted ascending (sort_array upstream) — duplicates
-  * are counted pairwise-min, which for the set-semantics inputs of the
-  * dedup path (distinct grams) is plain intersection. Null if either
-  * side is null.
+  * SQL-caller contract (the function is SQL-registered, so arbitrary
+  * callers reach it, not just the dedup pipelines):
+  *  - Inputs MUST be sorted ascending (`sort_array` upstream). The
+  *    merge pass cannot detect disorder without an O(n) pre-scan per
+  *    row, so unsorted input is NOT rejected — it silently undercounts
+  *    (garbage-in, garbage-out, like any merge-join on unsorted runs).
+  *  - Duplicates are counted pairwise-min, which for set-semantics
+  *    inputs (distinct grams) is plain intersection.
+  *  - Null ARRAYS yield null; null ELEMENTS match nothing and are
+  *    skipped (sort_array places them first, so the merge stays
+  *    correct for nullable arrays from SQL casts).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

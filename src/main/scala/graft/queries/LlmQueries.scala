@@ -1378,16 +1378,25 @@ object LlmQueries {
         .localCheckpoint(false)
     }
 
+  /** Codebook dump exploded to scalar rows (sub, code, pos, w): the
+    * driver's checker canon-sorts dumped frames and crashes on array
+    * cells (ndarray is unhashable in pandas), so the centroid array is
+    * flattened here and rebuilt with `list(w ORDER BY pos)` in the
+    * consuming oracle SQL (q103/q104). */
   def pqCodebookDump(s: SparkSession, d: String): DataFrame =
-    pqCodebook(s, d).orderBy("sub", "code")
+    pqCodebook(s, d)
+      .select(col("sub"), col("code"),
+        posexplode(col("centroid")).as(Seq("pos", "w")))
+      .orderBy("sub", "code", "pos")
 
   def pqCodesQuery(s: SparkSession, d: String): DataFrame =
     pqCodes(s, d).orderBy("vec_id", "sub")
 
   val pqCodesSql: String =
     """WITH cb AS (
-      |  SELECT sub, code, centroid
+      |  SELECT sub, code, list(w ORDER BY pos) AS centroid
       |  FROM read_parquet('__VERIFY_OUT__/q102_pq_codebook/*.parquet')
+      |  GROUP BY sub, code
       |),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
       |sr AS (
@@ -1414,8 +1423,9 @@ object LlmQueries {
 
   val pqAdcTopKSql: String =
     """WITH cb AS (
-      |  SELECT sub, code, centroid
+      |  SELECT sub, code, list(w ORDER BY pos) AS centroid
       |  FROM read_parquet('__VERIFY_OUT__/q102_pq_codebook/*.parquet')
+      |  GROUP BY sub, code
       |),
       |codes AS (
       |  SELECT vec_id, sub, code

@@ -122,8 +122,15 @@ object SketchQueries {
         .localCheckpoint(false)
     }
 
+  /** Component dump exploded to scalar rows (pc, explained_variance,
+    * pos, w): the driver's checker canon-sorts dumps and crashes on
+    * array cells, so the weight vector is flattened here and rebuilt
+    * with `list(w ORDER BY pos)` in q121's oracle SQL. */
   def pcaComponentsDump(s: SparkSession, d: String): DataFrame =
-    pcaComponents(s, d).orderBy("pc")
+    pcaComponents(s, d)
+      .select(col("pc"), col("explained_variance"),
+        posexplode(col("warr")).as(Seq("pos", "w")))
+      .orderBy("pc", "pos")
 
   def pcaProject(s: SparkSession, d: String): DataFrame =
     graft.sim.Pca.project(Tables.embeddings(s, d), pcaComponents(s, d),
@@ -132,8 +139,9 @@ object SketchQueries {
 
   val pcaProjectSql: String =
     """WITH c AS (
-      |  SELECT pc, warr
+      |  SELECT pc, list(w ORDER BY pos) AS warr
       |  FROM read_parquet('__VERIFY_OUT__/q120_pca_components/*.parquet')
+      |  GROUP BY pc
       |),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
       |SELECT e.vec_id, c.pc,

@@ -10,18 +10,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * additive: the same aggregations the batch engine computes, expressed
   * as an incremental plan with watermarked state cleanup.
   *
-  * The events parquet carries TIMESTAMP(NANOS) which Spark reads as
-  * epoch-nanos long under `nanosAsLong` (Sessions.scala) — `normalize`
-  * converts once.
+  * The events parquet's `ts` encoding has varied across testdata
+  * generations — TIMESTAMP(NANOS) (read as epoch-nanos long under
+  * `nanosAsLong`, Sessions.scala) vs plain timestamp[us] (read as
+  * TIMESTAMP_NTZ) — so `normalize` adapts to whatever schema the scan
+  * presents and every downstream consumer sees one canonical
+  * micro-precision TimestampType column.
   */
 object Events {
 
-  /** epoch-nanos long -> timestamp (micro precision). */
-  def normalize(df: DataFrame): DataFrame =
-    // Integer floor-div, NOT `/ 1000`: epoch nanos (~1.7e18) exceed a
-    // double's 53-bit mantissa, so float division drifts by ±1 µs.
-    // DuckDB's ns→us parquet read truncates the same way.
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Canonicalize `ts` to TimestampType at micro precision, whatever
+    * the parquet encoding. Schema-adaptive:
+    *  - LongType (epoch nanos via `nanosAsLong`): integer floor-div,
+    *    NOT `/ 1000` — epoch nanos (~1.7e18) exceed a double's 53-bit
+    *    mantissa, so float division drifts by ±1 µs. DuckDB's ns→us
+    *    parquet read truncates the same way.
+    *  - TIMESTAMP_NTZ (timestamp[us], no tz): cast to TimestampType;
+    *    the session timezone is pinned UTC (Sessions.scala) so the
+    *    instant is unchanged and DuckDB reads the identical value.
+    *  - TimestampType: already canonical. */
+  def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case org.apache.spark.sql.types.TimestampType => df
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other (expected long nanos or timestamp)")
+  }
 
   /** Hourly per-type windowed aggregate with a 1-hour watermark:
     * identical semantics batch or stream (run it on `readStream` for

@@ -131,6 +131,20 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.getLong(2) == 1L)
   }
 
+  test("sorted_intersect_count SQL-caller contract: unsorted input undercounts, sort_array repairs it") {
+    GraftFunctions.register(spark)
+    // The documented precondition (SortedIntersectCount scaladoc): the
+    // merge pass assumes ascending runs and silently undercounts on
+    // disorder — callers must sort_array first. Pin both halves of the
+    // contract so a future "helpful" reorder of the kernel can't
+    // silently change SQL-visible behavior.
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(array(3L, 1L, 2L), array(1L, 2L, 3L)) AS raw, " +
+      "sorted_intersect_count(sort_array(array(3L, 1L, 2L)), array(1L, 2L, 3L)) AS fixed").head()
+    assert(r.getLong(0) < 3L, "unsorted input must undercount (documented GIGO)")
+    assert(r.getLong(1) == 3L, "sort_array upstream restores the exact count")
+  }
+
   test("hashed_ngrams: randomized unicode parity with the substr formulation") {
     GraftFunctions.register(spark)
     val alphabet = "ab χψω 漢字 é€ \t"
