@@ -74,7 +74,8 @@ object Bench {
       "pca" -> Seq("q120_pca_components", "q121_pca_project"),
       "qlr" -> Seq("q122_quality_model", "q123_quality_lr_scores"),
       "bpe" -> Seq("q106_bpe_merges", "q107_bpe_segments", "q108_bpe_stats"),
-      "null_imp" -> Seq("q96_null_imp_dump", "q97_null_imp_scores"),
+      "null_imp" -> Seq("q96_null_imp_dump", "q97_null_imp_scores",
+        "q126_threshold_sweep", "q127_threshold_rank"),
       "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters",
         "q110_fuzzy_dedup_apply"))
     val groups = memoGroups.map { case (g, names) =>

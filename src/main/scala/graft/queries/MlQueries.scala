@@ -650,7 +650,77 @@ object MlQueries {
       |FROM act JOIN nul USING (feature)
       |ORDER BY gain_score, split_score, feature""".stripMargin
 
+  // -------------------------------------------------------------------
+  // A17/W1 end-to-end, oracle-checked via dump-replay (the q96/q97
+  // pattern): q126 dumps the per-threshold CV sweep table from REAL
+  // fits (model outputs — rows-only), sweeping one threshold per
+  // distinct feature score so every threshold keeps a non-empty,
+  // different-sized feature set; q127 replays the W1 rank-and-pick
+  // (asc score rank + desc std rank, argmax total with first-occurrence
+  // tie-break) over that dump, recomputed exactly in DuckDB. Closes the
+  // last uncovered surface of feature_selection.py:235-340.
+  // -------------------------------------------------------------------
+  private def sweepDump(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"fs_sweep:${s.sparkContext.applicationId}:$d") {
+      val frame = cvFrame(s, d).filter(col("row_id") % 4 === 0)
+      val dump = nullImpDump(s, d)
+      val scores = graft.fs.FeatureSelection.scoreFeatures(
+        dump.filter(col("run") === 0), dump.filter(col("run") > 0))
+      // one threshold per distinct score: keeps 3, 2, 1 features in turn
+      val ts = scores.select("gain_score").collect()
+        .map(_.getDouble(0)).distinct.sorted.toSeq
+      graft.fs.FeatureSelection.thresholdSweep(
+          frame, "target", "row_id", scores, ts, fsExplorer,
+          CvConfig(numFolds = 3, stratified = true, metricName = "roc_auc_score"),
+          seed = 27L)
+        // round BEFORE ranking so q127's Spark ranks and the DuckDB
+        // replay rank the identical dumped values (no float boundary)
+        .select(round(col("threshold"), 6).as("threshold"),
+          round(col("cv_bst_score"), 6).as("cv_bst_score"),
+          round(col("cv_std_bst_score"), 6).as("cv_std_bst_score"),
+          col("n_features").cast("long").as("n_features"))
+        .localCheckpoint(false)
+    }
+
+  /** q126: the dumped sweep table (rows-only — CV scores are model
+    * outputs). */
+  def thresholdSweepDump(s: SparkSession, d: String): DataFrame =
+    sweepDump(s, d).orderBy("threshold")
+
+  /** q127: W1 rank table + best-threshold pick over the q126 dump. */
+  def thresholdRank(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.fs.FeatureSelection.rankThresholds(sweepDump(s, d))
+    val best = graft.fs.FeatureSelection.bestThreshold(ranked)
+    ranked.withColumn("is_best", col("threshold") === lit(best))
+      .orderBy("threshold")
+  }
+
+  val thresholdRankSql: String =
+    """WITH sweep AS (
+      |  SELECT threshold, cv_bst_score, cv_std_bst_score, n_features
+      |  FROM read_parquet('__VERIFY_OUT__/q126_threshold_sweep/*.parquet')
+      |),
+      |r AS (
+      |  SELECT *,
+      |    CAST(rank() OVER (ORDER BY cv_bst_score ASC) AS BIGINT)
+      |      AS cv_bst_score_rank,
+      |    CAST(rank() OVER (ORDER BY cv_std_bst_score DESC) AS BIGINT)
+      |      AS cv_std_bst_score_rank
+      |  FROM sweep
+      |),
+      |t AS (SELECT *, cv_bst_score_rank + cv_std_bst_score_rank
+      |        AS total_rank FROM r),
+      |b AS (SELECT threshold AS best_t FROM t
+      |      ORDER BY total_rank DESC, threshold ASC LIMIT 1)
+      |SELECT threshold, cv_bst_score, cv_std_bst_score, n_features,
+      |       cv_bst_score_rank, cv_std_bst_score_rank, total_rank,
+      |       threshold = (SELECT best_t FROM b) AS is_best
+      |FROM t ORDER BY threshold""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_threshold_sweep" -> (thresholdSweepDump _),
+    "q127_threshold_rank" -> (thresholdRank _),
     "q96_null_imp_dump" -> (nullImportancesDump _),
     "q97_null_imp_scores" -> (nullImportanceScores _),
     "q63_cv_dummy_oof" -> (cvDummyOof _),
@@ -670,6 +740,7 @@ object MlQueries {
     "q75_shap_importance" -> (shapImportance _))
 
   val oracles: Map[String, String] = Map(
+    "q127_threshold_rank" -> thresholdRankSql,
     "q97_null_imp_scores" -> nullImportanceScoresSql,
     "q91_bag_vote" -> bagVoteSql,
     "q72_cv_metric_replay" -> cvMetricReplaySql,
