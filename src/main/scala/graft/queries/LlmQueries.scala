@@ -837,6 +837,38 @@ object LlmQueries {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q129: temperature-smoothed source mixture — q_i ∝ (n_i/N)^alpha
+  // keep rates (alpha=0.5) with the deterministic md5 coin; the oracle
+  // recomputes weights, budget, rates and the coin entirely in SQL.
+  // -------------------------------------------------------------------
+  def temperatureMixQ(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.temperatureMix(docs(s, d), "doc_id", "text", "source",
+      alpha = 0.5)
+      .orderBy("doc_id")
+
+  val temperatureMixSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+      |        FROM tok GROUP BY source),
+      |q AS (SELECT source, t,
+      |             pow(t, 0.5) / sum(pow(t, 0.5)) OVER () AS qi FROM tot),
+      |b AS (SELECT min(t / qi) AS budget FROM q),
+      |rates AS (
+      |  SELECT source, round(least(CAST(1.0 AS DOUBLE),
+      |                 qi * (SELECT budget FROM b) / t), 6) AS keep_rate
+      |  FROM q
+      |)
+      |SELECT doc_id, source, n_tokens, keep_rate
+      |FROM tok JOIN rates USING (source)
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      |        / 1000000.0 < keep_rate
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q83: C4-style chunk-level duplication stats — per doc, how many of
   // its 16-token chunks occur more than once corpus-wide.
   // -------------------------------------------------------------------
@@ -1708,6 +1740,7 @@ object LlmQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
+    "q129_temperature_mix" -> (temperatureMixQ _),
     "q83_chunk_dup" -> (chunkDupStats _),
     "q98_line_dedup" -> (lineDedup _),
     "q99_dup_spans" -> (dupSpans _),
@@ -1763,6 +1796,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q66_dup_clusters" -> dupClustersSql,
     "q82_mix_sources" -> mixBySourceSql,
+    "q129_temperature_mix" -> temperatureMixSql,
     "q83_chunk_dup" -> chunkDupStatsSql,
     "q98_line_dedup" -> lineDedupSql,
     "q99_dup_spans" -> dupSpansSql,

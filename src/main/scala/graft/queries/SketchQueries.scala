@@ -111,6 +111,30 @@ object SketchQueries {
       |ORDER BY cnt DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
+  // q128: per-group exact heavy hitters — dominant tokens per source
+  // from per-group Misra-Gries candidate summaries + an exact recount
+  // of candidates only. The oracle is the naive full per-group
+  // frequency count; the MG no-false-negative guarantee makes the
+  // two-pass plan EXACTLY that answer, with groups x capacity state
+  // instead of a vocabulary-wide shuffle.
+  // -------------------------------------------------------------------
+  def groupHeavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.text.TextOps.groupHeavyHitters(
+      Tables.documents(s, d), "source", "text", phi = 0.002)
+
+  val groupHeavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |),
+      |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY source)
+      |SELECT t.source, token, count(*) AS cnt
+      |FROM tok t JOIN tot USING (source)
+      |GROUP BY t.source, token, n
+      |HAVING count(*) >= 0.002 * n
+      |ORDER BY source, cnt DESC, token""".stripMargin
+
+  // -------------------------------------------------------------------
   // q120/q121: PCA — q120 dumps the trained component matrix
   // (model-driven → rows-only, the q102 pattern); q121's oracle
   // replays the projection of every embedding from the dump.
@@ -156,12 +180,14 @@ object SketchQueries {
     "q114_hll_distinct" -> (hllDistinct _),
     "q115_quantile_sketch" -> (quantileSketch _),
     "q116_bloom_decontaminate" -> (bloomDecontaminate _),
-    "q119_heavy_hitters" -> (heavyHitters _))
+    "q119_heavy_hitters" -> (heavyHitters _),
+    "q128_group_heavy_hitters" -> (groupHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "q121_pca_project" -> pcaProjectSql,
     "q114_hll_distinct" -> hllDistinctSql,
     "q115_quantile_sketch" -> quantileSketchSql,
     "q116_bloom_decontaminate" -> bloomDecontaminateSql,
-    "q119_heavy_hitters" -> heavyHittersSql)
+    "q119_heavy_hitters" -> heavyHittersSql,
+    "q128_group_heavy_hitters" -> groupHeavyHittersSql)
 }

@@ -520,6 +520,44 @@ object Curation {
     tok.withColumn("__r", rateCol).filter(coin < col("__r")).drop("__r")
   }
 
+  /** Temperature-smoothed source mixture (Lample & Conneau 2019 §3.1's
+    * alpha-sampling, the multilingual-corpus balancing rule mT5/XLM-R
+    * also use): sampling probabilities q_i ∝ (n_i/N)^alpha flatten the
+    * source token distribution — alpha < 1 shifts mass toward
+    * low-resource sources. Realized as deterministic per-source keep
+    * rates against the largest budget that never upsamples any source
+    * (B = min_i n_i/q_i, so the smallest source keeps rate 1.0 and the
+    * head is downsampled), decided per document by the same replayable
+    * md5 coin as `mixBySource`. Rates are rounded to 6 decimals on both
+    * engines so the coin comparison runs on an identical grid.
+    *
+    * Scale design: the per-source totals are a bounded aggregate
+    * (source-count rows collected once); membership is then a pure
+    * scan-local predicate — no shuffle of the corpus itself. */
+  def temperatureMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val tok = df.select(col(idCol), col(sourceCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val totals = tok.groupBy(sourceCol).agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // q_i ∝ (n_i/N)^alpha: the shared N^alpha cancels in normalization,
+    // so weights come straight off the token counts
+    val w = totals.map { case (s, t) => s -> math.pow(t.toDouble, alpha) }
+    val wsum = w.map(_._2).sum
+    val q = w.map { case (s, x) => s -> x / wsum }.toMap
+    val budget = totals.map { case (s, t) => t / q(s) }.min
+    val rates = totals.map { case (s, t) =>
+      s -> math.rint(math.min(1.0, q(s) * budget / t) * 1e6) / 1e6
+    }
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val coin = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").mod(1000000) / 1000000.0
+    tok.withColumn("keep_rate", rateCol).filter(coin < col("keep_rate"))
+  }
+
   /** GPT-style sequence-packing offsets: documents are conceptually
     * concatenated in id order and split into fixed `window`-token
     * training sequences; each document's token start offset and the

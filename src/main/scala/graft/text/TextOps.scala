@@ -248,6 +248,36 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Per-group exact heavy hitters: for EVERY group at once, the tokens
+    * with in-group frequency >= phi * group_total (e.g. the dominant
+    * vocabulary per source/domain — the per-domain counterpart of
+    * `heavyHitters`). Pass 1 computes one bounded Misra-Gries summary
+    * AND the token total per group in a single aggregation (both
+    * map-side combinable, so the shuffle carries groups x capacity
+    * fixed-size states — never the token vocabulary); the MG
+    * no-false-negative guarantee (capacity >= 2/phi > 1/phi) makes each
+    * group's candidate list a superset of its answer, so pass 2's
+    * recount of only the candidate (group, token) pairs — a broadcast
+    * semi-join inside the token scan — returns the EXACT answer. */
+  def groupHeavyHitters(df: DataFrame, groupCol: String, textCol: String,
+      phi: Double = 0.001): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val capacity = math.max(16, math.ceil(2.0 / phi).toInt)
+    val toks = df.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    val summary = toks.groupBy(groupCol).agg(
+      graft.functions.MgSketch.sketchCol(col("token"), capacity).as("__mg"),
+      count(lit(1)).as("__n"))
+    val cands = summary
+      .select(col(groupCol), col("__n"), explode(col("__mg")).as("__e"))
+      .select(col(groupCol), col("__n"), col("__e.item").as("token"))
+    toks.join(broadcast(cands), Seq(groupCol, "token"))
+      .groupBy(col(groupCol), col("token"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(phi) * col("__n"))
+      .select(col(groupCol), col("token"), col("cnt"))
+      .orderBy(col(groupCol), col("cnt").desc, col("token"))
+  }
+
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
     tok.select(col(idCol),

@@ -302,6 +302,32 @@ class CurationSpec extends SparkSpec {
     assert(keptC == 0L)
   }
 
+  test("temperatureMix: head downsampled by hand-computed rate, tail kept whole, alpha=1 is identity") {
+    // A: 400 docs x 10 tokens (4000), B: 100 x 10 (1000). alpha=0.5:
+    // q ∝ sqrt(t) -> qA = 2/3, qB = 1/3; budget = min(4000/(2/3),
+    // 1000/(1/3)) = 3000; rA = (2/3)*3000/4000 = 0.5, rB = 1.0.
+    val docs = (0 until 400).map(i => (i.toLong, "A", ("t " * 10).trim)) ++
+      (400 until 500).map(i => (i.toLong, "B", ("t " * 10).trim))
+    val df = docs.toDF("id", "src", "txt")
+    val got = Curation.temperatureMix(df, "id", "txt", "src", alpha = 0.5)
+    val rates = got.select("src", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("A") == 0.5 && rates("B") == 1.0, s"hand-computed rates: $rates")
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("B") == 100L, "smallest source must be kept whole")
+    assert(bySrc("A") > 150 && bySrc("A") < 250,
+      s"head should thin to ~200 of 400 docs: $bySrc")
+    // deterministic membership
+    val again = Curation.temperatureMix(df, "id", "txt", "src", alpha = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+    // alpha = 1 reproduces the natural distribution: every rate is 1.0
+    val id = Curation.temperatureMix(df, "id", "txt", "src", alpha = 1.0)
+    assert(id.count() == 500L && id.select("keep_rate").distinct()
+      .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
   test("chunkDupStats: corpus-wide chunk counts by hand") {
     // cs=2: doc1 -> ["a b", "c d"], doc2 -> ["a b", "x y"];
     // "a b" occurs twice corpus-wide -> each doc: 1 of 2 chunks dup

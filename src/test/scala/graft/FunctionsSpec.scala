@@ -231,6 +231,23 @@ class FunctionsSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should have heavy hitters")
   }
 
+  test("groupHeavyHitters: equals the exact per-group answer") {
+    val docs = core.Tables.documents(spark, sf)
+    val toks = docs.select(col("source"),
+      explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+    val totals = toks.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = toks.groupBy("source", "t").count().collect()
+      .filter(r => r.getLong(2) >= 0.002 * totals(r.getString(0)))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = graft.text.TextOps.groupHeavyHitters(docs, "source", "text", phi = 0.002)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == truth, s"per-group sketch-verified heavies differ from exact: " +
+      s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+    assert(truth.nonEmpty && truth.keys.map(_._1).toSet.size > 1,
+      "fixture should have heavy hitters in more than one group")
+  }
+
   test("bloom: no false negatives, FP rate near the design point, codegen parity") {
     import graft.functions.Bloom
     val rnd = new scala.util.Random(27)

@@ -200,6 +200,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the candidate recount join must broadcast the candidate set:\n$plan")
   }
 
+  test("q128 group heavy hitters: per-group sketch partial-aggregates, recount join broadcasts") {
+    val plan = formatted(Queries.registry("q128_group_heavy_hitters")(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-group mg_sketch must run partial+final (map-side combinable states):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"candidate recount must broadcast (groups x capacity rows), never sort-merge:\n$plan")
+  }
+
+  test("q129 temperature mix: membership is a scan-local predicate, no corpus shuffle") {
+    // audit the operator, not the query binding — the binding's final
+    // orderBy is presentation-only and legitimately range-exchanges
+    val docs = core.Tables.documents(spark, sf)
+    val plan = formatted(graft.text.Curation.temperatureMix(
+      docs, "doc_id", "text", "source", alpha = 0.5))
+    // the bounded per-source totals aggregate is collected driver-side
+    // before this plan exists; the emitted membership plan must be pure
+    // scan -> filter with zero exchanges
+    assert(!plan.contains("Exchange"),
+      s"membership filtering must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), "rates ride a literal CASE, not a join")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
