@@ -146,6 +146,41 @@ object Events {
       }.toDF()
   }
 
+  /** Stream-stream interval join with watermark-bounded state: every
+    * left-side window row (`window_id`, `ts` — e.g. an error's
+    * `windowLenSec`-long incident window) is joined to every right-side
+    * point event (`ts`, `value`) falling inside [ts, ts+len).
+    *
+    * Structured Streaming refuses a stream-stream join without an
+    * equality predicate (state would be all-pairs), so this reuses the
+    * SAME granule trick as the batch `Temporal.rangeJoinCount`: windows
+    * explode to every `granuleSec` bucket they overlap, points carry
+    * their own bucket, and the join is bucket-equality plus the exact
+    * range predicate — a point matches only in its own bucket, so no
+    * pair can double-match. The range condition also bounds event time
+    * in both directions relative to the watermarks, which is what lets
+    * Spark evict join state once the watermark passes a row's horizon;
+    * state is horizon x arrival rate, never all-pairs. Pair semantics
+    * equal the batch operator's, asserted in PipelineStreamingSpec. */
+  def intervalJoinStream(windows: DataFrame, points: DataFrame,
+      windowLenSec: Long, watermark: String = "1 hour",
+      granuleSec: Long = 0L): DataFrame = {
+    val gSec = if (granuleSec > 0L) granuleSec else windowLenSec
+    val g = lit(gSec * 1000000L)
+    val lenUs = windowLenSec * 1000000L
+    val w = windows.select(col("window_id"), col("ts").as("w_start"))
+      .withWatermark("w_start", watermark)
+      .withColumn("__wg", explode(sequence(
+        floor(unix_micros(col("w_start")) / g).cast("long"),
+        floor((unix_micros(col("w_start")) + lit(lenUs - 1L)) / g).cast("long"))))
+    val p = points.select(col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+      .withColumn("__pg", floor(unix_micros(col("p_ts")) / g).cast("long"))
+    w.join(p, col("__wg") === col("__pg") &&
+        expr(s"p_ts >= w_start AND p_ts < w_start + INTERVAL $windowLenSec SECONDS"))
+      .drop("__wg", "__pg")
+  }
+
   /** Custom stateful op: running per-user totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state API the
     * brief calls for; state survives across micro-batches. */

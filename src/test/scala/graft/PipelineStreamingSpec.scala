@@ -218,6 +218,48 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed.size == 3)
   }
 
+  test("streaming interval join: pairs equal the batch granule range join, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // windows: two 120s incident windows; w2's matching point arrives
+    // in a LATER micro-batch than w2 itself (cross-batch buffering).
+    // One point sits exactly on a window end (exclusive bound).
+    val w1 = Seq((1L, ts("2024-01-01 10:00:00"))) // [10:00, 10:02)
+    val w2 = Seq((2L, ts("2024-01-01 10:05:00"))) // [10:05, 10:07)
+    val p1 = Seq((ts("2024-01-01 10:00:30"), 1.0), // in w1
+      (ts("2024-01-01 10:02:00"), 9.0))            // == w1 end, excluded
+    val p2 = Seq((ts("2024-01-01 10:06:59"), 2.0), // in w2, late batch
+      (ts("2024-01-01 10:30:00"), 9.0))            // in neither
+
+    val wIn = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val pIn = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val joined = graft.streaming.Events.intervalJoinStream(
+      wIn.toDF().toDF("window_id", "ts"), pIn.toDF().toDF("ts", "value"),
+      windowLenSec = 120L)
+    val q = joined.writeStream.format("memory").queryName("ivj_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    wIn.addData(w1 ++ w2); pIn.addData(p1); q.processAllAvailable()
+    pIn.addData(p2); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ivj_stream")
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_points"), round(sum("value"), 6).as("sum_value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val batch = graft.ops.Temporal.rangeJoinCount(
+      (w1 ++ w2).toDF("window_id", "w_start")
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 2 MINUTES")),
+      (p1 ++ p2).toDF("ts", "value"),
+      "window_id", "w_start", "w_end", "ts", "value", granuleSec = 120L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(streamed == batch,
+      s"stream/batch interval-join mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed == Map(1L -> (1L, 1.0), 2L -> (1L, 2.0)))
+  }
+
   test("streaming: watermark drops late data from closed windows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
