@@ -1446,6 +1446,147 @@ object LlmQueries {
       |                           ORDER BY dist, code) = 1
       |ORDER BY vec_id, sub""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q130-q133: IVF-PQ composite ANN (IVFADC — coarse inverted lists +
+  // PQ on residuals). q130/q132 dump the two trained models (KMeans
+  // outputs — rows-only, exploded to scalars); q131's oracle replays
+  // cell assignment + residual encoding from those dumps, and q133's
+  // replays the full search (probe-cell selection, per-cell residual
+  // ADC tables, candidate scoring, top-k) — the entire composite index
+  // is exact math over its own dumps, like the flat-PQ q102-q104 chain.
+  // -------------------------------------------------------------------
+  private val ivfpqCells = 16
+  private def ivfpqCoarse(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"ivfpq_coarse:${s.sparkContext.applicationId}:$d") {
+      graft.sim.IvfPq.trainCoarse(emb(s, d), "embedding",
+          nCells = ivfpqCells, seed = 27L)
+        .localCheckpoint(false)
+    }
+
+  private def ivfpqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"ivfpq_codebook:${s.sparkContext.applicationId}:$d") {
+      graft.sim.IvfPq.trainCodebook(emb(s, d), ivfpqCoarse(s, d),
+          "vec_id", "embedding", m = pqM, ks = 16, seed = 27L)
+        .localCheckpoint(false)
+    }
+
+  private def ivfpqCodes(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"ivfpq_codes:${s.sparkContext.applicationId}:$d") {
+      graft.sim.IvfPq.encode(emb(s, d), ivfpqCoarse(s, d),
+          ivfpqCodebook(s, d), "vec_id", "embedding", m = pqM)
+        .localCheckpoint(false)
+    }
+
+  def ivfpqCoarseDump(s: SparkSession, d: String): DataFrame =
+    ivfpqCoarse(s, d)
+      .select(col("cell"), posexplode(col("centroid")).as(Seq("pos", "w")))
+      .orderBy("cell", "pos")
+
+  def ivfpqCodebookDump(s: SparkSession, d: String): DataFrame =
+    ivfpqCodebook(s, d)
+      .select(col("sub"), col("code"),
+        posexplode(col("centroid")).as(Seq("pos", "w")))
+      .orderBy("sub", "code", "pos")
+
+  def ivfpqCodesQuery(s: SparkSession, d: String): DataFrame =
+    ivfpqCodes(s, d).orderBy("vec_id", "sub")
+
+  val ivfpqCodesSql: String =
+    """WITH coarse AS (
+      |  SELECT cell, list(w ORDER BY pos) AS ccent
+      |  FROM read_parquet('__VERIFY_OUT__/q130_ivfpq_coarse/*.parquet')
+      |  GROUP BY cell
+      |),
+      |cb AS (
+      |  SELECT sub, code, list(w ORDER BY pos) AS centroid
+      |  FROM read_parquet('__VERIFY_OUT__/q132_ivfpq_codebook/*.parquet')
+      |  GROUP BY sub, code
+      |),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      |ad AS (
+      |  SELECT vec_id, cell, x, ccent,
+      |    round(list_sum(list_transform(range(1, len(x) + 1),
+      |      i -> (x[i] - ccent[i]) * (x[i] - ccent[i]))), 6) AS cd
+      |  FROM e CROSS JOIN coarse
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) = 1
+      |),
+      |sr AS (
+      |  SELECT vec_id, cell, t.sub,
+      |    list_transform(range(1, 17),
+      |      i -> x[t.sub*16 + i] - ccent[t.sub*16 + i]) AS rsub
+      |  FROM ad CROSS JOIN (SELECT unnest(range(4)) AS sub) t
+      |),
+      |d AS (
+      |  SELECT vec_id, cell, sr.sub, cb.code,
+      |    round(list_sum(list_transform(range(1, 17),
+      |      i -> (rsub[i] - centroid[i]) * (rsub[i] - centroid[i]))), 6) AS dist
+      |  FROM sr JOIN cb ON sr.sub = cb.sub
+      |)
+      |SELECT vec_id, cell, sub, code FROM d
+      |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+      |                           ORDER BY dist, code) = 1
+      |ORDER BY vec_id, sub""".stripMargin
+
+  def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.sim.IvfPq.search(ivfpqCodes(s, d), ivfpqCoarse(s, d),
+        ivfpqCodebook(s, d), e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nProbe = 2, m = pqM)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val ivfpqTopKSql: String =
+    """WITH coarse AS (
+      |  SELECT cell, list(w ORDER BY pos) AS ccent
+      |  FROM read_parquet('__VERIFY_OUT__/q130_ivfpq_coarse/*.parquet')
+      |  GROUP BY cell
+      |),
+      |cb AS (
+      |  SELECT sub, code, list(w ORDER BY pos) AS centroid
+      |  FROM read_parquet('__VERIFY_OUT__/q132_ivfpq_codebook/*.parquet')
+      |  GROUP BY sub, code
+      |),
+      |codes AS (
+      |  SELECT vec_id, cell, sub, code
+      |  FROM read_parquet('__VERIFY_OUT__/q131_ivfpq_codes/*.parquet')
+      |),
+      |p AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+      |      WHERE vec_id < 20),
+      |pc AS (
+      |  SELECT vec_id AS query_id, cell, x, ccent,
+      |    round(list_sum(list_transform(range(1, len(x) + 1),
+      |      i -> (x[i] - ccent[i]) * (x[i] - ccent[i]))), 6) AS cd
+      |  FROM p CROSS JOIN coarse
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY cd, cell) <= 2
+      |),
+      |rq AS (
+      |  SELECT query_id, cell, t.sub,
+      |    list_transform(range(1, 17),
+      |      i -> x[t.sub*16 + i] - ccent[t.sub*16 + i]) AS rsub
+      |  FROM pc CROSS JOIN (SELECT unnest(range(4)) AS sub) t
+      |),
+      |qd AS (
+      |  SELECT query_id, rq.cell, rq.sub, cb.code,
+      |    round(list_sum(list_transform(range(1, 17),
+      |      i -> (rsub[i] - centroid[i]) * (rsub[i] - centroid[i]))), 6) AS qd
+      |  FROM rq JOIN cb ON rq.sub = cb.sub
+      |),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id, round(sum(qd), 6) AS adist
+      |  FROM codes c
+      |  JOIN qd ON c.cell = qd.cell AND c.sub = qd.sub AND c.code = qd.code
+      |  WHERE c.vec_id <> query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, adist FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY adist, neighbor_id) <= 5
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     graft.sim.Pq.adcTopK(pqCodes(s, d), pqCodebook(s, d),
@@ -1764,6 +1905,10 @@ object LlmQueries {
     "q108_bpe_stats" -> (bpeStats _),
     "q103_pq_codes" -> (pqCodesQuery _),
     "q104_pq_adc_topk" -> (pqAdcTopK _),
+    "q130_ivfpq_coarse" -> (ivfpqCoarseDump _),
+    "q131_ivfpq_codes" -> (ivfpqCodesQuery _),
+    "q132_ivfpq_codebook" -> (ivfpqCodebookDump _),
+    "q133_ivfpq_topk" -> (ivfpqTopK _),
     "q95_ccnet_buckets" -> (ccnetBuckets _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
@@ -1816,6 +1961,8 @@ object LlmQueries {
     "q107_bpe_segments" -> bpeSegmentsSql,
     "q108_bpe_stats" -> bpeStatsSql,
     "q104_pq_adc_topk" -> pqAdcTopKSql,
+    "q131_ivfpq_codes" -> ivfpqCodesSql,
+    "q133_ivfpq_topk" -> ivfpqTopKSql,
     "q95_ccnet_buckets" -> ccnetBucketsSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,

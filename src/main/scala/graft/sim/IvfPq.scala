@@ -1,0 +1,138 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composite ANN index (Jégou, Douze & Schmid 2011 §IV, the
+  * "IVFADC" structure FAISS ships as its large-scale default): a coarse
+  * KMeans quantizer partitions the corpus into `nCells` inverted lists;
+  * every vector is stored as its cell plus the PQ codes of its RESIDUAL
+  * (x − coarse centroid), one shared residual codebook across cells.
+  * A query probes only its `nProbe` nearest cells and ranks their
+  * candidates by asymmetric distance over per-cell residual tables —
+  * cell pruning bounds scan cost, PQ bounds memory, and the two
+  * compose because residuals concentrate near zero, where a shared
+  * codebook quantizes well.
+  *
+  * Distributed shape: both models are bounded (nCells + m·ks rows) and
+  * broadcast; cell assignment, residual computation, and encoding are
+  * scan-local expressions; search joins the codes table (m small ints
+  * per vector — the only corpus-scale data) against a broadcast
+  * (probe × nProbe × m × ks) distance table on (cell, sub, code). On a
+  * real deployment the codes table persists partitionBy(cell) exactly
+  * like `Similarity.ivfIndexWrite`, making the probe scan
+  * partition-pruned as well.
+  *
+  * Replayability: coarse centroids and PQ centroids are rounded to 6
+  * decimals at train time, every distance is rounded to 6 before any
+  * argmin/sum, and all tie-breaks are deterministic (smaller cell/code
+  * wins) — so dumped models let DuckDB replay assignment, encoding AND
+  * search bit-for-bit (the q102-q104 oracle pattern, extended to the
+  * composite).
+  */
+object IvfPq {
+
+  /** Coarse quantizer: KMeans over the raw vectors, centroids rounded
+    * to 6 decimals — the values every downstream step uses, so the
+    * fitted model and its dump are the same model. (cell, centroid). */
+  def trainCoarse(corpus: DataFrame, vecCol: String,
+      nCells: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(array_to_vector(Pq.asDouble(col(vecCol))).as("__fv"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__c").fit(c)
+    model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(x => math.rint(x * 1e6) / 1e6).toSeq)
+    }.toSeq.toDF("cell", "centroid")
+  }
+
+  /** Cell assignment as exact math over the ROUNDED centroid table:
+    * argmin of the rounded squared L2 distance, ties to the smaller
+    * cell — scan-local against the broadcast table and exactly
+    * replayable from the dump (unlike `model.transform`, whose
+    * unrounded boundary could flip a near-tie). (id, cell). */
+  def assign(corpus: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), Pq.asDouble(col(vecCol)).as("__x"))
+      .crossJoin(broadcast(coarse))
+      .select(col(idCol), col("__x"), col("cell"),
+        round(Pq.l2sq(col("__x"), col("centroid")), 6).as("__cd"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__cd"), col("cell"))).as("__b"),
+        first(col("__x")).as("__x"))
+      .select(col(idCol), col("__b.cell").as("cell"), col("__x"))
+
+  /** Residual frame: (id, cell, residual = x − coarse[cell]). */
+  private def residuals(corpus: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assign(corpus, coarse, idCol, vecCol)
+      .join(broadcast(coarse), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("__x"), col("centroid"), (x, c) => x - c).as("__rvec"))
+
+  /** One shared PQ codebook over the residuals (sub, code, centroid) —
+    * the IVFADC layout; residuals of every cell train one quantizer. */
+  def trainCodebook(corpus: DataFrame, coarse: DataFrame, idCol: String,
+      vecCol: String, m: Int, ks: Int, seed: Long): DataFrame =
+    Pq.train(residuals(corpus, coarse, idCol, vecCol), idCol, "__rvec",
+      m = m, ks = ks, seed = seed)
+
+  /** Inverted-list entries: (id, cell, sub, code) — each vector's cell
+    * plus the PQ codes of its residual. */
+  def encode(corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int): DataFrame = {
+    val res = residuals(corpus, coarse, idCol, vecCol)
+    Pq.encode(res, codebook, idCol, "__rvec", m)
+      .join(res.select(col(idCol), col("cell")), Seq(idCol))
+      .select(col(idCol), col("cell"), col("sub"), col("code"))
+  }
+
+  /** IVFADC search: per probe, the `nProbe` nearest cells by rounded
+    * L2 to the coarse centroids (ties to the smaller cell), a residual
+    * ADC table per probed cell, and approximate distances for ONLY the
+    * probed cells' candidates. Output (query_id, neighbor_id, adist),
+    * k rows per probe ranked (adist asc, neighbor_id asc); self-matches
+    * excluded. */
+  def search(codes: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, m: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"),
+      Pq.asDouble(col(vecCol)).as("__p"))
+    val wCells = Window.partitionBy("query_id")
+      .orderBy(col("__cd").asc, col("cell").asc)
+    // probed cells with the probe's residual against each cell
+    val pc = p.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("__p"), col("cell"),
+        round(Pq.l2sq(col("__p"), col("centroid")), 6).as("__cd"),
+        col("centroid"))
+      .withColumn("__rn", row_number().over(wCells))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("__p"), col("centroid"), (x, c) => x - c).as("__rq"))
+    // per-(probe, cell) ADC table: subspace distances to every code
+    val sliceLen = (size(col("__rq")) / m).cast("int")
+    val table = pc
+      .select(col("query_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__rq"), i * sliceLen + 1, sliceLen)))
+          .as(Seq("sub", "__rsub")))
+      .select(col("query_id"), col("cell"),
+        col("sub").cast("long").as("sub"), col("__rsub"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        round(Pq.l2sq(col("__rsub"), col("centroid")), 6).as("__qd"))
+    val scored = codes
+      .join(broadcast(table), Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(round(sum(col("__qd")), 6).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+}

@@ -31,16 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+  private[sim] def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
   /** Squared L2 distance between two equal-length double arrays. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[sim] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** The m sliced subvectors of `vec` as (sub, subvec) rows; `sub` is
     * the 0-based subspace index. Scan-local (posexplode of a slice
     * transform — no shuffle). */
-  private def subRows(df: DataFrame, idCol: String, idAs: String,
+  private[sim] def subRows(df: DataFrame, idCol: String, idAs: String,
       vecCol: String, m: Int): DataFrame = {
     val v = asDouble(col(vecCol))
     val sl = (size(v) / m).cast("int")

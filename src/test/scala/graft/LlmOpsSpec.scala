@@ -312,6 +312,65 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ NN-in-top10 recall = $recall below floor")
   }
 
+  test("ivfpq: probed-cell containment, full-probe recall, determinism") {
+    import graft.sim.IvfPq
+    val coarse = IvfPq.trainCoarse(emb, "embedding", nCells = 16, seed = 27L)
+      .cache()
+    val cb = IvfPq.trainCodebook(emb, coarse, "vec_id", "embedding",
+      m = 16, ks = 16, seed = 27L)
+    val codes = IvfPq.encode(emb, coarse, cb, "vec_id", "embedding", m = 16)
+      .cache()
+    val probes = emb.filter(col("vec_id") < 20)
+
+    // structural: with narrow probing, every returned neighbor must
+    // live in one of the query's nProbe nearest cells — the inverted
+    // lists really prune
+    val assigned = IvfPq.assign(emb, coarse, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = coarse.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val probed = probes.collect().map { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble).toArray
+      val top = cents.toSeq.map { case (cell, c) =>
+        (math.rint(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum * 1e6) / 1e6,
+          cell)
+      }.sorted.take(2).map(_._2).toSet
+      r.getLong(0) -> top
+    }.toMap
+    val narrow = IvfPq.search(codes, coarse, cb, probes, "vec_id", "embedding",
+      k = 10, nProbe = 2, m = 16).collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      assert(probed(q).contains(assigned(n)),
+        s"neighbor $n (cell ${assigned(n)}) outside query $q's probed cells ${probed(q)}")
+    }
+
+    // full probing (nProbe = nCells) removes pruning loss, so recall
+    // equals residual-PQ quality — same floor as the flat-PQ spec
+    val full = IvfPq.search(codes, coarse, cb, probes, "vec_id", "embedding",
+        k = 10, nProbe = 16, m = 16)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val all = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val hit = full.toSeq.map { case (q, approx) =>
+      val p = all(q)
+      val nn = all.toSeq.filter(_._1 != q)
+        .minBy { case (id, v) =>
+          (v.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum, id) }._1
+      if (approx.contains(nn)) 1.0 else 0.0
+    }
+    val recall = hit.sum / hit.size
+    assert(recall >= 0.6, s"IVFPQ full-probe NN-in-top10 recall = $recall below floor")
+
+    // deterministic end to end
+    val again = IvfPq.search(codes, coarse, cb, probes, "vec_id", "embedding",
+      k = 10, nProbe = 2, m = 16).collect()
+    assert(narrow.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    codes.unpersist(); coarse.unpersist()
+  }
+
   test("bm25: hand-computed Okapi scores, rank order, and coverage") {
     import spark.implicits._
     // corpus: 3 docs, query = [x, z]. N=3, avgdl = (4+2+3)/3 = 3.

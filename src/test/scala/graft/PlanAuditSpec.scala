@@ -222,6 +222,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), "rates ride a literal CASE, not a join")
   }
 
+  test("q133 ivfpq search: distance tables broadcast, the corpus codes never sort-merge") {
+    val plan = formatted(Queries.registry("q133_ivfpq_topk")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"codes must join the broadcast ADC table:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-scale codes must never shuffle into a sort-merge join:\n${plan.take(1500)}")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
