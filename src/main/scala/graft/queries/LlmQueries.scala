@@ -1008,6 +1008,94 @@ object LlmQueries {
     graft.text.TextOps.bm25(docs(s, d), "doc_id", "text",
       query = Seq("hash", "join", "window"), topK = 20)
 
+  // -------------------------------------------------------------------
+  // q134: hybrid retrieval — BM25 keyword candidates fused with
+  // embedding-cosine candidates by reciprocal-rank fusion. documents
+  // and embeddings share the 0..N-1 id space, so the fusion is a real
+  // two-modality ranking of the same corpus; the oracle replays BOTH
+  // retrievers (the q100 BM25 math, list_cosine_similarity) and the
+  // RRF combination entirely in SQL.
+  // -------------------------------------------------------------------
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    // bounded candidate lists (<= 50 rows): the global rank window is
+    // over a top-N result, never the corpus
+    val text = graft.text.TextOps.bm25(docs(s, d), "doc_id", "text",
+        query = Seq("hash", "join", "window"), topK = 50)
+      .select(col("doc_id"), col("bm25").as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+    val qv = emb(s, d).filter(col("vec_id") === 7)
+      .select(col("embedding").as("__q"))
+    val vec = emb(s, d)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.GraftFunctions.cosineSim(
+          s, col("embedding"), col("__q")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+    val fused = graft.text.TextOps.rrfFuse(Seq(text, vec), "doc_id",
+      kRrf = 60, topK = 10)
+    fused
+      .join(text.select(col("doc_id"), col("rank").as("text_rank")), Seq("doc_id"), "left")
+      .join(vec.select(col("doc_id"), col("rank").as("vec_rank")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  val hybridRrfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl FROM tok
+      |),
+      |tf AS (
+      |  SELECT doc_id, term,
+      |         CAST(count(*) AS DOUBLE) AS tf,
+      |         CAST(max(dl) AS DOUBLE) AS dl
+      |  FROM (SELECT doc_id, len(w) AS dl,
+      |          unnest(list_filter(w, t -> t IN ('hash', 'join', 'window'))) AS term
+      |        FROM tok)
+      |  GROUP BY doc_id, term
+      |),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |bm AS (
+      |  SELECT doc_id,
+      |    round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      |      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |  GROUP BY doc_id
+      |  ORDER BY score DESC, doc_id LIMIT 50
+      |),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM bm
+      |),
+      |cos AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+      |      q.embedding::DOUBLE[]), 6) AS score
+      |  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings
+      |                                WHERE vec_id = 7) q
+      |  ORDER BY score DESC, doc_id LIMIT 50
+      |),
+      |v AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM cos
+      |),
+      |fused AS (
+      |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |    t.rank AS text_rank, v.rank AS vec_rank,
+      |    round(COALESCE(1.0 / (60 + t.rank), 0) +
+      |          COALESCE(1.0 / (60 + v.rank), 0), 6) AS rrf
+      |  FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+      |)
+      |SELECT doc_id, text_rank, vec_rank, rrf FROM fused
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val bm25SearchSql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -1905,6 +1993,7 @@ object LlmQueries {
     "q108_bpe_stats" -> (bpeStats _),
     "q103_pq_codes" -> (pqCodesQuery _),
     "q104_pq_adc_topk" -> (pqAdcTopK _),
+    "q134_hybrid_rrf" -> (hybridRrf _),
     "q130_ivfpq_coarse" -> (ivfpqCoarseDump _),
     "q131_ivfpq_codes" -> (ivfpqCodesQuery _),
     "q132_ivfpq_codebook" -> (ivfpqCodebookDump _),
@@ -1963,6 +2052,7 @@ object LlmQueries {
     "q104_pq_adc_topk" -> pqAdcTopKSql,
     "q131_ivfpq_codes" -> ivfpqCodesSql,
     "q133_ivfpq_topk" -> ivfpqTopKSql,
+    "q134_hybrid_rrf" -> hybridRrfSql,
     "q95_ccnet_buckets" -> ccnetBucketsSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,

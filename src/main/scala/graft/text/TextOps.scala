@@ -182,6 +182,32 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse
+    * bounded candidate lists from heterogeneous retrievers (keyword
+    * BM25, embedding ANN, ...) by summing 1/(kRrf + rank) per system —
+    * rank-only fusion needs no score calibration across systems, which
+    * is why it is the standard hybrid-retrieval combiner. Each input
+    * frame carries (idCol, rank) with rank 1-based, best first; items
+    * missing from a list contribute nothing for it. Output: (idCol,
+    * rrf), topK rows by (rrf desc, id asc).
+    *
+    * Scale note: inputs are top-N results (bounded by construction),
+    * so the full-outer fusion join and final sort run on candidate-set
+    * cardinality, never corpus cardinality. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String,
+      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as(s"__c$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = tagged.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), round(score, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+  }
+
   /** Top-k collocations by pointwise mutual information over adjacent
     * token pairs (Church & Hanks 1990): PMI(w1,w2) =
     * ln( p(w1,w2) / (p(w1)·p(w2)) ) with pair probability over all

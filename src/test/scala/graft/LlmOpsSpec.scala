@@ -371,6 +371,28 @@ class LlmOpsSpec extends SparkSpec {
     codes.unpersist(); coarse.unpersist()
   }
 
+  test("rrfFuse: hand-computed fusion, missing-list handling, tie-break") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 3,2,4. kRrf = 60.
+    // doc2: 1/62 + 1/62 = .032258; doc3: 1/63 + 1/61 = .032266;
+    // doc1: 1/61 = .016393; doc4: 1/63 = .015873 — doc3 wins over doc2
+    // on the rank sum, docs present in one list still score.
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((3L, 1L), (2L, 2L), (4L, 3L)).toDF("id", "rank")
+    val got = graft.text.TextOps.rrfFuse(Seq(a, b), "id", kRrf = 60, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(3L, 2L, 1L, 4L), s"order wrong: ${got.toSeq}")
+    assert(got.toMap.apply(2L) == math.rint((1.0/62 + 1.0/62) * 1e6) / 1e6)
+    assert(got.toMap.apply(4L) == math.rint((1.0/63) * 1e6) / 1e6)
+    // equal-rrf ties break on the smaller id: two single-list docs at
+    // the same rank
+    val c = Seq((10L, 1L)).toDF("id", "rank")
+    val e = Seq((9L, 1L)).toDF("id", "rank")
+    val tied = graft.text.TextOps.rrfFuse(Seq(c, e), "id", kRrf = 60, topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(9L, 10L))
+  }
+
   test("bm25: hand-computed Okapi scores, rank order, and coverage") {
     import spark.implicits._
     // corpus: 3 docs, query = [x, z]. N=3, avgdl = (4+2+3)/3 = 3.
