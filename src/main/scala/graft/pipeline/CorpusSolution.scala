@@ -94,13 +94,27 @@ object CorpusSolution {
     val mixture =
       if (!runMixture) None
       else Some(task("MixtureSampling", "mixture", Seq(dedup)) {
-        val targets = cfg.getConfig(s"$base.mixture.targets").root.fields
-          .collect { case (k, Hocon.Num(d, _)) => k -> d }.toMap
         val docs = read("deduped")
-        // mixBySource emits the kept MEMBERSHIP (id, source, n_tokens);
+        // mode "targets": explicit per-source token proportions;
+        // mode "temperature": q_i ∝ share^alpha flattening (q129's
+        // operator) — no target map needed, one knob.
+        val mode =
+          if (cfg.has(s"$base.mixture.mode")) cfg.getString(s"$base.mixture.mode")
+          else "targets"
+        val kept = mode match {
+          case "temperature" =>
+            Curation.temperatureMix(docs, idCol, textCol, srcCol,
+              alpha = num(s"$base.mixture.alpha", 0.5))
+          case "targets" =>
+            val targets = cfg.getConfig(s"$base.mixture.targets").root.fields
+              .collect { case (k, Hocon.Num(d, _)) => k -> d }.toMap
+            Curation.mixBySource(docs, idCol, textCol, srcCol, targets)
+          case other => throw new IllegalArgumentException(
+            s"$base.mixture.mode: unknown mode '$other'")
+        }
+        // both emit the kept MEMBERSHIP (id, source, n_tokens, ...);
         // join back so the stage output is a corpus like every other
-        docs.join(Curation.mixBySource(docs, idCol, textCol, srcCol, targets)
-          .select(idCol), Seq(idCol))
+        docs.join(kept.select(idCol), Seq(idCol))
       })
 
     val packInput = mixture.map(_ => "mixture").getOrElse("deduped")

@@ -87,6 +87,29 @@ class PipelineStreamingSpec extends SparkSpec {
       spark, proj, "configs", "corpus.conf")
     assert(again.report.ran.isEmpty && again.report.skipped.nonEmpty,
       "all corpus stages skipped on re-run")
+
+    // temperature mode: one knob instead of a target map; every source
+    // survives (flattening, not selection) and no source is upsampled
+    val conf2 = conf
+      .replace("mixture { run = true, targets { src0 = 0.6, src1 = 0.4 } }",
+        "mixture { run = true, mode = temperature, alpha = 0.3 }")
+      .replace("corpus_prep_001", "corpus_prep_002")
+    Files.writeString(Paths.get(s"$proj/configs/corpus_temp.conf"), conf2)
+    val t = graft.pipeline.CorpusSolution.buildCorpus(
+      spark, proj, "configs", "corpus_temp.conf")
+    assert(t.report.ran.contains("MixtureSampling"))
+    val out2 = t.outputDir
+    val before = spark.read.parquet(s"$out2/deduped")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = spark.read.parquet(s"$out2/mixture")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet,
+      s"temperature mixing flattens, it must not drop sources: $before -> $after")
+    after.foreach { case (s, c) =>
+      assert(c <= before(s), s"source $s upsampled: ${before(s)} -> $c")
+    }
   }
 
   test("solution build: iris end-to-end with reference artifact layout") {
