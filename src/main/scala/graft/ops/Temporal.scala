@@ -205,4 +205,52 @@ object Temporal {
           .as("duration_us"),
         round(sum(col(valueCol)), 6).as("sum_value"))
   }
+
+  /** Event funnel — greedy-earliest completion of an ordered step
+    * sequence per key: step 1 anchors at the key's FIRST step-1 event;
+    * each later step matches the first event of its type at-or-after
+    * the previous step's match, masked to null (breaking the chain)
+    * when the per-step wait exceeds `withinSec`. Greedy-earliest is
+    * the standard funnel-analytics semantics: it never misses a
+    * completion that any assignment would find at the same anchor,
+    * and it is deterministic.
+    *
+    * Composition, not a new engine: one bounded per-key anchor
+    * aggregate, then ONE forward as-of join (with tolerance) per
+    * remaining step — each is `asofJoin`'s single key-shuffle
+    * union-window plan, so an s-step funnel costs s-1 key shuffles of
+    * the (bounded) per-key frontier plus the per-step event filters;
+    * the corpus is never range-joined. Keys whose chain already broke
+    * are split off before each join (a null probe timestamp must not
+    * participate in the as-of window) and unioned back with null
+    * matches.
+    *
+    * Output: (key, t_1 .. t_s, steps_completed, converted). */
+  def funnel(events: DataFrame, key: String, ts: String, typeCol: String,
+      steps: Seq[String], withinSec: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    val tsType = events.schema(ts).dataType
+    val anchors = events.filter(col(typeCol) === steps.head)
+      .groupBy(key).agg(min(col(ts)).as("t_1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(anchors) {
+      case (acc, (step, i)) =>
+        val prev = s"t_${i + 1}"; val cur = s"t_${i + 2}"
+        val build = events.filter(col(typeCol) === step)
+          .select(col(key), col(ts).as(prev)).distinct()
+        val alive = acc.filter(col(prev).isNotNull)
+        val dead = acc.filter(col(prev).isNull)
+          .withColumn(cur, lit(null).cast(tsType))
+        asofJoin(alive, build, key, prev, Seq.empty,
+            direction = "forward", toleranceSec = Some(withinSec),
+            emitBuildTs = true)
+          .withColumnRenamed("asof_ts", cur)
+          .unionByName(dead)
+    }
+    val stepCols = steps.indices.map(i => col(s"t_${i + 1}"))
+    chained.select(
+      (col(key) +: stepCols) :+
+        stepCols.map(c => c.isNotNull.cast("long")).reduce(_ + _)
+          .as("steps_completed") :+
+        stepCols.last.isNotNull.as("converted"): _*)
+  }
 }
