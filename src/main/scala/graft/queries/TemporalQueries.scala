@@ -177,7 +177,51 @@ object TemporalQueries {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q135: event funnel — greedy-earliest view→click→purchase chain per
+  // user with a 3-day per-step tolerance. Spark side is the bounded
+  // per-key-frontier forward as-of composition (one key shuffle per
+  // step); the oracle is the naive per-step LEFT JOIN + filtered min
+  // DuckDB can afford at sf0.01 — the same greedy-earliest semantics
+  // stated declaratively.
+  // -------------------------------------------------------------------
+  private val funnelWithinSec = 259200L // 3 days: sf0.01 yields a mix of
+                                        // converted / broken / partial chains
+
+  def funnel(s: SparkSession, d: String): DataFrame =
+    Temporal.funnel(events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = funnelWithinSec)
+      .orderBy("user_id")
+
+  val funnelSql: String =
+    """WITH a AS (
+      |  SELECT user_id, min(ts) AS t_1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |),
+      |s2 AS (
+      |  SELECT a.user_id, a.t_1,
+      |    min(e.ts) FILTER (WHERE e.ts >= a.t_1
+      |      AND epoch_us(e.ts) - epoch_us(a.t_1) <= 259200000000) AS t_2
+      |  FROM a LEFT JOIN events e
+      |    ON e.user_id = a.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2
+      |),
+      |s3 AS (
+      |  SELECT s2.user_id, s2.t_1, s2.t_2,
+      |    min(e.ts) FILTER (WHERE s2.t_2 IS NOT NULL AND e.ts >= s2.t_2
+      |      AND epoch_us(e.ts) - epoch_us(s2.t_2) <= 259200000000) AS t_3
+      |  FROM s2 LEFT JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, t_1, t_2, t_3,
+      |  CAST(1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT AS BIGINT)
+      |    AS steps_completed,
+      |  t_3 IS NOT NULL AS converted
+      |FROM s3 ORDER BY user_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_funnel" -> (funnel _),
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
     "q113_sessions" -> (sessions _),
@@ -185,6 +229,7 @@ object TemporalQueries {
     "q125_asof_forward" -> (asofForward _))
 
   val oracles: Map[String, String] = Map(
+    "q135_funnel" -> funnelSql,
     "q125_asof_forward" -> asofForwardSql,
     "q111_asof_join" -> asofJoinSql,
     "q112_range_join" -> rangeJoinSql,

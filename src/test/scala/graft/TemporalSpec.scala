@@ -154,6 +154,52 @@ class TemporalSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(2) == 2L)
   }
 
+  test("funnel: greedy-earliest chain, break-and-propagate, equal-ts, tolerance mask") {
+    val ev = Seq(
+      // key 1: clean conversion — 10:00 view, 10:30 click, 11:00 purchase
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      // key 2: click beyond the 1 h tolerance breaks the chain, and the
+      // later purchase must NOT resurrect it (break-and-propagate)
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 12:00:00"), "click"),
+      (2L, ts("2024-01-01 12:30:00"), "purchase"),
+      // key 3: click at EXACTLY the view's ts matches (at-or-after)
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      (3L, ts("2024-01-01 10:59:00"), "purchase"),
+      // key 4: no step-1 event -> no output row at all
+      (4L, ts("2024-01-01 10:00:00"), "click"),
+      (4L, ts("2024-01-01 10:10:00"), "purchase"),
+      // key 5: purchase BEFORE the click must not match (forward-only)
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, ts("2024-01-01 10:10:00"), "purchase"),
+      (5L, ts("2024-01-01 10:20:00"), "click"),
+      // key 6: two candidate clicks -> greedy takes the EARLIEST (10:50),
+      // and the purchase chains off that match
+      (6L, ts("2024-01-01 10:00:00"), "view"),
+      (6L, ts("2024-01-01 10:50:00"), "click"),
+      (6L, ts("2024-01-01 10:55:00"), "click"),
+      (6L, ts("2024-01-01 11:40:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.ops.Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 3).map(i => Option(r.getTimestamp(i)).map(_.toString)),
+          r.getLong(4), r.getBoolean(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 6L), s"anchors wrong: $got")
+    assert(got(1L) == ((Seq(Some("2024-01-01 10:00:00.0"),
+      Some("2024-01-01 10:30:00.0"), Some("2024-01-01 11:00:00.0")), 3L, true)))
+    assert(got(2L) == ((Seq(Some("2024-01-01 10:00:00.0"), None, None), 1L, false)))
+    assert(got(3L) == ((Seq(Some("2024-01-01 10:00:00.0"),
+      Some("2024-01-01 10:00:00.0"), Some("2024-01-01 10:59:00.0")), 3L, true)))
+    assert(got(5L) == ((Seq(Some("2024-01-01 10:00:00.0"),
+      Some("2024-01-01 10:20:00.0"), None), 2L, false)))
+    assert(got(6L) == ((Seq(Some("2024-01-01 10:00:00.0"),
+      Some("2024-01-01 10:50:00.0"), Some("2024-01-01 11:40:00.0")), 3L, true)))
+  }
+
   test("sessionize: no single-partition exchange at events scale") {
     val df = Temporal.sessionize(
       graft.streaming.Events.normalize(core.Tables.events(spark, sf)),
