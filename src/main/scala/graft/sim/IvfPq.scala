@@ -50,29 +50,51 @@ object IvfPq {
     }.toSeq.toDF("cell", "centroid")
   }
 
+  /** The bounded (nCells-row) coarse model collected into two parallel
+    * array literals in ascending-cell order: (cell ids, centroids).
+    * Collecting here is the scale design, not a shortcut: it turns cell
+    * assignment into a pure scan-local projection — no explode, no
+    * per-id shuffle, no join — the same way a single-node ANN library
+    * keeps the coarse quantizer in memory. */
+  private def coarseLit(coarse: DataFrame): (Column, Column) = {
+    val rows = coarse.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    (typedLit(rows.map(_._1).toSeq), typedLit(rows.map(_._2)))
+  }
+
   /** Cell assignment as exact math over the ROUNDED centroid table:
     * argmin of the rounded squared L2 distance, ties to the smaller
-    * cell — scan-local against the broadcast table and exactly
-    * replayable from the dump (unlike `model.transform`, whose
-    * unrounded boundary could flip a near-tie). (id, cell). */
+    * cell — a scan-local projection over the collected centroid array
+    * (array_position finds the FIRST minimum, and the array is in
+    * ascending-cell order, so ties break to the smaller cell exactly
+    * like the dump replay's ORDER BY cd, cell) and exactly replayable
+    * from the dump (unlike `model.transform`, whose unrounded boundary
+    * could flip a near-tie). (id, cell, __x). */
   def assign(corpus: DataFrame, coarse: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String): DataFrame = {
+    val (cells, cents) = coarseLit(coarse)
     corpus.select(col(idCol), Pq.asDouble(col(vecCol)).as("__x"))
-      .crossJoin(broadcast(coarse))
-      .select(col(idCol), col("__x"), col("cell"),
-        round(Pq.l2sq(col("__x"), col("centroid")), 6).as("__cd"))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("__cd"), col("cell"))).as("__b"),
-        first(col("__x")).as("__x"))
-      .select(col(idCol), col("__b.cell").as("cell"), col("__x"))
+      .withColumn("__d", transform(cents, c => round(Pq.l2sq(col("__x"), c), 6)))
+      .withColumn("__pos",
+        array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .select(col(idCol), element_at(cells, col("__pos")).as("cell"), col("__x"))
+  }
 
-  /** Residual frame: (id, cell, residual = x − coarse[cell]). */
+  /** Residual frame: (id, cell, residual = x − coarse[cell]) — one
+    * scan-local projection (assignment, centroid lookup, and the
+    * subtraction all against the collected model; zero shuffles). */
   private def residuals(corpus: DataFrame, coarse: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    assign(corpus, coarse, idCol, vecCol)
-      .join(broadcast(coarse), Seq("cell"))
-      .select(col(idCol), col("cell"),
-        zip_with(col("__x"), col("centroid"), (x, c) => x - c).as("__rvec"))
+      idCol: String, vecCol: String): DataFrame = {
+    val (cells, cents) = coarseLit(coarse)
+    corpus.select(col(idCol), Pq.asDouble(col(vecCol)).as("__x"))
+      .withColumn("__d", transform(cents, c => round(Pq.l2sq(col("__x"), c), 6)))
+      .withColumn("__pos",
+        array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .select(col(idCol), element_at(cells, col("__pos")).as("cell"),
+        zip_with(col("__x"), element_at(cents, col("__pos")),
+          (x, c) => x - c).as("__rvec"))
+  }
 
   /** One shared PQ codebook over the residuals (sub, code, centroid) —
     * the IVFADC layout; residuals of every cell train one quantizer. */
@@ -82,13 +104,17 @@ object IvfPq {
       m = m, ks = ks, seed = seed)
 
   /** Inverted-list entries: (id, cell, sub, code) — each vector's cell
-    * plus the PQ codes of its residual. */
+    * plus the PQ codes of its residual. The cell rides through
+    * `Pq.encode` inside a struct id, so encoding is a SINGLE corpus
+    * pass with one (id, sub) shuffle — no second assignment pass and
+    * no corpus-scale self-join to recover the cell. */
   def encode(corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, m: Int): DataFrame = {
     val res = residuals(corpus, coarse, idCol, vecCol)
-    Pq.encode(res, codebook, idCol, "__rvec", m)
-      .join(res.select(col(idCol), col("cell")), Seq(idCol))
-      .select(col(idCol), col("cell"), col("sub"), col("code"))
+      .select(struct(col(idCol), col("cell")).as("__idc"), col("__rvec"))
+    Pq.encode(res, codebook, "__idc", "__rvec", m)
+      .select(col(s"__idc.$idCol").as(idCol), col("__idc.cell").as("cell"),
+        col("sub"), col("code"))
   }
 
   /** IVFADC search: per probe, the `nProbe` nearest cells by rounded

@@ -230,6 +230,33 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-scale codes must never shuffle into a sort-merge join:\n${plan.take(1500)}")
   }
 
+  test("ivfpq encode: single corpus pass — one exchange, no join, scan-local assignment") {
+    // The coarse model is collected into literals, so cell assignment +
+    // residuals are pure projections; the only exchange allowed is
+    // Pq.encode's (id, sub) partial-agg shuffle. A join (the old
+    // cell-recovery self-join) or a second Exchange means encode went
+    // back to multi-pass.
+    val emb = core.Tables.embeddings(spark, sf)
+    val coarse = graft.sim.IvfPq.trainCoarse(emb, "embedding", nCells = 8, seed = 27L)
+    val cb = graft.sim.IvfPq.trainCodebook(emb, coarse, "vec_id", "embedding",
+      m = 4, ks = 8, seed = 27L)
+    val plan = formatted(
+      graft.sim.IvfPq.encode(emb, coarse, cb, "vec_id", "embedding", m = 4))
+    val finalTree = plan.split("== Initial Plan ==").head
+    // broadcast exchanges are fine (the bounded codebook); count only
+    // data shuffles
+    val exchanges = finalTree.linesIterator.count(l =>
+      l.contains("Exchange (") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 1, s"encode must shuffle once (id,sub):\n$finalTree")
+    // the codebook BroadcastHashJoin is the intended shape; what must
+    // never come back is the corpus-scale self-join (a sort-merge join
+    // or a second parquet scan of the embeddings)
+    assert(!finalTree.contains("SortMergeJoin"),
+      s"encode must not self-join to recover the cell:\n$finalTree")
+    val scans = finalTree.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"encode must read the corpus exactly once:\n$finalTree")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
