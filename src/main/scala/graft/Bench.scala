@@ -72,7 +72,7 @@ object Bench {
       "semdedup" -> Seq("q93_semdedup_assign", "q94_semdedup_keep"),
       "pq" -> Seq("q102_pq_codebook", "q103_pq_codes", "q104_pq_adc_topk"),
       "ivfpq" -> Seq("q130_ivfpq_coarse", "q131_ivfpq_codes",
-        "q132_ivfpq_codebook", "q133_ivfpq_topk"),
+        "q132_ivfpq_codebook", "q133_ivfpq_topk", "q136_ivfpq_rerank"),
       "pca" -> Seq("q120_pca_components", "q121_pca_project"),
       "qlr" -> Seq("q122_quality_model", "q123_quality_lr_scores"),
       "bpe" -> Seq("q106_bpe_merges", "q107_bpe_segments", "q108_bpe_stats"),

@@ -1675,6 +1675,81 @@ object LlmQueries {
       |                           ORDER BY adist, neighbor_id) <= 5
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q136: IVFADC exact re-rank (Jégou 2011 §IV-C) — the q133 chain with
+  // a 20-candidate ADC shortlist re-scored by exact L2 against the raw
+  // embeddings, top-5 kept. The oracle replays the ENTIRE chain
+  // (probe-cell selection → residual ADC tables → shortlist → exact
+  // re-rank) from the q130-q132 model dumps plus the embeddings table.
+  // -------------------------------------------------------------------
+  def ivfpqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.sim.IvfPq.searchRerank(ivfpqCodes(s, d), ivfpqCoarse(s, d),
+        ivfpqCodebook(s, d), e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, kShort = 20, nProbe = 2, m = pqM)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val ivfpqRerankSql: String =
+    """WITH coarse AS (
+      |  SELECT cell, list(w ORDER BY pos) AS ccent
+      |  FROM read_parquet('__VERIFY_OUT__/q130_ivfpq_coarse/*.parquet')
+      |  GROUP BY cell
+      |),
+      |cb AS (
+      |  SELECT sub, code, list(w ORDER BY pos) AS centroid
+      |  FROM read_parquet('__VERIFY_OUT__/q132_ivfpq_codebook/*.parquet')
+      |  GROUP BY sub, code
+      |),
+      |codes AS (
+      |  SELECT vec_id, cell, sub, code
+      |  FROM read_parquet('__VERIFY_OUT__/q131_ivfpq_codes/*.parquet')
+      |),
+      |p AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+      |      WHERE vec_id < 20),
+      |pc AS (
+      |  SELECT vec_id AS query_id, cell, x, ccent,
+      |    round(list_sum(list_transform(range(1, len(x) + 1),
+      |      i -> (x[i] - ccent[i]) * (x[i] - ccent[i]))), 6) AS cd
+      |  FROM p CROSS JOIN coarse
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY cd, cell) <= 2
+      |),
+      |rq AS (
+      |  SELECT query_id, cell, t.sub,
+      |    list_transform(range(1, 17),
+      |      i -> x[t.sub*16 + i] - ccent[t.sub*16 + i]) AS rsub
+      |  FROM pc CROSS JOIN (SELECT unnest(range(4)) AS sub) t
+      |),
+      |qd AS (
+      |  SELECT query_id, rq.cell, rq.sub, cb.code,
+      |    round(list_sum(list_transform(range(1, 17),
+      |      i -> (rsub[i] - centroid[i]) * (rsub[i] - centroid[i]))), 6) AS qd
+      |  FROM rq JOIN cb ON rq.sub = cb.sub
+      |),
+      |short AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id, round(sum(qd), 6) AS adist
+      |  FROM codes c
+      |  JOIN qd ON c.cell = qd.cell AND c.sub = qd.sub AND c.code = qd.code
+      |  WHERE c.vec_id <> query_id
+      |  GROUP BY 1, 2
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |                             ORDER BY adist, neighbor_id) <= 20
+      |),
+      |ev AS (SELECT vec_id, embedding::DOUBLE[] AS y FROM embeddings),
+      |ex AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(p.x) + 1),
+      |      i -> (p.x[i] - ev.y[i]) * (p.x[i] - ev.y[i]))), 6) AS edist
+      |  FROM short s
+      |  JOIN p ON p.vec_id = s.query_id
+      |  JOIN ev ON ev.vec_id = s.neighbor_id
+      |)
+      |SELECT query_id, neighbor_id, edist FROM ex
+      |QUALIFY row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY edist, neighbor_id) <= 5
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     graft.sim.Pq.adcTopK(pqCodes(s, d), pqCodebook(s, d),
@@ -1998,6 +2073,7 @@ object LlmQueries {
     "q131_ivfpq_codes" -> (ivfpqCodesQuery _),
     "q132_ivfpq_codebook" -> (ivfpqCodebookDump _),
     "q133_ivfpq_topk" -> (ivfpqTopK _),
+    "q136_ivfpq_rerank" -> (ivfpqRerank _),
     "q95_ccnet_buckets" -> (ccnetBuckets _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
@@ -2052,6 +2128,7 @@ object LlmQueries {
     "q104_pq_adc_topk" -> pqAdcTopKSql,
     "q131_ivfpq_codes" -> ivfpqCodesSql,
     "q133_ivfpq_topk" -> ivfpqTopKSql,
+    "q136_ivfpq_rerank" -> ivfpqRerankSql,
     "q134_hybrid_rrf" -> hybridRrfSql,
     "q95_ccnet_buckets" -> ccnetBucketsSql,
     "q87_best_per_source" -> bestPerSourceSql,

@@ -161,4 +161,39 @@ object IvfPq {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** IVFADC with exact re-rank (Jégou 2011 §IV-C — the standard final
+    * step of the FAISS-style pipeline): `search` produces a
+    * kShort-candidate shortlist per probe by approximate ADC distance;
+    * the shortlist is then re-scored by EXACT rounded squared L2
+    * against the raw corpus vectors and the top `k` kept (ties to the
+    * smaller neighbor id). Re-ranking recovers the quantization loss on
+    * the short list while the expensive scan stays ADC-bounded.
+    *
+    * Scale shape: the shortlist is bounded (|probes|·kShort rows) and
+    * broadcasts to the corpus scan, so only candidate vectors survive
+    * the join; probes broadcast likewise. The corpus is read once more
+    * for the candidates' raw vectors — the one extra read §IV-C's
+    * refinement costs by construction. Output (query_id, neighbor_id,
+    * edist), k rows per probe ranked (edist asc, neighbor_id asc). */
+  def searchRerank(codes: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      probes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, kShort: Int, nProbe: Int, m: Int): DataFrame = {
+    require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
+    val short = search(codes, coarse, codebook, probes, idCol, vecCol,
+      kShort, nProbe, m)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      Pq.asDouble(col(vecCol)).as("__cv"))
+    val p = probes.select(col(idCol).as("query_id"),
+      Pq.asDouble(col(vecCol)).as("__pv"))
+    val exact = c
+      .join(broadcast(short.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(p), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Pq.l2sq(col("__pv"), col("__cv")), 6).as("edist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("edist").asc, col("neighbor_id").asc)
+    exact.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -368,6 +368,40 @@ class LlmOpsSpec extends SparkSpec {
     val again = IvfPq.search(codes, coarse, cb, probes, "vec_id", "embedding",
       k = 10, nProbe = 2, m = 16).collect()
     assert(narrow.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+
+    // exact re-rank (Jégou §IV-C): at the same k/nProbe, re-scoring a
+    // 3k shortlist by exact L2 can only improve NN recall over raw ADC
+    // order — and the exact NN must rank FIRST whenever it made the
+    // shortlist.
+    val nnOf = (q: Long) => {
+      val pv = all(q)
+      all.toSeq.filter(_._1 != q)
+        .minBy { case (id, v) =>
+          (v.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum, id) }._1
+    }
+    def recallOf(res: Map[Long, Set[Long]]): Double = {
+      val hits = res.toSeq.map { case (q, ids) => if (ids.contains(nnOf(q))) 1.0 else 0.0 }
+      hits.sum / hits.size
+    }
+    val adc10 = IvfPq.search(codes, coarse, cb, probes, "vec_id", "embedding",
+        k = 10, nProbe = 16, m = 16)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val rr = IvfPq.searchRerank(codes, coarse, cb, probes, emb,
+        "vec_id", "embedding", k = 10, kShort = 30, nProbe = 16, m = 16)
+      .collect()
+    val rr10 = rr.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(1)).toSet }
+    assert(recallOf(rr10) >= recallOf(adc10),
+      s"re-rank recall ${recallOf(rr10)} below ADC recall ${recallOf(adc10)}")
+    // within each probe's result, exact distances are what ranks
+    rr.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      if (rr10(q).contains(nnOf(q))) {
+        val top = rs.minBy(r => (r.getDouble(2), r.getLong(1))).getLong(1)
+        assert(top == nnOf(q),
+          s"probe $q: shortlisted exact NN ${nnOf(q)} must rank first, got $top")
+      }
+    }
     codes.unpersist(); coarse.unpersist()
   }
 
