@@ -216,6 +216,50 @@ object MiscQueries {
       |    % 1000003 AS BIGINT) AS byte_checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q137: REAL image decode under the oracle gate — deterministic
+    * synthetic P6/PPM payloads (geometry + every pixel closed-form in
+    * doc_id) are built, then parsed back by the pure-JVM netpbm codec
+    * (header with comments, raster walk, per-channel integer stats);
+    * the oracle recomputes the same statistics from the closed-form
+    * pixel formula without touching any binary. A header-parse or
+    * offset bug shifts every stat and fails the hash. */
+  def imageDecode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val decoded = Multimodal.decodeImages(
+      Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
+    def ch(c: Int): Seq[org.apache.spark.sql.Column] = Seq(
+      round(col(s"c${c}_sum").cast("double") / (col("width") * col("height")), 6)
+        .as(s"c${c}_mean"),
+      col(s"c${c}_min"), col(s"c${c}_max"))
+    decoded.select(
+        (Seq(col("doc_id"), col("width"), col("height"), col("channels")) ++
+          ch(0) ++ ch(1) ++ ch(2)): _*)
+      .orderBy("doc_id")
+  }
+
+  val imageDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+      |         CAST(3 + doc_id % 4 AS INT) AS height
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, width, height,
+      |             unnest(range(0, CAST(width AS BIGINT)*height*3)) AS i FROM d),
+      |px AS (SELECT doc_id, width, height, i % 3 AS ch,
+      |              CAST((doc_id*31 + i*7) % 256 AS BIGINT) AS v FROM u)
+      |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+      |  round(CAST(sum(CASE WHEN ch=0 THEN v END) AS DOUBLE) / (width*height), 6) AS c0_mean,
+      |  CAST(min(CASE WHEN ch=0 THEN v END) AS INT) AS c0_min,
+      |  CAST(max(CASE WHEN ch=0 THEN v END) AS INT) AS c0_max,
+      |  round(CAST(sum(CASE WHEN ch=1 THEN v END) AS DOUBLE) / (width*height), 6) AS c1_mean,
+      |  CAST(min(CASE WHEN ch=1 THEN v END) AS INT) AS c1_min,
+      |  CAST(max(CASE WHEN ch=1 THEN v END) AS INT) AS c1_max,
+      |  round(CAST(sum(CASE WHEN ch=2 THEN v END) AS DOUBLE) / (width*height), 6) AS c2_mean,
+      |  CAST(min(CASE WHEN ch=2 THEN v END) AS INT) AS c2_min,
+      |  CAST(max(CASE WHEN ch=2 THEN v END) AS INT) AS c2_max
+      |FROM px GROUP BY 1, 2, 3
+      |ORDER BY doc_id""".stripMargin
+
   /** §2.11 extension under the oracle gate: the same plan
     * Events.hourlyTypeCounts runs incrementally under a watermark,
     * executed batch here and recomputed by DuckDB date_trunc. */
@@ -296,6 +340,7 @@ object MiscQueries {
     "q54_argmax" -> (argmaxRow _),
     "q55_hist_cut" -> (histCut _),
     "q56_multimodal" -> (multimodal _),
+    "q137_image_decode" -> (imageDecode _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
 
@@ -312,6 +357,7 @@ object MiscQueries {
     "q54_argmax" -> argmaxRowSql,
     "q55_hist_cut" -> histCutSql,
     "q56_multimodal" -> multimodalSql,
+    "q137_image_decode" -> imageDecodeSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)
 }

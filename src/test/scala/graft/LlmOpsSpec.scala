@@ -475,6 +475,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(resized(1L).length == 4, "long payload subsampled to target")
   }
 
+  test("image codec: BMP-24 padding/BGR/bottom-up, P5 gray, garbage -> null decode") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // Hand-built 2x2 24-bit BMP: rows pad to 4-byte boundaries
+    // (2*3=6 -> +2 pad), pixel order bottom-up, bytes BGR.
+    // Image (top-down, RGB): (255,0,0) (0,255,0) / (0,0,255) (10,20,30)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowBot = Array[Byte](255.toByte, 0, 0, 30, 20, 10, 0, 0) // BGR: blue px, (10,20,30) px + 2 pad
+    val rowTop = Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0) // red px, green px + 2 pad
+    val bmp = Array[Byte]('B', 'M') ++ le32(54 + 16) ++ le16(0) ++ le16(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      rowBot ++ rowTop // bottom row stored first
+    val pgm = "P5\n# gray\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](5, 7, 9)
+    val garbage = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, bmp), (2L, pgm), (3L, garbage)).toDF("id", "payload")
+    val got = Multimodal.decodeImages(df, "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val b = got(1L)
+    assert(b.getString(2) == "bmp" && b.getInt(3) == 2 && b.getInt(4) == 2 &&
+      b.getInt(5) == 3)
+    // R channel: 255 + 0 + 0 + 10 = 265; G: 0+255+0+20; B: 0+0+255+30
+    assert((b.getLong(6), b.getInt(7), b.getInt(8)) == ((265L, 0, 255)), "R stats")
+    assert((b.getLong(9), b.getInt(10), b.getInt(11)) == ((275L, 0, 255)), "G stats")
+    assert((b.getLong(12), b.getInt(13), b.getInt(14)) == ((285L, 0, 255)), "B stats")
+    val g = got(2L)
+    assert(g.getString(2) == "pgm" && g.getInt(3) == 3 && g.getInt(4) == 1 &&
+      g.getInt(5) == 1)
+    assert((g.getLong(6), g.getInt(7), g.getInt(8)) == ((21L, 5, 9)), "gray stats")
+    assert(g.isNullAt(9) && g.isNullAt(12), "absent channels stay null")
+    assert(got(3L).isNullAt(2) && got(3L).isNullAt(3), "garbage -> null decode row")
+  }
+
+  test("image codec: synthetic PPM round-trip matches the closed-form stats") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 38L).toDF("doc_id")
+    val got = Multimodal.decodeImages(
+        Multimodal.syntheticPpm(ids, "doc_id", "payload"), "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 7L, 38L)) {
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      val px = Array.tabulate(w * h * 3)(j => ((id * 31 + j.toLong * 7) % 256).toInt)
+      val r = got(id)
+      assert(r.getString(2) == "ppm" && r.getInt(3) == w && r.getInt(4) == h &&
+        r.getInt(5) == 3, s"id $id geometry")
+      for (c <- 0 to 2) {
+        val chan = px.zipWithIndex.collect { case (v, j) if j % 3 == c => v }
+        assert(r.getLong(6 + c * 3) == chan.map(_.toLong).sum, s"id $id c$c sum")
+        assert(r.getInt(7 + c * 3) == chan.min && r.getInt(8 + c * 3) == chan.max,
+          s"id $id c$c min/max")
+      }
+    }
+  }
+
   test("minhash skew guard: oversized buckets are dropped, not joined") {
     import spark.implicits._
     // 30 identical docs land every band bucket at size 30; with the cap
