@@ -87,9 +87,11 @@ object Bench {
     // The driver's capture keeps the TAIL of output (round 7 showed the
     // big line above truncated from the front → parsed:null), so a
     // short self-contained summary prints LAST — it always survives and
-    // always parses. And a bench with failures exits nonzero: a partial
+    // always parses. Distinct metric name: a consumer grepping for
+    // "total" must never double-count or pick the truncation-prone
+    // long line. And a bench with failures exits nonzero: a partial
     // timing must never be mistaken for a clean run.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"memo_groups":$groups}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"memo_groups":$groups}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -34,9 +34,16 @@ object Verify {
         // correctness artifact — an empty dir instead surfaces as an
         // explicit "no spark output" failure. (Round-7 lesson: 8
         // analysis-time failures were invisible in CORRECTNESS_r07.)
+        // Recursive delete: a mid-job write failure leaves a
+        // _temporary/ subtree whose nested part-files a recursive
+        // checker walk would read as real output.
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete()
+        }
         val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) wipe(d)
         d.mkdirs()
-        d.listFiles().foreach(f => if (f.isFile) f.delete())
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -61,10 +68,12 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    // rc stays 0 — the driver must still run the checker over the dump
-    // dirs (including the empty ones left above); the failure count is
-    // loud on stderr and visible as "no spark output" rows downstream.
-    if (failures > 0)
+    // oracle_sql.json is already on disk, so the checker contract is
+    // intact either way — but a nonzero exit adds the missing loud
+    // signal for anything watching the process rc.
+    if (failures > 0) {
       System.err.println(s"[verify] $failures of ${SparkEntry.queries.size} queries failed")
+      sys.exit(1)
+    }
   }
 }

@@ -547,8 +547,12 @@ object Curation {
     val wsum = w.map(_._2).sum
     val q = w.map { case (s, x) => s -> x / wsum }.toMap
     val budget = totals.map { case (s, t) => t / q(s) }.min
+    // half-UP to the 1e-6 grid (not rint's half-to-even): DuckDB's
+    // round() is half-away-from-zero, and the strict '<' coin means a
+    // rate differing by 1e-6 on the half boundary would flip membership
+    // between the engines.
     val rates = totals.map { case (s, t) =>
-      s -> math.rint(math.min(1.0, q(s) * budget / t) * 1e6) / 1e6
+      s -> math.floor(math.min(1.0, q(s) * budget / t) * 1e6 + 0.5) / 1e6
     }
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
