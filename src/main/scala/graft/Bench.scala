@@ -79,7 +79,8 @@ object Bench {
       "null_imp" -> Seq("q96_null_imp_dump", "q97_null_imp_scores",
         "q126_threshold_sweep", "q127_threshold_rank"),
       "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters",
-        "q110_fuzzy_dedup_apply"))
+        "q110_fuzzy_dedup_apply"),
+      "funnel" -> Seq("q135_funnel", "q138_funnel_rates"))
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")

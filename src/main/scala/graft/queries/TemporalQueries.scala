@@ -188,10 +188,78 @@ object TemporalQueries {
   private val funnelWithinSec = 259200L // 3 days: sf0.01 yields a mix of
                                         // converted / broken / partial chains
 
+  private def funnelFrame(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"funnel:${s.sparkContext.applicationId}:$d") {
+      Temporal.funnel(events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSec = funnelWithinSec)
+        .localCheckpoint(false)
+    }
+
   def funnel(s: SparkSession, d: String): DataFrame =
-    Temporal.funnel(events(s, d), "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"), withinSec = funnelWithinSec)
-      .orderBy("user_id")
+    funnelFrame(s, d).orderBy("user_id")
+
+  /** q138: the canonical funnel-analytics deliverable — per-step reach
+    * and conversion: how many keys completed each step, the rate from
+    * the anchor, and the step-over-step rate. ONE aggregation pass over
+    * the (per-key bounded) funnel frame; the 3-row result is built on
+    * the driver. Rates round half-up on the 1e-6 grid = DuckDB round(). */
+  def funnelRates(s: SparkSession, d: String): DataFrame = {
+    val r = funnelFrame(s, d).agg(
+      count(lit(1)).as("total"), count(col("t_1")).as("n1"),
+      count(col("t_2")).as("n2"), count(col("t_3")).as("n3")).head()
+    val total = r.getLong(0)
+    val ns = Seq(r.getLong(1), r.getLong(2), r.getLong(3))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def rate(n: Long, den: Long) = if (den == 0) 0.0 else r6(n.toDouble / den)
+    val spark = s
+    import spark.implicits._
+    (1 to 3).map { i =>
+      val prev = if (i == 1) total else ns(i - 2)
+      (i.toLong, ns(i - 1), rate(ns(i - 1), total), rate(ns(i - 1), prev))
+    }.toDF("step", "n_reached", "rate_from_anchor", "rate_from_prev")
+      .orderBy("step")
+  }
+
+  val funnelRatesSql: String =
+    """WITH a AS (
+      |  SELECT user_id, min(ts) AS t_1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |),
+      |s2 AS (
+      |  SELECT a.user_id, a.t_1,
+      |    min(e.ts) FILTER (WHERE e.ts >= a.t_1
+      |      AND epoch_us(e.ts) - epoch_us(a.t_1) <= 259200000000) AS t_2
+      |  FROM a LEFT JOIN events e
+      |    ON e.user_id = a.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2
+      |),
+      |s3 AS (
+      |  SELECT s2.user_id, s2.t_1, s2.t_2,
+      |    min(e.ts) FILTER (WHERE s2.t_2 IS NOT NULL AND e.ts >= s2.t_2
+      |      AND epoch_us(e.ts) - epoch_us(s2.t_2) <= 259200000000) AS t_3
+      |  FROM s2 LEFT JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3
+      |),
+      |agg AS (
+      |  SELECT count(*) AS total, count(t_1) AS n1, count(t_2) AS n2,
+      |         count(t_3) AS n3
+      |  FROM s3
+      |)
+      |SELECT step, n_reached,
+      |  CASE WHEN total = 0 THEN 0.0
+      |       ELSE round(n_reached * 1.0 / total, 6) END AS rate_from_anchor,
+      |  CASE WHEN prev = 0 THEN 0.0
+      |       ELSE round(n_reached * 1.0 / prev, 6) END AS rate_from_prev
+      |FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, n1 AS n_reached, total, total AS prev FROM agg
+      |  UNION ALL
+      |  SELECT 2, n2, total, n1 FROM agg
+      |  UNION ALL
+      |  SELECT 3, n3, total, n2 FROM agg
+      |)
+      |ORDER BY step""".stripMargin
 
   val funnelSql: String =
     """WITH a AS (
@@ -222,6 +290,7 @@ object TemporalQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_funnel" -> (funnel _),
+    "q138_funnel_rates" -> (funnelRates _),
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
     "q113_sessions" -> (sessions _),
@@ -230,6 +299,7 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "q135_funnel" -> funnelSql,
+    "q138_funnel_rates" -> funnelRatesSql,
     "q125_asof_forward" -> asofForwardSql,
     "q111_asof_join" -> asofJoinSql,
     "q112_range_join" -> rangeJoinSql,
