@@ -69,46 +69,20 @@ object Multimodal {
   private val nullDecode: Row = Row(null, null, null, null,
     null, null, null, null, null, null, null, null, null)
 
-  /** Per-channel stats over an interleaved raster: `chMap(j%channels)`
-    * gives the OUTPUT channel of interleave position j (identity for
-    * RGB rasters, reversed for BMP's BGR), `rowPad` trailing bytes per
-    * row are skipped (BMP rows pad to 4-byte boundaries). Stats are
-    * order-independent, so top-down vs bottom-up row order never
-    * matters. */
-  private def rasterStats(fmt: String, p: Array[Byte], off: Int,
-      w: Int, h: Int, channels: Int, chMap: Array[Int], rowPad: Int): Row = {
-    val sums = new Array[Long](3)
-    val mins = Array(256, 256, 256)
-    val maxs = Array(-1, -1, -1)
-    val rowBytes = w * channels
-    require(off + h.toLong * (rowBytes + rowPad) - rowPad <= p.length,
-      s"raster truncated: need ${h.toLong * (rowBytes + rowPad)} bytes from $off, have ${p.length}")
-    var r = 0
-    while (r < h) {
-      val base = off + r * (rowBytes + rowPad)
-      var j = 0
-      while (j < rowBytes) {
-        val c = chMap(j % channels)
-        val v = p(base + j) & 0xff
-        sums(c) += v
-        if (v < mins(c)) mins(c) = v
-        if (v > maxs(c)) maxs(c) = v
-        j += 1
-      }
-      r += 1
-    }
-    def s(c: Int): Seq[Any] =
-      if (c < channels) Seq[Any](sums(c), mins(c), maxs(c)) // explicit Any: Seq(Long, Int, Int) would widen the Ints
-      else Seq(null, null, null)
-    Row.fromSeq(Seq(fmt, w, h, channels) ++ s(0) ++ s(1) ++ s(2))
-  }
+  /** A decoded image: normalized interleaved raster — channel order
+    * RGB (or single gray), rows top-down, no padding — regardless of
+    * the source format's layout. Normalizing at decode means every
+    * downstream kernel (stats, resize, re-encode) is format-blind. */
+  private[multimodal] final case class Raster(
+      fmt: String, w: Int, h: Int, channels: Int, data: Array[Byte])
 
   /** Binary netpbm (P5 grayscale / P6 RGB, maxval <= 255): header is
     * ASCII ints separated by whitespace, `#` comments run to end of
     * line, and exactly ONE whitespace byte after maxval precedes the
     * raster (the netpbm spec rule that makes the raster offset
-    * unambiguous). */
-  private def decodeNetpbm(p: Array[Byte]): Row = {
+    * unambiguous). Already RGB top-down unpadded, so the raster is a
+    * straight slice. */
+  private def netpbmRaster(p: Array[Byte]): Raster = {
     val channels = if (p(1) == '6') 3 else 1
     var i = 2
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
@@ -128,15 +102,18 @@ object Multimodal {
     require(w > 0 && h > 0 && maxv > 0 && maxv <= 255,
       s"unsupported netpbm geometry ${w}x$h maxval $maxv")
     i += 1 // the single post-maxval whitespace byte
-    rasterStats(if (channels == 3) "ppm" else "pgm", p, i, w, h, channels,
-      Array(0, 1, 2), rowPad = 0)
+    val n = w * h * channels
+    require(i + n <= p.length, s"raster truncated: need $n bytes from $i, have ${p.length}")
+    Raster(if (channels == 3) "ppm" else "pgm", w, h, channels,
+      java.util.Arrays.copyOfRange(p, i, i + n))
   }
 
   /** Uncompressed 24-bit BMP (BITMAPINFOHEADER or larger, BI_RGB):
-    * little-endian header fields, BGR interleave reported as RGB
-    * channel stats, rows padded to 4-byte boundaries; negative height
-    * (top-down) handled — row order cannot affect the stats. */
-  private def decodeBmp(p: Array[Byte]): Row = {
+    * little-endian header fields; the BGR interleave is reversed to RGB
+    * and the (default) bottom-up row order flipped to top-down while
+    * building the normalized raster; rows pad to 4-byte boundaries;
+    * negative height means already top-down. */
+  private def bmpRaster(p: Array[Byte]): Raster = {
     def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     def i32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
       ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
@@ -149,23 +126,96 @@ object Multimodal {
     val comp = i32(30)
     require(hdrSize >= 40 && bpp == 24 && comp == 0,
       s"unsupported BMP variant (hdr $hdrSize, $bpp bpp, compression $comp)")
+    val bottomUp = hRaw > 0
     val h = math.abs(hRaw)
     require(w > 0 && h > 0, s"bad BMP geometry ${w}x$hRaw")
     val rowPad = (4 - (w * 3) % 4) % 4
-    // BGR on disk -> emit channel 0 = R, 1 = G, 2 = B
-    rasterStats("bmp", p, dataOff, w, h, 3, Array(2, 1, 0), rowPad)
+    require(dataOff + h.toLong * (w * 3 + rowPad) - rowPad <= p.length,
+      s"raster truncated: need ${h.toLong * (w * 3 + rowPad)} bytes from $dataOff, have ${p.length}")
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val srcRow = if (bottomUp) h - 1 - r else r
+      val base = dataOff + srcRow * (w * 3 + rowPad)
+      var x = 0
+      while (x < w) {
+        // BGR -> RGB
+        out((r * w + x) * 3) = p(base + x * 3 + 2)
+        out((r * w + x) * 3 + 1) = p(base + x * 3 + 1)
+        out((r * w + x) * 3 + 2) = p(base + x * 3)
+        x += 1
+      }
+      r += 1
+    }
+    Raster("bmp", w, h, 3, out)
   }
 
   /** Codec dispatch on magic bytes; anything unrecognized or malformed
-    * decodes to the null row (decode failures are data, not crashes —
-    * at corpus scale a poison payload must not kill the job). */
-  private[multimodal] def decodeImage(p: Array[Byte]): Row =
+    * decodes to None (decode failures are data, not crashes — at
+    * corpus scale a poison payload must not kill the job). */
+  private[multimodal] def imageRaster(p: Array[Byte]): Option[Raster] =
     try {
-      if (p == null || p.length < 2) nullDecode
-      else if (p(0) == 'P' && (p(1) == '5' || p(1) == '6')) decodeNetpbm(p)
-      else if (p(0) == 'B' && p(1) == 'M') decodeBmp(p)
-      else nullDecode
-    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => nullDecode }
+      if (p == null || p.length < 2) None
+      else if (p(0) == 'P' && (p(1) == '5' || p(1) == '6')) Some(netpbmRaster(p))
+      else if (p(0) == 'B' && p(1) == 'M') Some(bmpRaster(p))
+      else None
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Per-channel integer stats over a normalized raster. */
+  private def rasterStats(r: Raster): Row = {
+    val sums = new Array[Long](3)
+    val mins = Array(256, 256, 256)
+    val maxs = Array(-1, -1, -1)
+    var j = 0
+    while (j < r.data.length) {
+      val c = j % r.channels
+      val v = r.data(j) & 0xff
+      sums(c) += v
+      if (v < mins(c)) mins(c) = v
+      if (v > maxs(c)) maxs(c) = v
+      j += 1
+    }
+    def s(c: Int): Seq[Any] =
+      if (c < r.channels) Seq[Any](sums(c), mins(c), maxs(c)) // explicit Any: Seq(Long, Int, Int) would widen the Ints
+      else Seq(null, null, null)
+    Row.fromSeq(Seq(r.fmt, r.w, r.h, r.channels) ++ s(0) ++ s(1) ++ s(2))
+  }
+
+  private[multimodal] def decodeImage(p: Array[Byte]): Row =
+    imageRaster(p).map(rasterStats).getOrElse(nullDecode)
+
+  /** Nearest-neighbor resize of a normalized raster: output pixel
+    * (x, y) takes input pixel (floor(x·w/outW), floor(y·h/outH)) — the
+    * standard index-mapping NN kernel, exact integer math. */
+  private[multimodal] def resizeRaster(r: Raster, outW: Int, outH: Int): Raster = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val out = new Array[Byte](outW * outH * r.channels)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * r.h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * r.w / outW).toInt
+        var c = 0
+        while (c < r.channels) {
+          out((y * outW + x) * r.channels + c) =
+            r.data((sy * r.w + sx) * r.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    r.copy(w = outW, h = outH, data = out)
+  }
+
+  /** Re-encode a normalized raster as binary netpbm (P6 for 3-channel,
+    * P5 for gray) — the round-trippable uncompressed interchange form;
+    * a decoded BMP re-encodes as P6. */
+  private[multimodal] def encodeNetpbm(r: Raster): Array[Byte] = {
+    val magic = if (r.channels == 3) "P6" else "P5"
+    s"$magic\n${r.w} ${r.h}\n255\n".getBytes("US-ASCII") ++ r.data
+  }
 
   /** Partition-batched image decode over a binary column: input columns
     * + `imageSchema` fields appended. The decode runs inside
@@ -261,9 +311,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image resize over a binary column: decode (netpbm/BMP) →
+    * nearest-neighbor index-map kernel → re-encode as binary netpbm.
+    * Payloads that don't decode resize to null (a resize of a
+    * non-image is no image — kept explicit rather than passed
+    * through). Runs partition-batched like every codec op here. */
+  def resizeImages(df: DataFrame, payloadCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = imageRaster(r.getAs[Array[Byte]](idx))
+          .map(ra => encodeNetpbm(resizeRaster(ra, outW, outH))).orNull
+        Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
   /** Byte-level resize: deterministic subsampling to `targetBytes` —
-    * the shape of an image-resize/audio-downsample kernel (every k-th
-    * byte), preserving determinism for tests. */
+    * the shape of a format-agnostic downsample kernel (every k-th
+    * byte), preserving determinism for tests. For decodable images use
+    * `resizeImages` (the real pixel-space kernel). */
   def resizePayload(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame = {
     val schema = df.schema
     val idx = schema.fieldIndex(payloadCol)

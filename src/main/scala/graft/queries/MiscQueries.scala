@@ -260,6 +260,58 @@ object MiscQueries {
       |FROM px GROUP BY 1, 2, 3
       |ORDER BY doc_id""".stripMargin
 
+  /** q139: the decode → nearest-neighbor resize → re-encode → decode
+    * chain under the oracle gate: synthetic PPMs resize to 3x2 and the
+    * resized pixel stats must equal the closed-form replay of the NN
+    * index map (sx = floor(x·w/3), sy = floor(y·h/2)) — any error in
+    * the kernel, the re-encode header, or the second decode shifts the
+    * stats and fails the hash. */
+  def imageResize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val resized = Multimodal.resizeImages(
+      Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload",
+      outW = 3, outH = 2)
+    val decoded = Multimodal.decodeImages(resized, "payload")
+    def ch(c: Int): Seq[org.apache.spark.sql.Column] = Seq(
+      round(col(s"c${c}_sum").cast("double") / (col("width") * col("height")), 6)
+        .as(s"c${c}_mean"),
+      col(s"c${c}_min"), col(s"c${c}_max"))
+    decoded.select(
+        (Seq(col("doc_id"), col("width"), col("height"), col("channels")) ++
+          ch(0) ++ ch(1) ++ ch(2)): _*)
+      .orderBy("doc_id")
+  }
+
+  val imageResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+      |         CAST(3 + doc_id % 4 AS INT) AS h
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, w, h, unnest(range(0, 18)) AS o FROM d),
+      |px AS (
+      |  SELECT doc_id, o % 3 AS ch,
+      |    ((((o // 3) // 3) * h) // 2) AS sy,
+      |    ((((o // 3) % 3) * w) // 3) AS sx, w
+      |  FROM u),
+      |v AS (
+      |  SELECT doc_id, ch,
+      |    CAST((doc_id*31 + ((sy*w + sx)*3 + ch)*7) % 256 AS BIGINT) AS val
+      |  FROM px)
+      |SELECT doc_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  round(CAST(sum(CASE WHEN ch=0 THEN val END) AS DOUBLE) / 6, 6) AS c0_mean,
+      |  CAST(min(CASE WHEN ch=0 THEN val END) AS INT) AS c0_min,
+      |  CAST(max(CASE WHEN ch=0 THEN val END) AS INT) AS c0_max,
+      |  round(CAST(sum(CASE WHEN ch=1 THEN val END) AS DOUBLE) / 6, 6) AS c1_mean,
+      |  CAST(min(CASE WHEN ch=1 THEN val END) AS INT) AS c1_min,
+      |  CAST(max(CASE WHEN ch=1 THEN val END) AS INT) AS c1_max,
+      |  round(CAST(sum(CASE WHEN ch=2 THEN val END) AS DOUBLE) / 6, 6) AS c2_mean,
+      |  CAST(min(CASE WHEN ch=2 THEN val END) AS INT) AS c2_min,
+      |  CAST(max(CASE WHEN ch=2 THEN val END) AS INT) AS c2_max
+      |FROM v GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   /** §2.11 extension under the oracle gate: the same plan
     * Events.hourlyTypeCounts runs incrementally under a watermark,
     * executed batch here and recomputed by DuckDB date_trunc. */
@@ -341,6 +393,7 @@ object MiscQueries {
     "q55_hist_cut" -> (histCut _),
     "q56_multimodal" -> (multimodal _),
     "q137_image_decode" -> (imageDecode _),
+    "q139_image_resize" -> (imageResize _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
 
@@ -358,6 +411,7 @@ object MiscQueries {
     "q55_hist_cut" -> histCutSql,
     "q56_multimodal" -> multimodalSql,
     "q137_image_decode" -> imageDecodeSql,
+    "q139_image_resize" -> imageResizeSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)
 }

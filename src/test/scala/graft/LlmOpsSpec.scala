@@ -531,6 +531,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("image resize: NN index map, BMP bottom-up flip, re-encode round-trip") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // 2x2 P6: pixels (r)(g)(b) distinct per corner; downscale to 1x1
+    // must pick the TOP-LEFT source pixel (sx = sy = 0).
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    // 1x2 24-bit BMP, bottom-up: stored rows [bottom=(B,G,R)=(9,9,9)],
+    // then [top=(1,1,1)]; resize to 1x1 keeps y=0 -> the TOP row — a
+    // codec that forgets the flip returns 9s. Row stride 3 -> +1 pad.
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmp = Array[Byte]('B', 'M') ++ le32(54 + 8) ++ le16(0) ++ le16(0) ++ le32(54) ++
+      le32(40) ++ le32(1) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(8) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array[Byte](9, 9, 9, 0) ++ Array[Byte](1, 1, 1, 0)
+    val df = Seq((1L, ppm), (2L, bmp), (3L, Array[Byte](9, 9))).toDF("id", "payload")
+    val out = Multimodal.decodeImages(
+        Multimodal.resizeImages(df, "payload", outW = 1, outH = 1), "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = out(1L)
+    assert(p.getString(2) == "ppm" && p.getInt(3) == 1 && p.getInt(4) == 1)
+    assert((p.getLong(6), p.getLong(9), p.getLong(12)) == ((1L, 2L, 3L)),
+      "1x1 NN downscale must keep the top-left source pixel")
+    val b = out(2L)
+    // decoded BMP re-encodes as ppm; top row (1,1,1) must survive the flip
+    assert(b.getString(2) == "ppm" &&
+      (b.getLong(6), b.getLong(9), b.getLong(12)) == ((1L, 1L, 1L)),
+      "bottom-up BMP resize must keep the TOP row after normalization")
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2),
+      "non-image payload resizes to null and decodes to the null row")
+    // upscale mapping: 1x1 -> 2x1 duplicates the single pixel
+    val up = Multimodal.decodeImages(
+        Multimodal.resizeImages(Seq((1L, ppm)).toDF("id", "payload"),
+          "payload", outW = 2, outH = 2), "payload")
+      .collect().head
+    assert(up.getInt(3) == 2 && up.getInt(4) == 2)
+    // corners of the 2x2 -> identity mapping reproduces the original sums
+    assert((up.getLong(6), up.getLong(9), up.getLong(12)) == ((22L, 26L, 30L)))
+  }
+
   test("minhash skew guard: oversized buckets are dropped, not joined") {
     import spark.implicits._
     // 30 identical docs land every band bucket at size 30; with the cap
