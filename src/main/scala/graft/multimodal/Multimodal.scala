@@ -217,6 +217,135 @@ object Multimodal {
     s"$magic\n${r.w} ${r.h}\n255\n".getBytes("US-ASCII") ++ r.data
   }
 
+  // -------------------------------------------------------------------
+  // Audio tier: pure-JVM WAV/PCM codec (RIFF chunk walk, 8/16-bit)
+  // -------------------------------------------------------------------
+
+  /** Schema of decoded audio: format tag, rate/geometry, and exact
+    * per-channel integer sample statistics (16-bit signed scale; 8-bit
+    * samples are centered by −128; channel 1 stays null for mono). */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("a0_sum", LongType, nullable = true),
+    StructField("a0_min", IntegerType, nullable = true),
+    StructField("a0_max", IntegerType, nullable = true),
+    StructField("a1_sum", LongType, nullable = true),
+    StructField("a1_min", IntegerType, nullable = true),
+    StructField("a1_max", IntegerType, nullable = true)))
+
+  private val nullAudio: Row =
+    Row(null, null, null, null, null, null, null, null, null, null)
+
+  /** RIFF/WAVE PCM (format tag 1, 8 or 16 bits, mono or stereo): the
+    * chunk list is walked properly — unknown chunks (LIST, fact, ...)
+    * are skipped with word alignment, so 'fmt ' and 'data' are found
+    * wherever they sit, exactly as a conforming reader must. */
+  private def decodeWav(p: Array[Byte]): Row = {
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    require(p.length >= 44 && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+      p(11) == 'E', "not a WAVE file")
+    var i = 12
+    var fmt: (Int, Int, Int) = null // (channels, rate, bits)
+    var dataAt = -1
+    var dataLen = 0
+    while (i + 8 <= p.length && (fmt == null || dataAt < 0)) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val sz = i32(i + 4)
+      require(sz >= 0 && i + 8 + sz <= p.length, s"chunk $id overruns payload")
+      if (id == "fmt ") {
+        require(u16(i + 8) == 1, "only uncompressed PCM supported")
+        fmt = (u16(i + 10), i32(i + 12), u16(i + 22))
+      } else if (id == "data") { dataAt = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    require(fmt != null && dataAt >= 0, "missing fmt or data chunk")
+    val (channels, rate, bits) = fmt
+    require(channels == 1 || channels == 2, s"unsupported channel count $channels")
+    require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+    val bytesPerSample = bits / 8
+    val frameBytes = channels * bytesPerSample
+    val nFrames = dataLen / frameBytes
+    val sums = new Array[Long](2)
+    val mins = Array(Int.MaxValue, Int.MaxValue)
+    val maxs = Array(Int.MinValue, Int.MinValue)
+    var s = 0
+    while (s < nFrames.toLong * channels) {
+      val o = dataAt + s.toInt * bytesPerSample
+      val v =
+        if (bits == 16) (u16(o) << 16) >> 16 // sign-extend LE int16
+        else (p(o) & 0xff) - 128 // 8-bit wav is unsigned; center it
+      val c = s.toInt % channels
+      sums(c) += v
+      if (v < mins(c)) mins(c) = v
+      if (v > maxs(c)) maxs(c) = v
+      s += 1
+    }
+    def a(c: Int): Seq[Any] =
+      if (c < channels && nFrames > 0) Seq[Any](sums(c), mins(c), maxs(c))
+      else Seq(null, null, null)
+    Row.fromSeq(Seq("wav", rate, channels, nFrames.toLong) ++ a(0) ++ a(1))
+  }
+
+  private[multimodal] def decodeAudioPayload(p: Array[Byte]): Row =
+    try {
+      if (p == null || p.length < 4) nullAudio
+      else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') decodeWav(p)
+      else nullAudio
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => nullAudio }
+
+  /** Partition-batched audio decode over a binary column: input columns
+    * + `audioSchema` fields appended. */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ audioSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq ++ decodeAudioPayload(r.getAs[Array[Byte]](payloadIdx)).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV generator (TEST DATA, like
+    * `syntheticPpm`): channels 1+id%2, frames 20+id%7, rate 8000, and
+    * sample(frame t, channel c) = (id·37 + t·11 + c·5) % 4096 − 2048 —
+    * closed-form for a SQL oracle. A LIST junk chunk precedes 'fmt '
+    * to exercise the chunk walk. */
+  def syntheticWav(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType, nullable = true))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val nch = (1 + id % 2).toInt
+        val n = (20 + id % 7).toInt
+        val dataLen = n * nch * 2
+        val junk = "JUNK".getBytes("US-ASCII")
+        val body =
+          Array[Byte]('L', 'I', 'S', 'T') ++ le32(junk.length) ++ junk ++
+          Array[Byte]('f', 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(nch) ++
+            le32(8000) ++ le32(8000 * nch * 2) ++ le16(nch * 2) ++ le16(16) ++
+          Array[Byte]('d', 'a', 't', 'a') ++ le32(dataLen) ++
+          Array.tabulate(n * nch)(s => {
+            val t = s / nch; val c = s % nch
+            le16((((id * 37 + t * 11 + c * 5) % 4096) - 2048).toInt)
+          }).flatten.toArray
+        val payload = Array[Byte]('R', 'I', 'F', 'F') ++ le32(4 + body.length) ++
+          Array[Byte]('W', 'A', 'V', 'E') ++ body
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
   /** Partition-batched image decode over a binary column: input columns
     * + `imageSchema` fields appended. The decode runs inside
     * mapPartitions (codec per task, rows streamed, payloads never

@@ -312,6 +312,48 @@ object MiscQueries {
       |FROM v GROUP BY 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q140: REAL WAV/PCM audio decode under the oracle gate —
+    * deterministic synthetic 16-bit WAVs (mono/stereo alternating by
+    * doc_id, a junk LIST chunk before fmt to exercise the RIFF walk)
+    * decoded back to per-channel sample statistics; the oracle
+    * recomputes them from the closed-form sample formula. */
+  def audioDecode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val decoded = Multimodal.decodeAudio(
+      Multimodal.syntheticWav(docs, "doc_id", "payload"), "payload")
+    def ch(c: Int): Seq[org.apache.spark.sql.Column] = Seq(
+      round(col(s"a${c}_sum").cast("double") / col("n_frames"), 6).as(s"a${c}_mean"),
+      col(s"a${c}_min"), col(s"a${c}_max"))
+    decoded.select(
+        (Seq(col("doc_id"), col("format"), col("sample_rate"), col("channels"),
+          col("n_frames")) ++ ch(0) ++ ch(1)): _*)
+      .orderBy("doc_id")
+  }
+
+  val audioDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+      |         CAST(20 + doc_id % 7 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, channels, n,
+      |             unnest(range(0, n*channels)) AS s FROM d),
+      |v AS (
+      |  SELECT doc_id, channels, n, CAST(s % channels AS INT) AS ch,
+      |    CAST((doc_id*37 + (s // channels)*11 + (s % channels)*5) % 4096
+      |         - 2048 AS BIGINT) AS val
+      |  FROM u)
+      |SELECT doc_id, 'wav' AS format, CAST(8000 AS INT) AS sample_rate,
+      |  channels, n AS n_frames,
+      |  round(CAST(sum(CASE WHEN ch=0 THEN val END) AS DOUBLE) / n, 6) AS a0_mean,
+      |  CAST(min(CASE WHEN ch=0 THEN val END) AS INT) AS a0_min,
+      |  CAST(max(CASE WHEN ch=0 THEN val END) AS INT) AS a0_max,
+      |  round(CAST(sum(CASE WHEN ch=1 THEN val END) AS DOUBLE) / n, 6) AS a1_mean,
+      |  CAST(min(CASE WHEN ch=1 THEN val END) AS INT) AS a1_min,
+      |  CAST(max(CASE WHEN ch=1 THEN val END) AS INT) AS a1_max
+      |FROM v GROUP BY 1, 4, 5
+      |ORDER BY doc_id""".stripMargin
+
   /** §2.11 extension under the oracle gate: the same plan
     * Events.hourlyTypeCounts runs incrementally under a watermark,
     * executed batch here and recomputed by DuckDB date_trunc. */
@@ -394,6 +436,7 @@ object MiscQueries {
     "q56_multimodal" -> (multimodal _),
     "q137_image_decode" -> (imageDecode _),
     "q139_image_resize" -> (imageResize _),
+    "q140_audio_decode" -> (audioDecode _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
 
@@ -412,6 +455,7 @@ object MiscQueries {
     "q56_multimodal" -> multimodalSql,
     "q137_image_decode" -> imageDecodeSql,
     "q139_image_resize" -> imageResizeSql,
+    "q140_audio_decode" -> audioDecodeSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)
 }

@@ -572,6 +572,47 @@ class LlmOpsSpec extends SparkSpec {
     assert((up.getLong(6), up.getLong(9), up.getLong(12)) == ((22L, 26L, 30L)))
   }
 
+  test("audio codec: 8-bit mono WAV, chunk walking, sign extension, garbage") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 8-bit mono, 3 samples 0/128/255 -> centered -128/0/127; an odd-size
+    // junk chunk before fmt exercises word-aligned chunk skipping.
+    val fmt8 = Array[Byte]('f', 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(4000) ++ le32(4000) ++ le16(1) ++ le16(8)
+    val junk = Array[Byte]('J', 'U', 'N', 'K') ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val data8 = Array[Byte]('d', 'a', 't', 'a') ++ le32(3) ++
+      Array[Byte](0, 128.toByte, 255.toByte)
+    val body8 = junk ++ fmt8 ++ data8
+    val wav8 = Array[Byte]('R', 'I', 'F', 'F') ++ le32(4 + body8.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++ body8
+    // 16-bit stereo, 2 frames: ch0 = -2, 7; ch1 = 3, -32768
+    val fmt16 = Array[Byte]('f', 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val data16 = Array[Byte]('d', 'a', 't', 'a') ++ le32(8) ++
+      le16(-2 & 0xffff) ++ le16(3) ++ le16(7) ++ le16(-32768 & 0xffff)
+    val body16 = fmt16 ++ data16
+    val wav16 = Array[Byte]('R', 'I', 'F', 'F') ++ le32(4 + body16.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++ body16
+    val df = Seq((1L, wav8), (2L, wav16), (3L, "RIFFnope".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudio(df, "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = got(1L)
+    assert(m.getString(2) == "wav" && m.getInt(3) == 4000 && m.getInt(4) == 1 &&
+      m.getLong(5) == 3L)
+    assert((m.getLong(6), m.getInt(7), m.getInt(8)) == ((-1L, -128, 127)),
+      "8-bit centering")
+    assert(m.isNullAt(9), "mono keeps channel 1 null")
+    val st = got(2L)
+    assert(st.getInt(4) == 2 && st.getLong(5) == 2L)
+    assert((st.getLong(6), st.getInt(7), st.getInt(8)) == ((5L, -2, 7)), "ch0")
+    assert((st.getLong(9), st.getInt(10), st.getInt(11)) == ((-32765L, -32768, 3)),
+      "ch1 sign extension")
+    assert(got(3L).isNullAt(2), "malformed RIFF -> null decode")
+  }
+
   test("minhash skew guard: oversized buckets are dropped, not joined") {
     import spark.implicits._
     // 30 identical docs land every band bucket at size 30; with the cap
