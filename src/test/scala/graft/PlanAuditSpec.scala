@@ -257,6 +257,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"encode must read the corpus exactly once:\n$finalTree")
   }
 
+  test("q135 funnel: per-step key shuffles only — no nested loop, no cartesian") {
+    // An s-step funnel is s-1 forward as-ofs over the bounded per-key
+    // frontier; a range-join formulation would show up here as a
+    // BroadcastNestedLoopJoin over the corpus.
+    val plan = formatted(Queries.registry("q135_funnel")(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"funnel must never range-join the corpus:\n${plan.take(2000)}")
+    val finalTree = plan.split("== Initial Plan ==").head
+    val exchanges = finalTree.linesIterator.count(l =>
+      l.contains("Exchange (") && !l.contains("BroadcastExchange"))
+    // anchor agg + one union-window shuffle per as-of step (x2) + the
+    // output sort; anything beyond that is a regression
+    assert(exchanges <= 8, s"unexpected shuffle count $exchanges:\n$finalTree")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
