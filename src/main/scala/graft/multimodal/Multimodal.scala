@@ -346,6 +346,178 @@ object Multimodal {
     }(enc)
   }
 
+  // -------------------------------------------------------------------
+  // Video tier: pure-JVM Y4M (YUV4MPEG2) demuxer — the standard
+  // uncompressed video interchange format (what ffmpeg/mjpegtools pipe)
+  // -------------------------------------------------------------------
+
+  /** Schema of decoded video: geometry, frame rate, frame count, and
+    * exact whole-stream luma (Y-plane) integer statistics. */
+  val videoSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("fps_num", IntegerType, nullable = true),
+    StructField("fps_den", IntegerType, nullable = true),
+    StructField("y_sum", LongType, nullable = true),
+    StructField("y_min", IntegerType, nullable = true),
+    StructField("y_max", IntegerType, nullable = true)))
+
+  private val nullVideo: Row =
+    Row(null, null, null, null, null, null, null, null, null)
+
+  /** A demuxed Y4M stream: geometry, rate, and the luma plane of every
+    * frame (chroma is read past but not retained — luma carries the
+    * structural content the downstream ops use). */
+  private[multimodal] final case class Y4m(
+      w: Int, h: Int, fpsNum: Int, fpsDen: Int, frames: Vector[Array[Byte]])
+
+  /** YUV4MPEG2 demux: space-separated header tags (W/H/F required here,
+    * C colorspace optional — C420 family with quarter chroma planes and
+    * C444 with full supported), then per frame a FRAME line (optional
+    * parameters skipped to the newline, as the spec allows) followed by
+    * planar Y then U then V data. */
+  private def y4mDemux(p: Array[Byte]): Y4m = {
+    val magic = "YUV4MPEG2"
+    require(p.length > magic.length + 1 &&
+      new String(p, 0, magic.length, "US-ASCII") == magic, "not a Y4M stream")
+    var i = magic.length
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var chromaDiv = 2 // C420*: chroma planes are (w/2)x(h/2); C444 -> 1
+    def readToken(): String = {
+      val start = i
+      while (i < p.length && p(i) != ' ' && p(i) != '\n') i += 1
+      new String(p, start, i - start, "US-ASCII")
+    }
+    while (i < p.length && p(i) != '\n') {
+      i += 1 // the separating space (or first char after magic)
+      val t = readToken()
+      require(t.nonEmpty, "empty Y4M header tag")
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'F' =>
+          val Array(a, b) = t.drop(1).split(":", 2); fn = a.toInt; fd = b.toInt
+        case 'C' =>
+          if (t.startsWith("C444")) chromaDiv = 1
+          else require(t.startsWith("C420"), s"unsupported colorspace $t")
+        case _ => () // I (interlace), A (aspect), X (extensions): ignored
+      }
+    }
+    require(i < p.length, "Y4M header unterminated")
+    i += 1 // the header newline
+    require(w > 0 && h > 0 && fn > 0 && fd > 0, s"bad Y4M geometry ${w}x$h F$fn:$fd")
+    require(chromaDiv == 1 || (w % 2 == 0 && h % 2 == 0),
+      "C420 requires even dimensions")
+    val ySize = w * h
+    val cSize = (w / chromaDiv) * (h / chromaDiv)
+    val frames = Vector.newBuilder[Array[Byte]]
+    while (i < p.length) {
+      require(i + 5 <= p.length &&
+        new String(p, i, 5, "US-ASCII") == "FRAME", "expected FRAME marker")
+      i += 5
+      while (i < p.length && p(i) != '\n') i += 1 // skip frame params
+      require(i < p.length, "FRAME line unterminated")
+      i += 1
+      require(i + ySize + 2 * cSize <= p.length, "frame data truncated")
+      frames += java.util.Arrays.copyOfRange(p, i, i + ySize)
+      i += ySize + 2 * cSize
+    }
+    Y4m(w, h, fn, fd, frames.result())
+  }
+
+  private[multimodal] def decodeVideoPayload(p: Array[Byte]): Row =
+    try {
+      if (p == null || p.length < 10 || p(0) != 'Y') nullVideo
+      else {
+        val v = y4mDemux(p)
+        var sum = 0L; var mn = 256; var mx = -1
+        v.frames.foreach { y =>
+          var j = 0
+          while (j < y.length) {
+            val b = y(j) & 0xff
+            sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+            j += 1
+          }
+        }
+        val any = v.frames.nonEmpty && v.frames.head.nonEmpty
+        Row("y4m", v.w, v.h, v.frames.size.toLong, v.fpsNum, v.fpsDen,
+          if (any) sum else null, if (any) mn else null, if (any) mx else null)
+      }
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+           _: NumberFormatException | _: MatchError => nullVideo
+    }
+
+  /** Partition-batched video decode over a binary column: input columns
+    * + `videoSchema` fields appended. */
+  def decodeVideo(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ videoSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq ++ decodeVideoPayload(r.getAs[Array[Byte]](payloadIdx)).toSeq)
+      }
+    }(enc)
+  }
+
+  /** REAL frame extraction: demux Y4M, keep every `stride`-th frame,
+    * and emit each kept frame's LUMA PLANE re-encoded as a P5 PGM
+    * payload — a 1→N generator whose outputs are themselves decodable
+    * by the image tier (video → frames → image features composes).
+    * Output rows: (parent columns minus payload, frame_idx, frame). */
+  def sampleVideoFrames(df: DataFrame, payloadCol: String, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val parentFields = df.schema.fields.filterNot(_.name == payloadCol)
+    val schema = StructType(parentFields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val parent = r.toSeq.zipWithIndex.collect { case (v, i) if i != idx => v }
+        try {
+          val v = y4mDemux(r.getAs[Array[Byte]](idx))
+          Iterator.range(0, v.frames.size, stride).map { f =>
+            Row.fromSeq(parent ++ Seq(f,
+              encodeNetpbm(Raster("pgm", v.w, v.h, 1, v.frames(f)))))
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic Y4M generator (TEST DATA, like
+    * `syntheticPpm`): geometry W=4+2·(id%3), H=4+2·(id%2), frames
+    * 3+id%4 at F25:1, C420 with luma byte (frame f, raster pos q) =
+    * (id·13 + f·17 + q·5) % 256 and chroma (id·7 + f·3 + q·11) % 256 —
+    * all closed-form for a SQL oracle. */
+  def syntheticY4m(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType, nullable = true))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (4 + 2 * (id % 3)).toInt
+        val h = (4 + 2 * (id % 2)).toInt
+        val n = (3 + id % 4).toInt
+        val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+        val cSize = (w / 2) * (h / 2)
+        val body = (0 until n).flatMap { f =>
+          "FRAME\n".getBytes("US-ASCII") ++
+            Array.tabulate[Byte](w * h)(q => ((id * 13 + f * 17 + q.toLong * 5) % 256).toByte) ++
+            Array.tabulate[Byte](2 * cSize)(q => ((id * 7 + f * 3 + q.toLong * 11) % 256).toByte)
+        }.toArray
+        Row.fromSeq(r.toSeq :+ (header ++ body))
+      }
+    }(enc)
+  }
+
   /** Partition-batched image decode over a binary column: input columns
     * + `imageSchema` fields appended. The decode runs inside
     * mapPartitions (codec per task, rows streamed, payloads never

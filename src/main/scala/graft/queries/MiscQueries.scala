@@ -354,6 +354,82 @@ object MiscQueries {
       |FROM v GROUP BY 1, 4, 5
       |ORDER BY doc_id""".stripMargin
 
+  /** q141: REAL Y4M video demux under the oracle gate — deterministic
+    * synthetic YUV4MPEG2 streams (C420, closed-form luma and chroma)
+    * demuxed back to geometry/rate/frame-count and whole-stream luma
+    * stats; the oracle recomputes them from the luma formula. */
+  def videoDecode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.decodeVideo(
+        Multimodal.syntheticY4m(docs, "doc_id", "payload"), "payload")
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("fps_num"), col("fps_den"),
+        round(col("y_sum").cast("double") /
+          (col("width") * col("height") * col("n_frames")), 6).as("y_mean"),
+        col("y_min"), col("y_max"))
+      .orderBy("doc_id")
+  }
+
+  val videoDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + 2*(doc_id % 3) AS INT) AS width,
+      |         CAST(4 + 2*(doc_id % 2) AS INT) AS height,
+      |         CAST(3 + doc_id % 4 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, width, height, n,
+      |             unnest(range(0, n*width*height)) AS s FROM d),
+      |v AS (
+      |  SELECT doc_id, width, height, n,
+      |    CAST((doc_id*13 + (s // (width*height))*17
+      |          + (s % (width*height))*5) % 256 AS BIGINT) AS val
+      |  FROM u)
+      |SELECT doc_id, width, height, n AS n_frames,
+      |  CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+      |  round(CAST(sum(val) AS DOUBLE) / (width*height*n), 6) AS y_mean,
+      |  CAST(min(val) AS INT) AS y_min, CAST(max(val) AS INT) AS y_max
+      |FROM v GROUP BY 1, 2, 3, 4
+      |ORDER BY doc_id""".stripMargin
+
+  /** q142: video→image composition — every 2nd demuxed frame re-encoded
+    * as a P5 PGM payload and pushed through the IMAGE decoder; per-frame
+    * luma stats must equal the closed-form replay. Exercises the whole
+    * chain: Y4M demux, stride sampling, netpbm re-encode, image decode. */
+  def videoFrames(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val framed = Multimodal.sampleVideoFrames(
+      Multimodal.syntheticY4m(docs, "doc_id", "payload"), "payload", stride = 2)
+    Multimodal.decodeImages(framed, "frame")
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("channels"),
+        round(col("c0_sum").cast("double") / (col("width") * col("height")), 6)
+          .as("c0_mean"),
+        col("c0_min"), col("c0_max"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val videoFramesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + 2*(doc_id % 3) AS INT) AS width,
+      |         CAST(4 + 2*(doc_id % 2) AS INT) AS height,
+      |         CAST(3 + doc_id % 4 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |f AS (SELECT doc_id, width, height,
+      |             unnest(range(0, n, 2)) AS fi FROM d),
+      |u AS (SELECT doc_id, width, height, fi,
+      |             unnest(range(0, width*height)) AS q FROM f),
+      |v AS (
+      |  SELECT doc_id, width, height, fi,
+      |    CAST((doc_id*13 + fi*17 + q*5) % 256 AS BIGINT) AS val
+      |  FROM u)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, width, height,
+      |  CAST(1 AS INT) AS channels,
+      |  round(CAST(sum(val) AS DOUBLE) / (width*height), 6) AS c0_mean,
+      |  CAST(min(val) AS INT) AS c0_min, CAST(max(val) AS INT) AS c0_max
+      |FROM v GROUP BY 1, 2, 3, 4
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** §2.11 extension under the oracle gate: the same plan
     * Events.hourlyTypeCounts runs incrementally under a watermark,
     * executed batch here and recomputed by DuckDB date_trunc. */
@@ -437,6 +513,8 @@ object MiscQueries {
     "q137_image_decode" -> (imageDecode _),
     "q139_image_resize" -> (imageResize _),
     "q140_audio_decode" -> (audioDecode _),
+    "q141_video_decode" -> (videoDecode _),
+    "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
 
@@ -456,6 +534,8 @@ object MiscQueries {
     "q137_image_decode" -> imageDecodeSql,
     "q139_image_resize" -> imageResizeSql,
     "q140_audio_decode" -> audioDecodeSql,
+    "q141_video_decode" -> videoDecodeSql,
+    "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)
 }

@@ -613,6 +613,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L).isNullAt(2), "malformed RIFF -> null decode")
   }
 
+  test("video codec: Y4M demux, C444 chroma, frame sampling to PGM, garbage") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // 2x2 C420 stream, 2 frames: luma planes [1,2,3,4] and [5,6,7,8];
+    // chroma (1 byte per U/V plane at 2x2/420) must be read PAST, not
+    // into the luma stats.
+    val y4m = "YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++ Array[Byte](90, 91) ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array[Byte](5, 6, 7, 8) ++ Array[Byte](92, 93)
+    // 1x1 C444 stream (odd geometry legal there), FRAME with a parameter
+    val y444 = "YUV4MPEG2 W1 H1 F24:1 C444\n".getBytes("US-ASCII") ++
+      "FRAME Xweird\n".getBytes("US-ASCII") ++ Array[Byte](9, 50, 60)
+    val df = Seq((1L, y4m), (2L, y444), (3L, "YUV4MPEG2 garbage".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeVideo(df, "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = got(1L)
+    assert(a.getString(2) == "y4m" && a.getInt(3) == 2 && a.getInt(4) == 2 &&
+      a.getLong(5) == 2L && a.getInt(6) == 30 && a.getInt(7) == 1)
+    assert((a.getLong(8), a.getInt(9), a.getInt(10)) == ((36L, 1, 8)),
+      "luma stats must exclude chroma bytes")
+    val b = got(2L)
+    assert(b.getLong(5) == 1L && b.getInt(6) == 24 &&
+      (b.getLong(8), b.getInt(9), b.getInt(10)) == ((9L, 9, 9)),
+      "C444 reads full chroma planes past the luma")
+    assert(got(3L).isNullAt(2), "malformed stream -> null decode")
+
+    // frame sampling: stride 2 keeps frame 0 only; the PGM payload must
+    // round-trip through the IMAGE decoder with frame-0 luma stats
+    val frames = Multimodal.decodeImages(
+        Multimodal.sampleVideoFrames(Seq((1L, y4m)).toDF("id", "payload"),
+          "payload", stride = 2), "frame")
+      .collect()
+    assert(frames.length == 1 && frames.head.getInt(1) == 0)
+    val fr = frames.head
+    assert(fr.getString(3) == "pgm" && fr.getInt(4) == 2 && fr.getInt(5) == 2)
+    assert((fr.getLong(7), fr.getInt(8), fr.getInt(9)) == ((10L, 1, 4)),
+      "sampled frame must carry frame-0 luma")
+  }
+
   test("minhash skew guard: oversized buckets are dropped, not joined") {
     import spark.implicits._
     // 30 identical docs land every band bucket at size 30; with the cap
