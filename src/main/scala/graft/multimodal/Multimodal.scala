@@ -35,7 +35,7 @@ object Multimodal {
 
   /** Byte-level features: payload length, first byte, and a mod-prime
     * byte checksum — the format-agnostic tier (no decode). */
-  private[multimodal] def byteFeatures(payload: Array[Byte]): Row = {
+  private[graft] def byteFeatures(payload: Array[Byte]): Row = {
     var checksum = 0L
     var i = 0
     while (i < payload.length) { checksum = (checksum + (payload(i) & 0xff)) % 1000003L; i += 1 }
@@ -73,7 +73,7 @@ object Multimodal {
     * RGB (or single gray), rows top-down, no padding — regardless of
     * the source format's layout. Normalizing at decode means every
     * downstream kernel (stats, resize, re-encode) is format-blind. */
-  private[multimodal] final case class Raster(
+  private[graft] final case class Raster(
       fmt: String, w: Int, h: Int, channels: Int, data: Array[Byte])
 
   /** Binary netpbm (P5 grayscale / P6 RGB, maxval <= 255): header is
@@ -153,7 +153,7 @@ object Multimodal {
   /** Codec dispatch on magic bytes; anything unrecognized or malformed
     * decodes to None (decode failures are data, not crashes — at
     * corpus scale a poison payload must not kill the job). */
-  private[multimodal] def imageRaster(p: Array[Byte]): Option[Raster] =
+  private[graft] def imageRaster(p: Array[Byte]): Option[Raster] =
     try {
       if (p == null || p.length < 2) None
       else if (p(0) == 'P' && (p(1) == '5' || p(1) == '6')) Some(netpbmRaster(p))
@@ -181,13 +181,13 @@ object Multimodal {
     Row.fromSeq(Seq(r.fmt, r.w, r.h, r.channels) ++ s(0) ++ s(1) ++ s(2))
   }
 
-  private[multimodal] def decodeImage(p: Array[Byte]): Row =
+  private[graft] def decodeImage(p: Array[Byte]): Row =
     imageRaster(p).map(rasterStats).getOrElse(nullDecode)
 
   /** Nearest-neighbor resize of a normalized raster: output pixel
     * (x, y) takes input pixel (floor(x·w/outW), floor(y·h/outH)) — the
     * standard index-mapping NN kernel, exact integer math. */
-  private[multimodal] def resizeRaster(r: Raster, outW: Int, outH: Int): Raster = {
+  private[graft] def resizeRaster(r: Raster, outW: Int, outH: Int): Raster = {
     require(outW > 0 && outH > 0, "resize target must be positive")
     val out = new Array[Byte](outW * outH * r.channels)
     var y = 0
@@ -212,7 +212,7 @@ object Multimodal {
   /** Re-encode a normalized raster as binary netpbm (P6 for 3-channel,
     * P5 for gray) — the round-trippable uncompressed interchange form;
     * a decoded BMP re-encodes as P6. */
-  private[multimodal] def encodeNetpbm(r: Raster): Array[Byte] = {
+  private[graft] def encodeNetpbm(r: Raster): Array[Byte] = {
     val magic = if (r.channels == 3) "P6" else "P5"
     s"$magic\n${r.w} ${r.h}\n255\n".getBytes("US-ASCII") ++ r.data
   }
@@ -291,7 +291,7 @@ object Multimodal {
     Row.fromSeq(Seq("wav", rate, channels, nFrames.toLong) ++ a(0) ++ a(1))
   }
 
-  private[multimodal] def decodeAudioPayload(p: Array[Byte]): Row =
+  private[graft] def decodeAudioPayload(p: Array[Byte]): Row =
     try {
       if (p == null || p.length < 4) nullAudio
       else if (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') decodeWav(p)
@@ -370,7 +370,7 @@ object Multimodal {
   /** A demuxed Y4M stream: geometry, rate, and the luma plane of every
     * frame (chroma is read past but not retained — luma carries the
     * structural content the downstream ops use). */
-  private[multimodal] final case class Y4m(
+  private[graft] final case class Y4m(
       w: Int, h: Int, fpsNum: Int, fpsDen: Int, frames: Vector[Array[Byte]])
 
   /** YUV4MPEG2 demux: space-separated header tags (W/H/F required here,
@@ -427,7 +427,7 @@ object Multimodal {
     Y4m(w, h, fn, fd, frames.result())
   }
 
-  private[multimodal] def decodeVideoPayload(p: Array[Byte]): Row =
+  private[graft] def decodeVideoPayload(p: Array[Byte]): Row =
     try {
       if (p == null || p.length < 10 || p(0) != 'Y') nullVideo
       else {

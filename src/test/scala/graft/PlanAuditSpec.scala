@@ -272,6 +272,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 8, s"unexpected shuffle count $exchanges:\n$finalTree")
   }
 
+  test("q137 image decode: scan-local codec — one scan, no shuffle before the output sort") {
+    // Generate -> decode -> project all run inside mapPartitions over
+    // the documents scan; the only exchange allowed is the final
+    // orderBy's range partitioning.
+    val plan = formatted(Queries.registry("q137_image_decode")(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==").head
+    val scans = finalTree.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"codec chain must read documents exactly once:\n$finalTree")
+    val exchanges = finalTree.linesIterator.count(l =>
+      l.contains("Exchange (") && !l.contains("BroadcastExchange"))
+    // the one allowed exchange is the orderBy's range partitioning
+    // (node details carry the partitioning; the tree line does not)
+    assert(exchanges <= 1 && plan.contains("rangepartitioning"),
+      s"only the output sort may shuffle:\n$finalTree")
+    assert(!finalTree.contains("Join") && !finalTree.contains("HashAggregate"),
+      s"codec chain must stay a pure scan-map-sort:\n$finalTree")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the

@@ -23,6 +23,44 @@ class PropertiesSpec extends SparkSpec {
       .sortBy { case (cnt, v) => (-cnt, v) }
       .head._2
 
+  test("image codec property: decode . encodeNetpbm is the identity on rasters") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9)
+      ch <- Gen.oneOf(1, 3)
+      data <- Gen.listOfN(w * h * ch, Gen.choose(0, 255))
+    } yield Multimodal.Raster(if (ch == 3) "ppm" else "pgm", w, h, ch,
+      data.map(_.toByte).toArray)
+    for (r <- samples(gen, 60)) {
+      val back = Multimodal.imageRaster(Multimodal.encodeNetpbm(r))
+      assert(back.nonEmpty, s"re-decode failed for ${r.w}x${r.h}x${r.channels}")
+      val b = back.get
+      assert(b.w == r.w && b.h == r.h && b.channels == r.channels &&
+        java.util.Arrays.equals(b.data, r.data),
+        s"round-trip mismatch at ${r.w}x${r.h}x${r.channels}")
+    }
+  }
+
+  test("image codec property: NN resize preserves the value set bounds and w==outW identity") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 8)
+      h <- Gen.choose(1, 8)
+      data <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield Multimodal.Raster("ppm", w, h, 3, data.map(_.toByte).toArray)
+    for (r <- samples(gen, 40)) {
+      // same-size resize is the identity (sx = x, sy = y exactly)
+      val same = Multimodal.resizeRaster(r, r.w, r.h)
+      assert(java.util.Arrays.equals(same.data, r.data), "identity resize changed pixels")
+      // every output pixel of any resize is a source pixel (NN never interpolates)
+      val res = Multimodal.resizeRaster(r, 3, 3)
+      val srcPixels = r.data.grouped(3).map(_.toSeq).toSet
+      assert(res.data.grouped(3).map(_.toSeq).forall(srcPixels.contains),
+        "NN resize must only ever copy source pixels")
+    }
+  }
+
   test("classificationReport matches hand-computed sklearn values") {
     // labels: a,a,a,b,b,c  preds: a,a,b,b,b,b
     // a: tp=2 support=3 pred=2 -> P=1.0    R=0.666667 F=0.8
