@@ -146,6 +146,114 @@ object Events {
       }.toDF()
   }
 
+  final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, step: Int)
+  final case class FunnelBuf(events: List[(Long, Int)])
+  final case class FunnelRow(user_id: Long, steps_completed: Long,
+      converted: Boolean, step_ts_us: Seq[Long])
+
+  /** Streaming funnel — the incremental counterpart of
+    * `Temporal.funnel` with identical greedy-earliest semantics
+    * (asserted batch-vs-stream in PipelineStreamingSpec). Output per
+    * anchored key, emitted EXACTLY ONCE when the result is provably
+    * final: (user_id, steps_completed, converted, matched step
+    * timestamps as epoch-µs — always a prefix, because a broken chain
+    * propagates).
+    *
+    * Finality and state bounds: the chain is a function of the key's
+    * events in [anchor, anchor + (s−1)·withinSec] where anchor = the
+    * key's earliest step-1 event. Once the watermark passes that
+    * deadline nothing can change the result (a later-arriving EARLIER
+    * anchor is impossible: its timestamp would be below the watermark
+    * and is dropped), so the row is emitted and state cleared via the
+    * event-time timeout. Until then the buffer keeps only events in
+    * [min(anchor, watermark), deadline]; keys with no anchor yet keep
+    * only post-watermark events (a future chain's anchor must be ≥ the
+    * watermark, so nothing older can ever participate). State is
+    * horizon-bounded per key, never the key's full history. */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], withinSec: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    import spark.implicits._
+    val wUs = withinSec * 1000000L
+    val horizon = (steps.size - 1).toLong * wUs
+    // step index via a column expression, not a typed map — a typed map
+    // would drop the watermark tag the event-time timeout requires
+    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(col("event_type") === s, lit(i)).otherwise(acc)
+    }
+    // filter BEFORE the watermark: the watermark must track the funnel
+    // event types themselves (a filter placed after it can be pushed
+    // below the watermark node, and rows it drops would then never
+    // advance event time)
+    val typed = events
+      .filter(col("event_type").isin(steps.map(lit): _*))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        stepCol.as("step"))
+      .withWatermark("ts", watermark)
+      .as[FunnelEv]
+
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    // the SAME greedy-earliest chain as Temporal.funnel, over the
+    // buffered (ts, step) pairs
+    def chainOf(evts: List[(Long, Int)]): Seq[Long] = {
+      val byStep = evts.groupBy(_._2)
+      byStep.get(0).map(_.map(_._1).min) match {
+        case None => Nil
+        case Some(anchor) =>
+          var chain = Vector(anchor)
+          var i = 1
+          var broken = false
+          while (i < steps.size && !broken) {
+            val prev = chain.last
+            val cand = byStep.getOrElse(i, Nil).map(_._1)
+              .filter(t => t >= prev && t - prev <= wUs)
+            if (cand.isEmpty) broken = true else chain :+= cand.min
+            i += 1
+          }
+          chain
+      }
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[FunnelBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = state.getOption.map(_.events).getOrElse(Nil) ++
+            rows.map(e => (usOf(e.ts), e.step)).toList
+          val anchors = buf.collect { case (t, 0) => t }
+          if (anchors.isEmpty) {
+            // no chain can ever anchor before the watermark now
+            val kept = buf.filter(_._1 >= wmUs)
+            if (kept.isEmpty) state.remove()
+            else state.update(FunnelBuf(kept))
+            Iterator.empty
+          } else {
+            val anchor = anchors.min
+            val deadline = anchor + horizon
+            if (wmUs > deadline) {
+              state.remove()
+              val chain = chainOf(buf)
+              Iterator.single(FunnelRow(uid, chain.size.toLong,
+                chain.size == steps.size, chain))
+            } else {
+              // an earlier anchor may still arrive (>= wm), so keep
+              // everything from min(anchor, wm); nothing past the
+              // current deadline can extend any chain (a future
+              // earlier anchor only shrinks the deadline)
+              val lo = math.min(anchor, wmUs)
+              state.update(FunnelBuf(buf.filter(e =>
+                e._1 >= lo && e._1 <= deadline)))
+              state.setTimeoutTimestamp(deadline / 1000L + 1L)
+              Iterator.empty
+            }
+          }
+      }.toDF()
+  }
+
   /** Stream-stream interval join with watermark-bounded state: every
     * left-side window row (`window_id`, `ts` — e.g. an error's
     * `windowLenSec`-long incident window) is joined to every right-side

@@ -241,6 +241,68 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed.size == 3)
   }
 
+  test("streaming funnel: emitted chains equal the batch operator's, incl. late earlier anchor") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).toInstant.getEpochSecond * 1000000L
+    // u1 converts across batches; u2 breaks at step 2 (70 min > 1 h)
+    // and the later purchase must not resurrect it; u3 has no anchor
+    // (no row at all); u4's EARLIER view arrives out of order in batch
+    // 2 — the anchor must move back and pick up the 10:45 click that
+    // sits BEFORE the first-seen view.
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 09:50:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      (3L, ts("2024-01-01 10:05:00"), "click"),
+      (3L, ts("2024-01-01 10:10:00"), "purchase"),
+      (4L, ts("2024-01-01 11:00:00"), "view"))
+    val b2 = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      (2L, ts("2024-01-01 11:20:00"), "purchase"),
+      (4L, ts("2024-01-01 10:05:00"), "view"),   // earlier anchor, late
+      (4L, ts("2024-01-01 10:45:00"), "click"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val out = graft.streaming.Events.funnelStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"), withinSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // sentinels must be step-typed: the watermark tracks the filtered
+    // funnel stream (user 999's own row is excluded from the compare)
+    input.addData(Seq((999L, ts("2030-01-01 00:00:00"), "view")))
+    q.processAllAvailable()
+    // one more batch so event-time timeouts fire against the advanced watermark
+    input.addData(Seq((999L, ts("2030-01-01 02:00:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("funnel_stream")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getSeq[Long](3).toList)).toMap
+    val batch = graft.ops.Temporal.funnel(
+        (b1 ++ b2).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 3600L)
+      .collect().map { r =>
+        val prefix = (1 to 3).flatMap(i => Option(r.getTimestamp(i)))
+          .map(t => t.toInstant.getEpochSecond * 1000000L +
+            t.toInstant.getNano / 1000L).toList
+        r.getLong(0) -> ((r.getLong(4), r.getBoolean(5), prefix))
+      }.toMap
+    assert(streamed == batch,
+      s"stream/batch funnel mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed.keySet == Set(1L, 2L, 4L), "u3 must not anchor")
+    assert(streamed(4L) ==
+      ((2L, false, List(us("2024-01-01 10:05:00"), us("2024-01-01 10:45:00")))),
+      "the late earlier anchor must re-anchor the chain")
+  }
+
   test("streaming interval join: pairs equal the batch granule range join, across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
