@@ -253,4 +253,45 @@ object Temporal {
           .as("steps_completed") :+
         stepCols.last.isNotNull.as("converted"): _*)
   }
+
+  /** Cohort retention matrix — the other canonical funnel-adjacent
+    * analytics deliverable: group every key (user) by the period of
+    * its FIRST event (its cohort), then count how many distinct keys
+    * of each cohort are active again `period` periods later. Output is
+    * the long-form matrix (cohort, period, n_active, cohort_size,
+    * retention) with period 0 = the cohort's own size; `periodDays`
+    * sets the period width (7 = weekly periods since first activity;
+    * the cohort label is the key's exact first-activity day, so
+    * periods are aligned per key, not to a calendar grid).
+    *
+    * Shape: one per-key min aggregate (hash shuffle on the key — the
+    * finest key in the data), one equi-join of the (key, period)
+    * activity pairs back against it keyed by the same key, then a
+    * count-distinct keyed by (cohort, period) — cardinality bounded
+    * by (#periods)^2, so the final aggregate is tiny and the join
+    * never fans out beyond the original activity rows. `n_active` is
+    * exact distinct, not approx: the (cohort, period, key) distinct
+    * pre-aggregate is map-side combinable and the result fits any
+    * executor. No window over the whole corpus, no range join.
+    */
+  def cohortRetention(events: DataFrame, key: String, ts: String,
+      periodDays: Int = 7): DataFrame = {
+    val day = to_date(col(ts))
+    val acts = events.select(col(key), day.as("__d")).distinct()
+    val firsts = acts.groupBy(key).agg(min(col("__d")).as("cohort_start"))
+    val joined = acts.join(firsts, key)
+      .select(col(key), col("cohort_start").as("__cs"),
+        (floor(datediff(col("__d"), col("cohort_start")) / periodDays))
+          .cast("long").as("period"))
+      .distinct()
+    val matrix = joined.groupBy(col("__cs").as("cohort"), col("period"))
+      .agg(countDistinct(col(key)).as("n_active"))
+    val sizes = matrix.filter(col("period") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    matrix.join(sizes, "cohort")
+      .select(col("cohort"), col("period"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
 }

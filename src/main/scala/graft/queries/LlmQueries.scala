@@ -1381,6 +1381,59 @@ object LlmQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q143: stupid-backoff bigram LM score (Brants et al. 2007) — counts
+  // trained on the English subset, every document scored against them;
+  // non-English docs hit the backoff branch constantly, which is the
+  // held-out shape that actually exercises S(cur|prev)'s else-arm.
+  // -------------------------------------------------------------------
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    graft.text.Curation.bigramLogProb(all, "doc_id", "text",
+        alpha = 0.4, train = Some(all.filter(col("lang") === "en")))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |),
+      |uni AS (
+      |  SELECT tok, count(*) AS uc FROM (
+      |    SELECT unnest(w) AS tok FROM t WHERE lang = 'en')
+      |  GROUP BY 1
+      |),
+      |big AS (
+      |  SELECT g, count(*) AS bc FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |                                 i -> w[i] || ' ' || w[i+1])) AS g
+      |    FROM t WHERE lang = 'en' AND len(w) >= 2)
+      |  GROUP BY g
+      |),
+      |tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS n FROM uni),
+      |pairs AS (
+      |  SELECT doc_id, g,
+      |         split_part(g, ' ', 1) AS prev,
+      |         substr(g, len(split_part(g, ' ', 1)) + 2) AS cur
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                                         i -> w[i] || ' ' || w[i+1])) AS g
+      |    FROM t WHERE len(w) >= 2)
+      |),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bc IS NOT NULL THEN CAST(bc AS DOUBLE) / pc
+      |         ELSE 0.4 * CAST(cc AS DOUBLE) / (SELECT n FROM tot) END AS s
+      |  FROM pairs
+      |  LEFT JOIN big USING (g)
+      |  JOIN (SELECT tok, uc AS pc FROM uni) up ON pairs.prev = up.tok
+      |  JOIN (SELECT tok, uc AS cc FROM uni) uc2 ON pairs.cur = uc2.tok
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(avg(log10(s)), 6) AS sb_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q85: corpus-wide top-20 token bigrams — the BPE-round-one pair
   // statistic, as a global TakeOrdered aggregate.
   // -------------------------------------------------------------------
@@ -2057,6 +2110,7 @@ object LlmQueries {
     "q100_bm25" -> (bm25Search _),
     "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
+    "q143_bigram_lm" -> (bigramLm _),
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
@@ -2118,6 +2172,7 @@ object LlmQueries {
     "q100_bm25" -> bm25SearchSql,
     "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,
+    "q143_bigram_lm" -> bigramLmSql,
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,

@@ -354,6 +354,48 @@ object MiscQueries {
       |FROM v GROUP BY 1, 4, 5
       |ORDER BY doc_id""".stripMargin
 
+  /** q145: framed audio DSP features under the oracle gate — the same
+    * deterministic WAVs as q140, decoded and cut into 8-sample windows
+    * per channel; RMS energy and zero-crossing counts per window must
+    * equal the closed-form replay. This is the feature-extraction step
+    * of an audio training-data pipeline (VAD / silence trimming run on
+    * exactly these two features), computed from the REAL decoded PCM. */
+  def audioFrameFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.audioFrames(
+        Multimodal.syntheticWav(docs, "doc_id", "payload"), "payload",
+        frameSize = 8)
+      .select(col("doc_id"), col("frame_idx"), col("channel"),
+        col("n_samples"), col("rms"), col("zero_crossings"))
+      .orderBy("doc_id", "frame_idx", "channel")
+  }
+
+  val audioFrameFeaturesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+      |         CAST(20 + doc_id % 7 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, channels, unnest(range(0, n*channels)) AS s FROM d),
+      |v AS (
+      |  SELECT doc_id, CAST(s % channels AS INT) AS ch,
+      |         CAST(s // channels AS BIGINT) AS t,
+      |         CAST((doc_id*37 + (s // channels)*11 + (s % channels)*5) % 4096
+      |              - 2048 AS BIGINT) AS val
+      |  FROM u),
+      |w AS (
+      |  SELECT doc_id, ch, t, CAST(t // 8 AS INT) AS f, val,
+      |         lag(val) OVER (PARTITION BY doc_id, ch ORDER BY t) AS prev
+      |  FROM v)
+      |SELECT doc_id, f AS frame_idx, ch AS channel,
+      |  CAST(count(*) AS INT) AS n_samples,
+      |  round(sqrt(CAST(sum(val*val) AS DOUBLE) / count(*)), 6) AS rms,
+      |  CAST(coalesce(sum(CASE WHEN t % 8 <> 0
+      |                         AND ((prev >= 0) <> (val >= 0))
+      |                    THEN 1 END), 0) AS BIGINT) AS zero_crossings
+      |FROM w GROUP BY doc_id, f, ch
+      |ORDER BY doc_id, frame_idx, channel""".stripMargin
+
   /** q141: REAL Y4M video demux under the oracle gate — deterministic
     * synthetic YUV4MPEG2 streams (C420, closed-form luma and chroma)
     * demuxed back to geometry/rate/frame-count and whole-stream luma
@@ -513,6 +555,7 @@ object MiscQueries {
     "q137_image_decode" -> (imageDecode _),
     "q139_image_resize" -> (imageResize _),
     "q140_audio_decode" -> (audioDecode _),
+    "q145_audio_frames" -> (audioFrameFeatures _),
     "q141_video_decode" -> (videoDecode _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
@@ -534,6 +577,7 @@ object MiscQueries {
     "q137_image_decode" -> imageDecodeSql,
     "q139_image_resize" -> imageResizeSql,
     "q140_audio_decode" -> audioDecodeSql,
+    "q145_audio_frames" -> audioFrameFeaturesSql,
     "q141_video_decode" -> videoDecodeSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,

@@ -288,9 +288,41 @@ object TemporalQueries {
       |  t_3 IS NOT NULL AS converted
       |FROM s3 ORDER BY user_id""".stripMargin
 
+  /** q144: weekly cohort retention over the events table — users
+    * grouped by first-activity day, distinct-active counts per 7-day
+    * period since that day. The oracle is the naive windowless SQL. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame =
+    Temporal.cohortRetention(events(s, d), "user_id", "ts", periodDays = 7)
+      // date → string: a DATE column round-trips as datetime.date from
+      // Spark parquet but datetime64 from DuckDB — the hash compare
+      // needs one unambiguous representation on both sides
+      .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+      .orderBy("cohort", "period")
+
+  val cohortRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |),
+      |f AS (SELECT user_id, min(d) AS cs FROM a GROUP BY 1),
+      |p AS (
+      |  SELECT DISTINCT a.user_id, cs,
+      |         CAST((d - cs) // 7 AS BIGINT) AS period
+      |  FROM a JOIN f USING (user_id)
+      |),
+      |m AS (
+      |  SELECT cs AS cohort, period, count(DISTINCT user_id) AS n_active
+      |  FROM p GROUP BY 1, 2
+      |),
+      |s AS (SELECT cohort, n_active AS cohort_size FROM m WHERE period = 0)
+      |SELECT CAST(cohort AS VARCHAR) AS cohort, period, n_active, cohort_size,
+      |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      |FROM m JOIN s USING (cohort)
+      |ORDER BY cohort, period""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_funnel" -> (funnel _),
     "q138_funnel_rates" -> (funnelRates _),
+    "q144_cohort_retention" -> (cohortRetention _),
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
     "q113_sessions" -> (sessions _),
@@ -300,6 +332,7 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     "q135_funnel" -> funnelSql,
     "q138_funnel_rates" -> funnelRatesSql,
+    "q144_cohort_retention" -> cohortRetentionSql,
     "q125_asof_forward" -> asofForwardSql,
     "q111_asof_join" -> asofJoinSql,
     "q112_range_join" -> rangeJoinSql,

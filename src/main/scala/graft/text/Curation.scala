@@ -396,6 +396,70 @@ object Curation {
           .as("lm_score"))
   }
 
+  /** Stupid-backoff bigram LM score per document (Brants et al. 2007,
+    * arXiv/EMNLP "Large Language Models in Machine Translation" §4 —
+    * the smoothing scheme designed explicitly for MapReduce-scale
+    * count tables): for each adjacent token pair (prev, cur),
+    *
+    *   S(cur | prev) = c(prev cur) / c(prev)      if c(prev cur) > 0
+    *                 = alpha * c(cur) / N          otherwise
+    *
+    * (no normalization — hence "score", not probability; alpha = 0.4
+    * per the paper). The document score is the mean log10 S over its
+    * n-1 bigram positions — the CCNet-style LM-quality signal
+    * (Wenzek et al. 2020) one order up from [[unigramLogProb]].
+    * Documents with fewer than 2 tokens have no bigram positions and
+    * are excluded (mirrored in the oracle's length guard). When
+    * `train` is given, the count tables come from it instead of the
+    * scored frame (the held-out shape that actually exercises the
+    * backoff branch); positions whose prev or cur token is outside
+    * the training vocabulary are skipped — the inner unigram joins
+    * ARE that filter — since stupid backoff's recursion bottoms out
+    * at c(w)/N and is undefined for c(w)=0.
+    *
+    * Distributed shape — exactly why Brants et al. invented this
+    * smoothing: both count tables are plain hash-partitioned
+    * aggregates (bigram table keyed by the pair text, unigram by the
+    * token), scoring is an explode of (doc, pos, prev, cur) rows
+    * equi-joined against the two count tables (left join for the
+    * bigram — a miss IS the backoff branch), the corpus total rides
+    * along as a broadcast 1-row frame, and the per-doc mean is one
+    * aggregate keyed by doc. Kneser-Ney would need the normalizing
+    * sums that make distributed training hard; stupid backoff needs
+    * only counts, so every stage here is map-side combinable. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4, train: Option[DataFrame] = None): DataFrame = {
+    // (doc, prev, cur) — one row per bigram position, built scan-locally.
+    def pairsOf(src: DataFrame): DataFrame = src
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), posexplode(ngrams(col("__w"), 2)).as(Seq("__p", "__g")))
+      .select(col(idCol),
+        element_at(split(col("__g"), " ", 2), 1).as("__prev"),
+        element_at(split(col("__g"), " ", 2), 2).as("__cur"),
+        col("__g"))
+    val trainDf = train.getOrElse(df)
+    val pairs = pairsOf(df)
+    val uni = trainDf.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__uc"))
+    val big = pairsOf(trainDf).groupBy(col("__g")).agg(count(lit(1)).as("__bc"))
+    val total = uni.agg(sum(col("__uc")).as("__n"))
+    val scored = pairs
+      .join(big, Seq("__g"), "left")
+      .join(uni.withColumnRenamed("w", "__prev").withColumnRenamed("__uc", "__pc"),
+        Seq("__prev"))
+      .join(uni.withColumnRenamed("w", "__cur").withColumnRenamed("__uc", "__cc"),
+        Seq("__cur"))
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        when(col("__bc").isNotNull,
+          col("__bc").cast("double") / col("__pc"))
+          .otherwise(lit(alpha) * col("__cc").cast("double") / col("__n")))
+    scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      round(avg(log10(col("__s"))), 6).as("sb_score"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
     * every raw document by how target-like its hashed n-gram features
     * are, then resample the top `k` by Gumbel-perturbed importance

@@ -350,6 +350,31 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((1L, -0.60206)))
   }
 
+  test("bigramLogProb: seen bigram, backoff arm, OOV skip, self-scoring identity") {
+    // train = "a b a": uni a=2 b=1 (N=3); bigrams "a b"=1, "b a"=1.
+    // score "a b c a a":
+    //   (a,b)  seen      -> 1/2
+    //   (b,c)  c OOV     -> skipped (inner unigram join)
+    //   (c,a)  c OOV     -> skipped
+    //   (a,a)  unseen    -> backoff 0.4 * 2/3
+    val train = Seq((0L, "a b a")).toDF("id", "txt")
+    val df = Seq((1L, "a b c a a"), (2L, "z")).toDF("id", "txt")
+    val got = Curation.bigramLogProb(df, "id", "txt", alpha = 0.4,
+        train = Some(train))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L), "one-token and all-OOV docs drop out")
+    val (n, score) = got(1L)
+    assert(n == 2L)
+    val want = (math.log10(0.5) + math.log10(0.4 * 2.0 / 3.0)) / 2.0
+    assert(math.abs(score - want) < 1e-6, s"score $score != $want")
+    // self-scoring: every bigram of a single-doc corpus is seen with
+    // c(pair) = c(prev), so every S = 1 and the mean log-score is 0.
+    val solo = Seq((9L, "x y z")).toDF("id", "txt")
+    val self = Curation.bigramLogProb(solo, "id", "txt").collect()
+    assert(self.length == 1 && self.head.getLong(1) == 2L &&
+      self.head.getDouble(2) == 0.0)
+  }
+
   test("ccnetBuckets: per-source thirds, head = highest LM score") {
     import spark.implicits._
     // source A: 9 docs with strictly ordered scores (unique rare-word

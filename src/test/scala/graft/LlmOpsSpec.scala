@@ -613,6 +613,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L).isNullAt(2), "malformed RIFF -> null decode")
   }
 
+  test("audioFrames: per-window RMS and zero crossings, partial last window") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 16-bit mono, 9 samples in 4-sample windows:
+    //   [100,-100,50,-50] -> 3 crossings, rms = sqrt(6250)
+    //   [0,-1,2,3]        -> 2 crossings (0 counts as non-negative)
+    //   [7]               -> partial, 0 crossings, rms = 7
+    val samples = Seq(100, -100, 50, -50, 0, -1, 2, 3, 7)
+    val fmt = Array[Byte]('f', 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = Array[Byte]('d', 'a', 't', 'a') ++ le32(samples.length * 2) ++
+      samples.flatMap(v => le16(v & 0xffff)).toArray
+    val body = fmt ++ data
+    val wav = Array[Byte]('R', 'I', 'F', 'F') ++ le32(4 + body.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++ body
+    val df = Seq((1L, wav), (2L, "notawav".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = Multimodal.audioFrames(df, "payload", frameSize = 4).collect()
+      .map(r => (r.getInt(2), r.getInt(3)) ->
+        ((r.getInt(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got.size == 3, s"bad payload must yield no rows: $got")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got((0, 0)) == ((4, r6(math.sqrt(6250.0)), 3L)))
+    assert(got((1, 0)) == ((4, r6(math.sqrt(3.5)), 2L)))
+    assert(got((2, 0)) == ((1, 7.0, 0L)))
+  }
+
   test("video codec: Y4M demux, C444 chroma, frame sampling to PGM, garbage") {
     import graft.multimodal.Multimodal
     import spark.implicits._

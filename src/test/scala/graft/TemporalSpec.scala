@@ -200,6 +200,29 @@ class TemporalSpec extends SparkSpec {
       Some("2024-01-01 10:50:00.0"), Some("2024-01-01 11:40:00.0")), 3L, true)))
   }
 
+  test("cohortRetention: per-key period alignment, distinct users, partial periods") {
+    val ev = Seq(
+      // user 1: cohort 01-01; active days 01, 03 (period 0), 09 (p1), 20 (p2)
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 19:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-20 10:00:00")),
+      // user 2: cohort 01-01, never returns
+      (2L, ts("2024-01-01 12:00:00")),
+      // user 3: cohort 01-02; returns on 01-10 (8 days -> period 1)
+      (3L, ts("2024-01-02 09:00:00")), (3L, ts("2024-01-10 23:00:00")))
+      .toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(ev, "user_id", "ts", periodDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((1L, 2L, 0.5)),
+      ("2024-01-02", 0L) -> ((1L, 1L, 1.0)),
+      ("2024-01-02", 1L) -> ((1L, 1L, 1.0))), s"got $got")
+  }
+
   test("sessionize: no single-partition exchange at events scale") {
     val df = Temporal.sessionize(
       graft.streaming.Events.normalize(core.Tables.events(spark, sf)),
