@@ -403,6 +403,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of spectral features appended by [[audioSpectrum]]. */
+  val audioSpectrumSchema: StructType = StructType(Seq(
+    StructField("channel", IntegerType, nullable = true),
+    StructField("bin", IntegerType, nullable = true),
+    StructField("power", DoubleType, nullable = true)))
+
+  /** Whole-clip DFT bin power per channel — the Goertzel/tone-energy
+    * feature (power at bin k = |Σ_t x[t]·e^(-i2πkt/N)|², i.e.
+    * cos-sum² + sin-sum² — the single-bin DFT the Goertzel recurrence
+    * computes): one row per (input row, channel, bin) for each
+    * requested bin. This is the spectral half of audio curation
+    * (tone/hum detection, bandwidth checks) computed from the REAL
+    * decoded PCM; power rounds half-up on the 1e-3 grid — coarse
+    * enough that cross-engine libm 1-ulp trig drift (≪1e-5 at these
+    * magnitudes) can't flip a rounded value, fine enough to pin the
+    * math. Undecodable payloads produce no rows; clips shorter than 2
+    * frames produce none either (a 1-sample DFT is degenerate).
+    *
+    * Distributed shape: identical to [[audioFrames]] — scan-local
+    * mapPartitions flatMap, zero shuffle, bounded output (channels ×
+    * bins rows per clip). At 100 TB the whole spectral pass rides the
+    * corpus scan. */
+  def audioSpectrum(df: DataFrame, payloadCol: String,
+      bins: Seq[Int]): DataFrame = {
+    require(bins.nonEmpty && bins.forall(_ >= 0), s"bad bins $bins")
+    val schema = StructType(df.schema.fields ++ audioSpectrumSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    def r3(x: Double): Double = math.floor(x * 1e3 + 0.5) / 1e3
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val pcm =
+          try {
+            if (p != null && p.length >= 4 && p(0) == 'R' && p(1) == 'I' &&
+              p(2) == 'F' && p(3) == 'F') Some(wavPcm(p))
+            else None
+          } catch {
+            case _: IllegalArgumentException |
+                 _: ArrayIndexOutOfBoundsException => None
+          }
+        pcm.iterator.filter(_.nFrames >= 2).flatMap { w =>
+          val n = w.nFrames.toInt
+          for {
+            c <- (0 until w.channels).iterator
+            k <- bins.iterator
+          } yield {
+            var re = 0.0
+            var im = 0.0
+            var t = 0
+            while (t < n) {
+              val x = w.samples(t * w.channels + c).toDouble
+              val ang = 2.0 * math.Pi * k * t / n
+              re += x * math.cos(ang)
+              im += x * math.sin(ang)
+              t += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq[Any](c, k, r3(re * re + im * im)))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic 16-bit PCM WAV generator (TEST DATA, like
     * `syntheticPpm`): channels 1+id%2, frames 20+id%7, rate 8000, and
     * sample(frame t, channel c) = (id·37 + t·11 + c·5) % 4096 − 2048 —

@@ -396,6 +396,44 @@ object MiscQueries {
       |FROM w GROUP BY doc_id, f, ch
       |ORDER BY doc_id, frame_idx, channel""".stripMargin
 
+  /** q147: whole-clip DFT bin power under the oracle gate — the same
+    * deterministic WAVs as q140, with per-channel spectral energy at
+    * bins 1-4 (the Goertzel tone-energy feature) recomputed by the
+    * oracle from the closed-form samples via explicit cos/sin sums.
+    * The 1e-3 rounding grid absorbs cross-engine libm trig drift. */
+  def audioSpectrumQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.audioSpectrum(
+        Multimodal.syntheticWav(docs, "doc_id", "payload"), "payload",
+        bins = Seq(1, 2, 3, 4))
+      .select(col("doc_id"), col("channel"), col("bin"), col("power"))
+      .orderBy("doc_id", "channel", "bin")
+  }
+
+  val audioSpectrumSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+      |         CAST(20 + doc_id % 7 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, channels, n,
+      |             unnest(range(0, n*channels)) AS s FROM d),
+      |v AS (
+      |  SELECT doc_id, n, CAST(s % channels AS INT) AS ch,
+      |         CAST(s // channels AS BIGINT) AS t,
+      |         CAST((doc_id*37 + (s // channels)*11 + (s % channels)*5) % 4096
+      |              - 2048 AS BIGINT) AS val
+      |  FROM u),
+      |b AS (SELECT doc_id, n, ch, t, val, r AS bin FROM v, range(1, 5) q(r)),
+      |agg AS (
+      |  SELECT doc_id, ch, bin,
+      |         sum(val * cos(2*pi()*bin*t/n)) AS sc,
+      |         sum(val * sin(2*pi()*bin*t/n)) AS ss
+      |  FROM b GROUP BY 1, 2, 3)
+      |SELECT doc_id, ch AS channel, CAST(bin AS INT) AS bin,
+      |       round(sc*sc + ss*ss, 3) AS power
+      |FROM agg ORDER BY doc_id, channel, bin""".stripMargin
+
   /** q141: REAL Y4M video demux under the oracle gate — deterministic
     * synthetic YUV4MPEG2 streams (C420, closed-form luma and chroma)
     * demuxed back to geometry/rate/frame-count and whole-stream luma
@@ -556,6 +594,7 @@ object MiscQueries {
     "q139_image_resize" -> (imageResize _),
     "q140_audio_decode" -> (audioDecode _),
     "q145_audio_frames" -> (audioFrameFeatures _),
+    "q147_audio_spectrum" -> (audioSpectrumQ _),
     "q141_video_decode" -> (videoDecode _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
@@ -578,6 +617,7 @@ object MiscQueries {
     "q139_image_resize" -> imageResizeSql,
     "q140_audio_decode" -> audioDecodeSql,
     "q145_audio_frames" -> audioFrameFeaturesSql,
+    "q147_audio_spectrum" -> audioSpectrumSql,
     "q141_video_decode" -> videoDecodeSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,

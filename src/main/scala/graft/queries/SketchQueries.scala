@@ -135,6 +135,51 @@ object SketchQueries {
       |ORDER BY source, cnt DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
+  // q146: count-min sketch point queries — the top-20 exact tokens
+  // estimated from a (3 x 64) CMS. Unlike q114/q115 the oracle is NOT
+  // a bound check: the md5-prefix hash family lets DuckDB rebuild the
+  // ENTIRE sketch and every estimate exactly, so the full approximate
+  // answer (including its collision overcounts) is hash-compared.
+  // -------------------------------------------------------------------
+  def cmsEstimates(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Cms
+    val tok = Tables.documents(s, d)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+    val sk = Cms.sketch(tok, "w", depth = 3, width = 64)
+    val top = tok.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("w")).limit(20)
+    Cms.estimate(sk, top, "w", depth = 3, width = 64)
+      .withColumnRenamed("w", "token")
+      .select(col("token"), col("exact_cnt"), col("cms_estimate"))
+      .orderBy(desc("exact_cnt"), asc("token"))
+  }
+
+  val cmsEstimatesSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |),
+      |rb AS (
+      |  SELECT w, r,
+      |    ('0x' || substr(md5(r::VARCHAR || ':' || w), 1, 15))::BIGINT % 64 AS b
+      |  FROM tok, range(3) t(r)
+      |),
+      |sk AS (SELECT r, b, count(*) AS c FROM rb GROUP BY 1, 2),
+      |top AS (
+      |  SELECT w, count(*) AS exact_cnt FROM tok
+      |  GROUP BY w ORDER BY exact_cnt DESC, w LIMIT 20
+      |),
+      |kb AS (
+      |  SELECT w, exact_cnt, r,
+      |    ('0x' || substr(md5(r::VARCHAR || ':' || w), 1, 15))::BIGINT % 64 AS b
+      |  FROM top, range(3) t(r)
+      |)
+      |SELECT kb.w AS token, kb.exact_cnt, min(sk.c) AS cms_estimate
+      |FROM kb JOIN sk USING (r, b)
+      |GROUP BY 1, 2
+      |ORDER BY exact_cnt DESC, token""".stripMargin
+
+  // -------------------------------------------------------------------
   // q120/q121: PCA — q120 dumps the trained component matrix
   // (model-driven → rows-only, the q102 pattern); q121's oracle
   // replays the projection of every embedding from the dump.
@@ -181,6 +226,7 @@ object SketchQueries {
     "q115_quantile_sketch" -> (quantileSketch _),
     "q116_bloom_decontaminate" -> (bloomDecontaminate _),
     "q119_heavy_hitters" -> (heavyHitters _),
+    "q146_cms_estimates" -> (cmsEstimates _),
     "q128_group_heavy_hitters" -> (groupHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +235,6 @@ object SketchQueries {
     "q115_quantile_sketch" -> quantileSketchSql,
     "q116_bloom_decontaminate" -> bloomDecontaminateSql,
     "q119_heavy_hitters" -> heavyHittersSql,
+    "q146_cms_estimates" -> cmsEstimatesSql,
     "q128_group_heavy_hitters" -> groupHeavyHittersSql)
 }

@@ -216,6 +216,33 @@ class FunctionsSpec extends SparkSpec {
     assert(out.size <= 16, "summary must respect capacity")
   }
 
+  test("cms: row sums conserve the stream, estimates never undercount, " +
+      "lone key exact") {
+    import graft.ops.Cms
+    val rnd = new scala.util.Random(11)
+    val stream = (0 until 2000).map(_ => s"k${rnd.nextInt(300)}")
+    val df = stream.toDF("t").repartition(5)
+    val depth = 3; val width = 64
+    val sk = Cms.sketch(df, "t", depth, width)
+    // each sketch row counts every stream item exactly once
+    val rowSums = sk.groupBy("__r").agg(sum("__c").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rowSums == (0 until depth).map(_ -> stream.size.toLong).toMap)
+    assert(sk.count() <= depth.toLong * width, "sketch must stay bounded")
+    // estimates are upper bounds on the exact counts for EVERY key
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val keys = exact.keys.toSeq.toDF("t")
+    val est = Cms.estimate(sk, keys, "t", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, c) => est(k) >= c },
+      s"CMS must never undercount")
+    // a stream with one distinct key has no colliders: estimate exact
+    val lone = Seq.fill(37)("solo").toDF("t")
+    val loneEst = Cms.estimate(Cms.sketch(lone, "t", depth, width),
+      Seq("solo").toDF("t"), "t", depth, width).head().getLong(1)
+    assert(loneEst == 37L)
+  }
+
   test("heavyHitters: equals the exact full-count answer") {
     val docs = core.Tables.documents(spark, sf)
     val exact = docs

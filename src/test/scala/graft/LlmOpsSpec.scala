@@ -642,6 +642,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(got((2, 0)) == ((1, 7.0, 0L)))
   }
 
+  test("audioSpectrum: pure cosine concentrates power in its own bin") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // mono N=4 samples of 100*cos(2*pi*t/4) = [100, 0, -100, 0]:
+    // bin 1 power = (sum x cos)^2 + (sum x sin)^2 = 200^2 = 40000
+    // bin 2 power = (100 - 100)^2 = 0
+    val samples = Seq(100, 0, -100, 0)
+    val fmt = Array[Byte]('f', 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = Array[Byte]('d', 'a', 't', 'a') ++ le32(samples.length * 2) ++
+      samples.flatMap(v => le16(v & 0xffff)).toArray
+    val body = fmt ++ data
+    val wav = Array[Byte]('R', 'I', 'F', 'F') ++ le32(4 + body.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++ body
+    val got = Multimodal.audioSpectrum(
+        Seq((1L, wav)).toDF("id", "payload"), "payload", bins = Seq(1, 2))
+      .collect().map(r => r.getInt(3) -> r.getDouble(4)).toMap
+    assert(got == Map(1 -> 40000.0, 2 -> 0.0), s"got $got")
+  }
+
   test("video codec: Y4M demux, C444 chroma, frame sampling to PGM, garbage") {
     import graft.multimodal.Multimodal
     import spark.implicits._

@@ -290,6 +290,44 @@ class PlanAuditSpec extends SparkSpec {
       s"codec chain must stay a pure scan-map-sort:\n$finalTree")
   }
 
+  test("q144 cohort retention: key-fine shuffles only — no nested loop, no global window") {
+    val plan = formatted(Queries.registry("q144_cohort_retention")(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"retention must stay equi-joined:\n${plan.take(2000)}")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n${plan.take(2000)}")
+  }
+
+  test("q146 cms: sketch partial-aggregates; point queries broadcast against it") {
+    val plan = formatted(Queries.registry("q146_cms_estimates")(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "sketch cells must map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded TakeOrdered, not a full sort:\n${plan.take(1500)}")
+    val finalTree = plan.split("== Initial Plan ==").head
+    assert(finalTree.contains("BroadcastHashJoin"),
+      s"the bounded sketch/key join must broadcast:\n$finalTree")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"no unkeyed join anywhere:\n${plan.take(2000)}")
+  }
+
+  test("q145/q147 audio features: scan-local DSP — one scan, no shuffle") {
+    // Same contract as the q137 codec audit: synth -> decode -> frame/DFT
+    // all run inside mapPartitions over the documents scan.
+    for (op <- Seq("q145_audio_frames", "q147_audio_spectrum")) {
+      val plan = formatted(Queries.registry(op)(spark, sf))
+      val finalTree = plan.split("== Initial Plan ==").head
+      assert(finalTree.linesIterator.count(_.contains("Scan parquet")) == 1,
+        s"$op must read documents exactly once:\n$finalTree")
+      val exchanges = finalTree.linesIterator.count(l =>
+        l.contains("Exchange (") && !l.contains("BroadcastExchange"))
+      assert(exchanges <= 1 && plan.contains("rangepartitioning"),
+        s"$op: only the output sort may shuffle:\n$finalTree")
+      assert(!finalTree.contains("Join") && !finalTree.contains("HashAggregate"),
+        s"$op must stay a pure scan-map-sort:\n$finalTree")
+    }
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
