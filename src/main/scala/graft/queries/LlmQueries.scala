@@ -1359,6 +1359,35 @@ object LlmQueries {
       |FROM f, c ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q148: per-document TF-IDF keywords — top-3 tokens per doc by the
+  // classic tf*ln(N/df) weight, ranked on the rounded score with token
+  // tie-break so DuckDB replays the exact ordering.
+  // -------------------------------------------------------------------
+  def tfidfKeywords(s: SparkSession, d: String): DataFrame =
+    graft.text.TextOps.tfidfKeywords(docs(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk")
+
+  val tfidfKeywordsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, round(tf * ln(n / df), 6) AS score
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      |),
+      |r AS (
+      |  SELECT doc_id, token, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, token) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -2111,6 +2140,7 @@ object LlmQueries {
     "q101_dsir" -> (dsirSelect _),
     "q84_unigram_lm" -> (unigramLm _),
     "q143_bigram_lm" -> (bigramLm _),
+    "q148_tfidf_keywords" -> (tfidfKeywords _),
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
@@ -2173,6 +2203,7 @@ object LlmQueries {
     "q101_dsir" -> dsirSelectSql,
     "q84_unigram_lm" -> unigramLmSql,
     "q143_bigram_lm" -> bigramLmSql,
+    "q148_tfidf_keywords" -> tfidfKeywordsSql,
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,

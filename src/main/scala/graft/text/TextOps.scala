@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (LLM-data
@@ -180,6 +181,41 @@ object TextOps {
         count(lit(1)).as("n_terms"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** Per-document TF-IDF keyword extraction: each document's top-k
+    * tokens by tf·idf with idf = ln(N/df) (classic Salton weighting;
+    * Spärck Jones 1972), the standard per-doc keyword/tag deliverable
+    * complementing [[bm25]]'s query-side search. Ranking uses the
+    * ROUNDED (1e-6) score with the token text as tie-break, so the
+    * order is deterministic and cross-engine replayable (unrounded
+    * doubles can differ by an ulp of ln between engines and flip
+    * ranks). Tokens present in every document score ln(1) = 0 but
+    * still rank by tie-break.
+    *
+    * Distributed shape: document frequencies are one vocabulary-sized
+    * hash aggregate over distinct (doc, token) pairs; per-doc term
+    * counts are a (doc, token)-keyed aggregate — both map-side
+    * combinable with keys as fine as the data; the doc total N rides
+    * along as a broadcast 1-row frame, and the top-k is a per-doc
+    * window (`partitionBy(doc)`) that the group-limit optimization
+    * bounds. No corpus-wide sort, no collect. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val total = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        round(col("__tf") * log(col("__n") / col("__df")), 6))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"), col("score"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse

@@ -447,6 +447,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L)._1 > got(2L)._1)
   }
 
+  test("tfidfKeywords: hand-computed weights, rounded-score tie-break, top-k cut") {
+    import spark.implicits._
+    // N=3; df(a)=1, df(b)=2, df(c)=2; idf: ln(3)=1.098612, ln(1.5)=0.405465
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c")).toDF("id", "txt")
+    val got = graft.text.TextOps.tfidfKeywords(df, "id", "txt", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got == Map(
+      (1L, 1) -> (("a", r6(2 * math.log(3.0)))),
+      (1L, 2) -> (("b", r6(math.log(1.5)))),
+      // d2: b and c tie at ln(1.5) -> token asc breaks it
+      (2L, 1) -> (("b", r6(math.log(1.5)))),
+      (2L, 2) -> (("c", r6(math.log(1.5)))),
+      (3L, 1) -> (("c", r6(3 * math.log(1.5))))), s"got $got")
+  }
+
   test("multimodal frame sampling: 1->N rows, correct strides and slices") {
     import graft.multimodal.Multimodal
     import spark.implicits._

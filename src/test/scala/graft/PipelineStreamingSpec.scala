@@ -345,6 +345,31 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed == Map(1L -> (1L, 1.0), 2L -> (1L, 2.0)))
   }
 
+  test("streaming cms: incremental sketch state equals the batch sketch") {
+    // The count-min sketch is a pure additive aggregate keyed by
+    // (row, bucket), so the SAME Cms.sketch plan runs incrementally
+    // under Complete mode with bounded (depth x width) state — the
+    // sketch-as-aggregate design is what makes it streamable for free.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stream = (0 until 500).map(i => s"k${i % 37}")
+    val input = MemoryStream[String](spark)
+    val q = graft.ops.Cms
+      .sketch(input.toDF().withColumnRenamed("value", "t"), "t", 3, 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(stream.take(200): _*)
+    q.processAllAvailable()
+    input.addData(stream.drop(200): _*)
+    q.processAllAvailable()
+    val got = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ops.Cms.sketch(stream.toDF("t"), "t", 3, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch, "incremental sketch must equal the batch sketch")
+  }
+
   test("streaming: watermark drops late data from closed windows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

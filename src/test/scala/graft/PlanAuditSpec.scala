@@ -328,6 +328,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q148 tfidf keywords: per-doc top-k is group-limited, df join broadcasts") {
+    val plan = formatted(Queries.registry("q148_tfidf_keywords")(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 1,
+      s"rnk<=k must bound the per-doc window shuffle:\n${plan.take(1500)}")
+    // the only SinglePartition allowed is the 1-row corpus-count agg;
+    // the ranking window itself must hash-partition on the doc id
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"the keyword window must stay per-doc partitioned:\n${plan.take(1500)}")
+  }
+
   test("fold assignment: no window, no exchange past the checkpointed range sort") {
     // The range exchange is materialized inside Folds.assign's
     // localCheckpoint; everything AFTER it (the executed plan of the
