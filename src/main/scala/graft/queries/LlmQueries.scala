@@ -1388,6 +1388,30 @@ object LlmQueries {
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   // -------------------------------------------------------------------
+  // q149: per-source KL divergence from the corpus token distribution —
+  // the mixture-QA diagnostic reviewed before setting source weights.
+  // -------------------------------------------------------------------
+  def sourceKl(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.groupKlDivergence(docs(s, d), "source", "text")
+      .orderBy("source")
+
+  val sourceKlSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |),
+      |gc AS (SELECT source, w, count(*) AS gcnt FROM tok GROUP BY 1, 2),
+      |cc AS (SELECT w, count(*) AS ccnt FROM tok GROUP BY 1),
+      |gt AS (SELECT source, sum(gcnt) AS gtot FROM gc GROUP BY 1),
+      |n AS (SELECT sum(ccnt) AS n FROM cc)
+      |SELECT source, CAST(max(gtot) AS BIGINT) AS n_tokens,
+      |  round(sum((CAST(gcnt AS DOUBLE) / gtot)
+      |        * ln((CAST(gcnt AS DOUBLE) / gtot)
+      |              / (CAST(ccnt AS DOUBLE) / n))), 6) AS kl_divergence
+      |FROM gc JOIN cc USING (w) JOIN gt USING (source) CROSS JOIN n
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -2141,6 +2165,7 @@ object LlmQueries {
     "q84_unigram_lm" -> (unigramLm _),
     "q143_bigram_lm" -> (bigramLm _),
     "q148_tfidf_keywords" -> (tfidfKeywords _),
+    "q149_source_kl" -> (sourceKl _),
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
@@ -2204,6 +2229,7 @@ object LlmQueries {
     "q84_unigram_lm" -> unigramLmSql,
     "q143_bigram_lm" -> bigramLmSql,
     "q148_tfidf_keywords" -> tfidfKeywordsSql,
+    "q149_source_kl" -> sourceKlSql,
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,

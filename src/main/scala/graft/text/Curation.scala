@@ -460,6 +460,42 @@ object Curation {
       round(avg(log10(col("__s"))), 6).as("sb_score"))
   }
 
+  /** Per-group KL divergence of token distributions — for every value
+    * of `groupCol` (source, shard, snapshot, ...), the Kullback-Leibler
+    * divergence KL(p_g ‖ q) = Σ_w p_g(w)·ln(p_g(w)/q(w)) of the
+    * group's unigram distribution from the whole corpus's. The
+    * standard mixture-QA diagnostic: a source whose KL spikes is
+    * distributionally off (wrong language, template spam, a broken
+    * extractor) and is exactly what a curation pipeline reviews before
+    * setting mixture weights. Every group token also occurs in the
+    * corpus by construction, so q(w) > 0 wherever p_g(w) > 0 and the
+    * sum is always finite and ≥ 0.
+    *
+    * Distributed shape: one (group, token)-keyed count, one
+    * token-keyed count, one group-keyed total — all map-side
+    * combinable hash aggregates with keys as fine as the data; the
+    * corpus total rides along as a broadcast 1-row frame and the
+    * final per-group sum is group-keyed. Identical to the unigram-LM
+    * shape; nothing corpus-scale ever collects. */
+  def groupKlDivergence(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val gc = tok.groupBy(col(groupCol), col("w"))
+      .agg(count(lit(1)).as("__gc"))
+    val cc = tok.groupBy("w").agg(count(lit(1)).as("__cc"))
+    val gt = gc.groupBy(col(groupCol)).agg(sum(col("__gc")).as("__gt"))
+    val total = cc.agg(sum(col("__cc")).as("__n"))
+    val p = col("__gc").cast("double") / col("__gt")
+    val q = col("__cc").cast("double") / col("__n")
+    gc.join(cc, "w")
+      .join(gt, groupCol)
+      .crossJoin(broadcast(total))
+      .groupBy(col(groupCol)).agg(
+        max(col("__gt")).as("n_tokens"),
+        round(sum(p * log(p / q)), 6).as("kl_divergence"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
     * every raw document by how target-like its hashed n-gram features
     * are, then resample the top `k` by Gumbel-perturbed importance

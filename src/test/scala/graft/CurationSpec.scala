@@ -375,6 +375,25 @@ class CurationSpec extends SparkSpec {
       self.head.getDouble(2) == 0.0)
   }
 
+  test("groupKlDivergence: hand-computed divergence, identical group = 0") {
+    // corpus: s1 = "a a b", s2 = "a b b c".  Corpus: a=3,b=3,c=1 (N=7).
+    // s1 (n=3): p(a)=2/3, p(b)=1/3; q(a)=q(b)=3/7
+    //   KL = 2/3 ln((2/3)/(3/7)) + 1/3 ln((1/3)/(3/7))
+    val df = Seq((1L, "s1", "a a b"), (2L, "s2", "a b b c"))
+      .toDF("id", "source", "txt")
+    val got = Curation.groupKlDivergence(df, "source", "txt")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want1 = 2.0 / 3 * math.log((2.0 / 3) / (3.0 / 7)) +
+      1.0 / 3 * math.log((1.0 / 3) / (3.0 / 7))
+    assert(got("s1")._1 == 3L)
+    assert(math.abs(got("s1")._2 - want1) < 1e-6, s"got ${got("s1")._2} want $want1")
+    // a group that IS the corpus distribution diverges by zero
+    val same = Seq((1L, "x", "a b"), (2L, "y", "a b")).toDF("id", "source", "txt")
+    val zeros = Curation.groupKlDivergence(same, "source", "txt")
+      .collect().map(_.getDouble(2))
+    assert(zeros.forall(_ == 0.0), s"identical distributions must give 0: ${zeros.toSeq}")
+  }
+
   test("ccnetBuckets: per-source thirds, head = highest LM score") {
     import spark.implicits._
     // source A: 9 docs with strictly ordered scores (unique rare-word
