@@ -123,9 +123,27 @@ object CorpusSolution {
       Curation.packOffsets(read(packInput), idCol, textCol, packWindow)
     }
 
+    // Optional distribution-QA report over the deduped corpus: per
+    // source, the KL divergence from the corpus token distribution
+    // (the mixture-weight review signal) and the mean stupid-backoff
+    // LM score (the perplexity-style quality signal). A parallel leaf
+    // stage — it gates nothing and reuses the oracle-gated primitives.
+    val runDiagnostics = flag(s"$base.diagnostics.run", default = false)
+    val diagnostics =
+      if (!runDiagnostics) None
+      else Some(task("CorpusDiagnostics", "diagnostics", Seq(dedup)) {
+        val docs = read("deduped")
+        val kl = Curation.groupKlDivergence(docs, srcCol, textCol)
+        val lmBySrc = docs.select(col(idCol), col(srcCol))
+          .join(Curation.bigramLogProb(docs, idCol, textCol), Seq(idCol))
+          .groupBy(col(srcCol))
+          .agg(round(avg(col("sb_score")), 6).as("mean_sb_score"))
+        kl.join(lmBySrc, Seq(srcCol), "left")
+      })
+
     val statsTask = Pipeline.Task("CorpusStats",
         Seq(s"$out/stats/_SUCCESS", s"$out/corpus_stats.json"),
-        Seq(pack))(() => {
+        Seq(pack) ++ diagnostics)(() => {
       val corpus = read(packInput)
       corpus.select(col(srcCol),
           size(graft.text.TextOps.tokens(col(textCol))).as("__nt"))
@@ -134,7 +152,8 @@ object CorpusSolution {
         .orderBy(srcCol)
         .write.mode("overwrite").parquet(s"$out/stats")
       val stageCounts = (Seq("normalized", "quality", "deduped") ++
-        mixture.map(_ => "mixture") :+ "packed")
+        mixture.map(_ => "mixture") ++
+        diagnostics.map(_ => "diagnostics") :+ "packed")
         .map(d => d -> read(d).count().toString)
       Sources.writeJsonManifest(s"$out/corpus_stats.json", stageCounts.toMap)
     })

@@ -89,10 +89,13 @@ class PipelineStreamingSpec extends SparkSpec {
       "all corpus stages skipped on re-run")
 
     // temperature mode: one knob instead of a target map; every source
-    // survives (flattening, not selection) and no source is upsampled
+    // survives (flattening, not selection) and no source is upsampled.
+    // diagnostics on: the distribution-QA leaf emits per-source KL (>=0)
+    // and a mean LM score without disturbing the corpus stages.
     val conf2 = conf
       .replace("mixture { run = true, targets { src0 = 0.6, src1 = 0.4 } }",
-        "mixture { run = true, mode = temperature, alpha = 0.3 }")
+        "mixture { run = true, mode = temperature, alpha = 0.3 }\n" +
+          "  diagnostics { run = true }")
       .replace("corpus_prep_001", "corpus_prep_002")
     Files.writeString(Paths.get(s"$proj/configs/corpus_temp.conf"), conf2)
     val t = graft.pipeline.CorpusSolution.buildCorpus(
@@ -110,6 +113,13 @@ class PipelineStreamingSpec extends SparkSpec {
     after.foreach { case (s, c) =>
       assert(c <= before(s), s"source $s upsampled: ${before(s)} -> $c")
     }
+    // diagnostics leaf: one row per deduped source, KL finite and >= 0
+    assert(t.report.ran.contains("CorpusDiagnostics"))
+    val diag = spark.read.parquet(s"$out2/diagnostics").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(diag.keySet == before.keySet, s"diagnostics must cover every source")
+    assert(diag.values.forall(k => k >= 0.0 && !k.isNaN && !k.isInfinite),
+      s"KL must be finite and nonnegative: $diag")
   }
 
   test("solution build: iris end-to-end with reference artifact layout") {
