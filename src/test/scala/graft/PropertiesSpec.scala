@@ -61,6 +61,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("divergence/score properties on random corpora: KL >= 0, " +
+      "stupid-backoff log-scores <= 0, tfidf scores >= 0") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val doc = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val src = Gen.oneOf("s1", "s2", "s3")
+    val gen = Gen.zip(doc, src)
+    val rows = samples(gen, 40).zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, s, t) }
+    val df = rows.toDF("id", "source", "txt")
+    // KL(p_g || q) is nonnegative by Gibbs' inequality, finite because
+    // every group token is a corpus token
+    val kl = graft.text.Curation.groupKlDivergence(df, "source", "txt")
+      .collect().map(_.getDouble(2))
+    assert(kl.nonEmpty && kl.forall(k => k >= 0.0 && !k.isNaN && !k.isInfinite),
+      s"KL violated Gibbs: ${kl.toSeq}")
+    // every stupid-backoff score S is in (0, 1]: seen arm c(pair)<=c(prev),
+    // backoff arm alpha*c/N < 1 -> mean log10 <= 0
+    val sb = graft.text.Curation.bigramLogProb(df, "id", "txt")
+      .collect().map(_.getDouble(2))
+    assert(sb.nonEmpty && sb.forall(_ <= 0.0), s"S>1 leaked: ${sb.toSeq}")
+    // tf*ln(N/df) >= 0 (df <= N always) and ranks stay within k
+    val kw = graft.text.TextOps.tfidfKeywords(df, "id", "txt", k = 2)
+      .collect()
+    assert(kw.nonEmpty && kw.forall(r => r.getDouble(3) >= 0.0 &&
+      r.getInt(1) >= 1 && r.getInt(1) <= 2))
+  }
+
+  test("cohort retention property: period 0 is always exactly 1.0, rates in (0,1]") {
+    val gen = Gen.zip(Gen.choose(1L, 12L), Gen.choose(0, 27))
+    val rows = samples(gen, 80).map { case (u, day) =>
+      (u, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")) }
+    val df = rows.toDF("user_id", "ts")
+    val got = graft.ops.Temporal.cohortRetention(df, "user_id", "ts", 7)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (period, ret) = (r.getLong(1), r.getDouble(4))
+      assert(ret > 0.0 && ret <= 1.0, s"retention out of range: $r")
+      if (period == 0L) assert(ret == 1.0, s"period-0 must be the cohort itself: $r")
+      assert(r.getLong(2) <= r.getLong(3), "active never exceeds cohort size")
+    }
+  }
+
   test("classificationReport matches hand-computed sklearn values") {
     // labels: a,a,a,b,b,c  preds: a,a,b,b,b,b
     // a: tp=2 support=3 pred=2 -> P=1.0    R=0.666667 F=0.8
