@@ -1412,6 +1412,47 @@ object LlmQueries {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------
+  // q150: distinctive tokens per source — Monroe et al. 2008 log-odds
+  // with informative Dirichlet prior, variance-standardized; ranked on
+  // the rounded z with token tie-break for a deterministic replay.
+  // -------------------------------------------------------------------
+  def fightinWords(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.fightinWords(docs(s, d), "source", "text",
+        alpha0 = 10.0, k = 3)
+      .orderBy("source", "rnk")
+
+  val fightinWordsSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |),
+      |gc AS (SELECT source, w, count(*) AS gcnt FROM tok GROUP BY 1, 2),
+      |cc AS (SELECT w, count(*) AS ccnt FROM tok GROUP BY 1),
+      |gt AS (SELECT source, sum(gcnt) AS gtot FROM gc GROUP BY 1),
+      |n AS (SELECT sum(ccnt) AS n FROM cc),
+      |j AS (
+      |  SELECT source, w, gcnt, ccnt, gtot, n,
+      |         10.0 * CAST(ccnt AS DOUBLE) / n AS aw
+      |  FROM gc JOIN cc USING (w) JOIN gt USING (source) CROSS JOIN n
+      |),
+      |sc AS (
+      |  SELECT source, w,
+      |    round((ln((gcnt + aw) / (CAST(gtot AS DOUBLE) + 10.0 - gcnt - aw))
+      |         - ln(((ccnt - gcnt) + aw)
+      |               / (CAST(n - gtot AS DOUBLE) + 10.0 - (ccnt - gcnt) - aw)))
+      |      / sqrt(1.0 / (gcnt + aw) + 1.0 / ((ccnt - gcnt) + aw)), 6)
+      |      AS z_score
+      |  FROM j
+      |),
+      |r AS (
+      |  SELECT source, w, z_score,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY z_score DESC, w) AS rnk
+      |  FROM sc)
+      |SELECT source, CAST(rnk AS INT) AS rnk, w AS token, z_score
+      |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84: corpus-unigram LM score — mean log10 token probability under
   // the corpus's own unigram distribution (CCNet-style quality signal).
   // -------------------------------------------------------------------
@@ -2166,6 +2207,7 @@ object LlmQueries {
     "q143_bigram_lm" -> (bigramLm _),
     "q148_tfidf_keywords" -> (tfidfKeywords _),
     "q149_source_kl" -> (sourceKl _),
+    "q150_fightin_words" -> (fightinWords _),
     "q85_top_bigrams" -> (topBigrams _),
     "q86_normalize" -> (normalizeText _),
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
@@ -2230,6 +2272,7 @@ object LlmQueries {
     "q143_bigram_lm" -> bigramLmSql,
     "q148_tfidf_keywords" -> tfidfKeywordsSql,
     "q149_source_kl" -> sourceKlSql,
+    "q150_fightin_words" -> fightinWordsSql,
     "q85_top_bigrams" -> topBigramsSql,
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,

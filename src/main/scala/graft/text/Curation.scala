@@ -496,6 +496,61 @@ object Curation {
         round(sum(p * log(p / q)), 6).as("kl_divergence"))
   }
 
+  /** Distinctive terms per group — "Fightin' Words" (Monroe, Colaresi
+    * & Quinn 2008, Political Analysis 16(4), §3.5): for each group g
+    * and token w, the log-odds ratio of w in g versus the REST of the
+    * corpus, regularized by a Dirichlet prior proportional to corpus
+    * frequency, standardized by its estimated variance:
+    *
+    *   δ_w = ln((y_gw + α_w) / (n_g + α0 − y_gw − α_w))
+    *       − ln((y_rw + α_w) / (n_r + α0 − y_rw − α_w))
+    *   z_w = δ_w / sqrt(1/(y_gw + α_w) + 1/(y_rw + α_w))
+    *
+    * with α_w = α0·y_w/N (the informative prior, §3.5.4). The paper's
+    * point is exactly the curation use-case: raw log-odds overweights
+    * rare words and tf-idf overweights frequent ones; the prior +
+    * variance standardization fixes both. Output: top-k tokens per
+    * group by (rounded z desc, token asc) — the "what makes this
+    * source different" report to read next to [[groupKlDivergence]].
+    * Only tokens OCCURRING in a group are scored (the count join has
+    * no zero rows): a group's top distinctive terms are by
+    * construction terms it uses, and tokens it lacks carry negative
+    * evidence that this report does not rank.
+    *
+    * Distributed shape: (group, token) counts, token totals, group
+    * totals — the same three map-side-combinable aggregates as the KL
+    * operator (rest-counts are corpus − group, no second scan); the
+    * per-group top-k is a `partitionBy(group)` window bounded by the
+    * group-limit optimization. Nothing corpus-scale collects. */
+  def fightinWords(df: DataFrame, groupCol: String, textCol: String,
+      alpha0: Double = 10.0, k: Int = 3): DataFrame = {
+    val tok = df.select(col(groupCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val gc = tok.groupBy(col(groupCol), col("w"))
+      .agg(count(lit(1)).as("__gc"))
+    val cc = tok.groupBy("w").agg(count(lit(1)).as("__cc"))
+    val gt = gc.groupBy(col(groupCol)).agg(sum(col("__gc")).as("__gt"))
+    val total = cc.agg(sum(col("__cc")).as("__n"))
+    val joined = gc.join(cc, "w").join(gt, groupCol)
+      .crossJoin(broadcast(total))
+    val aw = lit(alpha0) * col("__cc").cast("double") / col("__n")
+    val yg = col("__gc").cast("double")
+    val yr = (col("__cc") - col("__gc")).cast("double")
+    val ng = col("__gt").cast("double")
+    val nr = (col("__n") - col("__gt")).cast("double")
+    val delta =
+      log((yg + aw) / (ng + lit(alpha0) - yg - aw)) -
+        log((yr + aw) / (nr + lit(alpha0) - yr - aw))
+    val z = delta / sqrt(lit(1.0) / (yg + aw) + lit(1.0) / (yr + aw))
+    val byGroup = Window.partitionBy(col(groupCol))
+      .orderBy(col("z_score").desc, col("w").asc)
+    joined.withColumn("z_score", round(z, 6))
+      .withColumn("rnk", row_number().over(byGroup))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col("w").as("token"),
+        col("z_score"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
     * every raw document by how target-like its hashed n-gram features
     * are, then resample the top `k` by Gumbel-perturbed importance

@@ -394,6 +394,28 @@ class CurationSpec extends SparkSpec {
     assert(zeros.forall(_ == 0.0), s"identical distributions must give 0: ${zeros.toSeq}")
   }
 
+  test("fightinWords: distinctive tokens surface, two-group antisymmetry") {
+    // A = "x x y y", B = "y z z": x is A's distinctive token, z is B's,
+    // y occurs in both (relatively more in A). With two groups,
+    // rest(A) = B, so for a token present in both delta_A = -delta_B
+    // with equal variances -> z_A(y) = -z_B(y); absent tokens are not
+    // scored (no zero-count rows by design).
+    val df = Seq((1L, "A", "x x y y"), (2L, "B", "y z z"))
+      .toDF("id", "source", "txt")
+    val got = Curation.fightinWords(df, "source", "txt", alpha0 = 1.0, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) -> ((r.getInt(1), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(("A", "x"), ("A", "y"), ("B", "y"), ("B", "z")),
+      s"only occurring tokens are scored: $got")
+    assert(got(("A", "x"))._1 == 1, s"x must top A: $got")
+    assert(got(("B", "z"))._1 == 1, s"z must top B: $got")
+    assert(math.abs(got(("A", "y"))._2 + got(("B", "y"))._2) < 1e-5,
+      s"two-group z-scores must be antisymmetric at y: $got")
+    assert(got(("A", "y"))._2 > 0, s"y leans A (2/4 vs 1/3): $got")
+    assert(got(("A", "x"))._2 > 0 && got(("B", "y"))._2 < 0)
+  }
+
   test("ccnetBuckets: per-source thirds, head = highest LM score") {
     import spark.implicits._
     // source A: 9 docs with strictly ordered scores (unique rare-word
