@@ -174,6 +174,38 @@ object Temporal {
       .withColumn("n_prior_total", count(lit(1)).over(lifetime))
   }
 
+  /** Leakage-safe exponential time-decay feature: for every event, the
+    * half-life-weighted sum of the SAME key's strictly-prior values,
+    *   decayed(t) = Σ_{i : t_i < t-row} v_i · 2^(−(t − t_i)/halfLife)
+    * — the standard recency-weighted engagement feature (older events
+    * fade smoothly instead of falling off a window cliff, the
+    * continuous counterpart of [[rollingFeatures]]'s trailing sums).
+    *
+    * Computed without a per-row rescan via the scaling identity
+    * decayed(t) = e^(−λ(t−t0)) · Σ v_i·e^(λ(t_i−t0)) with λ = ln2/H
+    * and t0 the key's first event: one per-key anchor min plus one
+    * running prior-rows window sum — both over the SAME key partition,
+    * so ONE hash shuffle, exactly the q117 shape. The scaled weights
+    * grow like e^(λ·span); double range bounds the usable span to
+    * ~500 half-lives per key (beyond ~60 half-lives a contribution is
+    * 0.0 in double anyway, so longer histories should be chunked or
+    * pre-filtered — at 100 TB you'd re-anchor per time-bucket). */
+  def decayFeatures(events: DataFrame, key: String, ts: String,
+      valueCol: String, halfLifeSec: Long): DataFrame = {
+    val lam = math.log(2.0) / halfLifeSec
+    val us = unix_micros(col(ts))
+    val anchor = Window.partitionBy(key)
+    val prior = Window.partitionBy(key).orderBy(us)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val relSec = (us - min(us).over(anchor)).cast("double") / lit(1e6)
+    events
+      .withColumn("__wv", exp(lit(lam) * relSec) * col(valueCol))
+      .withColumn("decayed_sum",
+        round(exp(lit(-lam) * relSec) *
+          coalesce(sum(col("__wv")).over(prior), lit(0.0)), 6))
+      .drop("__wv")
+  }
+
   /** Gaps-and-islands sessionization: events of one `key` belong to
     * the same session while consecutive gaps stay under `gapSec`
     * (strictly-greater gap starts a new session). Output one row per

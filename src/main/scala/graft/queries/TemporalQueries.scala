@@ -288,6 +288,33 @@ object TemporalQueries {
       |  t_3 IS NOT NULL AS converted
       |FROM s3 ORDER BY user_id""".stripMargin
 
+  /** q151: exponential time-decay engagement feature — per event, the
+    * same user's strictly-prior value sum half-life-weighted at 1 day;
+    * the oracle replays the scaling-identity formulation verbatim. */
+  def decayFeatures(s: SparkSession, d: String): DataFrame =
+    Temporal.decayFeatures(events(s, d), "user_id", "ts", "value",
+        halfLifeSec = 86400L)
+      .select(col("event_id"), col("user_id"), col("decayed_sum"))
+      .orderBy("event_id")
+
+  val decayFeaturesSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value, epoch_us(ts) AS us,
+      |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0
+      |  FROM events
+      |),
+      |w AS (
+      |  SELECT event_id, user_id, us, t0,
+      |    exp((ln(2)/86400) * ((us - t0) / 1000000.0)) * value AS wv
+      |  FROM e
+      |)
+      |SELECT event_id, user_id,
+      |  round(exp(-(ln(2)/86400) * ((us - t0) / 1000000.0)) *
+      |        coalesce(sum(wv) OVER (PARTITION BY user_id ORDER BY us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 6)
+      |    AS decayed_sum
+      |FROM w ORDER BY event_id""".stripMargin
+
   /** q144: weekly cohort retention over the events table — users
     * grouped by first-activity day, distinct-active counts per 7-day
     * period since that day. The oracle is the naive windowless SQL. */
@@ -323,6 +350,7 @@ object TemporalQueries {
     "q135_funnel" -> (funnel _),
     "q138_funnel_rates" -> (funnelRates _),
     "q144_cohort_retention" -> (cohortRetention _),
+    "q151_decay_features" -> (decayFeatures _),
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
     "q113_sessions" -> (sessions _),
@@ -333,6 +361,7 @@ object TemporalQueries {
     "q135_funnel" -> funnelSql,
     "q138_funnel_rates" -> funnelRatesSql,
     "q144_cohort_retention" -> cohortRetentionSql,
+    "q151_decay_features" -> decayFeaturesSql,
     "q125_asof_forward" -> asofForwardSql,
     "q111_asof_join" -> asofJoinSql,
     "q112_range_join" -> rangeJoinSql,

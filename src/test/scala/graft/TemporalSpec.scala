@@ -200,6 +200,22 @@ class TemporalSpec extends SparkSpec {
       Some("2024-01-01 10:50:00.0"), Some("2024-01-01 11:40:00.0")), 3L, true)))
   }
 
+  test("decayFeatures: exact half-life halvings, prior-only frame, per-key isolation") {
+    // user 7, half-life 1 h: 10:00 v=4, 11:00 v=8, 12:00 v=2
+    //   decayed(10:00) = 0 (no prior)
+    //   decayed(11:00) = 4 * 2^-1          = 2.0
+    //   decayed(12:00) = 4 * 2^-2 + 8 * 2^-1 = 5.0
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 4.0),
+      (2L, 7L, ts("2024-01-01 11:00:00"), 8.0),
+      (3L, 7L, ts("2024-01-01 12:00:00"), 2.0),
+      (4L, 9L, ts("2024-01-01 12:00:00"), 100.0)) // other key: no bleed
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.decayFeatures(ev, "user_id", "ts", "value", 3600L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("decayed_sum")).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 5.0, 4L -> 0.0), s"got $got")
+  }
+
   test("cohortRetention: per-key period alignment, distinct users, partial periods") {
     val ev = Seq(
       // user 1: cohort 01-01; active days 01, 03 (period 0), 09 (p1), 20 (p2)
