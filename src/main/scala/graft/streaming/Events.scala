@@ -289,6 +289,78 @@ object Events {
       .drop("__wg", "__pg")
   }
 
+  final case class DecayEvent(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  /** Per-key decay state: the carried recurrence value AT `carryUs`
+    * (decayed-sum-plus-own-value of the last finalized event) plus the
+    * buffer of not-yet-final events — bounded by the watermark
+    * horizon, while the carried scalar folds the ENTIRE earlier
+    * history into O(1) state. */
+  final case class DecayBuf(carryUs: Long, carry: Double,
+      pending: List[(Long, Long, Double)])
+  final case class DecayRow(event_id: Long, user_id: Long,
+      decayed_sum: Double)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.decayFeatures]]:
+    * per event, the same key's strictly-prior half-life-weighted value
+    * sum, via the O(1) decay recurrence
+    *   s' = (s + v) · 2^(−Δt/H)
+    * carried across micro-batches in mapGroupsWithState. An event is
+    * emitted only once the watermark passes its timestamp — no earlier
+    * event can still arrive, so its prior-sum is provably final
+    * (exactly-once emission, the funnelStream discipline). Unlike the
+    * session/funnel buffers, state here never grows with history: the
+    * recurrence folds everything older than the watermark into one
+    * scalar, which is why the decay feature is THE canonical
+    * streaming-state engagement signal. Associativity of the
+    * recurrence differs from the batch anchored-sum formulation by
+    * float ulps (compare rounded values, as the parity spec does). */
+  def decayStream(spark: SparkSession, events: DataFrame,
+      halfLifeSec: Long, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val lam = math.log(2.0) / halfLifeSec
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[DecayEvent]
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayBuf, DecayRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[DecayBuf]) =>
+          val prev = state.getOption.getOrElse(DecayBuf(Long.MinValue, 0.0, Nil))
+          // rows at-or-before the finalized frontier are late beyond the
+          // watermark: their prior-sums were already emitted, so they are
+          // dropped (the standard watermark contract), never back-applied
+          val buf = (prev.pending ++
+            rows.map(e => (usOf(e.ts), e.event_id, e.value))
+              .filter(_._1 > prev.carryUs)).sortBy(_._1)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, still) = buf.span(_._1 <= wmUs)
+          var carryUs = prev.carryUs
+          var carry = prev.carry
+          val out = ready.map { case (tUs, id, v) =>
+            val decayed =
+              if (carryUs == Long.MinValue) 0.0
+              else carry * math.exp(-lam * ((tUs - carryUs).toDouble / 1e6))
+            carry = decayed + v
+            carryUs = tUs
+            DecayRow(id, uid,
+              BigDecimal(decayed)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          if (still.isEmpty && carryUs == Long.MinValue) state.remove()
+          else {
+            state.update(DecayBuf(carryUs, carry, still))
+            val horizonMs =
+              (still.headOption.map(_._1).getOrElse(wmUs) / 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(horizonMs, wmUs / 1000L + 1L))
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Custom stateful op: running per-user totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state API the
     * brief calls for; state survives across micro-batches. */

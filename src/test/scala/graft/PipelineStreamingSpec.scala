@@ -355,6 +355,51 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed == Map(1L -> (1L, 1.0), 2L -> (1L, 2.0)))
   }
 
+  test("streaming decay: O(1) recurrence state equals the batch anchored sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 spans batches (the carried scalar must survive); u2's second
+    // event arrives in batch 2 OUT of kafka-order but within the
+    // watermark, and must slot between its neighbors.
+    val b1 = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 4.0),
+      (2L, 1L, ts("2024-01-01 11:00:00"), 8.0),
+      (10L, 2L, ts("2024-01-01 10:00:00"), 5.0),
+      (12L, 2L, ts("2024-01-01 12:00:00"), 7.0))
+    val b2 = Seq(
+      (3L, 1L, ts("2024-01-01 12:00:00"), 2.0),
+      // out-of-order but STRICTLY inside the 1 h watermark (wm sits at
+      // 11:00 when batch 2 runs; an exactly-at-watermark row is late)
+      (11L, 2L, ts("2024-01-01 11:30:00"), 3.0))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.decayStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      halfLifeSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("decay_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq((999L, 999L, ts("2030-01-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq((998L, 999L, ts("2030-01-01 02:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decay_stream")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Temporal.decayFeatures(
+        (b1 ++ b2).toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", 3600L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("decayed_sum")).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"emission mismatch: stream=${streamed.keySet} batch=${batch.keySet}")
+    streamed.foreach { case (id, v) =>
+      assert(math.abs(v - batch(id)) <= 2e-6,
+        s"event $id: stream $v vs batch ${batch(id)}")
+    }
+  }
+
   test("streaming cms: incremental sketch state equals the batch sketch") {
     // The count-min sketch is a pure additive aggregate keyed by
     // (row, bucket), so the SAME Cms.sketch plan runs incrementally
