@@ -646,6 +646,113 @@ object Multimodal {
     }(enc)
   }
 
+  /** Channel-mean grayscale reduction (integer mean, exact and
+    * SQL-replayable — no BT.601 float weights). */
+  private[graft] def grayRaster(r: Raster): Raster =
+    if (r.channels == 1) r
+    else {
+      val out = new Array[Byte](r.w * r.h)
+      var i = 0
+      while (i < r.w * r.h) {
+        var s = 0
+        var c = 0
+        while (c < r.channels) { s += r.data(i * r.channels + c) & 0xff; c += 1 }
+        out(i) = (s / r.channels).toByte
+        i += 1
+      }
+      Raster("pgm", r.w, r.h, 1, out)
+    }
+
+  /** dHash — the difference perceptual hash (the standard cheap
+    * near-duplicate image fingerprint: grayscale, NN-resize to 9×8,
+    * emit one bit per horizontally-adjacent pixel pair, 1 when the
+    * right pixel is brighter): 64 bits as a '0'/'1' string in
+    * row-major order, so banding/grouping and a SQL oracle can both
+    * consume it directly. Visually-identical images (small brightness
+    * or compression noise) collide or land within a few bit flips —
+    * Hamming distance over these strings is the image analogue of the
+    * SimHash text pipeline, and the banded near-dup machinery applies
+    * unchanged. Undecodable payloads hash to null.
+    *
+    * Distributed shape: scan-local (decode + 72-pixel resize per
+    * image); downstream near-dup groups by hash or bands of it —
+    * bounded keys, never pairwise. */
+  def imageDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("dhash", StringType, nullable = true))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hash = imageRaster(r.getAs[Array[Byte]](idx)).map { raster =>
+          val g = resizeRaster(grayRaster(raster), 9, 8)
+          val sb = new StringBuilder(64)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val a = g.data(y * 9 + x) & 0xff
+              val b = g.data(y * 9 + x + 1) & 0xff
+              sb.append(if (b > a) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          sb.toString
+        }.orNull
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
+  /** Schema of scene-change rows appended by [[sceneChanges]]. */
+  val sceneChangeSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("mad", DoubleType, nullable = false),
+    StructField("is_cut", BooleanType, nullable = false)))
+
+  /** Shot/scene-change detection over demuxed video — the standard
+    * pixel-domain metric (mean absolute luma difference between
+    * consecutive frames; a cut is a frame whose MAD from its
+    * predecessor exceeds `threshold`): one row per frame index ≥ 1
+    * with the rounded MAD and the cut flag. This is the video-curation
+    * primitive behind keyframe selection and shot-boundary sampling
+    * (pick one frame per detected shot instead of a blind stride).
+    *
+    * Distributed shape: identical to the codec family — scan-local
+    * mapPartitions, each clip diffs only its OWN adjacent frame pairs
+    * (n_frames−1 rows out per clip), zero shuffle, zero collection.
+    * Undecodable payloads and clips with < 2 frames emit nothing. */
+  def sceneChanges(df: DataFrame, payloadCol: String,
+      threshold: Double): DataFrame = {
+    val parentFields = df.schema.fields.filterNot(_.name == payloadCol)
+    val schema = StructType(parentFields ++ sceneChangeSchema.fields)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val parent = r.toSeq.zipWithIndex.collect { case (v, i) if i != idx => v }
+        try {
+          val v = y4mDemux(r.getAs[Array[Byte]](idx))
+          val px = v.w * v.h
+          Iterator.range(1, v.frames.size).map { f =>
+            val prev = v.frames(f - 1)
+            val cur = v.frames(f)
+            var sum = 0L
+            var q = 0
+            while (q < px) {
+              sum += math.abs((cur(q) & 0xff) - (prev(q) & 0xff))
+              q += 1
+            }
+            val mad = r6(sum.toDouble / px)
+            Row.fromSeq(parent ++ Seq(f, mad, mad > threshold))
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic Y4M generator (TEST DATA, like
     * `syntheticPpm`): geometry W=4+2·(id%3), H=4+2·(id%2), frames
     * 3+id%4 at F25:1, C420 with luma byte (frame f, raster pos q) =

@@ -510,6 +510,80 @@ object MiscQueries {
       |FROM v GROUP BY 1, 2, 3, 4
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q153: perceptual image hashing under the oracle gate — dHash over
+    * the q137 synthetic PPMs (channel-mean gray, 9×8 NN resize, 64
+    * adjacent-brightness bits); the oracle rebuilds every hash bit
+    * from the closed-form pixel formula. */
+  def imageDHashQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.imageDHash(
+        Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
+      .select(col("doc_id"), col("dhash"))
+      .orderBy("doc_id")
+  }
+
+  val imageDHashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+      |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+      |  FROM documents
+      |),
+      |grid AS (
+      |  SELECT doc_id, w, h, y, x, (y*h) // 8 AS sy, (x*w) // 9 AS sx
+      |  FROM d, range(0, 8) t1(y), range(0, 9) t2(x)
+      |),
+      |g AS (
+      |  SELECT doc_id, y, x,
+      |    ((CAST((doc_id*31 + ((sy*w+sx)*3 + 0)*7) % 256 AS BIGINT)
+      |    + CAST((doc_id*31 + ((sy*w+sx)*3 + 1)*7) % 256 AS BIGINT)
+      |    + CAST((doc_id*31 + ((sy*w+sx)*3 + 2)*7) % 256 AS BIGINT)) // 3)
+      |      AS gray
+      |  FROM grid
+      |),
+      |b AS (
+      |  SELECT doc_id, y, x,
+      |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, y ORDER BY x)
+      |              > gray THEN '1' ELSE '0' END AS bit
+      |  FROM g)
+      |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+      |FROM b WHERE x < 8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q152: shot-boundary detection under the oracle gate — the same
+    * deterministic Y4M streams as q141, diffed frame-to-frame; the
+    * mean-absolute-luma-difference metric and cut flags must equal the
+    * closed-form replay (per-pixel diffs are 17 or 17−256 mod-wraps,
+    * so threshold 30 splits the two regimes). */
+  def videoScenes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.sceneChanges(
+        Multimodal.syntheticY4m(docs, "doc_id", "payload"), "payload",
+        threshold = 30.0)
+      .select(col("doc_id"), col("frame_idx"), col("mad"), col("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val videoScenesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + 2*(doc_id % 3) AS INT) AS width,
+      |         CAST(4 + 2*(doc_id % 2) AS INT) AS height,
+      |         CAST(3 + doc_id % 4 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |f AS (SELECT doc_id, width, height,
+      |             unnest(range(1, n)) AS fi FROM d),
+      |u AS (SELECT doc_id, width, height, fi,
+      |             unnest(range(0, width*height)) AS q FROM f),
+      |v AS (
+      |  SELECT doc_id, width, height, fi,
+      |    abs(CAST((doc_id*13 + fi*17 + q*5) % 256 AS BIGINT)
+      |      - CAST((doc_id*13 + (fi-1)*17 + q*5) % 256 AS BIGINT)) AS ad
+      |  FROM u)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  round(CAST(sum(ad) AS DOUBLE) / (width*height), 6) AS mad,
+      |  round(CAST(sum(ad) AS DOUBLE) / (width*height), 6) > 30.0 AS is_cut
+      |FROM v GROUP BY doc_id, fi, width, height
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** §2.11 extension under the oracle gate: the same plan
     * Events.hourlyTypeCounts runs incrementally under a watermark,
     * executed batch here and recomputed by DuckDB date_trunc. */
@@ -596,6 +670,8 @@ object MiscQueries {
     "q145_audio_frames" -> (audioFrameFeatures _),
     "q147_audio_spectrum" -> (audioSpectrumQ _),
     "q141_video_decode" -> (videoDecode _),
+    "q152_video_scenes" -> (videoScenes _),
+    "q153_image_dhash" -> (imageDHashQ _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
@@ -619,6 +695,8 @@ object MiscQueries {
     "q145_audio_frames" -> audioFrameFeaturesSql,
     "q147_audio_spectrum" -> audioSpectrumSql,
     "q141_video_decode" -> videoDecodeSql,
+    "q152_video_scenes" -> videoScenesSql,
+    "q153_image_dhash" -> imageDHashSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)

@@ -590,6 +590,51 @@ class LlmOpsSpec extends SparkSpec {
     assert((up.getLong(6), up.getLong(9), up.getLong(12)) == ((22L, 26L, 30L)))
   }
 
+  test("sceneChanges: hand-computed MAD, threshold flag, sub-2-frame guard") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // 2x2 C420 Y4M, 3 frames: luma diffs f0->f1 = [2,2,0,0] (MAD 1.0),
+    // f1->f2 = [100,0,0,0] (MAD 25.0)
+    def frame(luma: Seq[Int]) =
+      "FRAME\n".getBytes("US-ASCII") ++ luma.map(_.toByte).toArray ++
+        Array[Byte](128.toByte, 128.toByte) // 1+1 byte chroma planes
+    val y4m = "YUV4MPEG2 W2 H2 F25:1 C420\n".getBytes("US-ASCII") ++
+      frame(Seq(10, 20, 30, 40)) ++ frame(Seq(12, 18, 30, 40)) ++
+      frame(Seq(112, 18, 30, 40))
+    val df = Seq((1L, y4m), (2L, "nope".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = Multimodal.sceneChanges(df, "payload", threshold = 10.0)
+      .collect().map(r => r.getInt(1) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got == Map(1 -> ((1.0, false)), 2 -> ((25.0, true))), s"got $got")
+  }
+
+  test("imageDHash: brightness-shift invariance, distinct content differs, garbage null") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    def ppm(id: Long, shift: Int, scramble: Boolean): Array[Byte] = {
+      val (w, h) = (6, 5)
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate[Byte](w * h * 3) { j =>
+        val base = if (scramble) (j * 53 + 17) % 211 else (j * 7 + 3) % 200
+        ((base + shift) & 0xff).toByte
+      }
+      header ++ px
+    }
+    val df = Seq(
+      (1L, ppm(1, 0, scramble = false)),
+      (2L, ppm(1, 1, scramble = false)),   // +1 brightness everywhere
+      (3L, ppm(1, 0, scramble = true)),    // different content
+      (4L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = Multimodal.imageDHash(df, "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(1L).get.length == 64 && got(1L).get.forall(c => c == '0' || c == '1'))
+    assert(got(1L) == got(2L), "uniform brightness shift must not change the hash")
+    assert(got(1L) != got(3L), "different content must hash differently")
+    assert(got(4L).isEmpty, "undecodable payload hashes to null")
+  }
+
   test("audio codec: 8-bit mono WAV, chunk walking, sign extension, garbage") {
     import graft.multimodal.Multimodal
     import spark.implicits._
