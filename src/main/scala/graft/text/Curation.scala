@@ -496,6 +496,51 @@ object Curation {
         round(sum(p * log(p / q)), 6).as("kl_divergence"))
   }
 
+  /** Compression-ratio quality signal: deflate each document (zlib
+    * level 6, the java.util.zip default codec — deterministic for a
+    * given input) and report compressed/raw byte ratio. Highly
+    * compressible text is repetitive (template spam, boilerplate,
+    * generated filler) — the cheap whole-document complement to the
+    * Gopher n-gram repetition fractions, used as a filter bound in
+    * web-scale curation. No SQL engine ships zlib, so this operator
+    * is spec-gated (determinism + ordering properties) rather than
+    * DuckDB-replayed — the one evidence class the codec forces.
+    *
+    * Distributed shape: scan-local mapPartitions (a codec, the same
+    * justification as the multimodal decoders — one Deflater reused
+    * per partition, reset per row); zero shuffle, zero collection. */
+  def compressionRatio(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(df.schema.fields.filter(_.name != textCol) ++ Seq(
+      StructField("raw_bytes", IntegerType, nullable = false),
+      StructField("compressed_bytes", IntegerType, nullable = false),
+      StructField("compression_ratio", DoubleType, nullable = true)))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](8192)
+      rows.map { r =>
+        val parent = r.toSeq.zipWithIndex
+          .collect { case (v, i) if i != textIdx => v }
+        val raw = Option(r.getString(textIdx)).getOrElse("")
+          .getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var n = 0
+        while (!deflater.finished()) n += deflater.deflate(buf)
+        val ratio =
+          if (raw.length == 0) null
+          else r6(n.toDouble / raw.length)
+        Row.fromSeq(parent ++ Seq(raw.length, n, ratio))
+      }
+    }(enc)
+  }
+
   /** Distinctive terms per group — "Fightin' Words" (Monroe, Colaresi
     * & Quinn 2008, Political Analysis 16(4), §3.5): for each group g
     * and token w, the log-odds ratio of w in g versus the REST of the

@@ -394,6 +394,26 @@ class CurationSpec extends SparkSpec {
     assert(zeros.forall(_ == 0.0), s"identical distributions must give 0: ${zeros.toSeq}")
   }
 
+  test("compressionRatio: repetition compresses, deterministic, utf-8 bytes, empty guard") {
+    val rnd = new scala.util.Random(3)
+    val diverse = (0 until 200).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    val df = Seq(
+      (1L, Seq.fill(200)("spam").mkString(" ")),
+      (2L, diverse),
+      (3L, ""),
+      (4L, "é")).toDF("id", "txt")
+    def run() = Curation.compressionRatio(df, "id", "txt").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val got = run()
+    assert(got(1L)._3.get < 0.1, s"repeated text must compress hard: $got")
+    assert(got(2L)._3.get > 0.5, s"high-entropy text must not: $got")
+    assert(got(1L)._3.get < got(2L)._3.get)
+    assert(got(3L) == ((0, got(3L)._2, None)), "empty text -> null ratio")
+    assert(got(4L)._1 == 2, "raw size counts UTF-8 bytes")
+    assert(run() == got, "deflate must be deterministic")
+  }
+
   test("fightinWords: distinctive tokens surface, two-group antisymmetry") {
     // A = "x x y y", B = "y z z": x is A's distinctive token, z is B's,
     // y occurs in both (relatively more in A). With two groups,
