@@ -1528,6 +1528,30 @@ object LlmQueries {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q154: corpus-wide top-20 GPT-2 pretokens — the real BPE input
+  // units (space-prefixed symbols distinct from bare ones), counted
+  // with the same TakeOrdered shape as q85. The oracle runs the SAME
+  // published split regex through DuckDB's RE2.
+  // -------------------------------------------------------------------
+  def gpt2Pretokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(graft.text.TextOps.gpt2Pretokens(col("text")))
+        .as("pretoken"))
+      .groupBy("pretoken").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pretoken"))
+      .limit(20)
+
+  val gpt2PretokensSql: String =
+    """WITH p AS (
+      |  SELECT unnest(regexp_extract_all(text,
+      |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+      |    AS pretoken
+      |  FROM documents
+      |)
+      |SELECT pretoken, count(*) AS cnt FROM p
+      |GROUP BY pretoken ORDER BY cnt DESC, pretoken LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q85: corpus-wide top-20 token bigrams — the BPE-round-one pair
   // statistic, as a global TakeOrdered aggregate.
   // -------------------------------------------------------------------
@@ -2209,6 +2233,7 @@ object LlmQueries {
     "q149_source_kl" -> (sourceKl _),
     "q150_fightin_words" -> (fightinWords _),
     "q85_top_bigrams" -> (topBigrams _),
+    "q154_gpt2_pretokens" -> (gpt2Pretokens _),
     "q86_normalize" -> (normalizeText _),
     "q92_nfc_normalize" -> (nfcNormalizeQuery _),
     "q93_semdedup_assign" -> (semDedupAssign _),
@@ -2274,6 +2299,7 @@ object LlmQueries {
     "q149_source_kl" -> sourceKlSql,
     "q150_fightin_words" -> fightinWordsSql,
     "q85_top_bigrams" -> topBigramsSql,
+    "q154_gpt2_pretokens" -> gpt2PretokensSql,
     "q86_normalize" -> normalizeTextSql,
     "q92_nfc_normalize" -> nfcNormalizeSql,
     "q94_semdedup_keep" -> semDedupKeepSql,

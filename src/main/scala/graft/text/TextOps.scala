@@ -183,6 +183,23 @@ object TextOps {
       .limit(topK)
   }
 
+  /** GPT-2-style pre-tokenizer split pattern (Radford et al. 2019 —
+    * the released gpt2 encoder's regex, with the `\s+(?!\S)`
+    * trailing-space branch dropped because RE2 engines (the oracle's)
+    * have no lookahead; contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs, then whitespace): the unit BPE
+    * actually runs on, where " the" and "the" are different symbols.
+    * This is the piece whitespace tokenization gets wrong when
+    * estimating real tokenizer costs. */
+  val gpt2SplitPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** All GPT-2 pretokens of `text`, in order (leading spaces kept —
+    * they ARE part of the symbol). Codegen'd regexp extraction,
+    * scan-local. */
+  def gpt2Pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(gpt2SplitPattern), lit(0))
+
   /** Per-document TF-IDF keyword extraction: each document's top-k
     * tokens by tf·idf with idf = ln(N/df) (classic Salton weighting;
     * Spärck Jones 1972), the standard per-doc keyword/tag deliverable

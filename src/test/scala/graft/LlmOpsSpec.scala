@@ -447,6 +447,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L)._1 > got(2L)._1)
   }
 
+  test("gpt2Pretokens: contractions, space-prefixed symbols, digit/punct runs, unicode") {
+    import spark.implicits._
+    val got = Seq((1L, "I'm here, 42 fois déjà!"))
+      .toDF("id", "txt")
+      .select(graft.text.TextOps.gpt2Pretokens(col("txt")).as("p"))
+      .head().getSeq[String](0).toList
+    // " here" and "here" are DIFFERENT symbols — the space belongs to
+    // the token; contractions split off; punctuation runs separate
+    assert(got == List("I", "'m", " here", ",", " 42", " fois", " déjà", "!"),
+      s"got $got")
+  }
+
   test("tfidfKeywords: hand-computed weights, rounded-score tie-break, top-k cut") {
     import spark.implicits._
     // N=3; df(a)=1, df(b)=2, df(c)=2; idf: ln(3)=1.098612, ln(1.5)=0.405465

@@ -61,6 +61,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("codec corruption fuzz: truncated/bit-flipped payloads never throw, " +
+      "decode to null or no rows") {
+    import graft.multimodal.Multimodal
+    // real payloads from the synthetic generators, then truncate at
+    // every-ish offset and flip a byte — a corrupt corpus must degrade
+    // to nulls/empties, never to a task failure
+    val ids = (0L until 6L).toDF("doc_id")
+    def payloads(df: org.apache.spark.sql.DataFrame): Seq[Array[Byte]] =
+      df.collect().map(_.getAs[Array[Byte]]("payload")).toSeq
+    val wavs = payloads(Multimodal.syntheticWav(ids, "doc_id", "payload"))
+    val y4ms = payloads(Multimodal.syntheticY4m(ids, "doc_id", "payload"))
+    val ppms = payloads(Multimodal.syntheticPpm(ids, "doc_id", "payload"))
+    val rnd = new scala.util.Random(13)
+    val corrupt = (wavs ++ y4ms ++ ppms).flatMap { p =>
+      val cuts = Seq(1, 3, 7, p.length / 3, p.length / 2, p.length - 1)
+        .filter(n => n > 0 && n < p.length).map(p.take)
+      val flipped = p.clone()
+      flipped(rnd.nextInt(p.length)) = (rnd.nextInt(256) - 128).toByte
+      cuts :+ flipped
+    }
+    val df = corrupt.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    // none of these may throw; outputs are null rows or no rows
+    Multimodal.decodeImages(df, "payload").collect()
+    Multimodal.decodeAudio(df, "payload").collect()
+    Multimodal.decodeVideo(df, "payload").collect()
+    Multimodal.audioFrames(df, "payload", 8).collect()
+    Multimodal.audioSpectrum(df, "payload", Seq(1)).collect()
+    Multimodal.sceneChanges(df, "payload", 10.0).collect()
+    val hashes = Multimodal.imageDHash(df, "payload").collect()
+    assert(hashes.length == corrupt.size, "dHash keeps one row per input")
+  }
+
   test("divergence/score properties on random corpora: KL >= 0, " +
       "stupid-backoff log-scores <= 0, tfidf scores >= 0") {
     val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
