@@ -53,7 +53,8 @@ object Queries {
       queries.LlmQueries.registry ++
       queries.MiscQueries.registry ++
       queries.TemporalQueries.registry ++
-      queries.SketchQueries.registry
+      queries.SketchQueries.registry ++
+      queries.EvalQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -63,5 +64,6 @@ object Queries {
       queries.LlmQueries.oracles ++
       queries.MiscQueries.oracles ++
       queries.TemporalQueries.oracles ++
-      queries.SketchQueries.oracles
+      queries.SketchQueries.oracles ++
+      queries.EvalQueries.oracles
 }

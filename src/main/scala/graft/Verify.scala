@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev runs of
+    // a subset; the driver always passes exactly two args = full gate)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same production settings as Sessions.local (AQE, extensions) so
     // the correctness gate runs the plans the engine actually ships
@@ -23,7 +28,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failures = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter(kv => f(kv._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -72,7 +79,7 @@ object Verify {
     // intact either way — but a nonzero exit adds the missing loud
     // signal for anything watching the process rc.
     if (failures > 0) {
-      System.err.println(s"[verify] $failures of ${SparkEntry.queries.size} queries failed")
+      System.err.println(s"[verify] $failures of ${selected.size} queries failed")
       sys.exit(1)
     }
   }

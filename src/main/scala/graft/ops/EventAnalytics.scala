@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event-stream analytics over a keyed, timestamped event
+  * table — the feature-engineering companions to the temporal operator
+  * family (`ops/Temporal.scala`): first-order Markov transition
+  * structure, inter-event burstiness (Goh & Barabási 2008, EPL 81), and
+  * RFM (recency / frequency / monetary) segmentation, the classic
+  * behavioral-cohort scheme.
+  *
+  * Scale design: every operator is one key-partitioned window or a
+  * keys-as-fine-as-the-data aggregate; the only global structures are
+  * the bounded ones (the event-type transition matrix, the 1-row corpus
+  * max-timestamp, per-partition rank offsets). Nothing row-scale ever
+  * crosses a single-partition window or a driver collect.
+  */
+object EventAnalytics {
+
+  /** First-order transition matrix of `typeCol` per `keyCol` timeline:
+    * consecutive-event pairs under the total order (`tsCol`, `tieCol`),
+    * with counts and row-normalized probabilities. The pair space is
+    * (distinct types)², so everything after the per-key lag window is
+    * bounded. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col("__t").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = pairs.groupBy("prev_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(rowTotals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
+
+  /** Per-key inter-event-time statistics: gap count, mean and
+    * population-std gap (µs), and the burstiness coefficient
+    * B = (σ - µ) / (σ + µ) ∈ [-1, 1] (B → -1 periodic, 0 Poisson,
+    * → 1 bursty; Goh & Barabási 2008). Keys with fewer than two events
+    * have no gaps and are dropped. One per-key window + one per-key
+    * aggregate. */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    // the REPORTED mean gap is exact integer division (a double of µs
+    // magnitude has ULP > 1e-6, so a 6-dp round is engine-specific
+    // noise); the exact double mean feeds the burstiness ratio, whose
+    // magnitude is <= 1. The std is rounded to whole µs before the
+    // ratio so engine-specific variance summation can't flip a round.
+    df.select(col(keyCol), col(tsCol), col(tieCol))
+      .withColumn("__gap", us - lag(us, 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(keyCol).agg(
+        count(lit(1)).as("n_gaps"),
+        (sum(col("__gap")).cast("double") / count(lit(1))).as("__mean"),
+        expr("sum(__gap) DIV count(1)").as("mean_gap_us"),
+        round(stddev_pop(col("__gap")), 0).cast("long").as("std_gap_us"))
+      .withColumn("burstiness",
+        when(col("std_gap_us") + col("__mean") > 0,
+          round((col("std_gap_us") - col("__mean")) /
+            (col("std_gap_us") + col("__mean")), 6)))
+      .select(col(keyCol), col("n_gaps"), col("mean_gap_us"),
+        col("std_gap_us"), col("burstiness"))
+  }
+
+  /** RFM segmentation: per key, recency (µs from the key's last event
+    * to the corpus max timestamp), frequency (event count), and
+    * monetary (sum of `valueCol` over rows matching `monetaryFilter`,
+    * rounded to 6 dp BEFORE ranking so float-sum ordering is
+    * engine-portable), each ranked into `k` quantile scores where
+    * 1 = best (most recent / most frequent / highest spend). Rank
+    * buckets use exact integer arithmetic (1 + (rn-1)*k div n) over the
+    * distributed prefix-sum row number — no single-partition window
+    * touches the key-scale frame. */
+  def rfm(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      monetaryFilter: Column, k: Int = 5): DataFrame = {
+    val perKey = df.groupBy(keyCol).agg(
+      max(col(tsCol)).as("__last"),
+      count(lit(1)).as("frequency"),
+      round(coalesce(sum(when(monetaryFilter, col(valueCol))), lit(0.0)), 6)
+        .as("monetary"))
+    val maxTs = perKey.agg(max(col("__last")).as("__mx"))
+    val base = perKey.crossJoin(broadcast(maxTs))
+      .select(col(keyCol),
+        (unix_micros(col("__mx")) - unix_micros(col("__last"))).as("recency_us"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint() // three independent rankings read this frame
+    val n = base.count()
+    // rank each dimension on the per-key frame (already far smaller
+    // than the event table, and the ranking itself is distributed)
+    def rankOn(orderCols: Seq[Column], name: String): DataFrame =
+      graft.ml.Evaluation.withRowNumber(base, orderCols, "__rn")
+        .select(col(keyCol), (expr(s"(__rn - 1) * $k DIV ${n}L") + 1L).as(name))
+    val r = rankOn(Seq(col("recency_us"), col(keyCol)), "r_score")
+    val f = rankOn(Seq(col("frequency").desc, col(keyCol)), "f_score")
+    val m = rankOn(Seq(col("monetary").desc, col(keyCol)), "m_score")
+    base.join(r, Seq(keyCol)).join(f, Seq(keyCol)).join(m, Seq(keyCol))
+      .select(col(keyCol), col("recency_us"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ml.Evaluation
+import graft.ops.EventAnalytics
+
+/** Driver-checked queries for the model-evaluation / drift family
+  * (`ml/Evaluation.scala`) and the behavioral event-analytics family
+  * (`ops/EventAnalytics.scala`).
+  *
+  * The evaluation queries need a deterministic, engine-portable
+  * (score, label) pair, so they score documents with the q44 quality
+  * expression (whose DuckDB rendering `LlmQueries.qualitySql` is
+  * already oracle-pinned) against the binary label lang = 'en' — every
+  * number in the chain is then exactly replayable in SQL, unlike a
+  * trained model's outputs. The event queries run over the normalized
+  * events table.
+  */
+object EvalQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Events.normalize(Tables.events(s, d))
+
+  /** Documents scored by the q44 quality expression with the binary
+    * en/no-en label. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    graft.text.TextOps.qualityScore(dd, "doc_id", "text")
+      .join(dd.select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("label")), "doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // q155: reliability / calibration bins of the quality score against
+  // the en-label, with per-bin Brier contributions.
+  // -------------------------------------------------------------------
+  def calibration(s: SparkSession, d: String): DataFrame =
+    Evaluation.calibrationBins(scoredDocs(s, d), "label", "quality", 10)
+      .orderBy("bin")
+
+  val calibrationSql: String =
+    s"""WITH q AS (${LlmQueries.qualitySql}),
+      |l AS (SELECT q.doc_id, q.quality,
+      |             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |      FROM q JOIN documents d USING (doc_id)),
+      |b AS (SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin,
+      |             quality, y FROM l)
+      |SELECT bin, count(*) AS n, round(avg(quality), 6) AS mean_score,
+      |       round(avg(y), 6) AS frac_pos,
+      |       round(avg((quality - y) * (quality - y)), 6) AS brier
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q156: two-sample Kolmogorov-Smirnov statistic between the en and
+  // non-en quality-score distributions (score drift between cohorts).
+  // Spark side is the distributed prefix-sum CDF; the oracle is the
+  // naive global-window CDF DuckDB can afford at sf0.01.
+  // -------------------------------------------------------------------
+  def ksDrift(s: SparkSession, d: String): DataFrame =
+    Evaluation.ksStatistic(scoredDocs(s, d), "quality", col("label") === 1.0)
+
+  val ksDriftSql: String =
+    s"""WITH q AS (${LlmQueries.qualitySql}),
+      |l AS (SELECT q.quality, d.lang = 'en' AS a
+      |      FROM q JOIN documents d USING (doc_id)),
+      |g AS (SELECT quality AS s,
+      |             sum(CASE WHEN a THEN 1.0 ELSE 0.0 END) AS na,
+      |             sum(CASE WHEN a THEN 0.0 ELSE 1.0 END) AS nb
+      |      FROM l GROUP BY 1),
+      |c AS (SELECT sum(na) OVER (ORDER BY s) AS ca,
+      |             sum(nb) OVER (ORDER BY s) AS cb FROM g),
+      |t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g)
+      |SELECT round(max(abs(ca / ta - cb / tb)), 6) AS ks,
+      |       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+      |FROM c, t GROUP BY ta, tb""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q157: Population Stability Index of n_chars per source vs src0 —
+  // the scorecard drift measure over reference-decile bins.
+  // -------------------------------------------------------------------
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    Evaluation.psiByGroup(docs(s, d), "source", "n_chars", "src0", 10)
+      .orderBy("source")
+
+  val psiDriftSql: String =
+    """WITH br AS (
+      |  SELECT round(b, 6) AS br
+      |  FROM (SELECT unnest(quantile_cont(n_chars,
+      |          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS b
+      |        FROM documents WHERE source = 'src0')
+      |),
+      |binned AS (
+      |  SELECT d.source,
+      |         1 + (SELECT count(*) FROM br WHERE d.n_chars > br.br) AS bin
+      |  FROM documents d
+      |),
+      |tot AS (SELECT source, count(*) AS t FROM documents GROUP BY 1),
+      |cnt AS (SELECT source, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+      |grid AS (SELECT t.source, gs.bin
+      |         FROM tot t CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) gs),
+      |props AS (
+      |  SELECT g.source, g.bin,
+      |         greatest(coalesce(cnt.n, 0) * 1.0 / t.t, 1e-6) AS p
+      |  FROM grid g
+      |  LEFT JOIN cnt ON cnt.source = g.source AND cnt.bin = g.bin
+      |  JOIN tot t ON t.source = g.source
+      |),
+      |ref AS (SELECT bin, p AS pr FROM props WHERE source = 'src0')
+      |SELECT p.source, round(sum((p.p - r.pr) * ln(p.p / r.pr)), 6) AS psi
+      |FROM props p JOIN ref r USING (bin)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q158: cumulative gains / lift by quality decile against the
+  // en-label. Spark ranks via the distributed prefix-sum row number;
+  // the oracle uses the naive global row_number with the identical
+  // (quality DESC, doc_id) total order and identical integer tile
+  // arithmetic.
+  // -------------------------------------------------------------------
+  def liftGains(s: SparkSession, d: String): DataFrame =
+    Evaluation.liftGains(scoredDocs(s, d), "doc_id", "label", "quality", 10)
+      .orderBy("tile")
+
+  val liftGainsSql: String =
+    s"""WITH q AS (${LlmQueries.qualitySql}),
+      |l AS (SELECT q.doc_id, q.quality,
+      |             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |      FROM q JOIN documents d USING (doc_id)),
+      |r AS (SELECT quality, doc_id, y,
+      |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rn,
+      |        count(*) OVER () AS n, sum(y) OVER () AS tp
+      |      FROM l),
+      |a AS (SELECT 1 + (rn - 1) * 10 // n AS tile, count(*) AS n_rows,
+      |             sum(y) AS n_pos, max(n) AS n, max(tp) AS tp
+      |      FROM r GROUP BY 1)
+      |SELECT tile, n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+      |  round(sum(n_pos) OVER (ORDER BY tile) / tp, 6) AS capture,
+      |  round((n_pos / n_rows) / (tp / n), 6) AS lift,
+      |  round((sum(n_pos) OVER (ORDER BY tile)
+      |         / sum(n_rows) OVER (ORDER BY tile)) / (tp / n), 6) AS cum_lift
+      |FROM a ORDER BY tile""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q159: first-order Markov transition matrix of event types per user
+  // timeline (ties broken by event_id), with row-normalized
+  // probabilities.
+  // -------------------------------------------------------------------
+  def transitions(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.transitionMatrix(events(s, d), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("prev_type", "next_type")
+
+  val transitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |),
+      |c AS (SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+      |      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q160: per-user inter-event burstiness (Goh & Barabási 2008).
+  // The reported mean gap is exact integer division (µs-magnitude
+  // doubles have ULP > 1e-6, so a 6-dp round is engine noise); the
+  // exact double mean feeds the ratio. The std is rounded to whole µs
+  // on BOTH sides before the ratio so the engines' different variance
+  // summation orders cannot flip a 6-dp rounding.
+  // -------------------------------------------------------------------
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.burstiness(events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id")
+
+  val burstinessSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events
+      |),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |         sum(gap) * 1.0 / count(*) AS mean_gap,
+      |         CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us,
+      |         CAST(round(stddev_pop(gap), 0) AS BIGINT) AS std_gap_us
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |)
+      |SELECT user_id, n_gaps, mean_gap_us, std_gap_us,
+      |       CASE WHEN std_gap_us + mean_gap > 0
+      |            THEN round((std_gap_us - mean_gap) / (std_gap_us + mean_gap), 6)
+      |       END AS burstiness
+      |FROM a ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q161: RFM segmentation of users — recency / frequency / monetary
+  // quintile scores (1 = best) under explicit deterministic total
+  // orders and exact integer tile arithmetic.
+  // -------------------------------------------------------------------
+  def rfmSegments(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.rfm(events(s, d), "user_id", "ts", "value",
+        col("event_type") === "purchase", 5)
+      .orderBy("user_id")
+
+  val rfmSegmentsSql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+      |         round(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |                                 THEN value END), 0), 6) AS monetary
+      |  FROM events GROUP BY 1
+      |),
+      |mx AS (SELECT max(last_ts) AS m FROM u),
+      |s AS (SELECT user_id, epoch_us(m) - epoch_us(last_ts) AS recency_us,
+      |             frequency, monetary
+      |      FROM u, mx),
+      |r AS (SELECT *,
+      |        row_number() OVER (ORDER BY recency_us, user_id) AS rr,
+      |        row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+      |        row_number() OVER (ORDER BY monetary DESC, user_id) AS rm,
+      |        count(*) OVER () AS n
+      |      FROM s)
+      |SELECT user_id, recency_us, frequency, monetary,
+      |       1 + (rr - 1) * 5 // n AS r_score,
+      |       1 + (rf - 1) * 5 // n AS f_score,
+      |       1 + (rm - 1) * 5 // n AS m_score
+      |FROM r ORDER BY user_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_calibration" -> (calibration _),
+    "q156_ks_drift" -> (ksDrift _),
+    "q157_psi_drift" -> (psiDrift _),
+    "q158_lift_gains" -> (liftGains _),
+    "q159_event_transitions" -> (transitions _),
+    "q160_burstiness" -> (burstiness _),
+    "q161_rfm_segments" -> (rfmSegments _))
+
+  val oracles: Map[String, String] = Map(
+    "q155_calibration" -> calibrationSql,
+    "q156_ks_drift" -> ksDriftSql,
+    "q157_psi_drift" -> psiDriftSql,
+    "q158_lift_gains" -> liftGainsSql,
+    "q159_event_transitions" -> transitionsSql,
+    "q160_burstiness" -> burstinessSql,
+    "q161_rfm_segments" -> rfmSegmentsSql)
+}

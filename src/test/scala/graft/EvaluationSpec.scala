@@ -1,0 +1,217 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.Evaluation
+import graft.ops.EventAnalytics
+
+/** Hand-computed cases + distributed-ranking parity + plan guards for
+  * the evaluation/drift family (`ml/Evaluation.scala`) and the event
+  * analytics family (`ops/EventAnalytics.scala`). */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  // -----------------------------------------------------------------
+  // calibration
+  // -----------------------------------------------------------------
+  test("calibrationBins: hand-computed bins, counts, brier") {
+    val df = Seq((0.05, 0.0), (0.15, 1.0), (0.18, 0.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("score", "y")
+    val got = Evaluation.calibrationBins(df, "y", "score", 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 9L))
+    assert(got(0L) == ((1L, 0.05, 0.0, 0.0025)))
+    assert(got(1L) == ((2L, 0.165, 0.5, 0.377450)))
+    // score 1.0 clamps into the top bin: least(floor(10.0), 9)
+    assert(got(9L) == ((2L, 0.975, 1.0, 0.001250)))
+  }
+
+  // -----------------------------------------------------------------
+  // KS
+  // -----------------------------------------------------------------
+  test("ksStatistic: interleaved samples, hand KS = 0.5") {
+    val df = Seq((1.0, "a"), (3.0, "a"), (2.0, "b"), (4.0, "b"))
+      .toDF("s", "g")
+    val r = Evaluation.ksStatistic(df, "s", col("g") === "a").head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
+  test("ksStatistic: identical distributions give KS = 0") {
+    val df = (1 to 40).map(i => (i % 10 * 1.0, i <= 20)).toDF("s", "a")
+    val r = Evaluation.ksStatistic(df, "s", col("a")).head()
+    assert(r.getDouble(0) == 0.0)
+  }
+
+  test("withRunningTotals matches a single-partition global window") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i => (rnd.nextInt(50).toDouble, i.toLong, 1.0))
+      .toDF("v", "id", "one")
+    val got = Evaluation.withRunningTotals(df, Seq(col("v"), col("id")),
+        Map("cum" -> col("one")))
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("one")).over(w))
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
+  test("withRowNumber under a DESC total order matches row_number()") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 300).map(i => (rnd.nextInt(40).toDouble, i.toLong))
+      .toDF("v", "id")
+    val got = Evaluation.withRowNumber(df, Seq(col("v").desc, col("id")), "rn")
+      .select(col("id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .select(col("id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  // -----------------------------------------------------------------
+  // PSI
+  // -----------------------------------------------------------------
+  test("psiByGroup: identical distribution scores 0, shifted scores the hand value") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).map(("ref", _))
+    val same = Seq(1.0, 2.0, 3.0, 4.0).map(("same", _))
+    val shifted = Seq(1.0, 1.5, 2.0, 3.0).map(("shift", _))
+    val df = (ref ++ same ++ shifted).toDF("g", "x")
+    val got = Evaluation.psiByGroup(df, "g", "x", "ref", 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("ref") == 0.0)
+    assert(got("same") == 0.0)
+    // ref median 2.5 -> bins: shift has 3 of 4 below -> p=(0.75,0.25)
+    val expected = math.floor(
+      ((0.75 - 0.5) * math.log(0.75 / 0.5) +
+       (0.25 - 0.5) * math.log(0.25 / 0.5)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(got("shift") - expected) < 1e-9)
+  }
+
+  test("psiByGroup: an empty bin contributes the clamped finite penalty") {
+    // ref spans both halves; 'hi' sits entirely above the median
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("ref", _)) ++
+      Seq(3.0, 4.0).map(("hi", _))).toDF("g", "x")
+    val got = Evaluation.psiByGroup(df, "g", "x", "ref", 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = math.floor(
+      ((1e-6 - 0.5) * math.log(1e-6 / 0.5) +
+       (1.0 - 0.5) * math.log(1.0 / 0.5)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(got("hi") - expected) < 1e-9)
+  }
+
+  // -----------------------------------------------------------------
+  // lift / gains
+  // -----------------------------------------------------------------
+  test("liftGains: hand-computed 10-row, 5-tile table") {
+    val labels = Seq(1, 1, 0, 1, 0, 0, 0, 1, 0, 0)
+    val df = labels.zipWithIndex.map { case (y, i) =>
+      (i.toLong, y.toDouble, (10 - i).toDouble) }.toDF("id", "y", "s")
+    val got = Evaluation.liftGains(df, "id", "y", "s", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(1L) == ((2L, 2L, 0.5, 2.5, 2.5)))
+    assert(got(2L) == ((2L, 1L, 0.75, 1.25, 1.875)))
+    assert(got(3L) == ((2L, 0L, 0.75, 0.0, 1.25)))
+    assert(got(4L) == ((2L, 1L, 1.0, 1.25, 1.25)))
+    assert(got(5L) == ((2L, 0L, 1.0, 0.0, 1.0)))
+  }
+
+  // -----------------------------------------------------------------
+  // event analytics
+  // -----------------------------------------------------------------
+  test("transitionMatrix: hand-computed pairs and row-normalized probabilities") {
+    val df = Seq(
+      (1L, ts(10), 1L, "A"), (1L, ts(20), 2L, "B"),
+      (1L, ts(30), 3L, "A"), (1L, ts(40), 4L, "B"),
+      (2L, ts(10), 5L, "B"), (2L, ts(20), 6L, "B"))
+      .toDF("user_id", "ts", "event_id", "t")
+    val got = EventAnalytics.transitionMatrix(df, "user_id", "ts", "t", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 1.0)),
+      ("B", "A") -> ((1L, 0.5)),
+      ("B", "B") -> ((1L, 0.5))))
+  }
+
+  test("transitionMatrix: equal-ts events are ordered by the tie column") {
+    val df = Seq(
+      (1L, ts(10), 1L, "A"), (1L, ts(10), 2L, "B"), (1L, ts(10), 3L, "C"))
+      .toDF("user_id", "ts", "event_id", "t")
+    val got = EventAnalytics.transitionMatrix(df, "user_id", "ts", "t", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("A", "B"), ("B", "C")))
+  }
+
+  test("burstiness: periodic key hits B = -1, sub-2-event keys drop") {
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(20), 3L), // periodic
+      (2L, ts(5), 4L),                                     // single event
+      (3L, ts(0), 5L), (3L, ts(1), 6L), (3L, ts(100), 7L)) // bursty
+      .toDF("user_id", "ts", "event_id")
+    val got = EventAnalytics.burstiness(df, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // user 1: gaps 10s, 10s -> mean 1e7 us, std 0 -> B = -1
+    assert(got(1L) == ((2L, 10000000L, 0L, Some(-1.0))))
+    // user 3: gaps 1s, 99s -> mean 5e7, std 4.9e7
+    val (n, mean, std, b) = got(3L)
+    assert(n == 2L && mean == 50000000L && std == 49000000L)
+    // B = (4.9e7 - 5e7) / (4.9e7 + 5e7) = -1/99 -> -0.010101
+    assert(b.contains(-0.010101))
+  }
+
+  test("rfm: hand-computed quintiles with deterministic tie-breaks") {
+    val rows = Seq(
+      (1L, ts(1000), "purchase", 10.0),
+      (2L, ts(1500), "view", 0.0), (2L, ts(2000), "view", 0.0),
+      (3L, ts(900), "purchase", 5.0), (3L, ts(1000), "view", 0.0), (3L, ts(3000), "view", 0.0),
+      (4L, ts(100), "purchase", 20.0), (4L, ts(200), "purchase", 20.0),
+      (4L, ts(300), "view", 0.0), (4L, ts(4000), "view", 0.0),
+      (5L, ts(10), "purchase", 1.0), (5L, ts(20), "view", 0.0), (5L, ts(30), "view", 0.0),
+      (5L, ts(40), "view", 0.0), (5L, ts(5000), "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.rfm(rows, "user_id", "ts", "value",
+        col("event_type") === "purchase", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // recency: u5 newest .. u1 oldest; frequency: u5 most .. u1 least;
+    // monetary: u4=40 > u1=10 > u3=5 > u5=1 > u2=0
+    assert(got(1L) == ((4000000000L, 1L, 10.0, 5L, 5L, 2L)))
+    assert(got(2L) == ((3000000000L, 2L, 0.0, 4L, 4L, 5L)))
+    assert(got(3L) == ((2000000000L, 3L, 5.0, 3L, 3L, 3L)))
+    assert(got(4L) == ((1000000000L, 4L, 40.0, 2L, 2L, 1L)))
+    assert(got(5L) == ((0L, 5L, 1.0, 1L, 1L, 4L)))
+  }
+
+  // -----------------------------------------------------------------
+  // plan guards: the row-scale ranking never crosses a single-partition
+  // global window — every Window over the ranked frame carries __pid
+  // -----------------------------------------------------------------
+  test("distributed ranking plans: row-scale windows partition by __pid") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 200).map(i => (rnd.nextDouble(), i.toLong)).toDF("v", "id")
+    val ranked = Evaluation.withRowNumber(df, Seq(col("v").desc, col("id")), "rn")
+    val plan = ranked.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(l => assert(l.contains("__pid"),
+      s"row-scale window must partition by __pid:\n$l"))
+  }
+}
