@@ -54,7 +54,8 @@ object Queries {
       queries.MiscQueries.registry ++
       queries.TemporalQueries.registry ++
       queries.SketchQueries.registry ++
-      queries.EvalQueries.registry
+      queries.EvalQueries.registry ++
+      queries.GraphQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -65,5 +66,6 @@ object Queries {
       queries.MiscQueries.oracles ++
       queries.TemporalQueries.oracles ++
       queries.SketchQueries.oracles ++
-      queries.EvalQueries.oracles
+      queries.EvalQueries.oracles ++
+      queries.GraphQueries.oracles
 }

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational co-occurrence structure: weighted
+  * co-occurrence edge extraction from basket-shaped data, weighted
+  * PageRank (Page et al. 1999) with a fixed deterministic iteration
+  * count, market-basket association rules (support / confidence /
+  * lift; Agrawal & Srikant 1994), and a key-skew diagnostic (Gini
+  * coefficient of the per-key load distribution) for partition-skew
+  * triage.
+  *
+  * Scale design: edge extraction is an equi-join keyed by basket with
+  * an explicit basket-size cap (the same skew guard the LSH bucket
+  * join uses — one pathological basket can't go quadratic); PageRank
+  * is the standard iterative join-aggregate with one key shuffle per
+  * iteration and per-iteration localCheckpoints to keep lineage flat;
+  * the Gini rank rides the distributed prefix-sum row number
+  * (`Evaluation.withRowNumber`) — no single-partition window ever sees
+  * a key-scale frame.
+  */
+object Graph {
+
+  /** Undirected weighted co-occurrence edges: for every basket, each
+    * unordered item pair appearing together; weight = number of
+    * baskets sharing the pair. Output (src, dst, w) with src < dst.
+    *
+    * Baskets larger than `maxBasketSize` are dropped before pairing
+    * (quadratic blow-up guard; at 100 TB one degenerate basket would
+    * otherwise dominate the stage). */
+  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int = 1000): DataFrame = {
+    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val sized = b.join(
+      b.groupBy("__b").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasketSize).select("__b"),
+      Seq("__b"))
+    val l = sized.select(col("__b"), col("__i").as("src"))
+    val r = sized.select(col("__b"), col("__i").as("dst"))
+    l.join(r, Seq("__b")).filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over an undirected edge list (src < dst, w):
+    * r_{t+1}(v) = (1-d)/N + d * Σ_{u~v} r_t(u) * w(u,v) / wdeg(u),
+    * run for exactly `iters` iterations from the uniform vector — a
+    * fixed-point-free deterministic contract that an external engine
+    * can replay exactly. Nodes are the edge endpoints (isolated items
+    * have no rank). Returns (node, rank) with rank normalized so the
+    * mean is 1 (rank = r * N), which keeps 6-dp rounding meaningful
+    * regardless of graph size.
+    *
+    * Each iteration is one equi-join of the edge list against the
+    * (node-cardinality) rank vector plus one aggregate — the classic
+    * distributed PageRank step; lineage is truncated per iteration. */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+      iters: Int = 3): DataFrame = {
+    val sym = edges.select(col("src").as("x"), col("dst").as("y"), col("w"))
+      .union(edges.select(col("dst").as("x"), col("src").as("y"), col("w")))
+      .localCheckpoint()
+    val deg = sym.groupBy("x").agg(sum(col("w").cast("double")).as("__wd"))
+      .localCheckpoint()
+    val n = deg.count()
+    val withDeg = sym.join(deg, Seq("x")).localCheckpoint()
+    var r = deg.select(col("x").as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      r = withDeg.join(r, withDeg("x") === r("node"))
+        .select(col("y"), (col("r") * col("w") / col("__wd")).as("__c"))
+        .groupBy(col("y").as("node"))
+        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("__c"))).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), round(col("r") * n, 6).as("rank"))
+  }
+
+  /** Association rules from basket data: every directed item pair
+    * (antecedent → consequent) co-occurring in at least `minJoint`
+    * baskets, with support = n_joint / n_baskets, confidence =
+    * n_joint / n_antecedent, lift = confidence / (n_consequent /
+    * n_baskets). Item frequencies join against the (item-cardinality)
+    * count table; the basket total rides along as a literal. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minJoint: Long = 2L, maxBasketSize: Int = 1000): DataFrame = {
+    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val nBaskets = b.select("__b").distinct().count().toDouble
+    val itemCounts = b.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = coOccurrenceEdges(df, basketCol, itemCol, maxBasketSize)
+      .filter(col("w") >= minJoint)
+    val directed = pairs.select(col("src").as("antecedent"),
+        col("dst").as("consequent"), col("w"))
+      .union(pairs.select(col("dst").as("antecedent"),
+        col("src").as("consequent"), col("w")))
+    directed
+      .join(itemCounts.withColumnRenamed("__i", "antecedent")
+        .withColumnRenamed("__ni", "__na"), Seq("antecedent"))
+      .join(itemCounts.withColumnRenamed("__i", "consequent")
+        .withColumnRenamed("__ni", "__nc"), Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("w").as("n_joint"),
+        round(col("w") / nBaskets, 6).as("support"),
+        round(col("w").cast("double") / col("__na"), 6).as("confidence"),
+        round((col("w").cast("double") / col("__na")) /
+          (col("__nc") / nBaskets), 6).as("lift"))
+  }
+
+  /** Per-key load-skew diagnostic: the Gini coefficient of the per-key
+    * row-count distribution (0 = perfectly even, → 1 = one key owns
+    * everything) plus the count quantiles a partition-sizing decision
+    * needs. One row: (n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+    * gini). Gini uses the rank formulation
+    * G = 2 * Σ rank_i * c_i / (n * Σ c) - (n + 1) / n over counts
+    * ranked ascending (ties broken by key for determinism). */
+  def keySkewStats(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumers: percentiles, rank, aggregates
+    val ranked = graft.ml.Evaluation.withRowNumber(
+      counts, Seq(col("__c"), col("__k")), "__rn")
+    val ps = Percentiles.exact(counts, "__c", Seq(0.5, 0.99))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_keys"), sum("__c").as("n_rows"),
+      max("__c").as("max_cnt"),
+      sum(col("__rn").cast("double") * col("__c")).as("__rc")).head()
+    val (nk, nr, mx, rc) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getDouble(3))
+    val gini = 2.0 * rc / (nk.toDouble * nr) - (nk + 1.0) / nk
+    Seq((nk, nr, mx,
+        math.floor(ps(0.5) * 1e6 + 0.5) / 1e6,
+        math.floor(ps(0.99) * 1e6 + 0.5) / 1e6,
+        math.floor(gini * 1e6 + 0.5) / 1e6))
+      .toDF("n_keys", "n_rows", "max_cnt", "p50_cnt", "p99_cnt", "gini")
+  }
+}
