@@ -70,6 +70,32 @@ object EventAnalytics {
         col("std_gap_us"), col("burstiness"))
   }
 
+  /** Trailing-window volume anomaly: daily event counts scored against
+    * the strictly-prior `trailingDays`-day window's mean/std via
+    * explicit exact moments (integer counts make avg(n) and avg(n²)
+    * bit-exact in any engine and any summation order, so the z-score
+    * is engine-portable without rounding tricks). Days with fewer than
+    * `trailingDays` prior days, or a zero-variance window, get null
+    * z / flags. The window runs over the per-day aggregate — a frame
+    * bounded by the corpus time span, not the row count. */
+  def dailyAnomaly(df: DataFrame, tsCol: String, trailingDays: Int = 7,
+      threshold: Double = 2.0): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day").rowsBetween(-trailingDays, -1)
+    val varCol = col("__m2") - col("__m") * col("__m")
+    val zRaw = (col("n_events") - col("__m")) / sqrt(varCol)
+    daily
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__m", avg(col("n_events")).over(w))
+      .withColumn("__m2", avg(col("n_events") * col("n_events")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"),
+        when(col("__c") >= trailingDays, round(col("__m"), 6)).as("trailing_mean"),
+        when(col("__c") >= trailingDays && varCol > 0, round(zRaw, 6)).as("z"),
+        when(col("__c") >= trailingDays && varCol > 0, abs(zRaw) > threshold)
+          .as("is_anomaly"))
+  }
+
   /** RFM segmentation: per key, recency (µs from the key's last event
     * to the corpus max timestamp), frequency (event count), and
     * monetary (sum of `valueCol` over rows matching `monetaryFilter`,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,6 +32,21 @@ object Misc {
     * materialization). */
   def deterministicSample(df: DataFrame, n: Int, keyCols: Seq[String]): DataFrame =
     df.orderBy(md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))).limit(n)
+
+  /** Stratified exact-n sample: the first `n` rows PER GROUP under the
+    * same content-hash order as `deterministicSample` (md5 of the key
+    * columns, key tie-break) — reproducible on any cluster layout and
+    * SQL-recomputable. The rank window partitions by the group key, so
+    * this scales as one key shuffle; no global sort, no driver state. */
+  def stratifiedSample(df: DataFrame, groupCol: String, n: Int,
+      keyCols: Seq[String]): DataFrame = {
+    val h = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(h +: keyCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 
   /** A23: estimated in-memory bytes per column — exact payload bytes
     * for strings, fixed width for primitives (the reference's

@@ -118,4 +118,45 @@ object Stats {
       .select(col("r.class"), col("r.precision"), col("r.recall"), col("r.f1"), col("r.support"))
     classRows.unionByName(avgRows).orderBy("class")
   }
+
+  /** Chi-squared test of independence between two categorical columns
+    * (Pearson 1900), with Cramér's V effect size — the categorical
+    * counterpart of the correlation matrix (A18) for drift/association
+    * checks between e.g. language and source. The full contingency
+    * grid (including zero-observed cells, which still contribute E) is
+    * the bounded cross join of the two category lists; everything
+    * after the two count aggregates is category-scale. Returns one
+    * row: (chi2, dof, cramers_v, n). */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint() // consumers: row totals, col totals, grid join
+    val rt = obs.groupBy("__a").agg(sum("__o").as("__rt"))
+    val ct = obs.groupBy("__b").agg(sum("__o").as("__ct"))
+    val n = obs.agg(sum("__o")).head().getLong(0)
+    val e = col("__rt") * col("__ct") / n.toDouble
+    val chi = rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__o"))
+      .agg(sum((col("__o") - e) * (col("__o") - e) / e)).head().getDouble(0)
+    val (r, c) = (rt.count(), ct.count())
+    val minDim = math.min(r - 1, c - 1)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq((r6(chi), (r - 1) * (c - 1), r6(math.sqrt(chi / (n * minDim))), n))
+      .toDF("chi2", "dof", "cramers_v", "n")
+  }
+
+  /** Per-group quantile normalization: each value mapped to its
+    * percent rank within its group ((rank - 1) / (n - 1), min rank for
+    * ties — the sklearn QuantileTransformer-style uniformization, here
+    * as the exact rank version). The window partitions by the group
+    * key, so keys stay as fine-grained as the data. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      keepCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    df.select((keepCols :+ groupCol :+ valueCol).distinct.map(col): _*)
+      .withColumn("q_norm", round(percent_rank().over(w), 6))
+  }
 }

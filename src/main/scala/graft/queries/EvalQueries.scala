@@ -233,6 +233,90 @@ object EvalQueries {
       |       1 + (rm - 1) * 5 // n AS m_score
       |FROM r ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q166: trailing-7-day volume anomaly over daily event counts.
+  // Integer-exact window moments keep the z-score engine-portable.
+  // -------------------------------------------------------------------
+  def dailyAnomaly(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.dailyAnomaly(events(s, d), "ts", 7, 2.0)
+      .orderBy("day")
+
+  val dailyAnomalySql: String =
+    """WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      |             FROM events GROUP BY 1),
+      |w AS (SELECT day, n_events,
+      |        count(*) OVER tw AS c,
+      |        avg(n_events * 1.0) OVER tw AS m,
+      |        avg(n_events * n_events * 1.0) OVER tw AS m2
+      |      FROM dly
+      |      WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+      |  CASE WHEN c >= 7 THEN round(m, 6) END AS trailing_mean,
+      |  CASE WHEN c >= 7 AND m2 - m * m > 0
+      |       THEN round((n_events - m) / sqrt(m2 - m * m), 6) END AS z,
+      |  CASE WHEN c >= 7 AND m2 - m * m > 0
+      |       THEN abs((n_events - m) / sqrt(m2 - m * m)) > 2.0 END AS is_anomaly
+      |FROM w ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q167: stratified exact-n sample — first 5 docs per source under
+  // the content-hash order (reproducible on any cluster layout).
+  // -------------------------------------------------------------------
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Misc.stratifiedSample(docs(s, d), "source", 5, Seq("doc_id"))
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+
+  val stratifiedSampleSql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |                  md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+      |      FROM h)
+      |SELECT source, doc_id FROM r WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q168: chi-squared independence of lang × source with Cramér's V.
+  // -------------------------------------------------------------------
+  def chi2(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.chi2Independence(docs(s, d), "lang", "source")
+
+  val chi2Sql: String =
+    """WITH o AS (SELECT lang, source, count(*) AS obs
+      |           FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(obs) AS r FROM o GROUP BY 1),
+      |ct AS (SELECT source, sum(obs) AS c FROM o GROUP BY 1),
+      |nn AS (SELECT count(*) * 1.0 AS n FROM documents),
+      |g AS (SELECT rt.lang, ct.source, rt.r, ct.c FROM rt CROSS JOIN ct),
+      |f AS (SELECT g.lang, g.source, coalesce(o.obs, 0) AS obs,
+      |             g.r * g.c / nn.n AS e
+      |      FROM g LEFT JOIN o ON o.lang = g.lang AND o.source = g.source, nn),
+      |s AS (SELECT sum((obs - e) * (obs - e) / e) AS chi2 FROM f),
+      |d AS (SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+      |             least(count(DISTINCT lang) - 1,
+      |                   count(DISTINCT source) - 1) AS mindim
+      |      FROM documents)
+      |SELECT round(s.chi2, 6) AS chi2, CAST(d.dof AS BIGINT) AS dof,
+      |       round(sqrt(s.chi2 / (nn.n * d.mindim)), 6) AS cramers_v,
+      |       CAST(nn.n AS BIGINT) AS n
+      |FROM s, d, nn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q169: per-source quantile normalization of n_chars (exact percent
+  // rank, min-rank ties).
+  // -------------------------------------------------------------------
+  def quantileNormalize(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.quantileNormalize(docs(s, d), "source", "n_chars",
+        Seq("doc_id"))
+      .select("doc_id", "source", "n_chars", "q_norm")
+      .orderBy("doc_id")
+
+  val quantileNormalizeSql: String =
+    """SELECT doc_id, source, n_chars,
+      |       round(percent_rank() OVER
+      |         (PARTITION BY source ORDER BY n_chars), 6) AS q_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -240,7 +324,11 @@ object EvalQueries {
     "q158_lift_gains" -> (liftGains _),
     "q159_event_transitions" -> (transitions _),
     "q160_burstiness" -> (burstiness _),
-    "q161_rfm_segments" -> (rfmSegments _))
+    "q161_rfm_segments" -> (rfmSegments _),
+    "q166_daily_anomaly" -> (dailyAnomaly _),
+    "q167_stratified_sample" -> (stratifiedSample _),
+    "q168_chi2_independence" -> (chi2 _),
+    "q169_quantile_normalize" -> (quantileNormalize _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -249,5 +337,9 @@ object EvalQueries {
     "q158_lift_gains" -> liftGainsSql,
     "q159_event_transitions" -> transitionsSql,
     "q160_burstiness" -> burstinessSql,
-    "q161_rfm_segments" -> rfmSegmentsSql)
+    "q161_rfm_segments" -> rfmSegmentsSql,
+    "q166_daily_anomaly" -> dailyAnomalySql,
+    "q167_stratified_sample" -> stratifiedSampleSql,
+    "q168_chi2_independence" -> chi2Sql,
+    "q169_quantile_normalize" -> quantileNormalizeSql)
 }

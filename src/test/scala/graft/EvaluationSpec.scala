@@ -200,6 +200,59 @@ class EvaluationSpec extends SparkSpec {
     assert(got(5L) == ((0L, 5L, 1.0, 1L, 1L, 4L)))
   }
 
+  test("dailyAnomaly: warm-up days null, spike day hand z-score") {
+    // days 1..7 counts [1,2,1,2,1,2,1]; day 8 count 10
+    val rows = (1 to 7).flatMap { d =>
+      val k = if (d % 2 == 0) 2 else 1
+      (1 to k).map(_ => Timestamp.valueOf(f"2024-01-0$d 00:00:00"))
+    } ++ (1 to 10).map(_ => Timestamp.valueOf("2024-01-08 00:00:00"))
+    val got = graft.ops.EventAnalytics.dailyAnomaly(
+        rows.map(Tuple1(_)).toDF("ts"), "ts", 7, 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+    assert(got("2024-01-03") == ((None, None, None))) // warm-up
+    val (mean, z, flag) = got("2024-01-08")
+    // trailing mean 10/7; var 12/49; z = (10 - 10/7) / (sqrt(12)/7)
+    assert(mean.contains(1.428571))
+    assert(z.contains(17.320508))
+    assert(flag.contains(true))
+  }
+
+  test("stratifiedSample: exact n per group, layout-independent") {
+    val df = (1 to 60).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val a = graft.ops.Misc.stratifiedSample(df, "g", 4, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a.groupBy(_._1).forall(_._2.size == 4))
+    val b = graft.ops.Misc.stratifiedSample(df.repartition(7), "g", 4, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    // undersized group returns all of it
+    val small = Seq(("g", 1L), ("g", 2L)).toDF("g", "id")
+    assert(graft.ops.Misc.stratifiedSample(small, "g", 5, Seq("id")).count() == 2)
+  }
+
+  test("chi2Independence: zero for independence, hand value for a diagonal") {
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10)
+      yield (a, b)).toDF("a", "b")
+    val r0 = graft.ops.Stats.chi2Independence(indep, "a", "b").head()
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 1L && r0.getDouble(2) == 0.0)
+    val diag = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val r1 = graft.ops.Stats.chi2Independence(diag, "a", "b").head()
+    // E = 5 in every cell: chi2 = 4 * 25/5 = 20; V = sqrt(20/20) = 1
+    assert(r1.getDouble(0) == 20.0 && r1.getLong(1) == 1L &&
+      r1.getDouble(2) == 1.0 && r1.getLong(3) == 20L)
+  }
+
+  test("quantileNormalize: exact percent rank with min-rank ties") {
+    val df = Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 20.0), (4L, "g", 30.0))
+      .toDF("doc_id", "src", "v")
+    val got = graft.ops.Stats.quantileNormalize(df, "src", "v", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.333333, 3L -> 0.333333, 4L -> 1.0))
+  }
+
   // -----------------------------------------------------------------
   // plan guards: the row-scale ranking never crosses a single-partition
   // global window — every Window over the ranked frame carries __pid
