@@ -55,7 +55,8 @@ object Queries {
       queries.TemporalQueries.registry ++
       queries.SketchQueries.registry ++
       queries.EvalQueries.registry ++
-      queries.GraphQueries.registry
+      queries.GraphQueries.registry ++
+      queries.IncrementalQueries.registry
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -67,5 +68,6 @@ object Queries {
       queries.TemporalQueries.oracles ++
       queries.SketchQueries.oracles ++
       queries.EvalQueries.oracles ++
-      queries.GraphQueries.oracles
+      queries.GraphQueries.oracles ++
+      queries.IncrementalQueries.oracles
 }

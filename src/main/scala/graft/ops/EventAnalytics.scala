@@ -96,6 +96,25 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Rolling `windowDays`-day distinct keys per observed day — the
+    * "7-day active users" metric. Rolling COUNT DISTINCT cannot ride a
+    * plain window aggregate; the scalable shape is: distinct
+    * (day, key) pairs, each exploded to the `windowDays` target days
+    * it contributes to (a fixed small fan-out), distinct again, then a
+    * day-keyed count — every stage hash-partitioned, no per-day state
+    * larger than the true distinct set. */
+  def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+      windowDays: Int = 7): DataFrame = {
+    val du = df.select(to_date(col(tsCol)).as("d"), col(keyCol).as("u")).distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    du.select(explode(sequence(col("d"),
+          date_add(col("d"), windowDays - 1))).as("day"), col("u"))
+      .join(days, Seq("day")) // only days that actually occur
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_keys"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_keys"))
+  }
+
   /** RFM segmentation: per key, recency (µs from the key's last event
     * to the corpus max timestamp), frequency (event count), and
     * monetary (sum of `valueCol` over rows matching `monetaryFilter`,

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Incremental
+
+/** Driver-checked queries for the incremental-pipeline family
+  * (`ops/Incremental.scala`) and the rolling-distinct operator.
+  *
+  * q170 exercises the full state lifecycle — build state on two
+  * disjoint halves of the events table, merge, finalize — and the
+  * oracle aggregates the WHOLE table in one pass with the identical
+  * exact-integer formulas, proving merge(state(A), state(B)) ==
+  * aggregate(A ∪ B) bit-for-bit.
+  */
+object IncrementalQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Events.normalize(Tables.events(s, d))
+
+  // -------------------------------------------------------------------
+  // q170: mergeable aggregate state — two half-month states merged and
+  // finalized must equal the single-pass whole-table aggregate.
+  // -------------------------------------------------------------------
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cut = lit("2024-01-16").cast("timestamp")
+    val a = Incremental.aggState(ev.filter(col("ts") < cut), "event_type", "value")
+    val b = Incremental.aggState(ev.filter(col("ts") >= cut), "event_type", "value")
+    Incremental.finish(Incremental.mergeState(a, b))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+  }
+
+  val incrementalAggSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vi
+      |  FROM events
+      |),
+      |a AS (
+      |  SELECT event_type, count(*) AS n, sum(vi) AS sv,
+      |         sum(vi * vi) AS s2, min(vi) AS mn, max(vi) AS mx
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  round((sv * 1.0) / 1000000.0, 6) AS sum_v,
+      |  round((sv * 1.0) / 1000000.0 / n, 6) AS mean_v,
+      |  round((s2 * 1.0) / 1e12 / n
+      |        - ((sv * 1.0) / 1000000.0 / n) * ((sv * 1.0) / 1000000.0 / n), 6)
+      |    AS var_v,
+      |  round(mn / 1000000.0, 6) AS min_v,
+      |  round(mx / 1000000.0, 6) AS max_v
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q171: snapshot diff — a simulated new table version (some rows
+  // dropped, some langs rewritten, a few rows added) diffed against
+  // the shipped documents table.
+  // -------------------------------------------------------------------
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = docs(s, d)
+    val changed = old.filter(col("doc_id") % 37 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
+    val added = old.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    Incremental.snapshotDiff(old, changed.unionByName(added),
+        Seq("doc_id"), Seq("text", "lang", "source", "n_chars"))
+      .orderBy("doc_id", "status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      |new1 AS (SELECT doc_id, text,
+      |                CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+      |                source, n_chars
+      |         FROM documents WHERE doc_id % 37 <> 0),
+      |new2 AS (SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      |         FROM documents WHERE doc_id < 5),
+      |nw AS (SELECT * FROM new1 UNION ALL SELECT * FROM new2),
+      |oh AS (SELECT doc_id, concat_ws('|', text, lang, source,
+      |                CAST(n_chars AS VARCHAR)) AS h FROM old),
+      |nh AS (SELECT doc_id, concat_ws('|', text, lang, source,
+      |                CAST(n_chars AS VARCHAR)) AS h FROM nw),
+      |j AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+      |        CASE WHEN oh.h IS NULL THEN 'added'
+      |             WHEN nh.h IS NULL THEN 'removed'
+      |             WHEN oh.h <> nh.h THEN 'changed' END AS status
+      |      FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id)
+      |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+      |ORDER BY doc_id, status""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q172: rolling 7-day distinct active users per observed day.
+  // -------------------------------------------------------------------
+  def rollingActive(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.rollingDistinct(events(s, d), "ts", "user_id", 7)
+      .orderBy("day")
+
+  val rollingActiveSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+      |            FROM events),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+      |       count(DISTINCT du.u) AS n_keys
+      |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      |GROUP BY days.d ORDER BY day""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_incremental_agg" -> (incrementalAgg _),
+    "q171_snapshot_diff" -> (snapshotDiff _),
+    "q172_rolling_active" -> (rollingActive _))
+
+  val oracles: Map[String, String] = Map(
+    "q170_incremental_agg" -> incrementalAggSql,
+    "q171_snapshot_diff" -> snapshotDiffSql,
+    "q172_rolling_active" -> rollingActiveSql)
+}

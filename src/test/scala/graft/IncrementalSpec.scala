@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventAnalytics, Incremental}
+
+/** Exactness + hand cases for the incremental-pipeline family
+  * (`ops/Incremental.scala`) and rolling distinct counts. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finishRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+
+  test("finish: hand-computed moments") {
+    val df = Seq(("k", 1.5), ("k", 2.5)).toDF("g", "v")
+    val got = finishRows(Incremental.finish(Incremental.aggState(df, "g", "v")))
+    assert(got("k") == ((2L, 4.0, 2.0, 0.25, 1.5, 2.5)))
+  }
+
+  test("merge(state(A), state(B)) == state(A ∪ B), bit-for-bit, any merge order") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 900).map(i =>
+      (s"g${i % 4}", math.floor(rnd.nextDouble() * 500 * 1e6) / 1e6))
+    val Seq(a, b, c) = Seq(0, 1, 2).map(k =>
+      rows.zipWithIndex.collect { case (r, i) if i % 3 == k => r }.toDF("g", "v"))
+    val whole = finishRows(Incremental.finish(
+      Incremental.aggState(rows.toDF("g", "v"), "g", "v")))
+    val m1 = finishRows(Incremental.finish(Incremental.mergeState(
+      Incremental.mergeState(Incremental.aggState(a, "g", "v"),
+        Incremental.aggState(b, "g", "v")),
+      Incremental.aggState(c, "g", "v"))))
+    val m2 = finishRows(Incremental.finish(Incremental.mergeState(
+      Incremental.aggState(a, "g", "v"),
+      Incremental.mergeState(Incremental.aggState(b, "g", "v"),
+        Incremental.aggState(c, "g", "v")))))
+    assert(m1 == whole) // exact equality, not tolerance
+    assert(m2 == whole)
+  }
+
+  test("mergeState: one-sided keys pass through unchanged") {
+    val a = Incremental.aggState(Seq(("only_a", 1.0)).toDF("g", "v"), "g", "v")
+    val b = Incremental.aggState(Seq(("only_b", 2.0)).toDF("g", "v"), "g", "v")
+    val got = finishRows(Incremental.finish(Incremental.mergeState(a, b)))
+    assert(got("only_a") == ((1L, 1.0, 1.0, 0.0, 1.0, 1.0)))
+    assert(got("only_b") == ((1L, 2.0, 2.0, 0.0, 2.0, 2.0)))
+  }
+
+  test("snapshotDiff: added / removed / changed, unchanged rows absent") {
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
+    val nw = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("id", "payload")
+    val got = Incremental.snapshotDiff(old, nw, Seq("id"), Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("rollingDistinct: hand-computed 7-day active counts") {
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val df = Seq((ts(1), 1L), (ts(3), 2L), (ts(10), 1L)).toDF("ts", "u")
+    val got = EventAnalytics.rollingDistinct(df, "ts", "u", 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "2024-01-01" -> 1L,  // {1}
+      "2024-01-03" -> 2L,  // {1 (from day 1), 2}
+      "2024-01-10" -> 1L)) // day-1 user aged out; {1 again}
+  }
+}
