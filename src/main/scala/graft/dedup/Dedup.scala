@@ -432,4 +432,29 @@ object Dedup {
           col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Blocked fuzzy join (record linkage): candidate pairs share a
+    * cheap blocking key (computed scan-local by `blockKey`), and only
+    * within-block pairs pay the edit-distance compare over
+    * `prefixLen`-char prefixes — the classic blocking strategy that
+    * turns an O(n²) all-pairs linkage into per-block work. Blocks
+    * larger than `maxBlockSize` are dropped (skew guard, same policy
+    * as the LSH bucket cap: one degenerate block can't go quadratic).
+    * Emits (id_1, id_2, distance) for pairs at or under
+    * `maxDistance`. */
+  def fuzzyJoinBlocked(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, maxDistance: Int, prefixLen: Int = 40,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pfx"), blockKey.as("blk"))
+    val sized = keyed.join(
+      keyed.groupBy("blk").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBlockSize).select("blk"),
+      Seq("blk"))
+    sized.as("a").join(sized.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("distance"))
+      .filter(col("distance") <= maxDistance)
+  }
 }

@@ -48,6 +48,26 @@ object Misc {
       .drop("__rn")
   }
 
+  /** Weighted sample WITHOUT replacement, exact size n, deterministic:
+    * the Efraimidis–Spirakis (2006) exponential-key scheme with the
+    * uniform drawn from the row's content hash instead of an RNG —
+    * each row gets key = ln(u) / w (equivalent order to u^(1/w)) and
+    * the top-n keys win. Inclusion probability is proportional to
+    * weight, the draw is reproducible on any cluster layout, and the
+    * selection is a TakeOrdered (no full sort materialization).
+    * Weights must be strictly positive. */
+  def weightedSampleTopN(df: DataFrame, n: Int, weightCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val coin = conv(substring(
+      md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val u = (coin.cast("double") + 0.5) / 1000000.0 // (0,1), never 0
+    df.withColumn("__es_key", log(u) / col(weightCol))
+      .orderBy(col("__es_key").desc +: keyCols.map(col): _*)
+      .limit(n)
+      .drop("__es_key")
+  }
+
   /** A23: estimated in-memory bytes per column — exact payload bytes
     * for strings, fixed width for primitives (the reference's
     * memory_usage aggregate, preprocessing.py:22,45-47, is

@@ -148,6 +148,47 @@ object Stats {
       .toDF("chi2", "dof", "cramers_v", "n")
   }
 
+  /** Per-group simple linear regression (closed-form OLS) of `yCol`
+    * on `xCol`, EXACT: both variables are scaled to integer
+    * micro-units and the five sufficient sums (n, Σx, Σy, Σxx, Σxy,
+    * Σyy) accumulate as 38-digit decimals, so slope / intercept / r²
+    * derive from exact integers by a fixed double formula — any
+    * engine computing the same expression over the same sums
+    * reproduces every bit (the `Incremental.aggState` construction
+    * applied to regression). One hash aggregate; group keys as
+    * fine-grained as the data. Returns (group, n, slope, intercept,
+    * r2). Groups need n >= 2 and non-constant x. */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, xScale: Double = 1e6, yScale: Double = 1e6): DataFrame = {
+    val xi = floor(col(xCol) * xScale + 0.5).cast("long")
+    val yi = floor(col(yCol) * yScale + 0.5).cast("long")
+    val d38 = "decimal(38,0)"
+    val sums = df
+      .select(col(groupCol).as("grp"), xi.as("__x"), yi.as("__y"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast(d38)).as("sx"),
+        sum(col("__y").cast(d38)).as("sy"),
+        sum((col("__x") * col("__x")).cast(d38)).as("sxx"),
+        sum((col("__x") * col("__y")).cast(d38)).as("sxy"),
+        sum((col("__y") * col("__y")).cast(d38)).as("syy"))
+    val (n, sx, sy, sxx, sxy, syy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("sxy").cast("double"),
+      col("syy").cast("double"))
+    val covN = n * sxy - sx * sy   // n² × covariance, in scaled units²
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    // contract formulas (the oracle replays these verbatim):
+    val slope = covN / varXN * lit(xScale / yScale)
+    val intercept = sy / (n * lit(yScale)) - slope * (sx / (n * lit(xScale)))
+    sums.filter(col("n") >= 2 && varXN > 0)
+      .select(col("grp").as(groupCol), col("n"),
+        round(slope, 9).as("slope"),
+        round(intercept, 9).as("intercept"),
+        when(varYN > 0, round(covN * covN / (varXN * varYN), 9)).as("r2"))
+  }
+
   /** Per-group quantile normalization: each value mapped to its
     * percent rank within its group ((rank - 1) / (n - 1), min rank for
     * ties — the sklearn QuantileTransformer-style uniformization, here

@@ -317,6 +317,91 @@ object EvalQueries {
       |         (PARTITION BY source ORDER BY n_chars), 6) AS q_norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q173: deterministic weighted sample without replacement — the
+  // Efraimidis-Spirakis exponential-key top-50 weighted by the q44
+  // quality score, with the uniform drawn from the doc_id md5 coin.
+  // -------------------------------------------------------------------
+  def weightedTopN(s: SparkSession, d: String): DataFrame = {
+    val q = graft.text.TextOps.qualityScore(docs(s, d), "doc_id", "text")
+    graft.ops.Misc.weightedSampleTopN(q, 50, "quality", Seq("doc_id"))
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
+  val weightedTopNSql: String =
+    s"""WITH q AS (${LlmQueries.qualitySql}),
+      |k AS (SELECT doc_id, quality,
+      |        ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |            % 1000000 + 0.5) / 1000000.0) / quality AS es_key
+      |      FROM q),
+      |top AS (SELECT doc_id, quality FROM k
+      |        ORDER BY es_key DESC, doc_id LIMIT 50)
+      |SELECT doc_id, quality FROM top ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q174: per-source OLS of quality on n_chars — slope / intercept /
+  // r² from exact integer sufficient sums (x already integer, y in
+  // micro-units), so the oracle reproduces every bit.
+  // -------------------------------------------------------------------
+  def groupOls(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val j = dd.select("doc_id", "source", "n_chars")
+      .join(graft.text.TextOps.qualityScore(dd, "doc_id", "text"), "doc_id")
+    graft.ops.Stats.groupOls(j, "source", "n_chars", "quality",
+        xScale = 1.0, yScale = 1e6)
+      .orderBy("source")
+  }
+
+  val groupOlsSql: String =
+    s"""WITH q AS (${LlmQueries.qualitySql}),
+      |j AS (SELECT d.source, d.n_chars AS xi,
+      |             CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT) AS yi
+      |      FROM documents d JOIN q USING (doc_id)),
+      |a AS (SELECT source, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+      |             sum(xi * xi) AS sxx, sum(xi * yi) AS sxy,
+      |             sum(yi * yi) AS syy
+      |      FROM j GROUP BY 1),
+      |f AS (SELECT source, n,
+      |        ((n * 1.0) * (sxy * 1.0) - (sx * 1.0) * (sy * 1.0))
+      |          / ((n * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0))
+      |          * (1.0 / 1000000.0) AS slope,
+      |        (n * 1.0) * (sxy * 1.0) - (sx * 1.0) * (sy * 1.0) AS covn,
+      |        (n * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0) AS varxn,
+      |        (n * 1.0) * (syy * 1.0) - (sy * 1.0) * (sy * 1.0) AS varyn,
+      |        sx * 1.0 AS sxd, sy * 1.0 AS syd
+      |      FROM a WHERE n >= 2
+      |        AND (n * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0) > 0)
+      |SELECT source, n, round(slope, 9) AS slope,
+      |  round(syd / ((n * 1.0) * 1000000.0) - slope * (sxd / ((n * 1.0) * 1.0)), 9)
+      |    AS intercept,
+      |  CASE WHEN varyn > 0
+      |       THEN round(covn * covn / (varxn * varyn), 9) END AS r2
+      |FROM f ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q175: blocked fuzzy join (record linkage) — candidate pairs share
+  // the first whitespace token, compared by edit distance over 40-char
+  // prefixes.
+  // -------------------------------------------------------------------
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.fuzzyJoinBlocked(docs(s, d), "doc_id", "text",
+        split(trim(col("text")), "\\s+").getItem(0),
+        maxDistance = 10, prefixLen = 40)
+      .orderBy("id_1", "id_2")
+
+  val fuzzyJoinSql: String =
+    """WITH k AS (
+      |  SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
+      |         string_split_regex(trim(text), '\s+')[1] AS blk
+      |  FROM documents
+      |)
+      |SELECT a.id AS id_1, b.id AS id_2,
+      |       levenshtein(a.pfx, b.pfx) AS distance
+      |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 10
+      |ORDER BY id_1, id_2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -328,7 +413,10 @@ object EvalQueries {
     "q166_daily_anomaly" -> (dailyAnomaly _),
     "q167_stratified_sample" -> (stratifiedSample _),
     "q168_chi2_independence" -> (chi2 _),
-    "q169_quantile_normalize" -> (quantileNormalize _))
+    "q169_quantile_normalize" -> (quantileNormalize _),
+    "q173_weighted_topn" -> (weightedTopN _),
+    "q174_group_ols" -> (groupOls _),
+    "q175_fuzzy_join" -> (fuzzyJoin _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -341,5 +429,8 @@ object EvalQueries {
     "q166_daily_anomaly" -> dailyAnomalySql,
     "q167_stratified_sample" -> stratifiedSampleSql,
     "q168_chi2_independence" -> chi2Sql,
-    "q169_quantile_normalize" -> quantileNormalizeSql)
+    "q169_quantile_normalize" -> quantileNormalizeSql,
+    "q173_weighted_topn" -> weightedTopNSql,
+    "q174_group_ols" -> groupOlsSql,
+    "q175_fuzzy_join" -> fuzzyJoinSql)
 }

@@ -253,6 +253,48 @@ class EvaluationSpec extends SparkSpec {
     assert(got == Map(1L -> 0.0, 2L -> 0.333333, 3L -> 0.333333, 4L -> 1.0))
   }
 
+  test("weightedSampleTopN: exact n, layout-independent, weight-biased") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) 10.0 else 0.1)).toDF("id", "w")
+    val a = graft.ops.Misc.weightedSampleTopN(df, 20, "w", Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 20)
+    val b = graft.ops.Misc.weightedSampleTopN(df.repartition(9), 20, "w", Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // 100:1 weight ratio: the heavy half must dominate the sample
+    assert(a.count(_ <= 100) >= 16, s"heavy-weight ids under-sampled: $a")
+  }
+
+  test("groupOls: perfect line recovered exactly; degenerate groups dropped") {
+    val line = (1 to 5).map(i => ("g", i.toDouble, 2.0 * i + 1.0))
+    val constX = Seq(("cx", 3.0, 1.0), ("cx", 3.0, 2.0)) // zero x-variance
+    val single = Seq(("s1", 1.0, 1.0))                   // n = 1
+    val df = (line ++ constX ++ single).toDF("grp", "x", "y")
+    val rows = graft.ops.Stats.groupOls(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == Set("g"))
+    assert(rows("g") == ((5L, 2.0, 1.0, 1.0)))
+  }
+
+  test("fuzzyJoinBlocked: same-block pairs only, hand distance, size cap") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha bXta gamma delta"), // distance 1 from doc 1
+      (3L, "gamma beta gamma delta"), // other block
+      (4L, "alpha completely different text here")) // same block, far
+      .toDF("doc_id", "text")
+    val blk = split(trim(col("text")), "\\s+").getItem(0)
+    val got = graft.dedup.Dedup.fuzzyJoinBlocked(df, "doc_id", "text",
+        blk, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 1))
+    // cap of 1 drops every block with more than one member -> no pairs
+    assert(graft.dedup.Dedup.fuzzyJoinBlocked(df, "doc_id", "text", blk,
+      maxDistance = 50, maxBlockSize = 1).count() == 0)
+  }
+
   // -----------------------------------------------------------------
   // plan guards: the row-scale ranking never crosses a single-partition
   // global window — every Window over the ranked frame carries __pid
