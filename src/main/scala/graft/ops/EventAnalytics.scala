@@ -96,6 +96,57 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Seasonal-naive forecast backtest: each day's event count is
+    * "forecast" by the count `seasonDays` earlier (the standard
+    * baseline every real forecaster must beat), and the per-day
+    * absolute/percentage errors are reported for the days where the
+    * lagged day exists. Integer counts keep everything exact. The
+    * join is by calendar day (date arithmetic), not row offset, so
+    * gaps in the day sequence are handled correctly. */
+  def seasonalBacktest(df: DataFrame, tsCol: String,
+      seasonDays: Int = 7): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val lagged = daily.select(date_add(col("day"), seasonDays).as("day"),
+      col("n_events").as("forecast"))
+    daily.join(lagged, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("forecast"),
+        abs(col("n_events") - col("forecast")).as("abs_err"),
+        round(abs(col("n_events") - col("forecast")).cast("double") /
+          col("n_events"), 6).as("ape"))
+  }
+
+  /** Top event-type n-gram sequences within sessions: sessions are the
+    * `gapSec` gaps-and-islands split (same semantics as `Temporal
+    * .sessionize`), and every run of `n` consecutive events inside a
+    * session contributes one sequence. Output is the top `topK`
+    * sequences by count (deterministic tie-break on the sequence
+    * string), selected by TakeOrdered — no full sort. One key-window
+    * pass + an ngram-keyed count. */
+  def topSequences(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gapSec: Long = 1800L,
+      n: Int = 3, topK: Int = 20): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val sessioned = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("__t"))
+      .withColumn("__gap",
+        when(us - lag(us, 1).over(byKey) > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("__session", sum(col("__gap")).over(byKey))
+    val bySession = Window.partitionBy(col(keyCol), col("__session"))
+      .orderBy(col(tsCol), col(tieCol))
+    val withSteps = (1 until n).foldLeft(sessioned)((d, i) =>
+      d.withColumn(s"__t$i", lead(col("__t"), i).over(bySession)))
+    val parts = col("__t") +: (1 until n).map(i => col(s"__t$i"))
+    withSteps
+      .filter(col(s"__t${n - 1}").isNotNull) // complete n-gram only
+      .select(concat_ws(">", parts: _*).as("sequence"))
+      .groupBy("sequence").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("sequence"))
+      .limit(topK)
+  }
+
   /** Rolling `windowDays`-day distinct keys per observed day — the
     * "7-day active users" metric. Rolling COUNT DISTINCT cannot ride a
     * plain window aggregate; the scalable shape is: distinct

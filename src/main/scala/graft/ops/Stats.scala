@@ -148,6 +148,45 @@ object Stats {
       .toDF("chi2", "dof", "cramers_v", "n")
   }
 
+  /** Exact `describe()` in long format: per numeric column one row of
+    * (column, n, mean, std, min, p25, p50, p75, max) — the pandas
+    * describe surface. Moments use the exact micro-unit integer sums
+    * (`Incremental.aggState` construction: any engine computing the
+    * same double formula over the same integers reproduces every
+    * bit); quartiles are the exact interpolated order statistics
+    * (np.percentile = quantile_cont semantics, `Percentiles.exact`).
+    * Population std (ddof = 0). One aggregate pass per column plus
+    * the bounded percentile collects. */
+  def describeExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = cols.map { c =>
+      val vi = floor(col(c) * 1e6 + 0.5).cast("long")
+      val a = df.select(vi.as("__vi"))
+        // multiply in decimal: a micro-unit value of 1e11 squares past
+        // the long range
+        .select(col("__vi"),
+          (col("__vi").cast("decimal(38,0)") * col("__vi").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("__vi2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__vi").cast("decimal(38,0)")).as("s1"),
+          sum(col("__vi2")).as("s2"),
+          min(col("__vi")).as("mn"), max(col("__vi")).as("mx"))
+        .head()
+      val n = a.getLong(0)
+      val s1 = a.getDecimal(1).doubleValue()
+      val s2 = a.getDecimal(2).doubleValue()
+      val mean = s1 / 1e6 / n
+      val variance = s2 / 1e12 / n - mean * mean
+      val ps = Percentiles.exact(df, c, Seq(0.25, 0.5, 0.75))
+      (c, n, r6(mean), r6(math.sqrt(variance)),
+        r6(a.getLong(3) / 1e6), r6(ps(0.25)), r6(ps(0.5)), r6(ps(0.75)),
+        r6(a.getLong(4) / 1e6))
+    }
+    rows.toDF("col_name", "n", "mean", "std", "min", "p25", "p50", "p75", "max")
+  }
+
   /** Per-group simple linear regression (closed-form OLS) of `yCol`
     * on `xCol`, EXACT: both variables are scaled to integer
     * micro-units and the five sufficient sums (n, Σx, Σy, Σxx, Σxy,

@@ -402,6 +402,80 @@ object EvalQueries {
       |WHERE levenshtein(a.pfx, b.pfx) <= 10
       |ORDER BY id_1, id_2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q176: seasonal-naive forecast backtest over daily event counts.
+  // -------------------------------------------------------------------
+  def seasonalBacktest(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.seasonalBacktest(events(s, d), "ts", 7)
+      .orderBy("day")
+
+  val seasonalBacktestSql: String =
+    """WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |             FROM events GROUP BY 1)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n AS n_events,
+      |       b.n AS forecast, abs(a.n - b.n) AS abs_err,
+      |       round(abs(a.n - b.n) * 1.0 / a.n, 6) AS ape
+      |FROM dly a JOIN dly b ON b.day = a.day - 7
+      |ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q177: exact describe() over the numeric lineitem columns — moments
+  // from exact integer sums, quartiles as exact order statistics.
+  // -------------------------------------------------------------------
+  def describe(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.describeExact(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_name")
+
+  val describeSql: String = {
+    def block(c: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+        |  round((sum(vi) * 1.0) / 1000000.0 / count(*), 6) AS mean,
+        |  round(sqrt((sum(vi * vi) * 1.0) / 1e12 / count(*)
+        |    - ((sum(vi) * 1.0) / 1000000.0 / count(*))
+        |      * ((sum(vi) * 1.0) / 1000000.0 / count(*))), 6) AS std,
+        |  round(min(vi) / 1000000.0, 6) AS min,
+        |  round(quantile_cont(v, 0.25), 6) AS p25,
+        |  round(quantile_cont(v, 0.5), 6) AS p50,
+        |  round(quantile_cont(v, 0.75), 6) AS p75,
+        |  round(max(vi) / 1000000.0, 6) AS max
+        |FROM (SELECT CAST(floor($c * 1000000.0 + 0.5) AS HUGEINT) AS vi,
+        |             $c * 1.0 AS v FROM lineitem)""".stripMargin
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .map(block).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // -------------------------------------------------------------------
+  // q178: top within-session event-type trigrams (30-minute sessions,
+  // deterministic tie-break, TakeOrdered top-20).
+  // -------------------------------------------------------------------
+  def eventTrigrams(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.topSequences(events(s, d), "user_id", "ts",
+        "event_type", "event_id", gapSec = 1800L, n = 3, topK = 20)
+      .orderBy(col("n_occurrences").desc, col("sequence"))
+
+  val eventTrigramsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id, event_type,
+      |        sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS session
+      |      FROM o),
+      |g AS (SELECT event_type || '>' ||
+      |        lead(event_type, 1) OVER w || '>' ||
+      |        lead(event_type, 2) OVER w AS sequence,
+      |        lead(event_type, 2) OVER w AS t2
+      |      FROM s
+      |      WINDOW w AS (PARTITION BY user_id, session ORDER BY ts, event_id)),
+      |c AS (SELECT sequence, count(*) AS n_occurrences FROM g
+      |      WHERE t2 IS NOT NULL GROUP BY 1)
+      |SELECT sequence, n_occurrences FROM c
+      |ORDER BY n_occurrences DESC, sequence LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -416,7 +490,10 @@ object EvalQueries {
     "q169_quantile_normalize" -> (quantileNormalize _),
     "q173_weighted_topn" -> (weightedTopN _),
     "q174_group_ols" -> (groupOls _),
-    "q175_fuzzy_join" -> (fuzzyJoin _))
+    "q175_fuzzy_join" -> (fuzzyJoin _),
+    "q176_seasonal_backtest" -> (seasonalBacktest _),
+    "q177_describe" -> (describe _),
+    "q178_event_trigrams" -> (eventTrigrams _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -432,5 +509,8 @@ object EvalQueries {
     "q169_quantile_normalize" -> quantileNormalizeSql,
     "q173_weighted_topn" -> weightedTopNSql,
     "q174_group_ols" -> groupOlsSql,
-    "q175_fuzzy_join" -> fuzzyJoinSql)
+    "q175_fuzzy_join" -> fuzzyJoinSql,
+    "q176_seasonal_backtest" -> seasonalBacktestSql,
+    "q177_describe" -> describeSql,
+    "q178_event_trigrams" -> eventTrigramsSql)
 }

@@ -295,6 +295,44 @@ class EvaluationSpec extends SparkSpec {
       maxDistance = 50, maxBlockSize = 1).count() == 0)
   }
 
+  test("seasonalBacktest: lag-by-calendar-day, gaps excluded") {
+    def day(d: Int, k: Int) =
+      (1 to k).map(_ => Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"))
+    // day 1 -> 10 events, day 8 -> 12 (lag exists); day 9 has no day-2
+    val df = (day(1, 10) ++ day(8, 12) ++ day(9, 5)).map(Tuple1(_)).toDF("ts")
+    val got = graft.ops.EventAnalytics.seasonalBacktest(df, "ts", 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map("2024-01-08" -> ((12L, 10L, 2L, 0.166667))))
+  }
+
+  test("describeExact: hand moments and quartiles") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val r = graft.ops.Stats.describeExact(df, Seq("v")).head()
+    assert(r.getString(0) == "v" && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5)            // mean
+    assert(r.getDouble(3) == 1.118034)       // pop std = sqrt(1.25)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(8) == 4.0)
+    assert(r.getDouble(5) == 1.75 && r.getDouble(6) == 2.5 &&
+      r.getDouble(7) == 3.25)
+  }
+
+  test("topSequences: session-bounded trigrams with cross-user counts") {
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val df = (Seq(
+      (1L, t(0), 1L, "A"), (1L, t(1), 2L, "B"),
+      (1L, t(2), 3L, "C"), (1L, t(3), 4L, "D")) ++
+      // same user, new session (gap > 30 min): too short for a trigram
+      Seq((1L, Timestamp.valueOf("2024-01-01 12:00:00"), 5L, "E"),
+        (1L, Timestamp.valueOf("2024-01-01 12:01:00"), 6L, "F")) ++
+      Seq((2L, t(0), 7L, "A"), (2L, t(1), 8L, "B"), (2L, t(2), 9L, "C")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.topSequences(df, "user_id", "ts",
+        "event_type", "event_id", gapSec = 1800L, n = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B>C" -> 2L, "B>C>D" -> 1L))
+  }
+
   // -----------------------------------------------------------------
   // plan guards: the row-scale ranking never crosses a single-partition
   // global window — every Window over the ranked frame carries __pid
