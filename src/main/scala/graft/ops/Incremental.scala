@@ -71,6 +71,23 @@ object Incremental {
       round(col("mx") / Scale, 6).as("max_v"))
   }
 
+  /** SCD2-style validity intervals from a change log: each keyed event
+    * is valid from its own timestamp until the key's next event
+    * (exclusive); the latest event per key is current (open-ended).
+    * One per-key window pass; ties broken by `tieCol` so the interval
+    * chain is deterministic. Returns the input ids plus
+    * (valid_from_us, valid_to_us nullable, is_current). */
+  def scd2Intervals(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.select(col(tieCol), col(keyCol), col(tsCol))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .drop(tsCol)
+  }
+
   /** Snapshot diff: rows added, removed, or changed between two
     * versions of a keyed table. Content equality is an md5 over the
     * compare columns (computed scan-local on each side), so the full

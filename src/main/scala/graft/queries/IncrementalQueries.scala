@@ -111,13 +111,109 @@ object IncrementalQueries {
       |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
       |GROUP BY days.d ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q179: SCD2 validity intervals from the events change log.
+  // -------------------------------------------------------------------
+  def scd2(s: SparkSession, d: String): DataFrame =
+    Incremental.scd2Intervals(
+        events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id")
+      .select("event_id", "user_id", "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("event_id")
+
+  val scd2Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS valid_from_us,
+      |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+      |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q180: data-contract validation report over the TPC-H-ish tables —
+  // range, null, uniqueness, and referential-integrity checks, one
+  // (check_name, n_violations) row each.
+  // -------------------------------------------------------------------
+  def dataContract(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Contracts._
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    report(Seq(
+      predicateCheck(li, "lineitem_quantity_range",
+        col("l_quantity") < 1 || col("l_quantity") > 60),
+      predicateCheck(li, "lineitem_discount_range",
+        col("l_discount") < 0 || col("l_discount") > 0.1),
+      predicateCheck(li, "lineitem_null_keys",
+        col("l_orderkey").isNull || col("l_partkey").isNull),
+      uniquenessCheck(ord, "orders_unique_key", Seq("o_orderkey")),
+      referentialCheck(ord, cust, "orders_orphan_custkey",
+        "o_custkey", "c_custkey"),
+      referentialCheck(li, ord, "lineitem_orphan_orderkey",
+        "l_orderkey", "o_orderkey")))
+      .orderBy("check_name")
+  }
+
+  val dataContractSql: String =
+    """SELECT 'lineitem_quantity_range' AS check_name,
+      |       count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 60)
+      |         AS n_violations FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_discount_range',
+      |       count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_null_keys',
+      |       count(*) FILTER (WHERE l_orderkey IS NULL OR l_partkey IS NULL)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_unique_key', count(*) FROM
+      |  (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'orders_orphan_custkey', count(*) FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_orderkey = l.l_orderkey)
+      |ORDER BY check_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q181: exact per-label embedding centroids (micro-unit integer
+  // sums — every component bit-replayable in SQL).
+  // -------------------------------------------------------------------
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    graft.sim.Similarity.exactCentroids(
+        Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label", "pos")
+
+  val labelCentroidsSql: String =
+    """WITH x AS (
+      |  SELECT label, p.pos AS pos,
+      |         -- 1e6 parses as DOUBLE; 1000000.0 would parse as DECIMAL and
+      |         -- change the float rounding path
+      |         CAST(floor(CAST(list_extract(embedding, p.pos + 1) AS DOUBLE)
+      |                    * 1e6 + 0.5) AS BIGINT) AS vi
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+      |)
+      |SELECT label, pos, count(*) AS n,
+      |       round((sum(vi) * 1.0) / 1000000.0 / count(*), 9) AS centroid
+      |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_incremental_agg" -> (incrementalAgg _),
     "q171_snapshot_diff" -> (snapshotDiff _),
-    "q172_rolling_active" -> (rollingActive _))
+    "q172_rolling_active" -> (rollingActive _),
+    "q179_scd2_intervals" -> (scd2 _),
+    "q180_data_contract" -> (dataContract _),
+    "q181_label_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "q170_incremental_agg" -> incrementalAggSql,
     "q171_snapshot_diff" -> snapshotDiffSql,
-    "q172_rolling_active" -> rollingActiveSql)
+    "q172_rolling_active" -> rollingActiveSql,
+    "q179_scd2_intervals" -> scd2Sql,
+    "q180_data_contract" -> dataContractSql,
+    "q181_label_centroids" -> labelCentroidsSql)
 }

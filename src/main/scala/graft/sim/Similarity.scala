@@ -227,4 +227,25 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** EXACT per-group centroids in long format (group, pos, centroid):
+    * vector components are scaled to micro-unit integers and summed as
+    * 38-digit decimals (the `Incremental.aggState` construction), so
+    * the centroid derives from exact sums by a fixed double formula —
+    * bit-reproducible under any partitioning, and replayable by any
+    * engine computing the same expression. One posexplode + one
+    * (group × dim)-keyed aggregate; output is groups × dims rows,
+    * never corpus-scale. */
+  def exactCentroids(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .select(col("grp"), col("pos"),
+        floor(col("__v").cast("double") * 1e6 + 0.5).cast("long").as("__vi"))
+      .groupBy("grp", "pos").agg(
+        count(lit(1)).as("__n"),
+        sum(col("__vi").cast("decimal(38,0)")).as("__s"))
+      .select(col("grp").as(groupCol), col("pos"), col("__n").as("n"),
+        round(col("__s").cast("double") / lit(1e6) / col("__n"), 9)
+          .as("centroid"))
 }

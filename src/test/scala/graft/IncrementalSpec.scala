@@ -58,6 +58,46 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("scd2Intervals: interval chain with equal-ts tie-break") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq((1L, 7L, t(100)), (2L, 7L, t(200)), (3L, 7L, t(200)),
+      (4L, 8L, t(50))).toDF("event_id", "user_id", "ts")
+    val got = Incremental.scd2Intervals(df, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))).toMap
+    assert(got(1L) == ((100000000L, Some(200000000L), false)))
+    assert(got(2L) == ((200000000L, Some(200000000L), false))) // tie: id 2 before 3
+    assert(got(3L) == ((200000000L, None, true)))
+    assert(got(4L) == ((50000000L, None, true)))
+  }
+
+  test("Contracts: range, uniqueness, and referential checks count violations") {
+    import graft.ops.Contracts._
+    val child = Seq((1L, 5.0), (2L, -1.0), (2L, 99.0), (9L, 1.0)).toDF("fk", "v")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val got = report(Seq(
+        predicateCheck(child, "v_range", col("v") < 0 || col("v") > 50),
+        uniquenessCheck(child, "fk_unique", Seq("fk")),
+        referentialCheck(child, parent, "fk_orphan", "fk", "pk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("v_range" -> 2L, "fk_unique" -> 1L, "fk_orphan" -> 1L))
+  }
+
+  test("exactCentroids: hand means, bit-identical under repartition") {
+    val df = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (1, Seq(5.0f, 0.5f)))
+      .toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.sim.Similarity.exactCentroids(d, "label", "embedding")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val got = run(df)
+    assert(got((0, 0)) == ((2L, 2.0)) && got((0, 1)) == ((2L, 4.0)))
+    assert(got((1, 0)) == ((1L, 5.0)) && got((1, 1)) == ((1L, 0.5)))
+    assert(run(df.repartition(5)) == got)
+  }
+
   test("rollingDistinct: hand-computed 7-day active counts") {
     def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
     val df = Seq((ts(1), 1L), (ts(3), 2L), (ts(10), 1L)).toDF("ts", "u")
