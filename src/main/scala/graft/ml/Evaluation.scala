@@ -118,6 +118,64 @@ object Evaluation {
       lit(ta.toLong).as("n_a"), lit(tb.toLong).as("n_b"))
   }
 
+  /** Two-proportion z-test (the A/B-test significance check): success
+    * rates of the `isA` vs not-`isA` units compared under the pooled
+    * standard error, z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b)).
+    * All inputs are exact integer counts, so the statistic derives
+    * from a fixed double formula any engine reproduces bit-for-bit.
+    * One bounded aggregate; returns one row. */
+  def twoProportionZTest(df: DataFrame, isA: Column,
+      successCol: String): DataFrame = {
+    val r = df.agg(
+      sum(isA.cast("long")).as("na"),
+      sum(when(isA, col(successCol).cast("long")).otherwise(0L)).as("xa"),
+      sum(not(isA).cast("long")).as("nb"),
+      sum(when(not(isA), col(successCol).cast("long")).otherwise(0L)).as("xb"))
+      .head()
+    val (na, xa, nb, xb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    require(na > 0 && nb > 0, "both cohorts must be non-empty")
+    // contract formulas (oracle replays verbatim)
+    val pa = xa.toDouble / na
+    val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((na, xa, nb, xb, r6(pa), r6(pb),
+        math.signum(z) * r6(math.abs(z))))
+      .toDF("n_a", "x_a", "n_b", "x_b", "p_a", "p_b", "z")
+  }
+
+  /** Mann-Whitney U test (rank-sum) between the `isA` and not-`isA`
+    * score distributions, with average ranks for ties and the normal
+    * approximation WITHOUT tie correction (the simple variant — the
+    * contract the oracle replays): U = R_a - n_a(n_a+1)/2,
+    * z = (U - n_a n_b / 2) / sqrt(n_a n_b (n_a + n_b + 1) / 12).
+    * Rank sums ride the same distributed prefix sum as `ksStatistic` —
+    * no row-scale global window. */
+  def mannWhitney(df: DataFrame, scoreCol: String, isA: Column): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__s")).agg(
+      count(lit(1)).as("__n"), sum(isA.cast("long")).as("__na"))
+    val cum = withRunningTotals(g, Seq(col("__s")), Map("__cum" -> col("__n")))
+      .withColumn("__before", col("__cum") - col("__n"))
+      .withColumn("__avg_rank", col("__before") + (col("__n") + 1) / 2.0)
+    val r = cum.agg(
+      sum(col("__na") * col("__avg_rank")).as("ra"),
+      sum(col("__na")).as("n_a"),
+      sum(col("__n") - col("__na")).as("n_b")).head()
+    val (ra, na, nb) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    require(na > 0 && nb > 0, "both cohorts must be non-empty")
+    val u = ra - na.toDouble * (na + 1) / 2.0
+    val z = (u - na.toDouble * nb / 2.0) /
+      math.sqrt(na.toDouble * nb * (na + nb + 1.0) / 12.0)
+    def r6(x: Double): Double = math.signum(x) * (math.floor(math.abs(x) * 1e6 + 0.5) / 1e6)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((r6(u), r6(z), na, nb)).toDF("u", "z", "n_a", "n_b")
+  }
+
   /** Population Stability Index of `featureCol` for every value of
     * `groupCol`, against the distribution of the `refGroup` rows.
     * Bins are the reference cohort's `nBins`-quantile breakpoints

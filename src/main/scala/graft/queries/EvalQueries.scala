@@ -476,6 +476,60 @@ object EvalQueries {
       |SELECT sequence, n_occurrences FROM c
       |ORDER BY n_occurrences DESC, sequence LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q182: two-proportion z-test — purchase conversion of even- vs
+  // odd-keyed users (the A/B-test read-out over exact counts).
+  // -------------------------------------------------------------------
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val units = events(s, d).groupBy("user_id").agg(
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    Evaluation.twoProportionZTest(units, col("user_id") % 2 === 0, "conv")
+  }
+
+  val abTestSql: String =
+    """WITH u AS (SELECT user_id,
+      |                  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+      |                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |                    AS conv
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT sum(CASE WHEN ga = 1 THEN 1 ELSE 0 END) AS na,
+      |             sum(CASE WHEN ga = 1 THEN conv ELSE 0 END) AS xa,
+      |             sum(CASE WHEN ga = 0 THEN 1 ELSE 0 END) AS nb,
+      |             sum(CASE WHEN ga = 0 THEN conv ELSE 0 END) AS xb
+      |      FROM u)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+      |       CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+      |  round(xa * 1.0 / na, 6) AS p_a, round(xb * 1.0 / nb, 6) AS p_b,
+      |  round((xa * 1.0 / na - xb * 1.0 / nb)
+      |        / sqrt(((xa + xb) * 1.0 / (na + nb))
+      |               * (1 - (xa + xb) * 1.0 / (na + nb))
+      |               * (1.0 / na + 1.0 / nb)), 6) AS z
+      |FROM a""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q183: Mann-Whitney U (rank-sum, average ranks for ties, normal
+  // approximation without tie correction) between en and non-en
+  // quality distributions.
+  // -------------------------------------------------------------------
+  def mannWhitney(s: SparkSession, d: String): DataFrame =
+    Evaluation.mannWhitney(scoredDocs(s, d), "quality", col("label") === 1.0)
+
+  val mannWhitneySql: String =
+    s"""WITH q AS (${LlmQueries.qualitySql}),
+      |l AS (SELECT q.quality, d.lang = 'en' AS a
+      |      FROM q JOIN documents d USING (doc_id)),
+      |g AS (SELECT quality AS s, count(*) AS n,
+      |             sum(CASE WHEN a THEN 1 ELSE 0 END) AS na
+      |      FROM l GROUP BY 1),
+      |c AS (SELECT s, n, na, sum(n) OVER (ORDER BY s) - n AS cumbefore FROM g),
+      |r AS (SELECT sum(na * (cumbefore + (n + 1) / 2.0)) AS ra,
+      |             sum(na) AS na2, sum(n - na) AS nb2 FROM c)
+      |SELECT round(ra - na2 * (na2 + 1) / 2.0, 6) AS u,
+      |  round((ra - na2 * (na2 + 1) / 2.0 - na2 * 1.0 * nb2 / 2.0)
+      |        / sqrt(na2 * 1.0 * nb2 * (na2 + nb2 + 1.0) / 12.0), 6) AS z,
+      |  CAST(na2 AS BIGINT) AS n_a, CAST(nb2 AS BIGINT) AS n_b
+      |FROM r""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -493,7 +547,9 @@ object EvalQueries {
     "q175_fuzzy_join" -> (fuzzyJoin _),
     "q176_seasonal_backtest" -> (seasonalBacktest _),
     "q177_describe" -> (describe _),
-    "q178_event_trigrams" -> (eventTrigrams _))
+    "q178_event_trigrams" -> (eventTrigrams _),
+    "q182_ab_test" -> (abTest _),
+    "q183_mann_whitney" -> (mannWhitney _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -512,5 +568,7 @@ object EvalQueries {
     "q175_fuzzy_join" -> fuzzyJoinSql,
     "q176_seasonal_backtest" -> seasonalBacktestSql,
     "q177_describe" -> describeSql,
-    "q178_event_trigrams" -> eventTrigramsSql)
+    "q178_event_trigrams" -> eventTrigramsSql,
+    "q182_ab_test" -> abTestSql,
+    "q183_mann_whitney" -> mannWhitneySql)
 }

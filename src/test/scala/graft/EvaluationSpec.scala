@@ -333,6 +333,44 @@ class EvaluationSpec extends SparkSpec {
     assert(got == Map("A>B>C" -> 2L, "B>C>D" -> 1L))
   }
 
+  test("twoProportionZTest: hand-computed z") {
+    val df = Seq((true, 1L), (true, 0L), (false, 1L), (false, 1L))
+      .toDF("a", "conv")
+    val r = Evaluation.twoProportionZTest(df, col("a"), "conv").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0)
+    // z = -0.5 / sqrt(0.75 * 0.25 * 1) = -1.154701
+    assert(r.getDouble(6) == -1.154701)
+  }
+
+  test("mannWhitney: hand U and z, with and without ties") {
+    val plain = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("s", "a")
+    val r1 = Evaluation.mannWhitney(plain, "s", col("a")).head()
+    assert(r1.getDouble(0) == 1.0)       // U = R_A - n(n+1)/2 = 4 - 3
+    assert(r1.getDouble(1) == -0.774597) // (1-2)/sqrt(20/12)
+    val tied = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("s", "a")
+    val r2 = Evaluation.mannWhitney(tied, "s", col("a")).head()
+    assert(r2.getDouble(0) == 0.5)       // avg-rank ties: R_A = 1 + 2.5
+    assert(r2.getDouble(1) == -1.161895)
+  }
+
+  test("new-family query plans: no nested-loop join, no cartesian product") {
+    val names = Seq("q158_lift_gains", "q161_rfm_segments", "q162_copurchase_edges",
+      "q163_part_pagerank", "q166_daily_anomaly", "q172_rolling_active",
+      "q175_fuzzy_join", "q182_ab_test")
+    val all = graft.Queries.registry
+    for (n <- names) {
+      val df = all(n)(spark, sf)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$n must stay equi-join/broadcast:\n$plan")
+    }
+  }
+
   // -----------------------------------------------------------------
   // plan guards: the row-scale ranking never crosses a single-partition
   // global window — every Window over the ranked frame carries __pid
