@@ -81,11 +81,13 @@ object Graph {
     * n_baskets). Item frequencies join against the (item-cardinality)
     * count table; the basket total rides along as a literal. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minJoint: Long = 2L, maxBasketSize: Int = 1000): DataFrame = {
+      minJoint: Long = 2L, maxBasketSize: Int = 1000,
+      precomputedEdges: Option[DataFrame] = None): DataFrame = {
     val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val nBaskets = b.select("__b").distinct().count().toDouble
     val itemCounts = b.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
-    val pairs = coOccurrenceEdges(df, basketCol, itemCol, maxBasketSize)
+    val pairs = precomputedEdges
+      .getOrElse(coOccurrenceEdges(df, basketCol, itemCol, maxBasketSize))
       .filter(col("w") >= minJoint)
     val directed = pairs.select(col("src").as("antecedent"),
         col("dst").as("consequent"), col("w"))

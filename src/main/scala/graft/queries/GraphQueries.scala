@@ -18,6 +18,17 @@ object GraphQueries {
   private def li(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
 
+  /** The co-purchase edge frame feeds q162/q163/q164 — build it once
+    * per (session, sf) and checkpoint (the established memo-group
+    * pattern; the three queries otherwise each redo the distinct +
+    * pair join over lineitem). */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"copurchase:${s.sparkContext.applicationId}:$d") {
+      Graph.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
+        .localCheckpoint(false)
+    }
+
   private def events(s: SparkSession, d: String): DataFrame =
     graft.streaming.Events.normalize(Tables.events(s, d))
 
@@ -25,7 +36,7 @@ object GraphQueries {
   // q162: co-purchase edges — unordered part pairs sharing >= 2 orders.
   // -------------------------------------------------------------------
   def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    Graph.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
+    edges(s, d)
       .filter(col("w") >= 2)
       .orderBy("src", "dst")
 
@@ -42,9 +53,7 @@ object GraphQueries {
   // normalized to mean 1 so 6-dp rounding stays meaningful.
   // -------------------------------------------------------------------
   def partPageRank(s: SparkSession, d: String): DataFrame =
-    Graph.pageRank(
-        Graph.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"),
-        damping = 0.85, iters = 3)
+    Graph.pageRank(edges(s, d), damping = 0.85, iters = 3)
       .orderBy("node")
 
   val partPageRankSql: String =
@@ -72,7 +81,8 @@ object GraphQueries {
   // part pairs sharing >= 2 orders.
   // -------------------------------------------------------------------
   def assocRules(s: SparkSession, d: String): DataFrame =
-    Graph.associationRules(li(s, d), "l_orderkey", "l_partkey", minJoint = 2L)
+    Graph.associationRules(li(s, d), "l_orderkey", "l_partkey",
+        minJoint = 2L, precomputedEdges = Some(edges(s, d)))
       .orderBy("antecedent", "consequent")
 
   val assocRulesSql: String =
