@@ -705,6 +705,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-image grayscale histogram in sparse long format: the payload
+    * is decoded, channel-averaged to gray (integer mean, same rule as
+    * the dHash path), and each pixel lands in bin g * bins / 256
+    * (integer arithmetic — SQL-replayable); one row per non-empty bin
+    * with its pixel count. The luminance-distribution primitive
+    * behind exposure filtering and low-contrast detection in image
+    * curation. Scan-local mapPartitions (≤ bins rows out per image),
+    * zero shuffle; undecodable payloads emit nothing. */
+  def imageHistogram(df: DataFrame, payloadCol: String,
+      bins: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("bin", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageRaster(r.getAs[Array[Byte]](idx)).toSeq.flatMap { raster =>
+          val g = grayRaster(raster)
+          val counts = new Array[Long](bins)
+          var i = 0
+          while (i < g.w * g.h) {
+            counts((g.data(i) & 0xff) * bins / 256) += 1L
+            i += 1
+          }
+          (0 until bins).filter(counts(_) > 0L)
+            .map(b => Row.fromSeq(r.toSeq ++ Seq[Any](b, counts(b))))
+        }
+      }
+    }(enc)
+  }
+
   /** Schema of scene-change rows appended by [[sceneChanges]]. */
   val sceneChangeSchema: StructType = StructType(Seq(
     StructField("frame_idx", IntegerType, nullable = false),

@@ -260,6 +260,35 @@ object MiscQueries {
       |FROM px GROUP BY 1, 2, 3
       |ORDER BY doc_id""".stripMargin
 
+  /** q184: per-image 16-bin grayscale histogram over the q137
+    * synthetic PPMs — gray is the integer channel mean and the bin is
+    * g*16/256 integer arithmetic, so the oracle recomputes every
+    * pixel's bin from the closed-form formula without any binary. */
+  def imageHistogramQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.imageHistogram(
+        Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload", 16)
+      .select("doc_id", "bin", "n_px")
+      .orderBy("doc_id", "bin")
+  }
+
+  val imageHistogramSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+      |         CAST(3 + doc_id % 4 AS INT) AS height
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, unnest(range(0, CAST(width AS BIGINT) * height)) AS i
+      |      FROM d),
+      |g AS (SELECT doc_id,
+      |        CAST((((doc_id * 31 + (i * 3 + 0) * 7) % 256 +
+      |               (doc_id * 31 + (i * 3 + 1) * 7) % 256 +
+      |               (doc_id * 31 + (i * 3 + 2) * 7) % 256) // 3) * 16 // 256
+      |          AS INT) AS bin
+      |      FROM u)
+      |SELECT doc_id, bin, count(*) AS n_px FROM g
+      |GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin
+
   /** q139: the decode → nearest-neighbor resize → re-encode → decode
     * chain under the oracle gate: synthetic PPMs resize to 3x2 and the
     * resized pixel stats must equal the closed-form replay of the NN
@@ -666,6 +695,7 @@ object MiscQueries {
     "q56_multimodal" -> (multimodal _),
     "q137_image_decode" -> (imageDecode _),
     "q139_image_resize" -> (imageResize _),
+    "q184_image_histogram" -> (imageHistogramQ _),
     "q140_audio_decode" -> (audioDecode _),
     "q145_audio_frames" -> (audioFrameFeatures _),
     "q147_audio_spectrum" -> (audioSpectrumQ _),
@@ -691,6 +721,7 @@ object MiscQueries {
     "q56_multimodal" -> multimodalSql,
     "q137_image_decode" -> imageDecodeSql,
     "q139_image_resize" -> imageResizeSql,
+    "q184_image_histogram" -> imageHistogramSql,
     "q140_audio_decode" -> audioDecodeSql,
     "q145_audio_frames" -> audioFrameFeaturesSql,
     "q147_audio_spectrum" -> audioSpectrumSql,

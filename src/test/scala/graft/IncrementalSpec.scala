@@ -98,6 +98,49 @@ class IncrementalSpec extends SparkSpec {
     assert(run(df.repartition(5)) == got)
   }
 
+  test("aggState parity: a streaming aggregation over deltas equals the batch state") {
+    // the state is exact integer sums, so a streaming groupBy-agg over
+    // arriving micro-batches must land on the SAME state as one batch
+    // pass — the incremental-pipeline claim, proven on the stream path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 3}", math.floor(rnd.nextDouble() * 400 * 1e6) / 1e6))
+    val input = MemoryStream[(String, Double)](spark)
+    val vi = floor(col("_2") * 1000000.0 + 0.5).cast("long")
+    val agg = input.toDF()
+      .select(col("_1").as("key"), vi.as("__vi"))
+      .select(col("key"), col("__vi"),
+        (col("__vi") * col("__vi")).cast("decimal(38,0)").as("__vi2"))
+      .groupBy("key").agg(
+        count(lit(1)).as("n"),
+        sum(col("__vi").cast("decimal(38,0)")).as("s1"),
+        sum(col("__vi2")).as("s2"),
+        min(col("__vi")).as("mn"), max(col("__vi")).as("mx"))
+    val q = agg.writeStream.format("memory").queryName("inc_state")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      input.addData(rows.take(120)); q.processAllAvailable()
+      input.addData(rows.drop(120)); q.processAllAvailable()
+      val streamed = finishRows(Incremental.finish(spark.table("inc_state")))
+      val batch = finishRows(Incremental.finish(
+        Incremental.aggState(rows.toDF("g", "v"), "g", "v")))
+      assert(streamed == batch) // bit-for-bit, not tolerance
+    } finally q.stop()
+  }
+
+  test("imageHistogram: hand 2x1 PPM bins; corrupt payload emits nothing") {
+    val header = "P6\n2 1\n255\n".getBytes("US-ASCII")
+    val px = Array[Byte](0, 0, 0, -1, -1, -1) // (0,0,0) and (255,255,255)
+    val good = (1L, header ++ px)
+    val bad = (2L, Array[Byte](1, 2, 3))
+    val df = Seq(good, bad).toDF("id", "payload")
+    val got = graft.multimodal.Multimodal.imageHistogram(df, "payload", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == Map((1L, 0) -> 1L, (1L, 15) -> 1L))
+  }
+
   test("rollingDistinct: hand-computed 7-day active counts") {
     def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
     val df = Seq((ts(1), 1L), (ts(3), 2L), (ts(10), 1L)).toDF("ts", "u")
