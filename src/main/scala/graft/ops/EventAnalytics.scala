@@ -96,6 +96,44 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Lagged cross-correlation between the daily counts of two event
+    * types: Pearson r of (series A on day d, series B on day d+lag)
+    * over the overlapping days, for each lag in [-maxLag, maxLag] —
+    * the lead/lag discovery primitive (does A predict B?). Daily
+    * counts are integers, so the correlation derives from exact
+    * sufficient sums by a fixed double formula (identical bits in any
+    * engine). The day frame is bounded by the corpus time span;
+    * the lag fan-out is 2·maxLag+1. */
+  def laggedCrossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def daily(t: String, n: String) =
+      df.filter(col(typeCol) === t)
+        .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as(n))
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val joined = daily(typeA, "x").crossJoin(broadcast(lags))
+      .join(daily(typeB, "y")
+          .select(col("day").as("__bday"), col("y")),
+        expr("date_add(day, CAST(lag AS INT)) = __bday"))
+    val sums = joined.groupBy("lag").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) = (col("n_days").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"),
+      col("sxy").cast("double"))
+    val covN = n * sxy - sx * sy
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    sums.filter(varXN > 0 && varYN > 0)
+      .select(col("lag"), col("n_days"),
+        round(covN / sqrt(varXN * varYN), 6).as("r"))
+  }
+
   /** Seasonal-naive forecast backtest: each day's event count is
     * "forecast" by the count `seasonDays` earlier (the standard
     * baseline every real forecaster must beat), and the per-day

@@ -105,6 +105,15 @@ object Graph {
           (col("__nc") / nBaskets), 6).as("lift"))
   }
 
+  /** Degree distribution of an undirected edge list: how many nodes
+    * have each degree — the first diagnostic of any large graph (skew,
+    * hubs, connectivity shape). Two bounded aggregates. */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+      .groupBy(col("__deg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+
   /** Per-key load-skew diagnostic: the Gini coefficient of the per-key
     * row-count distribution (0 = perfectly even, → 1 = one key owns
     * everything) plus the count quantiles a partition-sizing decision

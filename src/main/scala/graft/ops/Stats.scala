@@ -187,6 +187,24 @@ object Stats {
     rows.toDF("col_name", "n", "mean", "std", "min", "p25", "p50", "p75", "max")
   }
 
+  /** Benford first-digit drift test: the observed leading-digit
+    * distribution of a positive numeric column against Benford's law
+    * (Newcomb 1881 / Benford 1938, the standard bookkeeping-fraud and
+    * data-corruption screen). The leading digit is extracted from the
+    * micro-unit integer's decimal string — exact and engine-portable,
+    * no float log10 near powers of ten. One 9-key aggregate. Returns
+    * (digit, n, obs_frac, exp_frac). */
+  def benfordDigits(df: DataFrame, c: String): DataFrame = {
+    val vi = floor(col(c) * 1e6 + 0.5).cast("long")
+    val counts = df.select(vi.as("__vi")).filter(col("__vi") > 0)
+      .select(substring(col("__vi").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n")).head().getLong(0).toDouble
+    counts.select(col("digit"), col("n"),
+      round(col("n") / total, 6).as("obs_frac"),
+      round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_frac"))
+  }
+
   /** Per-group simple linear regression (closed-form OLS) of `yCol`
     * on `xCol`, EXACT: both variables are scaled to integer
     * micro-units and the five sufficient sums (n, Σx, Σy, Σxx, Σxy,

@@ -530,6 +530,56 @@ object EvalQueries {
       |  CAST(na2 AS BIGINT) AS n_a, CAST(nb2 AS BIGINT) AS n_b
       |FROM r""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q185: Benford first-digit drift over l_extendedprice — leading
+  // digit from the micro-unit integer's decimal string (no float
+  // log10 edge cases).
+  // -------------------------------------------------------------------
+  def benford(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.benfordDigits(Tables.lineitem(s, d), "l_extendedprice")
+      .orderBy("digit")
+
+  val benfordSql: String =
+    """WITH v AS (SELECT CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS vi
+      |           FROM lineitem),
+      |c AS (SELECT CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS INT) AS digit,
+      |             count(*) AS n
+      |      FROM v WHERE vi > 0 GROUP BY 1),
+      |t AS (SELECT sum(n) * 1.0 AS tot FROM c)
+      |SELECT digit, n, round(n / tot, 6) AS obs_frac,
+      |       round(log10(1.0 + 1.0 / digit), 6) AS exp_frac
+      |FROM c, t ORDER BY digit""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q187: lagged cross-correlation of daily purchase vs error counts
+  // (lead/lag discovery) — Pearson r from exact integer sums per lag.
+  // -------------------------------------------------------------------
+  def crossCorrelation(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.laggedCrossCorrelation(events(s, d), "ts",
+        "event_type", "purchase", "error", 3)
+      .orderBy("lag")
+
+  val crossCorrelationSql: String =
+    """WITH p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events
+      |           WHERE event_type = 'purchase' GROUP BY 1),
+      |e AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events
+      |      WHERE event_type = 'error' GROUP BY 1),
+      |l AS (SELECT unnest(range(-3, 4)) AS lag),
+      |j AS (SELECT l.lag, p.x, e.y
+      |      FROM p CROSS JOIN l JOIN e ON e.day = p.day + CAST(l.lag AS INT)),
+      |a AS (SELECT lag, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM j GROUP BY 1)
+      |SELECT lag, n_days,
+      |  round(((n_days * 1.0) * (sxy * 1.0) - (sx * 1.0) * (sy * 1.0))
+      |        / sqrt(((n_days * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0))
+      |               * ((n_days * 1.0) * (syy * 1.0) - (sy * 1.0) * (sy * 1.0))),
+      |        6) AS r
+      |FROM a
+      |WHERE (n_days * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0) > 0
+      |  AND (n_days * 1.0) * (syy * 1.0) - (sy * 1.0) * (sy * 1.0) > 0
+      |ORDER BY lag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -549,7 +599,9 @@ object EvalQueries {
     "q177_describe" -> (describe _),
     "q178_event_trigrams" -> (eventTrigrams _),
     "q182_ab_test" -> (abTest _),
-    "q183_mann_whitney" -> (mannWhitney _))
+    "q183_mann_whitney" -> (mannWhitney _),
+    "q185_benford" -> (benford _),
+    "q187_lagged_xcorr" -> (crossCorrelation _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -570,5 +622,7 @@ object EvalQueries {
     "q177_describe" -> describeSql,
     "q178_event_trigrams" -> eventTrigramsSql,
     "q182_ab_test" -> abTestSql,
-    "q183_mann_whitney" -> mannWhitneySql)
+    "q183_mann_whitney" -> mannWhitneySql,
+    "q185_benford" -> benfordSql,
+    "q187_lagged_xcorr" -> crossCorrelationSql)
 }

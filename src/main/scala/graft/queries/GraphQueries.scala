@@ -121,15 +121,32 @@ object GraphQueries {
       |       round(2.0 * rc / (nk * 1.0 * nr) - (nk + 1.0) / nk, 6) AS gini
       |FROM a, q""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q186: degree distribution of the co-purchase graph.
+  // -------------------------------------------------------------------
+  def degreeDist(s: SparkSession, d: String): DataFrame =
+    Graph.degreeDistribution(edges(s, d)).orderBy("degree")
+
+  val degreeDistSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+      |e AS (SELECT a.i AS x, c.i AS y FROM b a
+      |      JOIN b c ON a.o = c.o AND a.i < c.i GROUP BY a.i, c.i),
+      |d AS (SELECT x AS node FROM e UNION ALL SELECT y FROM e),
+      |dg AS (SELECT node, count(*) AS deg FROM d GROUP BY 1)
+      |SELECT deg AS degree, count(*) AS n_nodes FROM dg
+      |GROUP BY 1 ORDER BY degree""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_copurchase_edges" -> (copurchaseEdges _),
     "q163_part_pagerank" -> (partPageRank _),
     "q164_assoc_rules" -> (assocRules _),
-    "q165_key_skew" -> (keySkew _))
+    "q165_key_skew" -> (keySkew _),
+    "q186_degree_dist" -> (degreeDist _))
 
   val oracles: Map[String, String] = Map(
     "q162_copurchase_edges" -> copurchaseEdgesSql,
     "q163_part_pagerank" -> partPageRankSql,
     "q164_assoc_rules" -> assocRulesSql,
-    "q165_key_skew" -> keySkewSql)
+    "q165_key_skew" -> keySkewSql,
+    "q186_degree_dist" -> degreeDistSql)
 }

@@ -357,6 +357,41 @@ class EvaluationSpec extends SparkSpec {
     assert(r2.getDouble(1) == -1.161895)
   }
 
+  test("benfordDigits: string-extracted leading digits, hand fractions") {
+    val df = Seq(1.0, 19.0, 120.0, 0.25).map(Tuple1(_)).toDF("v")
+    val got = graft.ops.Stats.benfordDigits(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((3L, 0.75, 0.30103)))  // log10(2)
+    assert(got(2)._1 == 1L && got(2)._2 == 0.25)
+  }
+
+  test("degreeDistribution: star graph hand counts") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = graft.ops.Graph.degreeDistribution(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 1L -> 2L))
+  }
+
+  test("laggedCrossCorrelation: shifted series peaks at its lag; constants dropped") {
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
+    // purchases on days 1..4 with counts 1,2,4,8; errors = same, one day later
+    val rows =
+      (1 to 4).flatMap(d => (1 to (1 << (d - 1))).map(_ => (t(d), "purchase"))) ++
+      (2 to 5).flatMap(d => (1 to (1 << (d - 2))).map(_ => (t(d), "error"))) ++
+      (1 to 5).map(d => (t(d), "view")) // constant series
+    val df = rows.toDF("ts", "event_type")
+    val got = graft.ops.EventAnalytics.laggedCrossCorrelation(
+        df, "ts", "event_type", "purchase", "error", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 1.0))) // y(d+1) = x(d) exactly
+    // constant error series never occurs; but a constant-x lag pairing
+    // would be filtered: check via the view series
+    val viewCorr = graft.ops.EventAnalytics.laggedCrossCorrelation(
+      df, "ts", "event_type", "view", "error", 1)
+    assert(viewCorr.count() == 0) // x-variance 0 at every lag
+  }
+
   test("new-family query plans: no nested-loop join, no cartesian product") {
     val names = Seq("q158_lift_gains", "q161_rfm_segments", "q162_copurchase_edges",
       "q163_part_pagerank", "q166_daily_anomaly", "q172_rolling_active",
