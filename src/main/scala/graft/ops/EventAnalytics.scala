@@ -96,6 +96,51 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Interval union per key: merge overlapping/touching [start, end)
+    * micro-second intervals (gaps-and-islands: an interval starts a
+    * new island when its start exceeds the running max of prior ends)
+    * and report the total covered time and merged-interval count — the
+    * "active seconds" primitive (each raw event contributes a fixed
+    * activity window; overlaps must not double-count). Two per-key
+    * windows + one per-key aggregate, keys as fine as the data. */
+  def intervalUnion(df: DataFrame, keyCol: String, startUs: Column,
+      endUs: Column): DataFrame = {
+    val base = df.select(col(keyCol), startUs.as("__s"), endUs.as("__e"))
+    val w = Window.partitionBy(keyCol).orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    base
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(keyCol).agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("__ie") - col("__is")).as("covered_us"))
+  }
+
+  /** Daily OHLC (open/high/low/close) per group — the bar-chart
+    * aggregation: first/last value under the deterministic
+    * (ts, tie) order via struct-min/max (no nondeterministic
+    * first()/min_by ties), plus high/low/volume/count. One hash
+    * aggregate keyed by (day, group). */
+  def dailyOhlc(df: DataFrame, tsCol: String, tieCol: String,
+      groupCol: String, valueCol: String): DataFrame =
+    df.select(to_date(col(tsCol)).as("__day"), col(groupCol).as("grp"),
+        struct(col(tsCol), col(tieCol), col(valueCol).as("v")).as("__o"))
+      .groupBy(col("__day"), col("grp"))
+      .agg(
+        round(min(col("__o")).getField("v"), 6).as("open"),
+        round(max(col("__o")).getField("v"), 6).as("close"),
+        round(max(col("__o.v")), 6).as("high"),
+        round(min(col("__o.v")), 6).as("low"),
+        round(sum(col("__o.v")), 6).as("volume"),
+        count(lit(1)).as("n"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("grp").as(groupCol), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n"))
+
   /** Lagged cross-correlation between the daily counts of two event
     * types: Pearson r of (series A on day d, series B on day d+lag)
     * over the overlapping days, for each lag in [-maxLag, maxLag] —

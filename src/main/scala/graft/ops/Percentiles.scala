@@ -42,4 +42,28 @@ object Percentiles {
       p -> (picked(lo) * (1 - frac) + picked(hi) * frac)
     }.toMap
   }
+
+  /** Exact WEIGHTED percentile (lower weighted quantile: the smallest
+    * value whose cumulative weight reaches p·W). Aggregates weight per
+    * distinct value first, then one distributed prefix sum over the
+    * value order (`Evaluation.withRunningTotals` — no single-partition
+    * window), then a bounded selection of the crossing value. Weights
+    * must be non-negative; integer weights make the threshold
+    * comparison exact. */
+  def weightedExact(df: DataFrame, valueCol: String, weightCol: String,
+      ps: Seq[Double]): Map[Double, Double] = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    val g = df.select(col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(sum(col("__w")).as("__w"))
+    val cum = graft.ml.Evaluation.withRunningTotals(
+      g, Seq(col("__v")), Map("__cw" -> col("__w"))).localCheckpoint()
+    val total = cum.agg(max(col("__cw"))).head().getDouble(0)
+    ps.map { p =>
+      val v = cum.filter(col("__cw") >= lit(p * total))
+        .agg(min(col("__v"))).head().getDouble(0)
+      p -> v
+    }.toMap
+  }
 }

@@ -580,6 +580,80 @@ object EvalQueries {
       |  AND (n_days * 1.0) * (syy * 1.0) - (sy * 1.0) * (sy * 1.0) > 0
       |ORDER BY lag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q188: interval union — total non-double-counted active time per
+  // user when every event opens a 5-minute activity window.
+  // -------------------------------------------------------------------
+  def intervalUnion(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    graft.ops.EventAnalytics.intervalUnion(events(s, d), "user_id",
+        us, us + 300000000L)
+      .orderBy("user_id")
+  }
+
+  val intervalUnionSql: String =
+    """WITH i AS (SELECT user_id, epoch_us(ts) AS s,
+      |                  epoch_us(ts) + 300000000 AS e FROM events),
+      |o AS (SELECT user_id, s, e,
+      |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM i),
+      |f AS (SELECT user_id, s, e,
+      |        sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY s, e
+      |                ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM o),
+      |m AS (SELECT user_id, island, min(s) AS i0, max(e) AS i1
+      |      FROM f GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_intervals, sum(i1 - i0) AS covered_us
+      |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q189: exact weighted percentiles (lower weighted quantile) of
+  // price weighted by quantity — the distributed prefix-sum CDF again.
+  // -------------------------------------------------------------------
+  def weightedPercentiles(s: SparkSession, d: String): DataFrame = {
+    val ps = graft.ops.Percentiles.weightedExact(
+      Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
+      Seq(0.25, 0.5, 0.75))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    import s.implicits._
+    Seq((r6(ps(0.25)), r6(ps(0.5)), r6(ps(0.75)))).toDF("p25", "p50", "p75")
+  }
+
+  val weightedPercentilesSql: String =
+    """WITH g AS (SELECT l_extendedprice AS v, sum(l_quantity) AS w
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw, sum(w) OVER () AS tot
+      |      FROM g)
+      |SELECT round(min(CASE WHEN cw >= 0.25 * tot THEN v END), 6) AS p25,
+      |       round(min(CASE WHEN cw >= 0.5 * tot THEN v END), 6) AS p50,
+      |       round(min(CASE WHEN cw >= 0.75 * tot THEN v END), 6) AS p75
+      |FROM c""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q190: daily OHLC bars per event type — deterministic open/close
+  // via struct-min/max under the (ts, event_id) total order.
+  // -------------------------------------------------------------------
+  def ohlc(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.dailyOhlc(events(s, d), "ts", "event_id",
+        "event_type", "value")
+      .orderBy("day", "event_type")
+
+  val ohlcSql: String =
+    """WITH b AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, value,
+      |    first_value(value) OVER (PARTITION BY CAST(ts AS DATE), event_type
+      |      ORDER BY ts, event_id) AS o,
+      |    first_value(value) OVER (PARTITION BY CAST(ts AS DATE), event_type
+      |      ORDER BY ts DESC, event_id DESC) AS c
+      |  FROM events)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+      |  round(max(o), 6) AS open, round(max(value), 6) AS high,
+      |  round(min(value), 6) AS low, round(max(c), 6) AS close,
+      |  round(sum(value), 6) AS volume, count(*) AS n
+      |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -601,7 +675,10 @@ object EvalQueries {
     "q182_ab_test" -> (abTest _),
     "q183_mann_whitney" -> (mannWhitney _),
     "q185_benford" -> (benford _),
-    "q187_lagged_xcorr" -> (crossCorrelation _))
+    "q187_lagged_xcorr" -> (crossCorrelation _),
+    "q188_interval_union" -> (intervalUnion _),
+    "q189_weighted_percentiles" -> (weightedPercentiles _),
+    "q190_daily_ohlc" -> (ohlc _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -624,5 +701,8 @@ object EvalQueries {
     "q182_ab_test" -> abTestSql,
     "q183_mann_whitney" -> mannWhitneySql,
     "q185_benford" -> benfordSql,
-    "q187_lagged_xcorr" -> crossCorrelationSql)
+    "q187_lagged_xcorr" -> crossCorrelationSql,
+    "q188_interval_union" -> intervalUnionSql,
+    "q189_weighted_percentiles" -> weightedPercentilesSql,
+    "q190_daily_ohlc" -> ohlcSql)
 }

@@ -392,6 +392,41 @@ class EvaluationSpec extends SparkSpec {
     assert(viewCorr.count() == 0) // x-variance 0 at every lag
   }
 
+  test("intervalUnion: overlap merge, touching intervals, island counts") {
+    val df = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 20L, 25L), (2L, 3L, 4L))
+      .toDF("k", "s", "e")
+    val got = graft.ops.EventAnalytics.intervalUnion(df, "k", col("s"), col("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 20L)), 2L -> ((1L, 1L))))
+    // touching ([0,10) then [10,12)) merges: start == running max is NOT >
+    val touch = Seq((1L, 0L, 10L), (1L, 10L, 12L)).toDF("k", "s", "e")
+    val t = graft.ops.EventAnalytics.intervalUnion(touch, "k", col("s"), col("e")).head()
+    assert(t.getLong(1) == 1L && t.getLong(2) == 12L)
+  }
+
+  test("weightedExact: lower weighted quantiles by hand") {
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0)).toDF("v", "w")
+    val ps = graft.ops.Percentiles.weightedExact(df, "v", "w",
+      Seq(0.25, 0.5, 0.75, 1.0))
+    assert(ps == Map(0.25 -> 1.0, 0.5 -> 2.0, 0.75 -> 3.0, 1.0 -> 3.0))
+  }
+
+  test("dailyOhlc: deterministic open/close under the (ts, tie) order") {
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val df = Seq(
+      (t(0), 1L, "p", 5.0), (t(1), 2L, "p", 9.0), (t(2), 3L, "p", 2.0),
+      // equal-ts tie: event 4 before 5 -> open 7, close 1
+      (t(0), 4L, "q", 7.0), (t(0), 5L, "q", 1.0))
+      .toDF("ts", "event_id", "event_type", "value")
+    val got = graft.ops.EventAnalytics.dailyOhlc(df, "ts", "event_id",
+        "event_type", "value")
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7)))).toMap
+    assert(got("p") == ((5.0, 9.0, 2.0, 2.0, 16.0, 3L)))
+    assert(got("q") == ((7.0, 7.0, 1.0, 1.0, 8.0, 2L)))
+  }
+
   test("new-family query plans: no nested-loop join, no cartesian product") {
     val names = Seq("q158_lift_gains", "q161_rfm_segments", "q162_copurchase_edges",
       "q163_part_pagerank", "q166_daily_anomaly", "q172_rolling_active",
