@@ -433,6 +433,22 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Canonical-member selection: each cluster keeps its best-scoring
+    * member (score descending, id ascending tie-break) via a single
+    * struct-max aggregate — deterministic, no window, no
+    * nondeterministic max_by ties. `clusters` is (idCol, cluster) as
+    * produced by [[duplicateClusters]]; `scored` is (idCol, scoreCol).
+    * Returns (cluster, canonical id, its score, n_members). */
+  def canonicalPick(clusters: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    clusters.join(scored, idCol)
+      .groupBy("cluster").agg(
+        max(struct(col(scoreCol), (-col(idCol)).as("neg"),
+          col(idCol).as("id"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("__best.id").as(s"canonical_$idCol"),
+        col(s"__best.$scoreCol").as(scoreCol), col("n_members"))
+
   /** Blocked fuzzy join (record linkage): candidate pairs share a
     * cheap blocking key (computed scan-local by `blockKey`), and only
     * within-block pairs pay the edit-distance compare over

@@ -96,6 +96,37 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Marketing attribution: for every conversion event, the FIRST and
+    * LAST touch event by the same key within the trailing attribution
+    * window (first-touch / last-touch, the two standard models),
+    * reported as waits in exact integer µs; conversions with no touch
+    * in-window keep nulls. One user-keyed equi-join bounded by the
+    * window predicate — per-key work is (touches × conversions inside
+    * one horizon), the same boundedness class as the granule interval
+    * join, never cross-key. */
+  def attribution(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, conversionType: String,
+      touchType: String, typeCol: String, windowSec: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val conv = df.filter(col(typeCol) === conversionType)
+      .select(col(idCol), col(keyCol), us.as("__cts"),
+        col(valueCol).as("__v"))
+    val touch = df.filter(col(typeCol) === touchType)
+      .select(col(keyCol), us.as("__tts"))
+    conv.join(touch, Seq(keyCol), "left")
+      .withColumn("__in",
+        col("__tts").isNotNull && col("__tts") <= col("__cts") &&
+          col("__tts") >= col("__cts") - windowSec * 1000000L)
+      .groupBy(col(idCol), col(keyCol), col("__cts"), col("__v"))
+      .agg(
+        min(when(col("__in"), col("__tts"))).as("__ft"),
+        max(when(col("__in"), col("__tts"))).as("__lt"))
+      .select(col(idCol), col(keyCol),
+        round(col("__v"), 6).as("value"),
+        (col("__cts") - col("__ft")).as("first_touch_wait_us"),
+        (col("__cts") - col("__lt")).as("last_touch_wait_us"))
+  }
+
   /** Interval union per key: merge overlapping/touching [start, end)
     * micro-second intervals (gaps-and-islands: an interval starts a
     * new island when its start exceeds the running max of prior ends)

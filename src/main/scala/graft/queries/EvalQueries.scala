@@ -654,6 +654,61 @@ object EvalQueries {
       |  round(sum(value), 6) AS volume, count(*) AS n
       |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q191: first/last-touch attribution — every purchase attributed to
+  // the same user's first and last view inside the trailing 7-day
+  // window, waits in exact integer µs.
+  // -------------------------------------------------------------------
+  def attribution(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.attribution(events(s, d), "user_id", "ts",
+        "event_id", "value", "purchase", "view", "event_type",
+        windowSec = 604800L)
+      .orderBy("event_id")
+
+  val attributionSql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS cts, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, epoch_us(ts) AS tts FROM events
+      |      WHERE event_type = 'view'),
+      |j AS (SELECT c.event_id, c.user_id, c.cts, c.value,
+      |        CASE WHEN t.tts IS NOT NULL AND t.tts <= c.cts
+      |                  AND t.tts >= c.cts - 604800000000 THEN t.tts END AS tin
+      |      FROM c LEFT JOIN t ON t.user_id = c.user_id)
+      |SELECT event_id, user_id, round(value, 6) AS value,
+      |       cts - min(tin) AS first_touch_wait_us,
+      |       cts - max(tin) AS last_touch_wait_us
+      |FROM j GROUP BY event_id, user_id, cts, value
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q192: canonical-document selection — each near-dup cluster keeps
+  // its highest-quality member (doc_id tie-break); the oracle reads
+  // q66's verified cluster dump and re-ranks with the SQL-pinned
+  // quality expression.
+  // -------------------------------------------------------------------
+  def canonicalDocs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.canonicalPick(
+        LlmQueries.dupClusters(s, d),
+        graft.text.TextOps.qualityScore(docs(s, d), "doc_id", "text"),
+        "doc_id", "quality")
+      .orderBy("cluster")
+
+  val canonicalDocsSql: String =
+    s"""WITH cl AS (
+      |  SELECT doc_id, cluster
+      |  FROM read_parquet('__VERIFY_OUT__/q66_dup_clusters/*.parquet')
+      |),
+      |q AS (${LlmQueries.qualitySql}),
+      |j AS (SELECT cl.cluster, cl.doc_id, q.quality
+      |      FROM cl JOIN q USING (doc_id)),
+      |r AS (SELECT cluster, doc_id, quality,
+      |        row_number() OVER (PARTITION BY cluster
+      |                           ORDER BY quality DESC, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY cluster) AS n_members
+      |      FROM j)
+      |SELECT cluster, doc_id AS canonical_doc_id, quality, n_members
+      |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -678,7 +733,9 @@ object EvalQueries {
     "q187_lagged_xcorr" -> (crossCorrelation _),
     "q188_interval_union" -> (intervalUnion _),
     "q189_weighted_percentiles" -> (weightedPercentiles _),
-    "q190_daily_ohlc" -> (ohlc _))
+    "q190_daily_ohlc" -> (ohlc _),
+    "q191_attribution" -> (attribution _),
+    "q192_canonical_docs" -> (canonicalDocs _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -704,5 +761,7 @@ object EvalQueries {
     "q187_lagged_xcorr" -> crossCorrelationSql,
     "q188_interval_union" -> intervalUnionSql,
     "q189_weighted_percentiles" -> weightedPercentilesSql,
-    "q190_daily_ohlc" -> ohlcSql)
+    "q190_daily_ohlc" -> ohlcSql,
+    "q191_attribution" -> attributionSql,
+    "q192_canonical_docs" -> canonicalDocsSql)
 }

@@ -427,6 +427,38 @@ class EvaluationSpec extends SparkSpec {
     assert(got("q") == ((7.0, 7.0, 1.0, 1.0, 8.0, 2L)))
   }
 
+  test("attribution: first/last touch inside the window, nulls outside") {
+    def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    val df = Seq(
+      (7L, t(100), 1L, "view", 0.0), (7L, t(200), 2L, "view", 0.0),
+      (7L, t(250), 3L, "purchase", 9.0),  // both views in window
+      (7L, t(50), 4L, "purchase", 1.0),   // no prior view
+      (8L, t(0), 5L, "view", 0.0),
+      (8L, t(2000), 6L, "purchase", 2.0)) // view aged out (window 1000s)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.ops.EventAnalytics.attribution(df, "user_id", "ts",
+        "event_id", "value", "purchase", "view", "event_type", 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(3L) == ((Some(150000000L), Some(50000000L))))
+    assert(got(4L) == ((None, None)))
+    assert(got(6L) == ((None, None)))
+  }
+
+  test("canonicalPick: best score wins, id breaks ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val got = graft.dedup.Dedup.canonicalPick(clusters, scores, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 0.9, 3L))) // quality tie 2 vs 3 -> lower id
+    assert(got(9L) == ((9L, 0.1, 1L)))
+  }
+
   test("new-family query plans: no nested-loop join, no cartesian product") {
     val names = Seq("q158_lift_gains", "q161_rfm_segments", "q162_copurchase_edges",
       "q163_part_pagerank", "q166_daily_anomaly", "q172_rolling_active",
