@@ -231,6 +231,34 @@ object EventAnalytics {
           col("n_events"), 6).as("ape"))
   }
 
+  /** Per-day session quality: sessions are the `gapSec`
+    * gaps-and-islands split; each session is assigned to its start
+    * day and contributes to that day's session count, bounce rate
+    * (single-event sessions), and conversion rate (sessions containing
+    * a `conversionType` event) — the standard engagement read-out.
+    * One key-window pass + session aggregate + day aggregate. */
+  def sessionQuality(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, conversionType: String,
+      gapSec: Long = 1800L): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val sessions = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("__t"))
+      .withColumn("__gap",
+        when(us - lag(us, 1).over(byKey) > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("__session", sum(col("__gap")).over(byKey))
+      .groupBy(col(keyCol), col("__session"))
+      .agg(min(col(tsCol)).as("__start"), count(lit(1)).as("__n"),
+        max((col("__t") === conversionType).cast("int")).as("__conv"))
+    sessions
+      .groupBy(to_date(col("__start")).as("__day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg((col("__n") === 1).cast("double")), 6).as("bounce_rate"),
+        round(avg(col("__conv").cast("double")), 6).as("conversion_rate"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("bounce_rate"), col("conversion_rate"))
+  }
+
   /** Top event-type n-gram sequences within sessions: sessions are the
     * `gapSec` gaps-and-islands split (same semantics as `Temporal
     * .sessionize`), and every run of `n` consecutive events inside a

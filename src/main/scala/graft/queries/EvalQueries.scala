@@ -709,6 +709,62 @@ object EvalQueries {
       |SELECT cluster, doc_id AS canonical_doc_id, quality, n_members
       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q193: per-day session quality — sessions (30-min gaps) assigned to
+  // their start day with bounce and purchase-conversion rates.
+  // -------------------------------------------------------------------
+  def sessionQuality(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.sessionQuality(events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase", gapSec = 1800L)
+      .orderBy("day")
+
+  val sessionQualitySql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_type,
+      |        sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS session
+      |      FROM o),
+      |g AS (SELECT user_id, session, min(ts) AS start, count(*) AS n,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |      FROM s GROUP BY 1, 2)
+      |SELECT strftime(CAST(start AS DATE), '%Y-%m-%d') AS day,
+      |  count(*) AS n_sessions,
+      |  round(avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6) AS bounce_rate,
+      |  round(avg(conv * 1.0), 6) AS conversion_rate
+      |FROM g GROUP BY 1 ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q194: fuzzy-linkage clusters — connected components over the q175
+  // blocked-levenshtein pairs (the record-linkage resolution step);
+  // the oracle rebuilds the same pairs in SQL and closes them with a
+  // recursive CTE, exactly like q66 does for the MinHash pairs.
+  // -------------------------------------------------------------------
+  def fuzzyClusters(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.duplicateClusters(fuzzyJoin(s, d))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val fuzzyClustersSql: String = {
+    val pairsCte = fuzzyJoinSql.replace("ORDER BY id_1, id_2", "")
+    s"""WITH RECURSIVE pairs AS ($pairsCte),
+      |edges AS (
+      |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+      |  UNION ALL SELECT id_2, id_1 FROM pairs
+      |),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+      |)
+      |SELECT id AS doc_id, min(lbl) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -735,7 +791,9 @@ object EvalQueries {
     "q189_weighted_percentiles" -> (weightedPercentiles _),
     "q190_daily_ohlc" -> (ohlc _),
     "q191_attribution" -> (attribution _),
-    "q192_canonical_docs" -> (canonicalDocs _))
+    "q192_canonical_docs" -> (canonicalDocs _),
+    "q193_session_quality" -> (sessionQuality _),
+    "q194_fuzzy_clusters" -> (fuzzyClusters _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -763,5 +821,7 @@ object EvalQueries {
     "q189_weighted_percentiles" -> weightedPercentilesSql,
     "q190_daily_ohlc" -> ohlcSql,
     "q191_attribution" -> attributionSql,
-    "q192_canonical_docs" -> canonicalDocsSql)
+    "q192_canonical_docs" -> canonicalDocsSql,
+    "q193_session_quality" -> sessionQualitySql,
+    "q194_fuzzy_clusters" -> fuzzyClustersSql)
 }

@@ -459,6 +459,26 @@ class EvaluationSpec extends SparkSpec {
     assert(got(9L) == ((9L, 0.1, 1L)))
   }
 
+  test("sessionQuality: bounce and conversion by session-start day") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1, day 1: session of 3 with a purchase
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, t("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, t("2024-01-01 10:10:00"), 3L, "purchase"),
+      // user 1, later same day: bounce (single event, no purchase)
+      (1L, t("2024-01-01 15:00:00"), 4L, "view"),
+      // user 2, day 2: bounce
+      (2L, t("2024-01-02 09:00:00"), 5L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.sessionQuality(df, "user_id", "ts",
+        "event_id", "event_type", "purchase", 1800L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("2024-01-01") == ((2L, 0.5, 0.5)))
+    assert(got("2024-01-02") == ((1L, 1.0, 0.0)))
+  }
+
   test("new-family query plans: no nested-loop join, no cartesian product") {
     val names = Seq("q158_lift_gains", "q161_rfm_segments", "q162_copurchase_edges",
       "q163_part_pagerank", "q166_daily_anomaly", "q172_rolling_active",
