@@ -737,6 +737,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-image contrast statistics over the integer gray raster:
+    * min/max gray, dynamic range, and RMS contrast (population std of
+    * gray levels — the standard low-contrast screen in image
+    * curation). Sums accumulate as exact longs and the reported std
+    * derives by the fixed double formula sqrt(s2/n - (s/n)²), so a
+    * SQL oracle over closed-form pixels reproduces every bit.
+    * Scan-local; undecodable payloads emit nothing. */
+  def imageContrast(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("g_min", IntegerType, nullable = false),
+      StructField("g_max", IntegerType, nullable = false),
+      StructField("g_range", IntegerType, nullable = false),
+      StructField("rms_contrast", DoubleType, nullable = false)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageRaster(r.getAs[Array[Byte]](idx)).map { raster =>
+          val g = grayRaster(raster)
+          val n = g.w * g.h
+          var (s, s2, mn, mx) = (0L, 0L, 255, 0)
+          var i = 0
+          while (i < n) {
+            val v = g.data(i) & 0xff
+            s += v; s2 += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val mean = s.toDouble / n
+          val rms = math.sqrt(s2.toDouble / n - mean * mean)
+          Row.fromSeq(r.toSeq ++ Seq[Any](mn, mx, mx - mn,
+            math.floor(rms * 1e6 + 0.5) / 1e6))
+        }
+      }
+    }(enc)
+  }
+
   /** Schema of scene-change rows appended by [[sceneChanges]]. */
   val sceneChangeSchema: StructType = StructType(Seq(
     StructField("frame_idx", IntegerType, nullable = false),

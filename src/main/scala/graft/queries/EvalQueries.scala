@@ -765,6 +765,23 @@ object EvalQueries {
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q196: activity heatmap — event counts by weekday name × hour (the
+  // seasonality read-out; weekday as a NAME string on both engines to
+  // dodge the 0-vs-1-based day-number conventions).
+  // -------------------------------------------------------------------
+  def activityHeatmap(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_format(col("ts"), "EEEE").as("dow"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dow", "hour")
+
+  val activityHeatmapSql: String =
+    """SELECT strftime(ts, '%A') AS dow,
+      |       CAST(date_part('hour', ts) AS INT) AS hour, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_calibration" -> (calibration _),
     "q156_ks_drift" -> (ksDrift _),
@@ -793,7 +810,8 @@ object EvalQueries {
     "q191_attribution" -> (attribution _),
     "q192_canonical_docs" -> (canonicalDocs _),
     "q193_session_quality" -> (sessionQuality _),
-    "q194_fuzzy_clusters" -> (fuzzyClusters _))
+    "q194_fuzzy_clusters" -> (fuzzyClusters _),
+    "q196_activity_heatmap" -> (activityHeatmap _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -823,5 +841,6 @@ object EvalQueries {
     "q191_attribution" -> attributionSql,
     "q192_canonical_docs" -> canonicalDocsSql,
     "q193_session_quality" -> sessionQualitySql,
-    "q194_fuzzy_clusters" -> fuzzyClustersSql)
+    "q194_fuzzy_clusters" -> fuzzyClustersSql,
+    "q196_activity_heatmap" -> activityHeatmapSql)
 }

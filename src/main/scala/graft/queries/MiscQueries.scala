@@ -289,6 +289,39 @@ object MiscQueries {
       |SELECT doc_id, bin, count(*) AS n_px FROM g
       |GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin
 
+  /** q195: per-image contrast stats (min/max/range gray + RMS
+    * contrast) over the q137 synthetic PPMs — exact integer sums, std
+    * by the fixed double formula, every value replayed from the
+    * closed-form pixels. */
+  def imageContrastQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.imageContrast(
+        Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
+      .select("doc_id", "g_min", "g_max", "g_range", "rms_contrast")
+      .orderBy("doc_id")
+  }
+
+  val imageContrastSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+      |         CAST(3 + doc_id % 4 AS INT) AS height
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, unnest(range(0, CAST(width AS BIGINT) * height)) AS i
+      |      FROM d),
+      |g AS (SELECT doc_id,
+      |        ((doc_id * 31 + (i * 3 + 0) * 7) % 256 +
+      |         (doc_id * 31 + (i * 3 + 1) * 7) % 256 +
+      |         (doc_id * 31 + (i * 3 + 2) * 7) % 256) // 3 AS gv
+      |      FROM u)
+      |SELECT doc_id, CAST(min(gv) AS INT) AS g_min,
+      |  CAST(max(gv) AS INT) AS g_max,
+      |  CAST(max(gv) - min(gv) AS INT) AS g_range,
+      |  round(sqrt((sum(gv * gv) * 1.0) / count(*)
+      |    - ((sum(gv) * 1.0) / count(*)) * ((sum(gv) * 1.0) / count(*))), 6)
+      |    AS rms_contrast
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q139: the decode → nearest-neighbor resize → re-encode → decode
     * chain under the oracle gate: synthetic PPMs resize to 3x2 and the
     * resized pixel stats must equal the closed-form replay of the NN
@@ -696,6 +729,7 @@ object MiscQueries {
     "q137_image_decode" -> (imageDecode _),
     "q139_image_resize" -> (imageResize _),
     "q184_image_histogram" -> (imageHistogramQ _),
+    "q195_image_contrast" -> (imageContrastQ _),
     "q140_audio_decode" -> (audioDecode _),
     "q145_audio_frames" -> (audioFrameFeatures _),
     "q147_audio_spectrum" -> (audioSpectrumQ _),
@@ -722,6 +756,7 @@ object MiscQueries {
     "q137_image_decode" -> imageDecodeSql,
     "q139_image_resize" -> imageResizeSql,
     "q184_image_histogram" -> imageHistogramSql,
+    "q195_image_contrast" -> imageContrastSql,
     "q140_audio_decode" -> audioDecodeSql,
     "q145_audio_frames" -> audioFrameFeaturesSql,
     "q147_audio_spectrum" -> audioSpectrumSql,

@@ -141,6 +141,15 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Map((1L, 0) -> 1L, (1L, 15) -> 1L))
   }
 
+  test("imageContrast: hand min/max/range and RMS = half-range for a binary image") {
+    val header = "P6\n2 1\n255\n".getBytes("US-ASCII")
+    val px = Array[Byte](0, 0, 0, -1, -1, -1)
+    val df = Seq((1L, header ++ px)).toDF("id", "payload")
+    val r = graft.multimodal.Multimodal.imageContrast(df, "payload").head()
+    assert(r.getInt(2) == 0 && r.getInt(3) == 255 && r.getInt(4) == 255)
+    assert(r.getDouble(5) == 127.5) // std of {0, 255}
+  }
+
   test("rollingDistinct: hand-computed 7-day active counts") {
     def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
     val df = Seq((ts(1), 1L), (ts(3), 2L), (ts(10), 1L)).toDF("ts", "u")
