@@ -494,6 +494,89 @@ class EvaluationSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // invariant properties on seeded random data
+  // -----------------------------------------------------------------
+  test("properties: KS in [0,1] and symmetric; U bounded; PSI nonnegative") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 400).map(i =>
+      (math.floor(rnd.nextDouble() * 1e6) / 1e6, rnd.nextBoolean())).toDF("s", "a")
+    val ks1 = Evaluation.ksStatistic(df, "s", col("a")).head().getDouble(0)
+    val ks2 = Evaluation.ksStatistic(df, "s", !col("a")).head().getDouble(0)
+    assert(ks1 >= 0 && ks1 <= 1 && ks1 == ks2)
+    val mw = Evaluation.mannWhitney(df, "s", col("a")).head()
+    val (u, na, nb) = (mw.getDouble(0), mw.getLong(2), mw.getLong(3))
+    assert(u >= 0 && u <= na.toDouble * nb)
+    // PSI: every term (pt-pr)·ln(pt/pr) is nonnegative by sign agreement
+    val pdf = (1 to 300).map(i =>
+      (s"g${i % 3}", math.floor(rnd.nextDouble() * 500))).toDF("g", "x")
+    Evaluation.psiByGroup(pdf, "g", "x", "g0", 5)
+      .collect().foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
+
+  test("properties: lift capture is monotone and ends at 1; RFM tiles balanced") {
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 500).map(i =>
+      (i.toLong, if (rnd.nextDouble() < 0.3) 1.0 else 0.0,
+        math.floor(rnd.nextDouble() * 1e6) / 1e6)).toDF("id", "y", "s")
+    val rows = Evaluation.liftGains(df, "id", "y", "s", 10)
+      .orderBy("tile").collect()
+    val captures = rows.map(_.getDouble(3))
+    assert(captures.zip(captures.tail).forall { case (a, b) => b >= a })
+    assert(captures.last == 1.0)
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    // rfm quintiles: every score in 1..5, class sizes differ by <= 1
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = (1 to 97).map(i => (i.toLong, t(rnd.nextInt(100000).toLong),
+      if (rnd.nextBoolean()) "purchase" else "view", rnd.nextInt(100).toDouble))
+      .toDF("user_id", "ts", "event_type", "value")
+    val rfm = graft.ops.EventAnalytics.rfm(ev, "user_id", "ts", "value",
+      col("event_type") === "purchase", 5).collect()
+    for (cIdx <- 4 to 6) {
+      val hist = rfm.map(_.getLong(cIdx)).groupBy(identity).view.mapValues(_.size)
+      assert(hist.keys.forall(s => s >= 1 && s <= 5))
+      assert(hist.values.max - hist.values.min <= 1)
+    }
+  }
+
+  test("properties: transition rows sum to ~1; burstiness in [-1,1]; union bounded") {
+    val rnd = new scala.util.Random(53)
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = (1 to 400).map(i => ((i % 13).toLong, t(rnd.nextInt(50000).toLong),
+      i.toLong, s"e${rnd.nextInt(4)}")).toDF("user_id", "ts", "event_id", "t")
+    val trans = graft.ops.EventAnalytics
+      .transitionMatrix(ev, "user_id", "ts", "t", "event_id")
+      .groupBy("prev_type").agg(sum("p").as("rowsum")).collect()
+    trans.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4))
+    graft.ops.EventAnalytics.burstiness(ev, "user_id", "ts", "event_id")
+      .collect().foreach { r =>
+        if (!r.isNullAt(4)) assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+      }
+    // interval union: max single length <= covered <= sum of lengths
+    val iv = (1 to 200).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      ((i % 7).toLong, s, s + 1 + rnd.nextInt(500).toLong)
+    }.toDF("k", "s", "e")
+    val sums = iv.groupBy("k").agg(
+      sum(col("e") - col("s")).as("tot"), max(col("e") - col("s")).as("mx"))
+    graft.ops.EventAnalytics.intervalUnion(iv, "k", col("s"), col("e"))
+      .join(sums, "k").collect().foreach { r =>
+        val (covered, tot, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(covered <= tot && covered >= mx)
+      }
+  }
+
+  test("properties: PageRank mass conserved on random graphs") {
+    val rnd = new scala.util.Random(61)
+    val edges = (1 to 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b) + 41L, 1L + rnd.nextInt(3)) // bipartite-ish, no self loop
+    }.distinct.toDF("src", "dst", "w")
+    val ranks = graft.ops.Graph.pageRank(edges, iters = 3).collect()
+    val meanRank = ranks.map(_.getDouble(1)).sum / ranks.length
+    assert(math.abs(meanRank - 1.0) < 1e-3) // normalized mean stays 1
+  }
+
+  // -----------------------------------------------------------------
   // plan guards: the row-scale ranking never crosses a single-partition
   // global window — every Window over the ranked frame carries __pid
   // -----------------------------------------------------------------
