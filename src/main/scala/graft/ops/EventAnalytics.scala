@@ -100,10 +100,13 @@ object EventAnalytics {
     * LAST touch event by the same key within the trailing attribution
     * window (first-touch / last-touch, the two standard models),
     * reported as waits in exact integer µs; conversions with no touch
-    * in-window keep nulls. One user-keyed equi-join bounded by the
-    * window predicate — per-key work is (touches × conversions inside
-    * one horizon), the same boundedness class as the granule interval
-    * join, never cross-key. */
+    * in-window keep nulls. One user-keyed equi-join whose JOIN
+    * CONDITION carries the attribution-window range predicate: the
+    * hash/sort-merge join keeps the equality key and the residual
+    * range filter drops out-of-window pairs before the aggregate, so
+    * the aggregate input is (touches × conversions inside one
+    * horizon), never the per-key all-pairs product. Left-join
+    * semantics preserve no-touch conversions (null waits). */
   def attribution(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, conversionType: String,
       touchType: String, typeCol: String, windowSec: Long): DataFrame = {
@@ -112,15 +115,16 @@ object EventAnalytics {
       .select(col(idCol), col(keyCol), us.as("__cts"),
         col(valueCol).as("__v"))
     val touch = df.filter(col(typeCol) === touchType)
-      .select(col(keyCol), us.as("__tts"))
-    conv.join(touch, Seq(keyCol), "left")
-      .withColumn("__in",
-        col("__tts").isNotNull && col("__tts") <= col("__cts") &&
-          col("__tts") >= col("__cts") - windowSec * 1000000L)
+      .select(col(keyCol).as("__tk"), us.as("__tts"))
+    conv.join(touch,
+        col(keyCol) === col("__tk") &&
+          col("__tts") <= col("__cts") &&
+          col("__tts") >= col("__cts") - windowSec * 1000000L,
+        "left")
       .groupBy(col(idCol), col(keyCol), col("__cts"), col("__v"))
       .agg(
-        min(when(col("__in"), col("__tts"))).as("__ft"),
-        max(when(col("__in"), col("__tts"))).as("__lt"))
+        min(col("__tts")).as("__ft"),
+        max(col("__tts")).as("__lt"))
       .select(col(idCol), col(keyCol),
         round(col("__v"), 6).as("value"),
         (col("__cts") - col("__ft")).as("first_touch_wait_us"),

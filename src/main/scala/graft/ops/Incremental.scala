@@ -27,8 +27,11 @@ object Incremental {
   def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val vi = floor(col(valueCol) * Scale + 0.5).cast("long")
     df.select(col(keyCol).as("key"), vi.as("__vi"))
+      // multiply in decimal: a micro-unit value past ~3e9 (|v| >= ~3038)
+      // squares past the long range and would silently wrap
       .select(col("key"), col("__vi"),
-        (col("__vi") * col("__vi")).cast("decimal(38,0)").as("__vi2"))
+        (col("__vi").cast("decimal(38,0)") * col("__vi").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__vi2"))
       .groupBy("key").agg(
         count(lit(1)).as("n"),
         sum(col("__vi").cast("decimal(38,0)")).as("s1"),
@@ -92,12 +95,18 @@ object Incremental {
     * versions of a keyed table. Content equality is an md5 over the
     * compare columns (computed scan-local on each side), so the full
     * outer join carries one 16-byte digest per row, never the payload.
+    * NULLs are encoded explicitly per column (coalesce to a NUL
+    * sentinel) so the digest keeps one field per compare column —
+    * concat_ws alone SKIPS nulls, which would make ('a', NULL, 'b')
+    * and ('a', 'b', NULL) collide and miss real changes.
     * Returns (key columns..., status ∈ added|removed|changed). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, h: String): DataFrame =
       df.select(keyCols.map(col) :+
-        md5(concat_ws("|", compareCols.map(c => col(c).cast("string")): _*)).as(h): _*)
+        md5(concat_ws("|",
+          compareCols.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h): _*)
     hashed(oldDf, "__ho").join(hashed(newDf, "__hn"), keyCols, "full_outer")
       .withColumn("status",
         when(col("__ho").isNull, "added")

@@ -163,7 +163,9 @@ object Stats {
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val rows = cols.map { c =>
       val vi = floor(col(c) * 1e6 + 0.5).cast("long")
-      val a = df.select(vi.as("__vi"))
+      // drop NULLs so n matches the null-skipping sums/min/max and the
+      // null-filtered quartiles (pandas describe excludes NaN/NULL)
+      val a = df.select(vi.as("__vi")).filter(col("__vi").isNotNull)
         // multiply in decimal: a micro-unit value of 1e11 squares past
         // the long range
         .select(col("__vi"),
@@ -226,9 +228,11 @@ object Stats {
         count(lit(1)).as("n"),
         sum(col("__x").cast(d38)).as("sx"),
         sum(col("__y").cast(d38)).as("sy"),
-        sum((col("__x") * col("__x")).cast(d38)).as("sxx"),
-        sum((col("__x") * col("__y")).cast(d38)).as("sxy"),
-        sum((col("__y") * col("__y")).cast(d38)).as("syy"))
+        // multiply in decimal: scaled values past ~3e9 square past the
+        // long range and would silently wrap before the decimal cast
+        sum((col("__x").cast(d38) * col("__x").cast(d38)).cast(d38)).as("sxx"),
+        sum((col("__x").cast(d38) * col("__y").cast(d38)).cast(d38)).as("sxy"),
+        sum((col("__y").cast(d38) * col("__y").cast(d38)).cast(d38)).as("syy"))
     val (n, sx, sy, sxx, sxy, syy) = (col("n").cast("double"),
       col("sx").cast("double"), col("sy").cast("double"),
       col("sxx").cast("double"), col("sxy").cast("double"),

@@ -399,12 +399,17 @@ object EvalQueries {
   def fuzzyJoin(s: SparkSession, d: String): DataFrame =
     fuzzyPairs(s, d).orderBy("id_1", "id_2")
 
+  // the ok CTE mirrors the operator's maxBlockSize=10000 skew guard:
+  // at a scale factor where a first-token block exceeds the cap the
+  // engine drops it, so the oracle must drop it too
   val fuzzyJoinSql: String =
-    """WITH k AS (
+    """WITH k0 AS (
       |  SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
       |         string_split_regex(trim(text), '\s+')[1] AS blk
       |  FROM documents
-      |)
+      |),
+      |ok AS (SELECT blk FROM k0 GROUP BY blk HAVING count(*) <= 10000),
+      |k AS (SELECT k0.* FROM k0 JOIN ok USING (blk))
       |SELECT a.id AS id_1, b.id AS id_2,
       |       levenshtein(a.pfx, b.pfx) AS distance
       |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
@@ -438,11 +443,11 @@ object EvalQueries {
 
   val describeSql: String = {
     def block(c: String): String =
-      s"""SELECT '$c' AS col_name, count(*) AS n,
-        |  round((sum(vi) * 1.0) / 1000000.0 / count(*), 6) AS mean,
-        |  round(sqrt((sum(vi * vi) * 1.0) / 1e12 / count(*)
-        |    - ((sum(vi) * 1.0) / 1000000.0 / count(*))
-        |      * ((sum(vi) * 1.0) / 1000000.0 / count(*))), 6) AS std,
+      s"""SELECT '$c' AS col_name, count(vi) AS n,
+        |  round((sum(vi) * 1.0) / 1000000.0 / count(vi), 6) AS mean,
+        |  round(sqrt((sum(vi * vi) * 1.0) / 1e12 / count(vi)
+        |    - ((sum(vi) * 1.0) / 1000000.0 / count(vi))
+        |      * ((sum(vi) * 1.0) / 1000000.0 / count(vi))), 6) AS std,
         |  round(min(vi) / 1000000.0, 6) AS min,
         |  round(quantile_cont(v, 0.25), 6) AS p25,
         |  round(quantile_cont(v, 0.5), 6) AS p50,
@@ -614,7 +619,8 @@ object EvalQueries {
       |      FROM o),
       |m AS (SELECT user_id, island, min(s) AS i0, max(e) AS i1
       |      FROM f GROUP BY 1, 2)
-      |SELECT user_id, count(*) AS n_intervals, sum(i1 - i0) AS covered_us
+      |SELECT user_id, count(*) AS n_intervals,
+      |       CAST(sum(i1 - i0) AS BIGINT) AS covered_us
       |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------

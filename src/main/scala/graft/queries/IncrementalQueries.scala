@@ -83,10 +83,12 @@ object IncrementalQueries {
       |new2 AS (SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       |         FROM documents WHERE doc_id < 5),
       |nw AS (SELECT * FROM new1 UNION ALL SELECT * FROM new2),
-      |oh AS (SELECT doc_id, concat_ws('|', text, lang, source,
-      |                CAST(n_chars AS VARCHAR)) AS h FROM old),
-      |nh AS (SELECT doc_id, concat_ws('|', text, lang, source,
-      |                CAST(n_chars AS VARCHAR)) AS h FROM nw),
+      |oh AS (SELECT doc_id, concat_ws('|', coalesce(text, chr(0)),
+      |                coalesce(lang, chr(0)), coalesce(source, chr(0)),
+      |                coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS h FROM old),
+      |nh AS (SELECT doc_id, concat_ws('|', coalesce(text, chr(0)),
+      |                coalesce(lang, chr(0)), coalesce(source, chr(0)),
+      |                coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS h FROM nw),
       |j AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
       |        CASE WHEN oh.h IS NULL THEN 'added'
       |             WHEN nh.h IS NULL THEN 'removed'

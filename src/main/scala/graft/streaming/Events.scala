@@ -361,6 +361,105 @@ object Events {
       }.toDF()
   }
 
+  /** Streaming daily OHLC — the incremental counterpart of
+    * [[graft.ops.EventAnalytics.dailyOhlc]]: a watermarked 1-day
+    * windowed aggregate whose open/close ride deterministic
+    * struct-min/max under the (ts, tie) order, exactly the batch
+    * formulation. Append mode emits each (day, group) bar exactly once
+    * when the watermark closes the day; state is one struct per open
+    * (day, group) — bounded by the day span x group cardinality inside
+    * the horizon, never row-scale. */
+  def dailyOhlcStream(events: DataFrame, tsCol: String, tieCol: String,
+      groupCol: String, valueCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("__w"), col(groupCol).as("grp"))
+      .agg(
+        min(struct(col(tsCol), col(tieCol), col(valueCol).as("v"))).as("__omin"),
+        max(struct(col(tsCol), col(tieCol), col(valueCol).as("v"))).as("__omax"),
+        round(max(col(valueCol)), 6).as("high"),
+        round(min(col(valueCol)), 6).as("low"),
+        round(sum(col(valueCol)), 6).as("volume"),
+        count(lit(1)).as("n"))
+      .select(date_format(col("__w.start"), "yyyy-MM-dd").as("day"),
+        col("grp").as(groupCol),
+        round(col("__omin.v"), 6).as("open"), col("high"), col("low"),
+        round(col("__omax.v"), 6).as("close"), col("volume"), col("n"))
+
+  final case class AttrEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String, value: Double)
+  /** Per-key attribution state: touch timestamps still inside any
+    * future conversion's window (tts >= watermark − windowSec) plus
+    * conversions not yet finalized (cts > watermark) — both
+    * horizon-bounded, never the key's full history. */
+  final case class AttrBuf(touches: List[Long],
+      pending: List[(Long, Long, Double)])
+  final case class AttrRow(event_id: Long, user_id: Long, value: Double,
+      first_touch_wait_us: Option[Long], last_touch_wait_us: Option[Long])
+
+  /** Streaming first/last-touch attribution — the incremental
+    * counterpart of [[graft.ops.EventAnalytics.attribution]], same
+    * trailing-window semantics. A conversion's result is provably
+    * final once the watermark passes its timestamp: any touch inside
+    * its window has ts <= cts <= watermark and must already have
+    * arrived, so the row is emitted exactly once (the funnel/decay
+    * finality discipline). Touches older than (watermark − windowSec)
+    * can never serve a future conversion (whose cts >= watermark) and
+    * leave state — the bounded forward-join shape. */
+  def attributionStream(spark: SparkSession, events: DataFrame,
+      conversionType: String, touchType: String, windowSec: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val wUs = windowSec * 1000000L
+    // filter BEFORE the watermark so event time tracks exactly the
+    // participating types (the funnelStream lesson)
+    val typed = events
+      .filter(col("event_type").isin(conversionType, touchType))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[AttrEvent]
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrBuf, AttrRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[AttrBuf]) =>
+          val prev = state.getOption.getOrElse(AttrBuf(Nil, Nil))
+          val rs = rows.toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val touches = prev.touches ++
+            rs.filter(_.event_type == touchType).map(e => usOf(e.ts))
+          val pending = prev.pending ++
+            rs.filter(_.event_type == conversionType)
+              .map(e => (usOf(e.ts), e.event_id, e.value))
+          val (ready, still) = pending.partition(_._1 <= wmUs)
+          val out = ready.map { case (cts, id, v) =>
+            val in = touches.filter(t => t <= cts && t >= cts - wUs)
+            AttrRow(id, uid,
+              BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble,
+              if (in.isEmpty) None else Some(cts - in.min),
+              if (in.isEmpty) None else Some(cts - in.max))
+          }
+          // touches older than wm − windowSec can never reach a future
+          // conversion (its cts >= wm); keep the rest
+          val keptTouches = touches.filter(_ >= wmUs - wUs)
+          if (still.isEmpty && keptTouches.isEmpty) state.remove()
+          else {
+            state.update(AttrBuf(keptTouches, still))
+            // wake when the earliest pending conversion finalizes, or —
+            // touches only — once the horizon fully ages them out
+            val nextUs = still.map(_._1).minOption
+              .getOrElse(keptTouches.max + wUs)
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000L, wmUs / 1000L) + 1L)
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Custom stateful op: running per-user totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state API the
     * brief calls for; state survives across micro-batches. */

@@ -278,6 +278,30 @@ class EvaluationSpec extends SparkSpec {
     assert(rows("g") == ((5L, 2.0, 1.0, 1.0)))
   }
 
+  test("groupOls: values past the long-square boundary (|x| >= ~3038) stay exact") {
+    // xi = 4000e6 squares to 1.6e25 — far past Long.MaxValue; a long
+    // multiply would silently wrap and corrupt slope/intercept/r2
+    val line = Seq(4000.0, 5000.0, 6000.0).map(x => ("g", x, 2.0 * x + 1.0))
+    val rows = graft.ops.Stats.groupOls(line.toDF("grp", "x", "y"),
+        "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("g")._1 == 3L)
+    assert(math.abs(rows("g")._2 - 2.0) < 1e-6, s"slope wrapped: ${rows("g")}")
+    assert(math.abs(rows("g")._3 - 1.0) < 1e-4, s"intercept wrapped: ${rows("g")}")
+    assert(math.abs(rows("g")._4 - 1.0) < 1e-9, s"r2 wrapped: ${rows("g")}")
+  }
+
+  test("describeExact: NULLs excluded from n, moments, and quartiles") {
+    val df = Seq(Some(1.0), None, Some(2.0), Some(3.0), None, Some(4.0))
+      .toDF("v")
+    val r = graft.ops.Stats.describeExact(df, Seq("v")).head()
+    assert(r.getLong(1) == 4L, s"n must count non-null only: ${r.getLong(1)}")
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 1.118034)
+    assert(r.getDouble(5) == 1.75 && r.getDouble(6) == 2.5 &&
+      r.getDouble(7) == 3.25)
+  }
+
   test("fuzzyJoinBlocked: same-block pairs only, hand distance, size cap") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
@@ -445,6 +469,36 @@ class EvaluationSpec extends SparkSpec {
     assert(got(3L) == ((Some(150000000L), Some(50000000L))))
     assert(got(4L) == ((None, None)))
     assert(got(6L) == ((None, None)))
+  }
+
+  test("attribution: heavy key — many touches x many conversions stays correct") {
+    // One key with months of history: 200 touches at t=0..199s, 50
+    // conversions at t=1000+10i with a 100s window. Each conversion
+    // sees only the touches inside its own horizon (none after t=199),
+    // so first/last waits are computable in closed form.
+    def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    val touches = (0L until 200L).map(i => (1L, t(i), 10000L + i, "view", 0.0))
+    val convs = (0 until 50).map { i =>
+      (1L, t(1000L + 10L * i), 20000L + i, "purchase", 1.0 * i)
+    }
+    val df = (touches ++ convs)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.ops.EventAnalytics.attribution(df, "user_id", "ts",
+        "event_id", "value", "purchase", "view", "event_type", 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got.size == 50)
+    for (i <- 0 until 50) {
+      val cts = 1000L + 10L * i
+      if (cts - 1000L <= 199L) {
+        // window [cts-1000, cts] clips to touches [max(0,cts-1000), 199]
+        val first = math.max(0L, cts - 1000L)
+        assert(got(20000L + i) ==
+          ((Some((cts - first) * 1000000L), Some((cts - 199L) * 1000000L))))
+      } else assert(got(20000L + i) == ((None, None)))
+    }
   }
 
   test("canonicalPick: best score wins, id breaks ties") {

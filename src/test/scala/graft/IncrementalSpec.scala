@@ -58,6 +58,34 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff: a value moving between columns via NULL is a change") {
+    // concat_ws alone skips NULLs, so ('a', NULL, 'b') and ('a', 'b',
+    // NULL) would share a digest and the change would be missed; the
+    // per-column NUL sentinel keeps one field per compare column
+    val old = Seq((1L, Some("a"), None: Option[String], Some("b")),
+      (2L, Some("x"), Some("y"), None: Option[String]))
+      .toDF("id", "c1", "c2", "c3")
+    val nw = Seq((1L, Some("a"), Some("b"), None: Option[String]),
+      (2L, Some("x"), Some("y"), None: Option[String]))
+      .toDF("id", "c1", "c2", "c3")
+    val got = Incremental.snapshotDiff(old, nw, Seq("id"),
+        Seq("c1", "c2", "c3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed"))
+  }
+
+  test("aggState: values past the long-square boundary (|v| >= ~3038) stay exact") {
+    // vi = 5000.5e6 squares to 2.5e19 > Long.MaxValue; a long multiply
+    // would silently wrap s2 and corrupt var_v
+    val df = Seq(("k", 5000.5), ("k", 10000.25)).toDF("g", "v")
+    val r = finishRows(Incremental.finish(Incremental.aggState(df, "g", "v")))
+    val (n, sum_v, mean_v, var_v, mn, mx) = r("k")
+    assert(n == 2L && sum_v == 15000.75 && mean_v == 7500.375)
+    assert(mn == 5000.5 && mx == 10000.25)
+    // pop var of {a, b} = ((a - b) / 2)^2 = 2499.875^2
+    assert(math.abs(var_v - 6249375.015625) < 1e-3, s"s2 wrapped: var=$var_v")
+  }
+
   test("scd2Intervals: interval chain with equal-ts tie-break") {
     def t(s: Long) = new Timestamp(s * 1000L)
     val df = Seq((1L, 7L, t(100)), (2L, 7L, t(200)), (3L, 7L, t(200)),
@@ -112,7 +140,8 @@ class IncrementalSpec extends SparkSpec {
     val agg = input.toDF()
       .select(col("_1").as("key"), vi.as("__vi"))
       .select(col("key"), col("__vi"),
-        (col("__vi") * col("__vi")).cast("decimal(38,0)").as("__vi2"))
+        (col("__vi").cast("decimal(38,0)") * col("__vi").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__vi2"))
       .groupBy("key").agg(
         count(lit(1)).as("n"),
         sum(col("__vi").cast("decimal(38,0)")).as("s1"),

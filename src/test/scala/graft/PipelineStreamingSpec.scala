@@ -666,6 +666,104 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(uncapped > 0, "the fixture must contain real near-dup pairs")
   }
 
+  test("streaming daily ohlc: closed bars equal the batch operator's") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // group p spans two batches within one day (open from b1, close
+    // from b2); group q is an equal-ts tie broken by event_id; day 2
+    // has a single-bar group
+    val b1 = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "p", 5.0),
+      (ts("2024-01-01 10:00:00"), 4L, "q", 7.0),
+      (ts("2024-01-01 10:00:00"), 5L, "q", 1.0))
+    val b2 = Seq(
+      (ts("2024-01-01 11:00:00"), 2L, "p", 9.0),
+      (ts("2024-01-01 12:00:00"), 3L, "p", 2.0),
+      (ts("2024-01-02 09:00:00"), 6L, "p", 4.5))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)](spark)
+    val out = graft.streaming.Events.dailyOhlcStream(
+      input.toDF().toDF("ts", "event_id", "event_type", "value"),
+      "ts", "event_id", "event_type", "value")
+    val q = out.writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // sentinel advances the watermark far past day 2 so every bar closes
+    input.addData(Seq((ts("2030-01-01 00:00:00"), 999L, "zz", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7)))).toMap
+    val streamed = toMap(spark.table("ohlc_stream")
+      .filter(col("event_type") =!= "zz")
+      .select("day", "event_type", "open", "high", "low", "close",
+        "volume", "n").collect())
+    val batch = toMap(graft.ops.EventAnalytics.dailyOhlc(
+        (b1 ++ b2).toDF("ts", "event_id", "event_type", "value"),
+        "ts", "event_id", "event_type", "value")
+      .select("day", "event_type", "open", "high", "low", "close",
+        "volume", "n").collect())
+    assert(streamed == batch,
+      s"stream/batch ohlc mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed(("2024-01-01", "q"))._1 == 7.0 &&
+      streamed(("2024-01-01", "q"))._4 == 1.0,
+      "equal-ts tie must break on event_id: open 7, close 1")
+  }
+
+  test("streaming attribution: emitted waits equal the batch operator's") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: Long) = java.sql.Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    // u7: touches in b1, conversion in b2 (cross-batch forward join);
+    // u7's early conversion at t=50 has no prior touch; u8's only
+    // touch ages out of the 1000 s window before its conversion
+    val b1 = Seq(
+      (7L, t(100), 1L, "view", 0.0), (7L, t(200), 2L, "view", 0.0),
+      (7L, t(50), 4L, "purchase", 1.0),
+      (8L, t(0), 5L, "view", 0.0))
+    val b2 = Seq(
+      (7L, t(250), 3L, "purchase", 9.0),
+      (8L, t(2000), 6L, "purchase", 2.0))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val out = graft.streaming.Events.attributionStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+      "purchase", "view", windowSec = 1000L)
+    val q = out.writeStream.format("memory").queryName("attr_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // sentinel (touch-typed so it passes the type filter) advances the
+    // watermark; one more batch fires the event-time timeouts
+    input.addData(Seq((999L, t(100000), 100L, "view", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq((999L, t(200000), 101L, "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        ((r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val streamed = asMap(spark.table("attr_stream")
+      .filter(col("user_id") =!= 999L)
+      .select("event_id", "user_id", "value", "first_touch_wait_us",
+        "last_touch_wait_us").collect())
+    val batch = asMap(graft.ops.EventAnalytics.attribution(
+        (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id", "value", "purchase", "view",
+        "event_type", 1000L)
+      .select("event_id", "user_id", "value", "first_touch_wait_us",
+        "last_touch_wait_us").collect())
+    assert(streamed == batch,
+      s"stream/batch attribution mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed(3L) == ((9.0, Some(150000000L), Some(50000000L))))
+    assert(streamed(4L)._2.isEmpty && streamed(6L)._2.isEmpty)
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)

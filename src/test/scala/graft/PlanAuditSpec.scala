@@ -371,6 +371,24 @@ class PlanAuditSpec extends SparkSpec {
       "gram sets must be pre-aggregated into sorted arrays")
   }
 
+  test("q191 attribution: window predicates ride the join condition, not a post-join mask") {
+    // The attribution window must bound the aggregate's input: the
+    // range predicate has to appear IN the join condition (hash join on
+    // the key + residual range filter), so out-of-window pairs die
+    // before the aggregate. The old shape — key-only left join, window
+    // test as a column inside the aggregate — is per-key all-pairs and
+    // quadratic on heavy keys.
+    val df = Queries.registry("q191_attribution")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, s"expected the touch join:\n$plan")
+    assert(joinLines.exists(l => l.contains("__tts") && l.contains("__cts")),
+      s"range predicate must ride the join condition:\n${joinLines.mkString("\n")}")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"attribution must keep the equality key:\n${plan.take(1500)}")
+  }
+
   test("q87 per-source cap: partial group-limit bounds shuffle volume") {
     val plan = formatted(Queries.registry("q87_best_per_source")(spark, sf))
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,

@@ -1,12 +1,20 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [--exact]
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
 parquet tables, sorts columns by name (mirroring the driver), sorts
 rows, and compares values. Prints PASS/FAIL per query.
+
+--exact mirrors the driver's exact-hash gate: float values must be
+bit-equal (no 1e-9 tolerance), and a column whose pandas dtype kind is
+integer on one side but float on the other FAILS even when every value
+compares equal as a float (the q188 class: DuckDB HUGEINT rendered as
+float64 vs Spark int64 — the driver hashes the rendering, so "1" vs
+"1.0" mismatches). Without --exact those dtype divergences are
+reported as warnings.
 
 Dev-tool only (driver-side python); not part of the Spark library.
 """
@@ -47,16 +55,37 @@ def values_equal(a, b, exact=False) -> bool:
     return a == b or str(a) == str(b)
 
 
-def compare(name, got: pd.DataFrame, want: pd.DataFrame):
-    """Returns (error, n_inexact): error is None on pass; n_inexact counts
-    values equal only within tolerance — a risk flag for the driver's
-    hash-based compare."""
+def dtype_mismatches(g: pd.DataFrame, w: pd.DataFrame):
+    """Columns whose numeric kind diverges (int on one side, float on the
+    other) — the class the driver's exact hash fails on even when every
+    value is tolerance-equal (int64 1 renders "1", float64 1.0 renders
+    "1.0")."""
+    bad = []
+    for col in g.columns:
+        gk, wk = g[col].dtype.kind, w[col].dtype.kind
+        num = {"i", "u", "f"}
+        if gk in num and wk in num and (gk == "f") != (wk == "f"):
+            bad.append(f"{col}: spark={g[col].dtype} oracle={w[col].dtype}")
+    return bad
+
+
+def compare(name, got: pd.DataFrame, want: pd.DataFrame, exact=False):
+    """Returns (error, warns): error is None on pass; warns lists risk
+    flags for the driver's hash-based compare (tolerance-only equality,
+    int-vs-float dtype divergence). With exact=True those risks ARE
+    errors, mirroring the driver."""
     if sorted(got.columns) != sorted(want.columns):
         return (f"COLUMNS differ: spark={sorted(got.columns)} "
-                f"oracle={sorted(want.columns)}"), 0
+                f"oracle={sorted(want.columns)}"), []
     if len(got) != len(want):
-        return f"ROWS differ: spark={len(got)} oracle={len(want)}", 0
+        return f"ROWS differ: spark={len(got)} oracle={len(want)}", []
     g, w = canon(got), canon(want)
+    warns = []
+    dt = dtype_mismatches(g, w)
+    if dt:
+        if exact:
+            return f"DTYPE differ (int vs float): {'; '.join(dt)}", []
+        warns.append(f"{len(dt)} int-vs-float dtype col(s): {'; '.join(dt)}")
     n_inexact = 0
     for col in g.columns:
         gv, wv = g[col].tolist(), w[col].tolist()
@@ -65,16 +94,20 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame):
             pb = b is None or (isinstance(b, float) and math.isnan(b))
             if pa and pb:
                 continue
-            if pa != pb or not values_equal(a, b):
+            if pa != pb or not values_equal(a, b, exact):
                 return (f"VALUE differ col={col} row={i}: "
-                        f"spark={a!r} oracle={b!r}"), n_inexact
+                        f"spark={a!r} oracle={b!r}"), warns
             if not values_equal(a, b, exact=True):
                 n_inexact += 1
-    return None, n_inexact
+    if n_inexact:
+        warns.append(f"{n_inexact} values only tolerance-equal")
+    return None, warns
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    exact = "--exact" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -100,11 +133,11 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE SQL ERROR: {e}"
             continue
-        err, n_inexact = compare(name, got, want)
+        err, warns = compare(name, got, want, exact)
         if err:
             results[name] = err
-        elif n_inexact:
-            results[name] = f"PASS (⚠ {n_inexact} values only tolerance-equal)"
+        elif warns:
+            results[name] = f"PASS (⚠ {'; '.join(warns)})"
         else:
             results[name] = "PASS"
     width = max(len(n) for n in results) if results else 0
