@@ -96,6 +96,63 @@ object EventAnalytics {
           .as("is_anomaly"))
   }
 
+  /** Per-key Shannon entropy of the event-type distribution —
+    * H = ln(n) − (Σ c·ln c)/n over the key's exact integer type
+    * counts (0 = a single behavior, ln(#types) = uniform mixing;
+    * the behavioral-diversity feature). Two hash aggregates, keys as
+    * fine as the data; the inner frame is (keys × #types), bounded by
+    * the type cardinality per key. The float term sum runs over at
+    * most #types values of magnitude ≤ c·ln c, so ordering noise is
+    * ~1e-12 — far inside the 6-dp round. */
+  def typeEntropy(df: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+    val n = sum(col("__c")).cast("double")
+    counts.groupBy(keyCol).agg(
+      sum(col("__c")).as("n_events"),
+      count(lit(1)).as("n_types"),
+      round(log(n) -
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))) / n,
+        6).as("entropy"))
+  }
+
+  /** Tabular CUSUM change detection over daily event counts (Page
+    * 1954): S⁺ accumulates positive deviations past a slack of
+    * `slackSigma`·σ, S⁻ the negative ones, each clamped at 0; a day
+    * alarms when either side exceeds `alarmSigma`·σ — the standard
+    * sequential drift detector, more sensitive to sustained small
+    * shifts than the per-day z-score (`dailyAnomaly`). Mean/σ come
+    * from the whole series' exact integer moments. The per-day
+    * aggregate is distributed; the recursion then runs driver-side
+    * over the day frame — bounded by the corpus TIME SPAN (one row
+    * per day), never the row count, the funnelRates discipline. */
+  def cusumDaily(df: DataFrame, tsCol: String, slackSigma: Double = 0.5,
+      alarmSigma: Double = 4.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day")
+      .collect() // bounded: one row per observed day
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val n = daily.length
+    require(n > 0, "cusumDaily: empty input")
+    val sx = daily.map(_._2).sum
+    val sxx = daily.map(d => d._2 * d._2).sum
+    val mean = sx.toDouble / n
+    val sd = math.sqrt(sxx.toDouble / n - mean * mean)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var sp = 0.0
+    var sn = 0.0
+    daily.map { case (day, x) =>
+      sp = math.max(0.0, sp + x - mean - slackSigma * sd)
+      sn = math.max(0.0, sn + mean - x - slackSigma * sd)
+      (day, x, r6(sp), r6(sn),
+        sp > alarmSigma * sd || sn > alarmSigma * sd)
+    }.toSeq.toDF("day", "n_events", "cusum_pos", "cusum_neg", "is_alarm")
+  }
+
   /** Marketing attribution: for every conversion event, the FIRST and
     * LAST touch event by the same key within the trailing attribution
     * window (first-touch / last-touch, the two standard models),
@@ -129,6 +186,56 @@ object EventAnalytics {
         round(col("__v"), 6).as("value"),
         (col("__cts") - col("__ft")).as("first_touch_wait_us"),
         (col("__cts") - col("__lt")).as("last_touch_wait_us"))
+  }
+
+  /** Multi-touch attribution credit: each conversion's value is
+    * distributed across its in-window touches under the two standard
+    * fractional models — LINEAR (1/k to each of the k touches) and
+    * POSITION-BASED / U-shaped (40% first, 40% last, the middle 20%
+    * split across interior touches; k=1 → 100%, k=2 → 50/50) — and
+    * credit is reported per touch TYPE (the "channel"). Credits are
+    * computed in exact micro-units: ci = floor(vi · w + 0.5) where vi
+    * is the conversion value in integer µ-units and w the model
+    * weight, so the per-channel totals are integer sums — partition-
+    * and order-independent, bit-replayable in SQL.
+    *
+    * Shape: one key equi-join whose condition carries the window range
+    * predicate (the [[attribution]] boundedness), then per-conversion
+    * rank/count windows PARTITIONED BY THE CONVERSION ID — frames are
+    * one conversion's in-window touches (horizon-bounded), never a
+    * key's history — and a final channel-keyed aggregate of bounded
+    * cardinality. */
+  def attributionCredit(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, conversionType: String,
+      touchTypes: Seq[String], typeCol: String,
+      windowSec: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val conv = df.filter(col(typeCol) === conversionType)
+      .select(col(keyCol), col(idCol).as("__cid"), us.as("__cts"),
+        floor(col(valueCol) * 1e6 + 0.5).cast("long").as("__vi"))
+    val touch = df.filter(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(keyCol).as("__tk"), col(idCol).as("__tid"),
+        us.as("__tts"), col(typeCol).as("channel"))
+    val joined = conv.join(touch,
+      col(keyCol) === col("__tk") &&
+        col("__tts") <= col("__cts") &&
+        col("__tts") >= col("__cts") - windowSec * 1000000L)
+    val w = Window.partitionBy(col("__cid"))
+    val wOrd = w.orderBy(col("__tts"), col("__tid"))
+    val k = count(lit(1)).over(w)
+    val rn = row_number().over(wOrd)
+    val linW = lit(1.0) / k
+    val posW = when(k === 1, 1.0)
+      .when(k === 2, 0.5)
+      .when(rn === 1 || rn === k, 0.4)
+      .otherwise(lit(0.2) / (k - 2))
+    joined
+      .withColumn("__lin", floor(col("__vi") * linW + 0.5).cast("long"))
+      .withColumn("__pos", floor(col("__vi") * posW + 0.5).cast("long"))
+      .groupBy("channel").agg(
+        count(lit(1)).as("n_touches"),
+        (sum(col("__lin")).cast("double") / 1e6).as("linear_credit"),
+        (sum(col("__pos")).cast("double") / 1e6).as("position_credit"))
   }
 
   /** Interval union per key: merge overlapping/touching [start, end)
@@ -175,6 +282,41 @@ object EventAnalytics {
       .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
         col("grp").as(groupCol), col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("n"))
+
+  /** Bollinger bands (Bollinger 1983) over the per-group daily close:
+    * the `trailingDays`-bar moving average of the close ± k·σ_pop,
+    * emitted only once the window is full. The close is the
+    * deterministic struct-max under (ts, tie); band moments use exact
+    * micro-unit integer window sums (vi, vi² as longs — |close| up to
+    * ~3e3 before vi² leaves the long range, far above any event
+    * value) so the double formula is engine-portable. Day-granular
+    * frames only: the window runs over the per-(group, day) aggregate,
+    * bounded by the corpus time span, never row-scale. */
+  def bollingerDaily(df: DataFrame, tsCol: String, tieCol: String,
+      groupCol: String, valueCol: String, trailingDays: Int = 7,
+      k: Double = 2.0): DataFrame = {
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"), col(groupCol).as("grp"),
+        struct(col(tsCol), col(tieCol), col(valueCol).as("v")).as("__o"))
+      .groupBy("day", "grp")
+      .agg(max(col("__o")).getField("v").as("__close"))
+      .withColumn("__vi", floor(col("__close") * 1e6 + 0.5).cast("long"))
+    val w = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(-(trailingDays - 1), 0)
+    val cnt = count(lit(1)).over(w)
+    val mean = sum(col("__vi")).over(w).cast("double") / 1e6 / cnt
+    val varv = sum(col("__vi") * col("__vi")).over(w).cast("double") /
+      lit(1e12) / cnt - mean * mean
+    daily.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("grp").as(groupCol),
+      round(col("__close"), 6).as("close"),
+      when(cnt === trailingDays, round(mean, 6)).as("sma"),
+      when(cnt === trailingDays,
+        round(mean + lit(k) * sqrt(varv), 6)).as("upper_band"),
+      when(cnt === trailingDays,
+        round(mean - lit(k) * sqrt(varv), 6)).as("lower_band"))
+  }
 
   /** Lagged cross-correlation between the daily counts of two event
     * types: Pearson r of (series A on day d, series B on day d+lag)
@@ -310,6 +452,51 @@ object EventAnalytics {
       .distinct()
       .groupBy("day").agg(count(lit(1)).as("n_keys"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_keys"))
+  }
+
+  /** Kaplan-Meier survival estimate (Kaplan & Meier 1958) of the
+    * day-granular time from a key's first `startType` event to its
+    * first subsequent `eventType` event, right-censored at the corpus
+    * max day for keys that never convert. At each event day d:
+    * n_risk = subjects with duration ≥ d, and Ŝ(d) multiplies by
+    * (1 − d_i/n_risk) — the canonical time-to-event curve (here:
+    * time-to-conversion). Per-key durations and the per-day
+    * (events, at-risk) counts are distributed aggregates; the
+    * survival recursion then runs driver-side over the day frame
+    * (bounded by the corpus time span — the funnelRates/CUSUM
+    * discipline), from exact integer counts. */
+  def kaplanMeier(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, startType: String, eventType: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t0 = df.filter(col(typeCol) === startType)
+      .groupBy(keyCol).agg(min(col(tsCol)).as("__t0"))
+    val ev = df.filter(col(typeCol) === eventType)
+      .select(col(keyCol).as("__k2"), col(tsCol).as("__te"))
+    val tp = t0.join(ev,
+        col(keyCol) === col("__k2") && col("__te") >= col("__t0"), "left")
+      .groupBy(col(keyCol), col("__t0")).agg(min(col("__te")).as("__t1"))
+    val maxDay = df.agg(max(to_date(col(tsCol)))).head().getDate(0)
+    val days = tp.select(
+        when(col("__t1").isNotNull,
+          datediff(to_date(col("__t1")), to_date(col("__t0"))))
+          .otherwise(datediff(lit(maxDay), to_date(col("__t0")))).as("d"),
+        col("__t1").isNotNull.cast("int").as("ev"))
+      .groupBy("d").agg(sum(col("ev")).as("d_i"), count(lit(1)).as("n_d"))
+      .orderBy("d")
+      .collect() // bounded: one row per distinct duration day
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var nRisk = days.map(_.getLong(2)).sum
+    var s = 1.0
+    days.flatMap { r =>
+      val (d, di, nd) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val row = if (di > 0) {
+        s = s * (1 - di.toDouble / nRisk)
+        Some((d.toLong, nRisk, di, r6(s)))
+      } else None
+      nRisk -= nd
+      row
+    }.toSeq.toDF("duration_days", "n_risk", "n_events", "survival")
   }
 
   /** RFM segmentation: per key, recency (µs from the key's last event

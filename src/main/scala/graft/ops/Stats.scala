@@ -250,6 +250,74 @@ object Stats {
         when(varYN > 0, round(covN * covN / (varXN * varYN), 9)).as("r2"))
   }
 
+  /** Robust outlier screen per group (Iglewicz & Hoaglin 1993): the
+    * modified z-score M = 0.6745·(v − median)/MAD, where MAD is the
+    * median absolute deviation from the group median; values with
+    * |M| > `threshold` (3.5 is the published cutoff) count as
+    * outliers. Medians are exact interpolated order statistics
+    * (`Percentiles.exact`); the per-group loop collects only the
+    * bounded group vocabulary. Groups with MAD = 0 (over half the
+    * values identical) report a null outlier count — the score is
+    * undefined there. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false) // read several times per group below
+    val groups = vals.select("__g").distinct()
+      .collect().map(_.get(0).toString).sorted // bounded group vocabulary
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    graft.core.Par.mapPar(groups.toSeq) { g =>
+      val sub = vals.filter(col("__g") === g)
+      val n = sub.count()
+      val med = Percentiles.exact(sub, "__v", Seq(0.5))(0.5)
+      val mad = Percentiles.exact(
+        sub.select(abs(col("__v") - med).as("__d")), "__d", Seq(0.5))(0.5)
+      val nOut =
+        if (mad > 0)
+          Some(sub.filter(
+            abs(lit(0.6745) * (col("__v") - med) / mad) > threshold).count())
+        else None
+      (g, n, r6(med), r6(mad), nOut)
+    }.toDF(groupCol, "n", "median", "mad", "n_outliers")
+  }
+
+  /** Winsorized statistics per group: values clipped at the exact
+    * [pLo, pHi] interpolated order statistics, then the clipped mean
+    * from exact micro-unit integer sums (order/partition-independent).
+    * The standard heavy-tail-robust alternative to trimming — every
+    * row still counts, extremes just stop dominating. Per-group loop
+    * over the bounded group vocabulary; one clip + aggregate pass per
+    * group over the checkpointed value frame. */
+  def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
+    val groups = vals.select("__g").distinct()
+      .collect().map(_.get(0).toString).sorted // bounded group vocabulary
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    graft.core.Par.mapPar(groups.toSeq) { g =>
+      val sub = vals.filter(col("__g") === g)
+      val ps = Percentiles.exact(sub, "__v", Seq(pLo, pHi))
+      val (lo, hi) = (ps(pLo), ps(pHi))
+      val clipped = least(greatest(col("__v"), lit(lo)), lit(hi))
+      val a = sub.agg(
+        count(lit(1)).as("n"),
+        sum(floor(clipped * 1e6 + 0.5).cast("long")).as("sw"),
+        sum(floor(col("__v") * 1e6 + 0.5).cast("long")).as("sr")).head()
+      val n = a.getLong(0)
+      (g, n, r6(lo), r6(hi),
+        r6(a.getLong(1).toDouble / 1e6 / n), r6(a.getLong(2).toDouble / 1e6 / n))
+    }.toDF(groupCol, "n", "p_lo", "p_hi", "winsorized_mean", "raw_mean")
+  }
+
   /** Per-group quantile normalization: each value mapped to its
     * percent rank within its group ((rank - 1) / (n - 1), min rank for
     * ties — the sklearn QuantileTransformer-style uniformization, here

@@ -286,6 +286,39 @@ object Temporal {
         stepCols.last.isNotNull.as("converted"): _*)
   }
 
+  /** Exact inter-event gap quartiles per group: consecutive-event
+    * waits (integer µs) under the (ts, tie) order WITHIN each
+    * (group, key) timeline, then the exact interpolated quartiles per
+    * group via `Percentiles.exact` (sort-based distributed order
+    * statistics). The per-group loop collects only the group
+    * vocabulary (bounded — event types, not keys); the gap frame is
+    * computed once and checkpointed. Quarter-fraction interpolation
+    * over integer µs is exactly representable, so both engines emit
+    * identical bits with no rounding. */
+  def groupGapPercentiles(df: DataFrame, groupCol: String, key: String,
+      ts: String, tieCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val us = unix_micros(col(ts))
+    val w = Window.partitionBy(col("__g"), col("__k"))
+      .orderBy(col("__ts"), col("__tie"))
+    val gaps = df
+      .select(col(groupCol).as("__g"), col(key).as("__k"),
+        us.as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("__gap",
+        (col("__ts") - lag(col("__ts"), 1).over(w)).cast("double"))
+      .filter(col("__gap").isNotNull)
+      .localCheckpoint(false) // read once per group below
+    val groups = gaps.select("__g").distinct()
+      .collect().map(_.get(0).toString).sorted // bounded group vocabulary
+    graft.core.Par.mapPar(groups.toSeq) { g =>
+      val sub = gaps.filter(col("__g") === g)
+      val n = sub.count()
+      val ps = Percentiles.exact(sub, "__gap", Seq(0.25, 0.5, 0.75))
+      (g, n, ps(0.25), ps(0.5), ps(0.75))
+    }.toDF(groupCol, "n_gaps", "p25_us", "p50_us", "p75_us")
+  }
+
   /** Cohort retention matrix — the other canonical funnel-adjacent
     * analytics deliverable: group every key (user) by the period of
     * its FIRST event (its cohort), then count how many distinct keys

@@ -696,6 +696,240 @@ object EvalQueries {
       |ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q198: multi-touch attribution credit — every purchase's value
+  // fractionally distributed over its trailing-7-day views and clicks
+  // under the linear and U-shaped position models, totalled per
+  // channel in exact micro-units.
+  // -------------------------------------------------------------------
+  def attributionCredit(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.attributionCredit(events(s, d), "user_id",
+        "ts", "event_id", "value", "purchase", Seq("click", "view"),
+        "event_type", windowSec = 604800L)
+      .orderBy("channel")
+
+  val attributionCreditSql: String =
+    """WITH c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts,
+      |             CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |               AS vi
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS tid, epoch_us(ts) AS tts,
+      |             event_type AS channel
+      |      FROM events WHERE event_type IN ('click', 'view')),
+      |j AS (SELECT c.cid, c.vi, t.tid, t.tts, t.channel
+      |      FROM c JOIN t ON t.user_id = c.user_id
+      |        AND t.tts <= c.cts AND t.tts >= c.cts - 604800000000),
+      |r AS (SELECT channel, vi,
+      |        count(*) OVER (PARTITION BY cid) AS k,
+      |        row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn
+      |      FROM j)
+      |SELECT channel, count(*) AS n_touches,
+      |  (sum(CAST(floor(vi * (1.0 / k) + 0.5) AS BIGINT)) * 1.0) / 1e6
+      |    AS linear_credit,
+      |  (sum(CAST(floor(vi * (CASE WHEN k = 1 THEN 1.0
+      |                             WHEN k = 2 THEN 0.5
+      |                             WHEN rn = 1 OR rn = k THEN 0.4
+      |                             ELSE 0.2 / (k - 2) END) + 0.5) AS BIGINT))
+      |   * 1.0) / 1e6 AS position_credit
+      |FROM r GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q199: tabular CUSUM drift detection over daily event counts — the
+  // sequential recursion replayed by a recursive CTE; mean/σ from the
+  // exact integer moments of the whole series.
+  // -------------------------------------------------------------------
+  def cusumDrift(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.cusumDaily(events(s, d), "ts",
+        slackSigma = 0.5, alarmSigma = 4.0)
+      .orderBy("day")
+
+  val cusumDriftSql: String =
+    """WITH RECURSIVE dly AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+      |),
+      |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM dly),
+      |st AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM dly),
+      |p AS (SELECT (sx * 1.0) / n AS mean,
+      |             sqrt((sxx * 1.0) / n - ((sx * 1.0) / n) * ((sx * 1.0) / n))
+      |               AS sd
+      |      FROM st),
+      |rec(rn, day, x, sp, sn) AS (
+      |  SELECT i.rn, i.day, i.x,
+      |         greatest(0, i.x - p.mean - 0.5 * p.sd),
+      |         greatest(0, p.mean - i.x - 0.5 * p.sd)
+      |  FROM idx i, p WHERE i.rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.x,
+      |         greatest(0, r.sp + i.x - p.mean - 0.5 * p.sd),
+      |         greatest(0, r.sn + p.mean - i.x - 0.5 * p.sd)
+      |  FROM idx i JOIN rec r ON i.rn = r.rn + 1, p
+      |)
+      |SELECT strftime(rec.day, '%Y-%m-%d') AS day, rec.x AS n_events,
+      |       round(rec.sp, 6) AS cusum_pos, round(rec.sn, 6) AS cusum_neg,
+      |       (rec.sp > 4.0 * p.sd OR rec.sn > 4.0 * p.sd) AS is_alarm
+      |FROM rec, p ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q202: per-user event-type entropy — behavioral diversity from
+  // exact integer type counts via H = ln(n) − (Σ c·ln c)/n.
+  // -------------------------------------------------------------------
+  def typeEntropy(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.typeEntropy(events(s, d), "user_id",
+        "event_type")
+      .orderBy("user_id")
+
+  val typeEntropySql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS c
+      |           FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |       count(*) AS n_types,
+      |       round(ln(sum(c) * 1.0)
+      |             - sum((c * 1.0) * ln(c * 1.0)) / (sum(c) * 1.0), 6)
+      |         AS entropy
+      |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q203: Bollinger bands over the per-type daily close — 7-bar SMA
+  // ± 2σ from exact micro-unit window sums.
+  // -------------------------------------------------------------------
+  def bollinger(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.bollingerDaily(events(s, d), "ts",
+        "event_id", "event_type", "value", trailingDays = 7, k = 2.0)
+      .orderBy("day", "event_type")
+
+  val bollingerSql: String =
+    """WITH r AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type AS grp, value,
+      |         row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |d AS (SELECT day, grp, value AS close,
+      |        CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vi
+      |      FROM r WHERE rn = 1),
+      |w AS (SELECT day, grp, close,
+      |        count(*) OVER win AS cnt,
+      |        sum(vi) OVER win AS s1,
+      |        sum(vi * vi) OVER win AS s2
+      |      FROM d
+      |      WINDOW win AS (PARTITION BY grp ORDER BY day
+      |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT strftime(day, '%Y-%m-%d') AS day, grp AS event_type,
+      |  round(close, 6) AS close,
+      |  CASE WHEN cnt = 7 THEN round((s1 * 1.0) / 1e6 / cnt, 6) END AS sma,
+      |  CASE WHEN cnt = 7 THEN round((s1 * 1.0) / 1e6 / cnt
+      |    + 2.0 * sqrt((s2 * 1.0) / 1e12 / cnt
+      |        - ((s1 * 1.0) / 1e6 / cnt) * ((s1 * 1.0) / 1e6 / cnt)), 6)
+      |  END AS upper_band,
+      |  CASE WHEN cnt = 7 THEN round((s1 * 1.0) / 1e6 / cnt
+      |    - 2.0 * sqrt((s2 * 1.0) / 1e12 / cnt
+      |        - ((s1 * 1.0) / 1e6 / cnt) * ((s1 * 1.0) / 1e6 / cnt)), 6)
+      |  END AS lower_band
+      |FROM w ORDER BY day, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q205: robust outlier screen per event type — modified z-score
+  // (0.6745·(v − median)/MAD, Iglewicz-Hoaglin) with the 3.5 cutoff;
+  // medians are exact interpolated order statistics.
+  // -------------------------------------------------------------------
+  def robustOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.robustOutliers(events(s, d), "event_type", "value",
+        threshold = 3.5)
+      .orderBy("event_type")
+
+  val robustOutliersSql: String =
+    """WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+      |d AS (SELECT v.grp, v.v, m.med, abs(v.v - m.med) AS ad
+      |      FROM v JOIN m USING (grp)),
+      |md AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT d.grp AS event_type, count(*) AS n,
+      |  round(any_value(d.med), 6) AS median,
+      |  round(any_value(md.mad), 6) AS mad,
+      |  CASE WHEN any_value(md.mad) > 0 THEN
+      |    CAST(sum(CASE WHEN abs(0.6745 * (d.v - d.med) / md.mad) > 3.5
+      |              THEN 1 ELSE 0 END) AS BIGINT)
+      |  END AS n_outliers
+      |FROM d JOIN md USING (grp) GROUP BY d.grp ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q206: Kaplan-Meier survival of time-to-conversion — days from each
+  // user's first view to their first subsequent purchase, censored at
+  // the corpus max day; the recursion replayed by a recursive CTE.
+  // -------------------------------------------------------------------
+  def kaplanMeier(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventAnalytics.kaplanMeier(events(s, d), "user_id", "ts",
+        "event_type", "view", "purchase")
+      .orderBy("duration_days")
+
+  val kaplanMeierSql: String =
+    """WITH RECURSIVE t0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |),
+      |tp AS (
+      |  SELECT t0.user_id, min(e.ts) AS t1
+      |  FROM t0 JOIN events e ON e.user_id = t0.user_id
+      |    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+      |  GROUP BY 1
+      |),
+      |mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+      |subj AS (
+      |  SELECT CASE WHEN tp.t1 IS NOT NULL
+      |           THEN date_diff('day', CAST(t0.t0 AS DATE), CAST(tp.t1 AS DATE))
+      |           ELSE date_diff('day', CAST(t0.t0 AS DATE), mx.md) END AS d,
+      |         CASE WHEN tp.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM t0 LEFT JOIN tp USING (user_id), mx
+      |),
+      |days AS (SELECT d, sum(ev) AS d_i, count(*) AS n_d FROM subj GROUP BY 1),
+      |risk AS (
+      |  SELECT d, d_i,
+      |    sum(n_d) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM days
+      |),
+      |evd AS (SELECT d, d_i, n_risk, row_number() OVER (ORDER BY d) AS rn
+      |        FROM risk WHERE d_i > 0),
+      |rec(rn, d, d_i, n_risk, s) AS (
+      |  SELECT rn, d, d_i, n_risk, 1.0 * (1 - (d_i * 1.0) / n_risk)
+      |  FROM evd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.rn, e.d, e.d_i, e.n_risk, r.s * (1 - (e.d_i * 1.0) / e.n_risk)
+      |  FROM evd e JOIN rec r ON e.rn = r.rn + 1
+      |)
+      |SELECT CAST(d AS BIGINT) AS duration_days,
+      |       CAST(n_risk AS BIGINT) AS n_risk,
+      |       CAST(d_i AS BIGINT) AS n_events,
+      |       round(s, 6) AS survival
+      |FROM rec ORDER BY duration_days""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q207: winsorized means per event type — values clipped at the
+  // exact [p05, p95] order statistics, clipped/raw means from exact
+  // micro-unit sums.
+  // -------------------------------------------------------------------
+  def winsorized(s: SparkSession, d: String): DataFrame =
+    graft.ops.Stats.winsorizedMeans(events(s, d), "event_type", "value",
+        pLo = 0.05, pHi = 0.95)
+      .orderBy("event_type")
+
+  val winsorizedSql: String =
+    """WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT g, quantile_cont(v, 0.05) AS lo,
+      |             quantile_cont(v, 0.95) AS hi
+      |      FROM v GROUP BY 1),
+      |c AS (SELECT v.g, p.lo, p.hi,
+      |        CAST(floor(least(greatest(v.v, p.lo), p.hi) * 1e6 + 0.5)
+      |          AS BIGINT) AS wi,
+      |        CAST(floor(v.v * 1e6 + 0.5) AS BIGINT) AS ri
+      |      FROM v JOIN p USING (g))
+      |SELECT g AS event_type, count(*) AS n,
+      |  round(any_value(lo), 6) AS p_lo, round(any_value(hi), 6) AS p_hi,
+      |  round((sum(wi) * 1.0) / 1e6 / count(*), 6) AS winsorized_mean,
+      |  round((sum(ri) * 1.0) / 1e6 / count(*), 6) AS raw_mean
+      |FROM c GROUP BY g ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q192: canonical-document selection — each near-dup cluster keeps
   // its highest-quality member (doc_id tie-break); the oracle reads
   // q66's verified cluster dump and re-ranks with the SQL-pinned
@@ -826,7 +1060,14 @@ object EvalQueries {
     "q192_canonical_docs" -> (canonicalDocs _),
     "q193_session_quality" -> (sessionQuality _),
     "q194_fuzzy_clusters" -> (fuzzyClusters _),
-    "q196_activity_heatmap" -> (activityHeatmap _))
+    "q196_activity_heatmap" -> (activityHeatmap _),
+    "q198_attribution_credit" -> (attributionCredit _),
+    "q199_cusum_drift" -> (cusumDrift _),
+    "q202_type_entropy" -> (typeEntropy _),
+    "q203_bollinger" -> (bollinger _),
+    "q205_robust_outliers" -> (robustOutliers _),
+    "q206_kaplan_meier" -> (kaplanMeier _),
+    "q207_winsorized" -> (winsorized _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -857,5 +1098,12 @@ object EvalQueries {
     "q192_canonical_docs" -> canonicalDocsSql,
     "q193_session_quality" -> sessionQualitySql,
     "q194_fuzzy_clusters" -> fuzzyClustersSql,
-    "q196_activity_heatmap" -> activityHeatmapSql)
+    "q196_activity_heatmap" -> activityHeatmapSql,
+    "q198_attribution_credit" -> attributionCreditSql,
+    "q199_cusum_drift" -> cusumDriftSql,
+    "q202_type_entropy" -> typeEntropySql,
+    "q203_bollinger" -> bollingerSql,
+    "q205_robust_outliers" -> robustOutliersSql,
+    "q206_kaplan_meier" -> kaplanMeierSql,
+    "q207_winsorized" -> winsorizedSql)
 }

@@ -2212,7 +2212,80 @@ object LlmQueries {
       |       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_window
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q200: vocabulary richness per source — token/type counts,
+  // type-token ratio, hapax legomena (the corpus-health read-out).
+  // -------------------------------------------------------------------
+  def vocabRichness(s: SparkSession, d: String): DataFrame =
+    TextOps.vocabularyRichness(docs(s, d), "source", "text")
+      .orderBy("source")
+
+  val vocabRichnessSql: String =
+    """WITH tf AS (
+      |  SELECT source AS g, tok, count(*) AS c
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2
+      |)
+      |SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+      |    AS hapax_fraction
+      |FROM tf GROUP BY 1 ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q201: Zipf rank-frequency slope per source — OLS of ln(freq) on
+  // ln(rank) over each source's top-100 tokens, replayed through the
+  // exact-integer sufficient-sum construction (the q174 formula).
+  // -------------------------------------------------------------------
+  def zipfSlopeQ(s: SparkSession, d: String): DataFrame =
+    TextOps.zipfSlope(docs(s, d), "source", "text", topK = 100)
+      .orderBy("source")
+
+  val zipfSlopeSql: String =
+    """WITH tf AS (
+      |  SELECT source AS g, tok, count(*) AS c
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2
+      |),
+      |ranked AS (
+      |  SELECT g, c, row_number() OVER (PARTITION BY g
+      |           ORDER BY c DESC, tok) AS rn
+      |  FROM tf QUALIFY rn <= 100
+      |),
+      |j AS (SELECT g,
+      |        CAST(floor(ln(rn) * 1e6 + 0.5) AS BIGINT) AS xi,
+      |        CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS yi
+      |      FROM ranked),
+      |a AS (SELECT g, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+      |             sum(xi * xi) AS sxx, sum(xi * yi) AS sxy,
+      |             sum(yi * yi) AS syy
+      |      FROM j GROUP BY 1),
+      |f AS (SELECT g, n,
+      |        ((n * 1.0) * (sxy * 1.0) - (sx * 1.0) * (sy * 1.0))
+      |          / ((n * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0))
+      |          * 1.0 AS slope,
+      |        (n * 1.0) * (sxy * 1.0) - (sx * 1.0) * (sy * 1.0) AS covn,
+      |        (n * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0) AS varxn,
+      |        (n * 1.0) * (syy * 1.0) - (sy * 1.0) * (sy * 1.0) AS varyn,
+      |        sx * 1.0 AS sxd, sy * 1.0 AS syd
+      |      FROM a WHERE n >= 2
+      |        AND (n * 1.0) * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0) > 0)
+      |SELECT g AS source, n, round(slope, 9) AS slope,
+      |  round(syd / ((n * 1.0) * 1000000.0)
+      |        - slope * (sxd / ((n * 1.0) * 1000000.0)), 9) AS intercept,
+      |  CASE WHEN varyn > 0
+      |       THEN round(covn * covn / (varxn * varyn), 9) END AS r2
+      |FROM f ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_vocab_richness" -> (vocabRichness _),
+    "q201_zipf_slope" -> (zipfSlopeQ _),
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
     "q129_temperature_mix" -> (temperatureMixQ _),
@@ -2280,6 +2353,8 @@ object LlmQueries {
     "q60_simhash_near" -> (simhashNear _))
 
   val oracles: Map[String, String] = Map(
+    "q200_vocab_richness" -> vocabRichnessSql,
+    "q201_zipf_slope" -> zipfSlopeSql,
     "q66_dup_clusters" -> dupClustersSql,
     "q82_mix_sources" -> mixBySourceSql,
     "q129_temperature_mix" -> temperatureMixSql,

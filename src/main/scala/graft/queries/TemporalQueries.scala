@@ -261,8 +261,10 @@ object TemporalQueries {
       |)
       |ORDER BY step""".stripMargin
 
-  val funnelSql: String =
-    """WITH a AS (
+  /** The greedy-earliest chain CTEs shared by the q135 / q197 oracles
+    * (q138 keeps its own copy inline). */
+  private val funnelChainCtes: String =
+    """a AS (
       |  SELECT user_id, min(ts) AS t_1 FROM events
       |  WHERE event_type = 'view' GROUP BY 1
       |),
@@ -281,12 +283,84 @@ object TemporalQueries {
       |  FROM s2 LEFT JOIN events e
       |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
       |  GROUP BY 1, 2, 3
-      |)
+      |)""".stripMargin
+
+  val funnelSql: String =
+    s"""WITH $funnelChainCtes
       |SELECT user_id, t_1, t_2, t_3,
       |  CAST(1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT AS BIGINT)
       |    AS steps_completed,
       |  t_3 IS NOT NULL AS converted
       |FROM s3 ORDER BY user_id""".stripMargin
+
+  /** q197: funnel step-timing percentiles — the exact quartiles of the
+    * wait between consecutive COMPLETED funnel steps (step 2 = t_2−t_1,
+    * step 3 = t_3−t_2, integer µs), composing the memoized q135 chain
+    * with `Percentiles.exact` (the sort-based distributed order
+    * statistic — never Spark's map-merging percentile). Waits are
+    * integer µs and the quartile fracs are quarters, so the linear
+    * interpolation is exactly representable and both engines produce
+    * identical bits with no rounding. Empty steps emit (n=0, nulls),
+    * matching SQL aggregates over an empty set. */
+  def funnelTiming(s: SparkSession, d: String): DataFrame = {
+    val f = funnelFrame(s, d)
+    def waits(a: String, b: String) =
+      f.filter(col(b).isNotNull)
+        .select((unix_micros(col(b)) - unix_micros(col(a)))
+          .cast("double").as("w"))
+    val spark = s
+    import spark.implicits._
+    Seq((2L, waits("t_1", "t_2")), (3L, waits("t_2", "t_3"))).map {
+      case (step, df) =>
+        val n = df.count()
+        if (n == 0) (step, 0L, None: Option[Double], None: Option[Double],
+          None: Option[Double])
+        else {
+          val ps = graft.ops.Percentiles.exact(df, "w", Seq(0.25, 0.5, 0.75))
+          (step, n, Some(ps(0.25)), Some(ps(0.5)), Some(ps(0.75)))
+        }
+    }.toDF("step", "n", "p25_us", "p50_us", "p75_us").orderBy("step")
+  }
+
+  val funnelTimingSql: String =
+    s"""WITH $funnelChainCtes,
+      |w2 AS (SELECT epoch_us(t_2) - epoch_us(t_1) AS w FROM s3
+      |       WHERE t_2 IS NOT NULL),
+      |w3 AS (SELECT epoch_us(t_3) - epoch_us(t_2) AS w FROM s3
+      |       WHERE t_3 IS NOT NULL)
+      |SELECT CAST(2 AS BIGINT) AS step, count(w) AS n,
+      |       quantile_cont(w, 0.25) AS p25_us,
+      |       quantile_cont(w, 0.5) AS p50_us,
+      |       quantile_cont(w, 0.75) AS p75_us
+      |FROM w2
+      |UNION ALL
+      |SELECT 3, count(w), quantile_cont(w, 0.25), quantile_cont(w, 0.5),
+      |       quantile_cont(w, 0.75)
+      |FROM w3
+      |ORDER BY step""".stripMargin
+
+  /** q204: exact inter-event gap quartiles per event type — waits
+    * between a user's consecutive events of the same type, quartiled
+    * per type by the sort-based exact order statistic. */
+  def gapPercentiles(s: SparkSession, d: String): DataFrame =
+    Temporal.groupGapPercentiles(events(s, d), "event_type", "user_id",
+        "ts", "event_id")
+      .orderBy("event_type")
+
+  val gapPercentilesSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS grp,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+      |           AS gap
+      |  FROM events)
+      |SELECT grp AS event_type, count(gap) AS n_gaps,
+      |  -- CAST, not * 1.0: the 1.0 literal is DECIMAL in DuckDB and
+      |  -- quantile_cont over DECIMAL truncates to the input scale
+      |  quantile_cont(CAST(gap AS DOUBLE), 0.25) AS p25_us,
+      |  quantile_cont(CAST(gap AS DOUBLE), 0.5) AS p50_us,
+      |  quantile_cont(CAST(gap AS DOUBLE), 0.75) AS p75_us
+      |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** q151: exponential time-decay engagement feature — per event, the
     * same user's strictly-prior value sum half-life-weighted at 1 day;
@@ -349,6 +423,8 @@ object TemporalQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_funnel" -> (funnel _),
     "q138_funnel_rates" -> (funnelRates _),
+    "q197_funnel_timing" -> (funnelTiming _),
+    "q204_gap_percentiles" -> (gapPercentiles _),
     "q144_cohort_retention" -> (cohortRetention _),
     "q151_decay_features" -> (decayFeatures _),
     "q111_asof_join" -> (asofJoin _),
@@ -360,6 +436,8 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     "q135_funnel" -> funnelSql,
     "q138_funnel_rates" -> funnelRatesSql,
+    "q197_funnel_timing" -> funnelTimingSql,
+    "q204_gap_percentiles" -> gapPercentilesSql,
     "q144_cohort_retention" -> cohortRetentionSql,
     "q151_decay_features" -> decayFeaturesSql,
     "q125_asof_forward" -> asofForwardSql,

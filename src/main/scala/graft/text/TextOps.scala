@@ -357,6 +357,55 @@ object TextOps {
       .orderBy(col(groupCol), col("cnt").desc, col("token"))
   }
 
+  /** Corpus-level vocabulary richness per group: token count, type
+    * (distinct-token) count, type-token ratio, hapax legomena count
+    * and fraction (tokens occurring exactly once — the standard
+    * vocabulary-growth / OCR-noise signal in corpus curation). Two
+    * hash aggregates over (group, token) — keys as fine as the
+    * vocabulary, everything map-side combinable, no windows. */
+  def vocabularyRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tf = df
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__c"))
+    tf.groupBy("__g").agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_fraction"))
+  }
+
+  /** Zipf rank-frequency slope per group: OLS of ln(frequency) on
+    * ln(rank) over the group's `topK` most frequent tokens (rank by
+    * count desc, token asc — deterministic), via the exact-integer
+    * `Stats.groupOls` construction on micro-unit ln values. A healthy
+    * natural-language source sits near slope −1 (Zipf 1949); heavily
+    * duplicated or templated text flattens or steepens the curve —
+    * the corpus-pathology screen. The per-group rank window is
+    * group-limited (rn <= topK bounds the shuffle), and the OLS is
+    * one hash aggregate over topK×groups rows. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val tf = df
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy(col("__c").desc, col("__tok"))
+    val ranked = tf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+    graft.ops.Stats.groupOls(
+        ranked.select(col("__g"), log(col("__rn")).as("__lx"),
+          log(col("__c")).as("__ly")),
+        "__g", "__lx", "__ly")
+      .withColumnRenamed("__g", groupCol)
+  }
+
   def charNgramCount(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tok = df.select(col(idCol), trim(col(textCol)).as("__t"))
     tok.select(col(idCol),

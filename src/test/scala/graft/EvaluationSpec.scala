@@ -501,6 +501,140 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("attributionCredit: linear and U-shaped weights, exact micro-units") {
+    def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    // one conversion (value 12) with 4 in-window touches: linear 3 each;
+    // U-shape 4.8 / 1.2 / 1.2 / 4.8; first+last are views, middles clicks
+    val df = Seq(
+      (1L, t(10), 1L, "view", 0.0), (1L, t(20), 2L, "click", 0.0),
+      (1L, t(30), 3L, "click", 0.0), (1L, t(40), 4L, "view", 0.0),
+      (1L, t(50), 5L, "purchase", 12.0),
+      // another user: single view touch -> full credit both models
+      (2L, t(10), 6L, "view", 0.0), (2L, t(20), 7L, "purchase", 5.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.ops.EventAnalytics.attributionCredit(df, "user_id",
+        "ts", "event_id", "value", "purchase", Seq("click", "view"),
+        "event_type", windowSec = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("view") == ((3L, 11.0, 14.6))) // 3+3+5 / 4.8+4.8+5
+    assert(got("click") == ((2L, 6.0, 2.4)))  // 3+3 / 1.2+1.2
+  }
+
+  test("cusumDaily: a sustained shift alarms; the flat head does not") {
+    def day(d: Int, k: Int) = (1 to k).map(_ =>
+      Tuple1(Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")))
+    // 10 flat days at 10, then 4 shifted days at 20: mean 12.857,
+    // σ 4.518 -> S⁺ gains 4.884/shifted day, crossing 4σ = 18.07 on
+    // day 14 (19.54) but not day 13 (14.65)
+    val df = ((1 to 10).flatMap(day(_, 10)) ++ (11 to 14).flatMap(day(_, 20)))
+      .toDF("ts")
+    val got = graft.ops.EventAnalytics.cusumDaily(df, "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(got("2024-01-01")._3 == false && got("2024-01-05")._3 == false)
+    assert(got("2024-01-13")._3 == false, s"ramp must not alarm early: $got")
+    assert(got("2024-01-14")._3, s"sustained shift must alarm: $got")
+    // cusum_pos is monotone over the shifted run
+    assert(got("2024-01-14")._2 > got("2024-01-12")._2)
+  }
+
+  test("typeEntropy: uniform mixing hits ln(k); single behavior is 0") {
+    def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    val df = (Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d")) ++
+      (1 to 5).map(_ => (2L, "a")))
+      .zipWithIndex.map { case ((u, et), i) => (u, t(i), et) }
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.ops.EventAnalytics.typeEntropy(df, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 4L)
+    assert(math.abs(got(1L)._3 - math.log(4.0)) < 1e-6)
+    assert(got(2L) == ((5L, 1L, 0.0)))
+  }
+
+  test("bollingerDaily: full-window bands from hand moments; warmup rows null") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    // 3-day window over closes 1,2,3,4: day 3 mean 2, pop sd sqrt(2/3);
+    // day 4 mean 3
+    val df = (1 to 4).map(d => (t(d), d.toLong, "p", d.toDouble))
+      .toDF("ts", "event_id", "event_type", "value")
+    val rows = graft.ops.EventAnalytics.bollingerDaily(df, "ts", "event_id",
+        "event_type", "value", trailingDays = 3, k = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(rows("2024-01-02")._2.isEmpty, "warmup day must emit null sma")
+    assert(rows("2024-01-03")._2 == Some(2.0))
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(math.abs(rows("2024-01-03")._3.get - (2.0 + 2 * sd)) < 1e-6)
+    assert(rows("2024-01-04")._2 == Some(3.0))
+  }
+
+  test("groupGapPercentiles: hand quartiles over per-key same-type gaps") {
+    def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    // type a, one user: events at 0,10,30,60 -> gaps 10,20,30 s;
+    // quartiles of {10,20,30}e6 µs = 15e6 / 20e6 / 25e6
+    val df = Seq((1L, t(0), 1L, "a"), (1L, t(10), 2L, "a"),
+      (1L, t(30), 3L, "a"), (1L, t(60), 4L, "a"),
+      (2L, t(0), 5L, "b"), (2L, t(7), 6L, "b")) // single 7 s gap
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Temporal.groupGapPercentiles(df, "event_type",
+        "user_id", "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((3L, 15000000.0, 20000000.0, 25000000.0)))
+    assert(got("b") == ((1L, 7000000.0, 7000000.0, 7000000.0)))
+  }
+
+  test("robustOutliers: one far value flagged; constant group has null count") {
+    // g: values 1..9 plus 100 -> median 5.5, MAD 2.5; only 100 has
+    // |0.6745·(v−5.5)/2.5| > 3.5. c: constant -> MAD 0 -> null count.
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) ++ Seq(("g", 100.0)) ++
+      Seq.fill(4)(("c", 7.0)))
+      .toDF("event_type", "value")
+    val got = graft.ops.Stats.robustOutliers(df, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got("g") == ((10L, 5.5, 2.5, Some(1L))))
+    assert(got("c") == ((4L, 7.0, 0.0, None)), "constant group: MAD 0 -> null")
+  }
+
+  test("kaplanMeier: hand curve with censoring") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    // u1,u2 convert on day 2; u4 on day 4; u3 never (censored at the
+    // corpus max = day 4). KM: S(2) = 1·(1−2/4) = 0.5,
+    // S(4) = 0.5·(1−1/2) = 0.25
+    val df = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(3), 2L, "purchase"),
+      (2L, t(1), 3L, "view"), (2L, t(3), 4L, "purchase"),
+      (3L, t(1), 5L, "view"),
+      (4L, t(1), 6L, "view"), (4L, t(5), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.kaplanMeier(df, "user_id", "ts",
+        "event_type", "view", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(2L -> ((4L, 2L, 0.5)), 4L -> ((2L, 1L, 0.25))))
+  }
+
+  test("winsorizedMeans: clip at exact order statistics, exact clipped mean") {
+    // values 1..10 and 1000: p05 = 1.5, p95 = 505 -> clipped sum
+    // 1.5 + (2+..+10) + 505 = 560.5 -> mean 50.954545
+    val df = ((1 to 10).map(i => ("g", i.toDouble)) :+ (("g", 1000.0)))
+      .toDF("event_type", "value")
+    val r = graft.ops.Stats.winsorizedMeans(df, "event_type", "value").head()
+    assert(r.getString(0) == "g" && r.getLong(1) == 11L)
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 505.0)
+    assert(r.getDouble(4) == 50.954545)
+    assert(r.getDouble(5) == 95.909091)
+  }
+
   test("canonicalPick: best score wins, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster")

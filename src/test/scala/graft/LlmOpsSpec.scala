@@ -794,6 +794,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(open.count() == 30L * 29 / 2, "default cap keeps the full clique")
   }
 
+  test("vocabularyRichness: hand token/type/hapax counts") {
+    import spark.implicits._
+    val df = Seq((1L, "A", "a a b"), (2L, "A", "b c"), (3L, "B", "x x"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.text.TextOps.vocabularyRichness(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // A: tokens {a:2, b:2, c:1} -> 5 tokens, 3 types, hapax {c}
+    assert(got("A") == ((5L, 3L, 0.6, 1L, 0.333333)))
+    // B: {x:2} -> no hapax
+    assert(got("B") == ((2L, 1L, 0.5, 0L, 0.0)))
+  }
+
+  test("zipfSlope: a perfect 1/r frequency ladder recovers slope -1") {
+    import spark.implicits._
+    // counts 24, 12, 8, 6 = 24/r for ranks 1..4: ln c = ln 24 - ln r,
+    // so the ln-ln OLS slope is exactly -1 (up to micro-unit flooring)
+    val text = (Seq.fill(24)("w1") ++ Seq.fill(12)("w2") ++
+      Seq.fill(8)("w3") ++ Seq.fill(6)("w4")).mkString(" ")
+    val df = Seq((1L, "S", text)).toDF("doc_id", "source", "text")
+    val r = graft.text.TextOps.zipfSlope(df, "source", "text", topK = 4).head()
+    assert(r.getString(0) == "S" && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-4, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(4) > 0.999999, s"r2 ${r.getDouble(4)}")
+  }
+
   test("uint8-quantized embeddings keep brute-force ANN recall") {
     import org.apache.spark.sql.functions.col
     val k = 5

@@ -425,6 +425,47 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(got == batch, "incremental sketch must equal the batch sketch")
   }
 
+  test("streaming group heavy hitters: MG state streams; exact recount equals batch") {
+    // The per-group Misra-Gries summary is a mergeable typed-imperative
+    // aggregate, so the SAME candidate-generation plan runs
+    // incrementally under Complete mode with bounded per-group state;
+    // the superset guarantee survives any merge order, so the exact
+    // recount of the streamed candidates must equal the batch
+    // operator's output bit-for-bit.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val phi = 0.1
+    val capacity = math.max(16, math.ceil(2.0 / phi).toInt)
+    val rows = (0 until 600).map { i =>
+      (s"g${i % 2}", if (i % 3 == 0) "hot" else s"cold${i % 50}")
+    }
+    val input = MemoryStream[(String, String)](spark)
+    val agg = input.toDF().toDF("grp", "token")
+      .groupBy("grp")
+      .agg(graft.functions.MgSketch.sketchCol(col("token"), capacity).as("__mg"),
+        count(lit(1)).as("__n"))
+    val q = agg.writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(rows.take(300): _*); q.processAllAvailable()
+    input.addData(rows.drop(300): _*); q.processAllAvailable()
+    q.stop()
+    val cands = spark.table("mg_stream")
+      .select(col("grp"), col("__n"), explode(col("__mg")).as("__e"))
+      .select(col("grp"), col("__n"), col("__e.item").as("token"))
+    val toks = rows.toDF("grp", "token")
+    val streamedExact = toks.join(broadcast(cands), Seq("grp", "token"))
+      .groupBy(col("grp"), col("token"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(phi) * col("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val batch = graft.text.TextOps.groupHeavyHitters(
+        rows.toDF("grp", "text"), "grp", "text", phi)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamedExact == batch,
+      s"stream/batch heavy hitters mismatch:\nstream=$streamedExact\nbatch=$batch")
+    assert(streamedExact.keySet == Set(("g0", "hot"), ("g1", "hot")))
+  }
+
   test("streaming: watermark drops late data from closed windows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

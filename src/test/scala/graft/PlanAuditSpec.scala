@@ -389,6 +389,27 @@ class PlanAuditSpec extends SparkSpec {
       s"attribution must keep the equality key:\n${plan.take(1500)}")
   }
 
+  test("q198 credit attribution: range predicate in the join, windows keyed by conversion id") {
+    val df = Queries.registry("q198_attribution_credit")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("__tts") && l.contains("__cts")),
+      s"window range must ride the join condition:\n${joinLines.mkString("\n")}")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("__cid")),
+      s"credit windows must partition by the conversion id:\n${windows.mkString("\n")}")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q201 zipf: rank window is group-limited before the OLS aggregate") {
+    val plan = formatted(Queries.registry("q201_zipf_slope")(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 1,
+      s"rn <= topK must bound the per-source rank shuffle:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "token counts and OLS sums must map-side combine")
+  }
+
   test("q87 per-source cap: partial group-limit bounds shuffle volume") {
     val plan = formatted(Queries.registry("q87_best_per_source")(spark, sf))
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
