@@ -449,6 +449,52 @@ object Dedup {
       .select(col("cluster"), col("__best.id").as(s"canonical_$idCol"),
         col(s"__best.$scoreCol").as(scoreCol), col("n_members"))
 
+  /** Hamming-banded near-dup over fixed-width binary-string
+    * fingerprints (the image analogue of the SimHash text pipeline:
+    * dHash / pHash values as '0'/'1' strings). The hash splits into
+    * `bands` equal slices; by pigeonhole any pair at Hamming distance
+    * ≤ `maxDistance` < bands shares at least one band EXACTLY, so the
+    * band-keyed equi-join enumerates a candidate superset and the
+    * exact popcount verification (two 32-bit conv/xor/bit_count
+    * halves — codegen'd column expressions, no UDF) keeps only true
+    * pairs. Oversized band buckets are dropped (`maxBucketSize`, the
+    * LSH skew guard). Emits (id_1, id_2, hamming) with id_1 < id_2. */
+  def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
+      maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(bands > maxDistance,
+      s"pigeonhole needs bands > maxDistance ($bands <= $maxDistance)")
+    require(hashBits == 64 && hashBits % bands == 0,
+      s"64-bit hashes only (two conv halves), split evenly into $bands bands")
+    val bandLen = hashBits / bands
+    val h = df.select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
+    val banded = h.select(col("id"), col("__h"),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("b"),
+            substring(col("__h"), i * bandLen + 1, bandLen).as("v"))): _*))
+          .as("__bv"))
+      .select(col("id"), col("__h"), col("__bv.b"), col("__bv.v"))
+    val sized = banded.join(
+      banded.groupBy("b", "v").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBucketSize).select("b", "v"),
+      Seq("b", "v"))
+    def half(c: Column, start: Int): Column =
+      conv(substring(c, start, 32), 2, 10).cast("long")
+    def hamming(a: Column, b: Column): Column =
+      (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
+        bit_count(half(a, 33).bitwiseXOR(half(b, 33)))).cast("int")
+    sized.as("x").join(sized.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
+        col("x.__h").as("__ha"), col("y.__h").as("__hb"))
+      .dropDuplicates("id_1", "id_2")
+      .select(col("id_1"), col("id_2"),
+        hamming(col("__ha"), col("__hb")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** Blocked fuzzy join (record linkage): candidate pairs share a
     * cheap blocking key (computed scan-local by `blockKey`), and only
     * within-block pairs pay the edit-distance compare over

@@ -128,6 +128,29 @@ object Sources {
     spark.read.format(format).load(path)
   }
 
+  /** Size-targeted compaction writer: repartition to
+    * ceil(estimated bytes / targetFileBytes) before the columnar
+    * write, so output files land near the target size instead of
+    * one-file-per-input-partition. At 100 TB this is the difference
+    * between a healthy table and millions of kilobyte files (or a
+    * handful of 100 GB ones): downstream scan parallelism follows the
+    * file layout. The size estimate is Catalyst's logical-plan
+    * statistics (parquet footer totals propagated through the plan) —
+    * cheap and no extra pass; `minPartitions` floors the result so a
+    * misestimate can't serialize the write. Round-robin repartition
+    * (no shuffle key) keeps sizes even under skew. */
+  def writeCompacted(df: DataFrame, path: String, targetFileBytes: Long,
+      format: String = "parquet", minPartitions: Int = 1): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(minPartitions,
+      (bytes + targetFileBytes - 1) / targetFileBytes match {
+        case n if n > Int.MaxValue => Int.MaxValue
+        case n => n.toInt
+      })
+    writeColumnar(df.repartition(parts), path, format)
+  }
+
   /** S7: copy the config file beside the results for traceability. */
   def copyConfig(srcConfig: String, outDir: String): Unit = {
     val src = Paths.get(srcConfig)

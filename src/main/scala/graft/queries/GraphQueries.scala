@@ -136,7 +136,35 @@ object GraphQueries {
       |SELECT deg AS degree, count(*) AS n_nodes FROM dg
       |GROUP BY 1 ORDER BY degree""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q208: triangle census of the co-purchase graph — node/edge/wedge/
+  // triangle counts and global transitivity via the degree-ordered
+  // orientation; the oracle enumerates (a<b<c) triangles directly.
+  // -------------------------------------------------------------------
+  def triangles(s: SparkSession, d: String): DataFrame =
+    Graph.triangleStats(edges(s, d))
+
+  val trianglesSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+      |e AS (SELECT a.i AS src, c.i AS dst FROM b a
+      |      JOIN b c ON a.o = c.o AND a.i < c.i GROUP BY 1, 2),
+      |d AS (SELECT node, count(*) AS dg FROM
+      |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      |      GROUP BY 1),
+      |t AS (SELECT count(*) AS tri FROM e e1
+      |      JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      |      JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+      |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_nodes,
+      |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      |       CAST((SELECT sum(dg * (dg - 1) // 2) FROM d) AS BIGINT)
+      |         AS n_wedges,
+      |       CAST(t.tri AS BIGINT) AS n_triangles,
+      |       round(3.0 * t.tri /
+      |             (SELECT sum(dg * (dg - 1) // 2) FROM d), 6) AS transitivity
+      |FROM t""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_triangles" -> (triangles _),
     "q162_copurchase_edges" -> (copurchaseEdges _),
     "q163_part_pagerank" -> (partPageRank _),
     "q164_assoc_rules" -> (assocRules _),
@@ -144,6 +172,7 @@ object GraphQueries {
     "q186_degree_dist" -> (degreeDist _))
 
   val oracles: Map[String, String] = Map(
+    "q208_triangles" -> trianglesSql,
     "q162_copurchase_edges" -> copurchaseEdgesSql,
     "q163_part_pagerank" -> partPageRankSql,
     "q164_assoc_rules" -> assocRulesSql,

@@ -610,6 +610,59 @@ object MiscQueries {
       |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
       |FROM b WHERE x < 8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q209: image near-duplicate detection — Hamming-banded dHash over
+    * the q153 synthetic PPMs (8 bands × 8 bits; pigeonhole guarantees
+    * no pair at distance ≤ 6 is missed), exact popcount verification.
+    * The oracle rebuilds every hash from the closed-form pixel formula
+    * and takes the all-pairs Hamming distance it can afford at
+    * sf0.01 — the banded pipeline must reproduce it exactly. */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val hashed = Multimodal.imageDHash(
+        Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
+      .select(col("doc_id"), col("dhash"))
+    graft.dedup.Dedup.hammingNearDup(hashed, "doc_id", "dhash",
+        maxDistance = 6, bands = 8)
+      .orderBy("id_1", "id_2")
+  }
+
+  val imageNearDupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+      |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+      |  FROM documents
+      |),
+      |grid AS (
+      |  SELECT doc_id, w, h, y, x, (y*h) // 8 AS sy, (x*w) // 9 AS sx
+      |  FROM d, range(0, 8) t1(y), range(0, 9) t2(x)
+      |),
+      |g AS (
+      |  SELECT doc_id, y, x,
+      |    ((CAST((doc_id*31 + ((sy*w+sx)*3 + 0)*7) % 256 AS BIGINT)
+      |    + CAST((doc_id*31 + ((sy*w+sx)*3 + 1)*7) % 256 AS BIGINT)
+      |    + CAST((doc_id*31 + ((sy*w+sx)*3 + 2)*7) % 256 AS BIGINT)) // 3)
+      |      AS gray
+      |  FROM grid
+      |),
+      |b AS (
+      |  SELECT doc_id, y, x,
+      |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, y ORDER BY x)
+      |              > gray THEN '1' ELSE '0' END AS bit
+      |  FROM g),
+      |hsh AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+      |        FROM b WHERE x < 8 GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_1, c.doc_id AS id_2,
+      |             a.dhash AS ha, c.dhash AS hb
+      |      FROM hsh a JOIN hsh c ON a.doc_id < c.doc_id),
+      |dist AS (
+      |  SELECT id_1, id_2,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
+      |           THEN 1 ELSE 0 END)) AS INT) AS hamming
+      |  FROM p)
+      |SELECT id_1, id_2, hamming FROM dist
+      |WHERE hamming <= 6 ORDER BY id_1, id_2""".stripMargin
+
   /** q152: shot-boundary detection under the oracle gate — the same
     * deterministic Y4M streams as q141, diffed frame-to-frame; the
     * mean-absolute-luma-difference metric and cut flags must equal the
@@ -736,6 +789,7 @@ object MiscQueries {
     "q141_video_decode" -> (videoDecode _),
     "q152_video_scenes" -> (videoScenes _),
     "q153_image_dhash" -> (imageDHashQ _),
+    "q209_image_near_dup" -> (imageNearDup _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
@@ -763,6 +817,7 @@ object MiscQueries {
     "q141_video_decode" -> videoDecodeSql,
     "q152_video_scenes" -> videoScenesSql,
     "q153_image_dhash" -> imageDHashSql,
+    "q209_image_near_dup" -> imageNearDupSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)

@@ -74,6 +74,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.keySkewStats(even.toDF("k", "x"), "k").head().getDouble(5) == 0.0)
   }
 
+  test("triangleStats: hand census on a known graph") {
+    // K4 minus edge (3,4) plus pendant (4,5): 2 triangles {1,2,3} and
+    // {1,2,4}; degrees 3,3,2,3,1 -> wedges 3+3+1+3+0 = 10;
+    // transitivity = 6/10 = 0.6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (4L, 5L)).map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val r = Graph.triangleStats(edges).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 10L, s"wedges ${r.getLong(2)}")
+    assert(r.getLong(3) == 2L, s"triangles ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.6)
+  }
+
+  test("triangleStats: triangle-free and empty-wedge graphs") {
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.triangleStats(path).head()
+    assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+  }
+
   test("graph plans: no nested-loop join anywhere in the executed shapes") {
     val li = core.Tables.lineitem(spark, sf)
     for (df <- Seq(

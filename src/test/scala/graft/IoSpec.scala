@@ -166,4 +166,24 @@ class IoSpec extends SparkSpec {
         s"grp filter should prune partitions in $fmt:\n${plan.take(400)}")
     }
   }
+
+  test("writeCompacted: file count follows the size target, content preserved") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, s"payload_$i" * 5))
+      .toDF("id", "payload").repartition(16) // pathological input layout
+    def files(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // huge target -> single file regardless of input partitioning
+    val one = Files.createTempDirectory("graft_cmp1").toString + "/t"
+    Sources.writeCompacted(df, one, targetFileBytes = 1L << 40)
+    assert(files(one) == 1, s"one big target must compact to one file")
+    // small target -> several files, and the data survives intact
+    val many = Files.createTempDirectory("graft_cmp2").toString + "/t"
+    Sources.writeCompacted(df, many, targetFileBytes = 64 * 1024)
+    assert(files(many) > 1, "small target must split the write")
+    val back = Sources.readColumnar(spark, many)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == 5000L * 5001 / 2)
+  }
 }

@@ -794,6 +794,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(open.count() == 30L * 29 / 2, "default cap keeps the full clique")
   }
 
+  test("hammingNearDup: pigeonhole banding finds all close pairs, cap guards") {
+    import spark.implicits._
+    val zeros = "0" * 64
+    // a: all zeros; b: 3 bits flipped spread across bands; c: 10 flips
+    // (past the threshold); d: equal to a (distance 0)
+    def flip(s: String, idxs: Seq[Int]): String =
+      idxs.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == '0') '1' else '0'))
+    val df = Seq(
+      (1L, zeros), (2L, flip(zeros, Seq(0, 20, 40))),
+      (3L, flip(zeros, 0 until 10)), (4L, zeros))
+      .toDF("doc_id", "dhash")
+    val got = graft.dedup.Dedup.hammingNearDup(df, "doc_id", "dhash",
+        maxDistance = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 3, (1L, 4L) -> 0, (2L, 4L) -> 3))
+    // bucket cap of 1 drops every shared band -> no pairs
+    assert(graft.dedup.Dedup.hammingNearDup(df, "doc_id", "dhash",
+      maxDistance = 6, bands = 8, maxBucketSize = 1).count() == 0)
+  }
+
   test("vocabularyRichness: hand token/type/hapax counts") {
     import spark.implicits._
     val df = Seq((1L, "A", "a a b"), (2L, "A", "b c"), (3L, "B", "x x"))

@@ -138,6 +138,76 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("round-10 invariants on random event streams: entropy/transitivity/" +
+      "CUSUM/winsorized bounds") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(71)
+    val types = Seq("a", "b", "c", "d")
+    val rows = (1 to 800).map { i =>
+      (rnd.nextInt(40).toLong,
+        Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(28)}%02d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        i.toLong, types(rnd.nextInt(types.size)),
+        math.floor(rnd.nextDouble() * 5000) / 100.0)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    // entropy ∈ [0, ln(#types)]
+    val ent = graft.ops.EventAnalytics.typeEntropy(df, "user_id", "event_type")
+      .collect()
+    assert(ent.forall { r =>
+      val h = r.getDouble(3)
+      h >= -1e-9 && h <= math.log(types.size.toDouble) + 1e-9
+    })
+    // CUSUM sides are non-negative; alarms only where a side exceeds 4σ > 0
+    val cs = graft.ops.EventAnalytics.cusumDaily(df, "ts").collect()
+    assert(cs.forall(r => r.getDouble(2) >= 0 && r.getDouble(3) >= 0))
+    assert(cs.filter(_.getBoolean(4))
+      .forall(r => math.max(r.getDouble(2), r.getDouble(3)) > 0))
+    // winsorized mean sits inside [p_lo, p_hi]; raw mean can escape
+    val w = graft.ops.Stats.winsorizedMeans(df, "event_type", "value")
+      .collect()
+    assert(w.forall(r => r.getDouble(4) >= r.getDouble(2) - 1e-9 &&
+      r.getDouble(4) <= r.getDouble(3) + 1e-9))
+    // KM survival is non-increasing in [0, 1]
+    val km = graft.ops.EventAnalytics.kaplanMeier(df, "user_id", "ts",
+        "event_type", "a", "b")
+      .orderBy("duration_days").collect().map(_.getDouble(3))
+    assert(km.forall(s => s >= -1e-9 && s <= 1 + 1e-9))
+    assert(km.zip(km.drop(1)).forall { case (x, y) => y <= x + 1e-9 })
+    // transitivity ∈ [0, 1] on a random co-occurrence graph
+    val baskets = (1 to 300).map(i =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(30).toLong)).toDF("b", "i")
+    val tri = graft.ops.Graph.triangleStats(
+      graft.ops.Graph.coOccurrenceEdges(baskets, "b", "i")).head()
+    assert(tri.getDouble(4) >= 0 && tri.getDouble(4) <= 1 + 1e-9)
+  }
+
+  test("hammingNearDup property: banding equals brute force under the pigeonhole bound") {
+    val rnd = new scala.util.Random(5)
+    // clustered fingerprints: 12 base hashes, each with noisy variants
+    val bases = (1 to 12).map(_ =>
+      (1 to 64).map(_ => if (rnd.nextBoolean()) '1' else '0').mkString)
+    val rows = (0 until 120).map { i =>
+      val base = bases(i % bases.size)
+      val flips = rnd.nextInt(5) // 0..4 flips keeps many pairs <= 6
+      val h = (1 to flips).foldLeft(base) { (acc, _) =>
+        val p = rnd.nextInt(64)
+        acc.updated(p, if (acc(p) == '0') '1' else '0')
+      }
+      (i.toLong, h)
+    }
+    val df = rows.toDF("doc_id", "dhash")
+    val got = graft.dedup.Dedup.hammingNearDup(df, "doc_id", "dhash",
+        maxDistance = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 6
+    } yield (a, b) -> d).toMap
+    assert(got == brute,
+      s"banding missed/invented pairs: got ${got.size} vs brute ${brute.size}")
+  }
+
   test("classificationReport matches hand-computed sklearn values") {
     // labels: a,a,a,b,b,c  preds: a,a,b,b,b,b
     // a: tp=2 support=3 pred=2 -> P=1.0    R=0.666667 F=0.8
