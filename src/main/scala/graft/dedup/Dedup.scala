@@ -458,7 +458,10 @@ object Dedup {
     * exact popcount verification (two 32-bit conv/xor/bit_count
     * halves — codegen'd column expressions, no UDF) keeps only true
     * pairs. Oversized band buckets are dropped (`maxBucketSize`, the
-    * LSH skew guard). Emits (id_1, id_2, hamming) with id_1 < id_2. */
+    * LSH skew guard) — the cap applies to the DISTINCT-hash banding
+    * only; identical-hash (distance-0) pairs always surface, since
+    * their join is keyed by the full hash and cannot skew-explode.
+    * Emits (id_1, id_2, hamming) with id_1 < id_2. */
   def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
       maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -469,12 +472,22 @@ object Dedup {
     val bandLen = hashBits / bands
     val h = df.select(col(idCol).as("id"), col(hashCol).as("__h"))
       .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
-    val banded = h.select(col("id"), col("__h"),
+      .localCheckpoint(false) // read by dedup, pairing, and two expansions
+    // Canonicalize BEFORE banding (the exact-dedup-before-MinHash
+    // trick): perceptual hashes collapse heavily — identical images
+    // share a hash — so the candidate join runs over DISTINCT hashes
+    // only and the result expands back through group membership.
+    // Bucket cost drops from Σ(docs-per-bucket)² to Σ(hashes-per-
+    // bucket)², which on near-dup-heavy corpora is orders of
+    // magnitude; the expansions below are output-bound, never larger
+    // than the answer itself.
+    val reps = h.select("__h").distinct().localCheckpoint(false)
+    val banded = reps.select(col("__h"),
         explode(array((0 until bands).map(i =>
           struct(lit(i).as("b"),
             substring(col("__h"), i * bandLen + 1, bandLen).as("v"))): _*))
           .as("__bv"))
-      .select(col("id"), col("__h"), col("__bv.b"), col("__bv.v"))
+      .select(col("__h"), col("__bv.b"), col("__bv.v"))
     val sized = banded.join(
       banded.groupBy("b", "v").agg(count(lit(1)).as("__sz"))
         .filter(col("__sz") <= maxBucketSize).select("b", "v"),
@@ -484,15 +497,26 @@ object Dedup {
     def hamming(a: Column, b: Column): Column =
       (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
         bit_count(half(a, 33).bitwiseXOR(half(b, 33)))).cast("int")
-    sized.as("x").join(sized.as("y"),
+    // near pairs among distinct hashes (distance >= 1 by construction)
+    val hashPairs = sized.as("x").join(sized.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
-        col("x.__h").as("__ha"), col("y.__h").as("__hb"))
-      .dropDuplicates("id_1", "id_2")
-      .select(col("id_1"), col("id_2"),
-        hamming(col("__ha"), col("__hb")).as("hamming"))
+          col("x.__h") < col("y.__h"))
+      .select(col("x.__h").as("__ha"), col("y.__h").as("__hb"))
+      .dropDuplicates("__ha", "__hb")
+      .withColumn("hamming", hamming(col("__ha"), col("__hb")))
       .filter(col("hamming") <= maxDistance)
+    // expand hash pairs to id pairs through group membership
+    val cross = hashPairs
+      .join(h.select(col("__h").as("__ha"), col("id").as("__ia")), Seq("__ha"))
+      .join(h.select(col("__h").as("__hb"), col("id").as("__ib")), Seq("__hb"))
+      .select(least(col("__ia"), col("__ib")).as("id_1"),
+        greatest(col("__ia"), col("__ib")).as("id_2"), col("hamming"))
+    // identical-hash members are pairwise distance 0
+    val within = h.as("a").join(h.as("b"),
+        col("a.__h") === col("b.__h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        lit(0).as("hamming"))
+    within.unionByName(cross)
   }
 
   /** Blocked fuzzy join (record linkage): candidate pairs share a

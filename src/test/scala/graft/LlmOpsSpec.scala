@@ -809,9 +809,13 @@ class LlmOpsSpec extends SparkSpec {
         maxDistance = 6, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got == Map((1L, 2L) -> 3, (1L, 4L) -> 0, (2L, 4L) -> 3))
-    // bucket cap of 1 drops every shared band -> no pairs
-    assert(graft.dedup.Dedup.hammingNearDup(df, "doc_id", "dhash",
-      maxDistance = 6, bands = 8, maxBucketSize = 1).count() == 0)
+    // bucket cap of 1 drops every banded candidate; only the
+    // identical-hash (distance-0) pair survives — exact duplicates
+    // are keyed by the full hash and bypass the skew cap
+    val capped = graft.dedup.Dedup.hammingNearDup(df, "doc_id", "dhash",
+        maxDistance = 6, bands = 8, maxBucketSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(capped == Map((1L, 4L) -> 0))
   }
 
   test("vocabularyRichness: hand token/type/hapax counts") {
