@@ -82,7 +82,8 @@ object Bench {
         "q110_fuzzy_dedup_apply"),
       "funnel" -> Seq("q135_funnel", "q138_funnel_rates", "q197_funnel_timing"),
       "graph" -> Seq("q162_copurchase_edges", "q163_part_pagerank",
-        "q164_assoc_rules", "q186_degree_dist", "q208_triangles"))
+        "q164_assoc_rules", "q186_degree_dist", "q208_triangles",
+        "q211_communities"))
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")

@@ -43,6 +43,37 @@ object Percentiles {
     }.toMap
   }
 
+  /** Exact discrete (lower-quantile) percentiles PER GROUP with no
+    * driver loop — the smallest value whose cumulative count reaches
+    * p% of the group's rows, for every group at once. One (group,
+    * value) count aggregate, one group-partitioned running total over
+    * the DISTINCT values (frame = value cardinality per group, far
+    * below row counts for discretized columns), then a conditional-min
+    * per requested percent. Thresholds compare as pure integers
+    * (cum·100 ≥ p·total), so there is no float boundary an engine pair
+    * can disagree on. Percents are integers in (0, 100]. Scales to
+    * millions of groups — this is the one to reach for when the
+    * per-group loop (`exact` per group) stops being bounded. */
+  def groupedDiscrete(df: DataFrame, groupCol: String, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cw", sum(col("__n")).over(w))
+    val tot = counts.groupBy("__g").agg(sum(col("__n")).as("__tot"))
+    val pcols = percents.map(p =>
+      min(when(col("__cw") * 100 >= lit(p.toLong) * col("__tot"), col("__v")))
+        .as(s"p$p"))
+    cum.join(tot, Seq("__g"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(pcols.head, pcols.tail: _*)
+  }
+
   /** Exact WEIGHTED percentile (lower weighted quantile: the smallest
     * value whose cumulative weight reaches p·W). Aggregates weight per
     * distinct value first, then one distributed prefix sum over the

@@ -286,6 +286,34 @@ object Temporal {
         stepCols.last.isNotNull.as("converted"): _*)
   }
 
+  /** Peak session concurrency per day — the sweep-line read-out: how
+    * many sessions were simultaneously active at the busiest instant
+    * of each day. Sessions are the `gapSec` gaps-and-islands split;
+    * each contributes (+1 at start_µs, −1 at end_µs+1 — closed
+    * intervals). Deltas aggregate per distinct µs FIRST (so the
+    * running value after each instant is well-defined regardless of
+    * row order), then the global running sum rides the distributed
+    * prefix-sum helper (`Evaluation.withRunningTotals` — range
+    * partition + per-partition window + broadcast offsets, never a
+    * single-partition window), and the per-day max is a day-keyed
+    * aggregate. "Peak" is evaluated at session-boundary instants —
+    * the points where concurrency can change. */
+  def peakConcurrency(events: DataFrame, key: String, ts: String,
+      valueCol: String, gapSec: Long): DataFrame = {
+    val sess = sessionize(events, key, ts, valueCol, gapSec)
+    val deltas = sess
+      .select(unix_micros(col("session_start")).as("__t"), lit(1L).as("__d"))
+      .unionByName(sess.select(
+        (unix_micros(col("session_end")) + 1L).as("__t"), lit(-1L).as("__d")))
+      .groupBy("__t").agg(sum(col("__d")).as("__d"))
+    graft.ml.Evaluation.withRunningTotals(
+        deltas, Seq(col("__t")), Map("__c" -> col("__d")))
+      .groupBy(to_date(timestamp_micros(col("__t"))).as("__day"))
+      .agg(max(col("__c")).cast("long").as("peak_concurrency"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("peak_concurrency"))
+  }
+
   /** Exact inter-event gap quartiles per group: consecutive-event
     * waits (integer µs) under the (ts, tie) order WITHIN each
     * (group, key) timeline, then the exact interpolated quartiles per

@@ -930,6 +930,32 @@ object EvalQueries {
       |FROM c GROUP BY g ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q210: per-type exact discrete percentiles with NO driver loop —
+  // the distributed per-group CDF; thresholds compare as integers so
+  // no float boundary exists between engines.
+  // -------------------------------------------------------------------
+  def groupedPercentiles(s: SparkSession, d: String): DataFrame =
+    graft.ops.Percentiles.groupedDiscrete(events(s, d), "event_type",
+        "value", Seq(25, 50, 75, 90))
+      .orderBy("event_type")
+
+  val groupedPercentilesSql: String =
+    """WITH c AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+      |             count(*) AS n
+      |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT g, v, n,
+      |          sum(n) OVER (PARTITION BY g ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |        FROM c),
+      |t AS (SELECT g, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT cum.g AS event_type,
+      |  min(CASE WHEN cw * 100 >= 25 * tot THEN v END) AS p25,
+      |  min(CASE WHEN cw * 100 >= 50 * tot THEN v END) AS p50,
+      |  min(CASE WHEN cw * 100 >= 75 * tot THEN v END) AS p75,
+      |  min(CASE WHEN cw * 100 >= 90 * tot THEN v END) AS p90
+      |FROM cum JOIN t USING (g) GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q192: canonical-document selection — each near-dup cluster keeps
   // its highest-quality member (doc_id tie-break); the oracle reads
   // q66's verified cluster dump and re-ranks with the SQL-pinned
@@ -1067,7 +1093,8 @@ object EvalQueries {
     "q203_bollinger" -> (bollinger _),
     "q205_robust_outliers" -> (robustOutliers _),
     "q206_kaplan_meier" -> (kaplanMeier _),
-    "q207_winsorized" -> (winsorized _))
+    "q207_winsorized" -> (winsorized _),
+    "q210_grouped_percentiles" -> (groupedPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q155_calibration" -> calibrationSql,
@@ -1105,5 +1132,6 @@ object EvalQueries {
     "q203_bollinger" -> bollingerSql,
     "q205_robust_outliers" -> robustOutliersSql,
     "q206_kaplan_meier" -> kaplanMeierSql,
-    "q207_winsorized" -> winsorizedSql)
+    "q207_winsorized" -> winsorizedSql,
+    "q210_grouped_percentiles" -> groupedPercentilesSql)
 }

@@ -163,8 +163,40 @@ object GraphQueries {
       |             (SELECT sum(dg * (dg - 1) // 2) FROM d), 6) AS transitivity
       |FROM t""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q211: co-purchase communities — connected components (pointer
+  // jumping) over the w >= 3 edge backbone, reported as the community
+  // size distribution; the oracle closes the same edges with a
+  // recursive CTE (the q66/q194 pattern).
+  // -------------------------------------------------------------------
+  def communities(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.duplicateClusters(
+        edges(s, d).filter(col("w") >= 3)
+          .select(col("src").as("id_1"), col("dst").as("id_2")))
+      .groupBy("cluster").agg(count(lit(1)).as("__size"))
+      .groupBy(col("__size").as("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy("size")
+
+  val communitiesSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+      |e0 AS (SELECT a.i AS src, c.i AS dst FROM b a
+      |       JOIN b c ON a.o = c.o AND a.i < c.i
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+      |),
+      |cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1),
+      |sz AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY 1)
+      |SELECT CAST(sz AS BIGINT) AS size, count(*) AS n_communities
+      |FROM sz GROUP BY 1 ORDER BY size""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_triangles" -> (triangles _),
+    "q211_communities" -> (communities _),
     "q162_copurchase_edges" -> (copurchaseEdges _),
     "q163_part_pagerank" -> (partPageRank _),
     "q164_assoc_rules" -> (assocRules _),
@@ -173,6 +205,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q208_triangles" -> trianglesSql,
+    "q211_communities" -> communitiesSql,
     "q162_copurchase_edges" -> copurchaseEdgesSql,
     "q163_part_pagerank" -> partPageRankSql,
     "q164_assoc_rules" -> assocRulesSql,

@@ -203,7 +203,72 @@ object IncrementalQueries {
       |       round((sum(vi) * 1.0) / 1000000.0 / count(*), 9) AS centroid
       |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q214: pairwise label-centroid L2 distances — separability matrix
+  // over the exact q181 centroids, micro-quantized so the sum is
+  // order-independent and bit-replayable.
+  // -------------------------------------------------------------------
+  def centroidDistances(s: SparkSession, d: String): DataFrame =
+    graft.sim.Similarity.centroidDistances(
+        Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label_a", "label_b")
+
+  private val centroidCte: String =
+    """x AS (
+      |  SELECT vec_id, label, p.pos AS pos,
+      |         CAST(list_extract(embedding, p.pos + 1) AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+      |),
+      |cent AS (
+      |  SELECT label AS cl, pos,
+      |    round((sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) * 1.0)
+      |          / 1e6 / count(*), 9) AS c
+      |  FROM x GROUP BY 1, 2
+      |)""".stripMargin
+
+  val centroidDistancesSql: String =
+    s"""WITH $centroidCte
+      |SELECT a.cl AS label_a, b.cl AS label_b,
+      |  round(sqrt((sum(CAST(floor((a.c - b.c) * 1e6 + 0.5) AS BIGINT)
+      |              * CAST(floor((a.c - b.c) * 1e6 + 0.5) AS BIGINT)) * 1.0)
+      |             / 1e12), 6) AS distance
+      |FROM cent a JOIN cent b ON a.pos = b.pos AND a.cl < b.cl
+      |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q215: centroid-based label-confusion screen — vectors whose
+  // nearest label centroid differs from their own label (mislabeled-
+  // data candidates), with micro-quantized squared distances.
+  // -------------------------------------------------------------------
+  def labelConfusion(s: SparkSession, d: String): DataFrame =
+    graft.sim.Similarity.labelConfusion(
+        Tables.embeddings(s, d), "vec_id", "label", "embedding")
+      .orderBy("vec_id")
+
+  val labelConfusionSql: String =
+    s"""WITH $centroidCte,
+      |dst AS (
+      |  SELECT x.vec_id, x.label, cent.cl,
+      |    sum(CAST(floor((x.v - cent.c) * 1e6 + 0.5) AS BIGINT)
+      |        * CAST(floor((x.v - cent.c) * 1e6 + 0.5) AS BIGINT)) AS dq
+      |  FROM x JOIN cent ON cent.pos = x.pos
+      |  GROUP BY 1, 2, 3
+      |),
+      |best AS (
+      |  SELECT vec_id, cl AS nearest_label, dq AS d_nearest_q,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dq, cl) AS rn
+      |  FROM dst
+      |)
+      |SELECT d.vec_id, d.label, b.nearest_label,
+      |       CAST(d.dq AS BIGINT) AS d_own_q,
+      |       CAST(b.d_nearest_q AS BIGINT) AS d_nearest_q
+      |FROM dst d JOIN best b ON b.vec_id = d.vec_id AND b.rn = 1
+      |WHERE d.cl = d.label AND b.nearest_label <> d.label
+      |ORDER BY d.vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_centroid_distances" -> (centroidDistances _),
+    "q215_label_confusion" -> (labelConfusion _),
     "q170_incremental_agg" -> (incrementalAgg _),
     "q171_snapshot_diff" -> (snapshotDiff _),
     "q172_rolling_active" -> (rollingActive _),
@@ -212,6 +277,8 @@ object IncrementalQueries {
     "q181_label_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q214_centroid_distances" -> centroidDistancesSql,
+    "q215_label_confusion" -> labelConfusionSql,
     "q170_incremental_agg" -> incrementalAggSql,
     "q171_snapshot_diff" -> snapshotDiffSql,
     "q172_rolling_active" -> rollingActiveSql,

@@ -616,14 +616,46 @@ object MiscQueries {
     * The oracle rebuilds every hash from the closed-form pixel formula
     * and takes the all-pairs Hamming distance it can afford at
     * sf0.01 — the banded pipeline must reproduce it exactly. */
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id")
-    val hashed = Multimodal.imageDHash(
-        Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
-      .select(col("doc_id"), col("dhash"))
-    graft.dedup.Dedup.hammingNearDup(hashed, "doc_id", "dhash",
-        maxDistance = 6, bands = 8)
-      .orderBy("id_1", "id_2")
+  /** q209's Hamming pairs feed q212's cluster pass too — build once
+    * per (session, sf) and checkpoint (the fuzzy-pairs memo pattern). */
+  private def imagePairs(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"imgpairs:${s.sparkContext.applicationId}:$d") {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val hashed = Multimodal.imageDHash(
+          Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
+        .select(col("doc_id"), col("dhash"))
+      graft.dedup.Dedup.hammingNearDup(hashed, "doc_id", "dhash",
+          maxDistance = 6, bands = 8)
+        .localCheckpoint(false)
+    }
+
+  def imageNearDup(s: SparkSession, d: String): DataFrame =
+    imagePairs(s, d).orderBy("id_1", "id_2")
+
+  /** q212: image near-dup clusters — connected components over the
+    * q209 Hamming pairs (pointer jumping; the oracle closes the same
+    * pairs with a recursive CTE, the q66/q194 pattern). */
+  def imageDupClusters(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.duplicateClusters(imagePairs(s, d))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  // lazy: textually precedes imageNearDupSql in this object
+  lazy val imageDupClustersSql: String = {
+    val pairsCte = imageNearDupSql.replace("ORDER BY id_1, id_2", "")
+    s"""WITH RECURSIVE pairs AS ($pairsCte),
+      |e AS (
+      |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+      |  UNION ALL SELECT id_2, id_1 FROM pairs
+      |),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+      |)
+      |SELECT id AS doc_id, min(lbl) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
   val imageNearDupSql: String =
@@ -790,6 +822,7 @@ object MiscQueries {
     "q152_video_scenes" -> (videoScenes _),
     "q153_image_dhash" -> (imageDHashQ _),
     "q209_image_near_dup" -> (imageNearDup _),
+    "q212_image_dup_clusters" -> (imageDupClusters _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
@@ -818,6 +851,7 @@ object MiscQueries {
     "q152_video_scenes" -> videoScenesSql,
     "q153_image_dhash" -> imageDHashSql,
     "q209_image_near_dup" -> imageNearDupSql,
+    "q212_image_dup_clusters" -> imageDupClustersSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)

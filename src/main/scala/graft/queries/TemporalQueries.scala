@@ -362,6 +362,36 @@ object TemporalQueries {
       |  quantile_cont(CAST(gap AS DOUBLE), 0.75) AS p75_us
       |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q213: peak session concurrency per day — the sweep-line over
+    * 30-minute sessions' [start, end] intervals; max simultaneous
+    * sessions at any boundary instant of each day. */
+  def peakConcurrency(s: SparkSession, d: String): DataFrame =
+    Temporal.peakConcurrency(events(s, d), "user_id", "ts", "value", 1800L)
+      .orderBy("day")
+
+  val peakConcurrencySql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |        (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |        sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sess
+      |      FROM o),
+      |iv AS (SELECT user_id, sess, min(epoch_us(ts)) AS st,
+      |              max(epoch_us(ts)) AS en
+      |       FROM s GROUP BY 1, 2),
+      |dl AS (SELECT st AS t, 1 AS dd FROM iv
+      |       UNION ALL SELECT en + 1, -1 FROM iv),
+      |g AS (SELECT t, sum(dd) AS dd FROM dl GROUP BY 1),
+      |r AS (SELECT t, sum(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c
+      |      FROM g)
+      |SELECT strftime(CAST(make_timestamp(t) AS DATE), '%Y-%m-%d') AS day,
+      |       CAST(max(c) AS BIGINT) AS peak_concurrency
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+
   /** q151: exponential time-decay engagement feature — per event, the
     * same user's strictly-prior value sum half-life-weighted at 1 day;
     * the oracle replays the scaling-identity formulation verbatim. */
@@ -425,6 +455,7 @@ object TemporalQueries {
     "q138_funnel_rates" -> (funnelRates _),
     "q197_funnel_timing" -> (funnelTiming _),
     "q204_gap_percentiles" -> (gapPercentiles _),
+    "q213_peak_concurrency" -> (peakConcurrency _),
     "q144_cohort_retention" -> (cohortRetention _),
     "q151_decay_features" -> (decayFeatures _),
     "q111_asof_join" -> (asofJoin _),
@@ -438,6 +469,7 @@ object TemporalQueries {
     "q138_funnel_rates" -> funnelRatesSql,
     "q197_funnel_timing" -> funnelTimingSql,
     "q204_gap_percentiles" -> gapPercentilesSql,
+    "q213_peak_concurrency" -> peakConcurrencySql,
     "q144_cohort_retention" -> cohortRetentionSql,
     "q151_decay_features" -> decayFeaturesSql,
     "q125_asof_forward" -> asofForwardSql,

@@ -236,6 +236,60 @@ object Similarity {
     * engine computing the same expression. One posexplode + one
     * (group × dim)-keyed aggregate; output is groups × dims rows,
     * never corpus-scale. */
+  /** Pairwise L2 distance between the exact label centroids — the
+    * label-separability read-out (close centroids predict confusable
+    * classes). Distances are computed over the MICRO-QUANTIZED
+    * component differences (floor((ca−cb)·1e6 + 0.5) as integers, so
+    * the sum is order/partition-independent and bit-replayable; the
+    * ≤1e-6-per-component quantization is far below any separability
+    * signal). Bounded output: (labels choose 2) rows. */
+  def centroidDistances(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val c = exactCentroids(df, labelCol, vecCol)
+      .select(col(labelCol).as("__l"), col("pos"), col("centroid").as("__c"))
+      .localCheckpoint(false) // both join sides read it
+    val di = floor((col("a.__c") - col("b.__c")) * 1e6 + 0.5).cast("long")
+    c.as("a").join(c.as("b"),
+        col("a.pos") === col("b.pos") && col("a.__l") < col("b.__l"))
+      .withColumn("__di", di)
+      .groupBy(col("a.__l").as("label_a"), col("b.__l").as("label_b"))
+      .agg(sum(col("__di") * col("__di")).as("__dq"))
+      .select(col("label_a"), col("label_b"),
+        round(sqrt(col("__dq").cast("double") / lit(1e12)), 6).as("distance"))
+  }
+
+  /** Centroid-based label-confusion screen (the mislabeled-data
+    * candidate detector): each vector's micro-quantized squared L2
+    * distance to EVERY label centroid; vectors whose nearest centroid
+    * belongs to a different label are flagged with both distances.
+    * One posexplode + broadcast centroid join + (id, label) aggregate
+    * — per-vector work is dims × labels, never pairwise over the
+    * corpus. Deterministic argmin: (distance, label) struct-min. */
+  def labelConfusion(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cent = exactCentroids(df, labelCol, vecCol)
+      .select(col(labelCol).as("__cl"), col("pos"), col("centroid").as("__c"))
+    val x = df.select(col(idCol), col(labelCol).as("__l"),
+        posexplode(col(vecCol)).as(Seq("pos", "__v0")))
+      .withColumn("__v", col("__v0").cast("double"))
+    val d = x.join(broadcast(cent), Seq("pos"))
+      .withColumn("__di",
+        floor((col("__v") - col("__c")) * 1e6 + 0.5).cast("long"))
+      .groupBy(col(idCol), col("__l"), col("__cl"))
+      .agg(sum(col("__di") * col("__di")).as("__dq"))
+      .localCheckpoint(false) // own-distance filter + argmin both read it
+    val best = d.groupBy(idCol)
+      .agg(min(struct(col("__dq"), col("__cl"))).as("__b"))
+      .select(col(idCol), col("__b.__cl").as("nearest_label"),
+        col("__b.__dq").as("d_nearest_q"))
+    d.filter(col("__l") === col("__cl"))
+      .select(col(idCol), col("__l").as(labelCol), col("__dq").as("d_own_q"))
+      .join(best, Seq(idCol))
+      .filter(col("nearest_label") =!= col(labelCol))
+      .select(col(idCol), col(labelCol), col("nearest_label"),
+        col("d_own_q"), col("d_nearest_q"))
+  }
+
   def exactCentroids(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame =
     df.select(col(groupCol).as("grp"),

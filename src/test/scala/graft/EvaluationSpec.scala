@@ -635,6 +635,20 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(5) == 95.909091)
   }
 
+  test("groupedDiscrete: lower-quantile per group, integer thresholds") {
+    // g: 1..10 -> p25 = smallest v with cum >= 2.5 -> 3; p50 -> 5;
+    // p90 -> 9. h: {1,1,1,9}: p50 -> cum(1)=3 >= 2 -> 1; p90 -> 9
+    val df = ((1 to 10).map(i => ("g", i.toDouble)) ++
+      Seq(("h", 1.0), ("h", 1.0), ("h", 1.0), ("h", 9.0)))
+      .toDF("event_type", "value")
+    val got = graft.ops.Percentiles.groupedDiscrete(df, "event_type",
+        "value", Seq(25, 50, 90))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("g") == ((3.0, 5.0, 9.0)))
+    assert(got("h") == ((1.0, 1.0, 9.0)))
+  }
+
   test("canonicalPick: best score wins, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster")

@@ -87,6 +87,16 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.6)
   }
 
+  test("community size distribution: components over a two-cluster edge set") {
+    // {1,2,3} triangle + {7,8} edge -> sizes 3 and 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L))
+      .toDF("id_1", "id_2")
+    val got = graft.dedup.Dedup.duplicateClusters(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
   test("triangleStats: triangle-free and empty-wedge graphs") {
     val path = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
     val r = Graph.triangleStats(path).head()

@@ -126,6 +126,30 @@ class IncrementalSpec extends SparkSpec {
     assert(run(df.repartition(5)) == got)
   }
 
+  test("centroidDistances: hand L2 between exact centroids") {
+    // label 0 centroid (1, 0); label 1 centroid (0, 4) -> d = sqrt(17)
+    val df = Seq((1L, Seq(0.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 3.0f), 1), (4L, Seq(0.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.sim.Similarity.centroidDistances(df, "label", "embedding")
+      .head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 1)
+    assert(r.getDouble(2) == math.floor(math.sqrt(17.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("labelConfusion: a planted mislabeled vector is the only flag") {
+    // (0,4) labeled 0 sits on label 1's centroid; every other vector
+    // is nearest its own (centroids shift to (2/3, 4/3) and (0, 4))
+    val df = Seq((1L, Seq(0.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (5L, Seq(0.0f, 4.0f), 0), // mislabeled
+      (3L, Seq(0.0f, 3.0f), 1), (4L, Seq(0.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.sim.Similarity.labelConfusion(df, "vec_id", "label",
+        "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(5L -> ((0, 1))), s"only the planted flag: $got")
+  }
+
   test("aggState parity: a streaming aggregation over deltas equals the batch state") {
     // the state is exact integer sums, so a streaming groupBy-agg over
     // arriving micro-batches must land on the SAME state as one batch

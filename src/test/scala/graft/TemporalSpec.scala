@@ -248,4 +248,23 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"sessionization must stay per-key partitioned:\n$plan")
   }
+
+  test("peakConcurrency: overlap counting with closed-interval boundaries") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // u1 session [10:00, 10:10]; u2 [10:05, 10:05]; both active at
+      // 10:05 -> day-1 peak 2. u3 [11:00] after u1 ended -> still 2.
+      (1L, t("2024-01-01 10:00:00"), 1.0), (1L, t("2024-01-01 10:10:00"), 1.0),
+      (2L, t("2024-01-01 10:05:00"), 1.0),
+      (3L, t("2024-01-01 11:00:00"), 1.0),
+      // u4 starts EXACTLY when u5's single-event session sits: closed
+      // intervals -> both count at 09:00 on day 2
+      (4L, t("2024-01-02 09:00:00"), 1.0),
+      (5L, t("2024-01-02 09:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Temporal.peakConcurrency(df, "user_id", "ts",
+        "value", 1800L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+  }
 }
