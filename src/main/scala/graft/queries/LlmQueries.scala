@@ -2283,8 +2283,61 @@ object LlmQueries {
       |       THEN round(covn * covn / (varxn * varyn), 9) END AS r2
       |FROM f ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q216: Flesch-Kincaid readability per source — grade level from
+  // whitespace words, [.!?]+ sentence runs, and vowel-group syllable
+  // approximation (all integer counts, so the per-doc grade is a fixed
+  // double formula both engines reproduce; source means ride
+  // micro-unit integer sums).
+  // -------------------------------------------------------------------
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+"))
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val syllables = greatest(
+      regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+    val base = docs(s, d).select(col("source"), words.as("__w"),
+        sentences.as("__s"), syllables.as("__y"))
+      .filter(col("__w") > 0)
+    // FK grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59 (Kincaid 1975)
+    val fk = lit(0.39) * (col("__w").cast("double") / col("__s")) +
+      lit(11.8) * (col("__y").cast("double") / col("__w")) - lit(15.59)
+    val wps = col("__w").cast("double") / col("__s")
+    base
+      .withColumn("__fki", floor(fk * 1e6 + 0.5).cast("long"))
+      .withColumn("__wpsi", floor(wps * 1e6 + 0.5).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("__fki")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("mean_fk_grade"),
+        round(sum(col("__wpsi")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("mean_words_per_sentence"))
+      .orderBy("source")
+  }
+
+  val readabilitySql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |    len(string_split_regex(trim(text), '\s+')) AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+      |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+      |  FROM documents
+      |),
+      |q AS (
+      |  SELECT source,
+      |    CAST(floor((0.39 * ((w * 1.0) / s) + 11.8 * ((y * 1.0) / w)
+      |                - 15.59) * 1e6 + 0.5) AS BIGINT) AS fki,
+      |    CAST(floor(((w * 1.0) / s) * 1e6 + 0.5) AS BIGINT) AS wpsi
+      |  FROM b WHERE w > 0
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  round((sum(fki) * 1.0) / 1e6 / count(*), 6) AS mean_fk_grade,
+      |  round((sum(wpsi) * 1.0) / 1e6 / count(*), 6)
+      |    AS mean_words_per_sentence
+      |FROM q GROUP BY 1 ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q200_vocab_richness" -> (vocabRichness _),
+    "q216_readability" -> (readability _),
     "q201_zipf_slope" -> (zipfSlopeQ _),
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
@@ -2355,6 +2408,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q200_vocab_richness" -> vocabRichnessSql,
     "q201_zipf_slope" -> zipfSlopeSql,
+    "q216_readability" -> readabilitySql,
     "q66_dup_clusters" -> dupClustersSql,
     "q82_mix_sources" -> mixBySourceSql,
     "q129_temperature_mix" -> temperatureMixSql,

@@ -359,6 +359,47 @@ object Relational {
        |ORDER BY r_name, n_name""".stripMargin
 
   // -------------------------------------------------------------------
+  // q217: market share (TPC-H Q8 flavor) — one nation's revenue share
+  // within its region per order year, conditional aggregation over the
+  // 5-way star join; dimension sides broadcast, exact decimal sums.
+  // -------------------------------------------------------------------
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val l = li(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(dsum(when(col("n_name") === "NATION_2", rev)
+          .otherwise(lit(0.0))) / dsum(rev), 6).as("market_share"),
+        round(dsum(rev), 2).as("region_revenue"))
+      .orderBy("o_year")
+  }
+
+  val marketShareSql: String =
+    s"""SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+       |  round(${dsumSql("CASE WHEN n_name = 'NATION_2' " +
+         "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       |        / ${dsumSql("l_extendedprice * (1 - l_discount)")}, 6)
+       |    AS market_share,
+       |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 2)
+       |    AS region_revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // -------------------------------------------------------------------
   // F9 label encoding (deterministic value-order codes)
   // -------------------------------------------------------------------
   def labelEncode(s: SparkSession, d: String): DataFrame =
@@ -534,6 +575,7 @@ object Relational {
     "q15_topn" -> (topParts _),
     "q16_union" -> (unionStats _),
     "q17_join_revenue" -> (joinRevenue _),
+    "q217_market_share" -> (marketShare _),
     "q22_label_encode" -> (labelEncode _),
     "q23_onehot" -> (oneHot _),
     "q24_int_like" -> (intLike _),
@@ -560,6 +602,7 @@ object Relational {
     "q15_topn" -> topPartsSql,
     "q16_union" -> unionStatsSql,
     "q17_join_revenue" -> joinRevenueSql,
+    "q217_market_share" -> marketShareSql,
     "q22_label_encode" -> labelEncodeSql,
     "q23_onehot" -> oneHotSql,
     "q24_int_like" -> intLikeSql,

@@ -832,6 +832,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got("B") == ((2L, 1L, 0.5, 0L, 0.0)))
   }
 
+  test("readability: hand word/sentence/syllable counts behind the FK grade") {
+    import spark.implicits._
+    // "go to bed now. sleep well." -> 6 words, 2 sentence runs, 6
+    // vowel groups -> FK = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val df = Seq(Tuple1("go to bed now. sleep well.")).toDF("text")
+    val words = org.apache.spark.sql.functions.size(
+      split(trim(col("text")), "\\s+"))
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val syll = greatest(
+      regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+    val out = df.select(words.as("w"), sentences.as("s"), syll.as("y")).head()
+    assert(out.getInt(0) == 6 && out.getInt(1) == 2 && out.getInt(2) == 6,
+      s"counts: $out")
+    val fk = 0.39 * (6.0 / 2) + 11.8 * (6.0 / 6) - 15.59
+    assert(math.abs(fk - (-2.62)) < 1e-9)
+  }
+
   test("zipfSlope: a perfect 1/r frequency ladder recovers slope -1") {
     import spark.implicits._
     // counts 24, 12, 8, 6 = 24/r for ranks 1..4: ln c = ln 24 - ln r,

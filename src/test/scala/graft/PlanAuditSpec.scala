@@ -410,6 +410,14 @@ class PlanAuditSpec extends SparkSpec {
       "token counts and OLS sums must map-side combine")
   }
 
+  test("q217 market share: dims broadcast, region filter pushed to its scan") {
+    val plan = formatted(Queries.registry("q217_market_share")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"nation/region/customer dims must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("EqualTo(r_name,ASIA)") || plan.contains("r_name = ASIA"),
+      s"the region predicate must reach the region scan:\n${plan.take(2000)}")
+  }
+
   test("q87 per-source cap: partial group-limit bounds shuffle volume") {
     val plan = formatted(Queries.registry("q87_best_per_source")(spark, sf))
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
