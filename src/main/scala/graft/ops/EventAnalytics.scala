@@ -88,6 +88,9 @@ object EventAnalytics {
     daily
       .withColumn("__c", count(lit(1)).over(w))
       .withColumn("__m", avg(col("n_events")).over(w))
+      // long square is safe here: it wraps only past ~3e9 events/day,
+      // and a decimal cast would change avg's result type (and the
+      // oracle's double path) — bound documented instead
       .withColumn("__m2", avg(col("n_events") * col("n_events")).over(w))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"),
         when(col("__c") >= trailingDays, round(col("__m"), 6)).as("trailing_mean"),
@@ -305,8 +308,11 @@ object EventAnalytics {
       .rowsBetween(-(trailingDays - 1), 0)
     val cnt = count(lit(1)).over(w)
     val mean = sum(col("__vi")).over(w).cast("double") / 1e6 / cnt
-    val varv = sum(col("__vi") * col("__vi")).over(w).cast("double") /
-      lit(1e12) / cnt - mean * mean
+    // square in decimal: a micro-unit close past ~3e9 (|close| >= ~3038)
+    // would wrap the long product
+    val varv = sum((col("__vi").cast("decimal(38,0)") *
+        col("__vi").cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .over(w).cast("double") / lit(1e12) / cnt - mean * mean
     daily.select(
       date_format(col("day"), "yyyy-MM-dd").as("day"),
       col("grp").as(groupCol),
@@ -341,9 +347,14 @@ object EventAnalytics {
     val sums = joined.groupBy("lag").agg(
       count(lit(1)).as("n_days"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+      // multiply in decimal: daily counts past ~3e9 would wrap the
+      // long squares (the groupOls/aggState lesson)
+      sum((col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("sxx"),
+      sum((col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("syy"),
+      sum((col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("sxy"))
     val (n, sx, sy, sxx, syy, sxy) = (col("n_days").cast("double"),
       col("sx").cast("double"), col("sy").cast("double"),
       col("sxx").cast("double"), col("syy").cast("double"),

@@ -136,7 +136,10 @@ object Stats {
     val rt = obs.groupBy("__a").agg(sum("__o").as("__rt"))
     val ct = obs.groupBy("__b").agg(sum("__o").as("__ct"))
     val n = obs.agg(sum("__o")).head().getLong(0)
-    val e = col("__rt") * col("__ct") / n.toDouble
+    // multiply in decimal: row·column totals of a multi-billion-row
+    // table square past the long range (identical doubles below it)
+    val e = (col("__rt").cast("decimal(38,0)") * col("__ct").cast("decimal(38,0)"))
+      .cast("double") / n.toDouble
     val chi = rt.crossJoin(broadcast(ct))
       .join(obs, Seq("__a", "__b"), "left")
       .na.fill(0L, Seq("__o"))

@@ -252,8 +252,11 @@ object Similarity {
     c.as("a").join(c.as("b"),
         col("a.pos") === col("b.pos") && col("a.__l") < col("b.__l"))
       .withColumn("__di", di)
+      // square in decimal: a micro-unit component diff past ~3e9 would
+      // wrap the long product
       .groupBy(col("a.__l").as("label_a"), col("b.__l").as("label_b"))
-      .agg(sum(col("__di") * col("__di")).as("__dq"))
+      .agg(sum((col("__di").cast("decimal(38,0)") *
+        col("__di").cast("decimal(38,0)")).cast("decimal(38,0)")).as("__dq"))
       .select(col("label_a"), col("label_b"),
         round(sqrt(col("__dq").cast("double") / lit(1e12)), 6).as("distance"))
   }
@@ -275,8 +278,12 @@ object Similarity {
     val d = x.join(broadcast(cent), Seq("pos"))
       .withColumn("__di",
         floor((col("__v") - col("__c")) * 1e6 + 0.5).cast("long"))
+      // decimal squares, long result: exact up to |x−c| ~ 4e8 per
+      // component — far beyond any embedding scale
       .groupBy(col(idCol), col("__l"), col("__cl"))
-      .agg(sum(col("__di") * col("__di")).as("__dq"))
+      .agg(sum((col("__di").cast("decimal(38,0)") *
+        col("__di").cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .cast("long").as("__dq"))
       .localCheckpoint(false) // own-distance filter + argmin both read it
     val best = d.groupBy(idCol)
       .agg(min(struct(col("__dq"), col("__cl"))).as("__b"))

@@ -574,6 +574,25 @@ class EvaluationSpec extends SparkSpec {
     assert(rows("2024-01-04")._2 == Some(3.0))
   }
 
+  test("bollingerDaily: closes past the long-square boundary stay exact") {
+    // vi = 5000e6 squares to 2.5e19 > Long.MaxValue — a long multiply
+    // would silently corrupt the band variance
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    val closes = Seq(5000.0, 6000.0, 7000.0)
+    val df = closes.zipWithIndex.map { case (v, i) =>
+      (t(i + 1), (i + 1).toLong, "p", v)
+    }.toDF("ts", "event_id", "event_type", "value")
+    val r = graft.ops.EventAnalytics.bollingerDaily(df, "ts", "event_id",
+        "event_type", "value", trailingDays = 3, k = 2.0)
+      .filter(col("day") === "2024-01-03").head()
+    assert(r.getDouble(3) == 6000.0, s"sma ${r.getDouble(3)}")
+    // replicate the contract double formula with exact BigInt squares
+    val s2 = closes.map(v => BigInt((v * 1e6).toLong).pow(2)).sum
+    val sd = math.sqrt(s2.toDouble / 1e12 / 3 - 6000.0 * 6000.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == r6(6000.0 + 2 * sd), s"upper ${r.getDouble(4)}")
+  }
+
   test("groupGapPercentiles: hand quartiles over per-key same-type gaps") {
     def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
       .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
