@@ -134,8 +134,14 @@ object Graph {
       .localCheckpoint(false)
     val nNodes = deg.count()
     val nEdges = und.count()
-    // d(d-1) is always even, so integer DIV is exact
-    val nWedges = deg.agg(expr("sum(__d * (__d - 1) DIV 2)")).head().getLong(0)
+    // d(d-1) is always even, so halving the exact decimal sum is exact;
+    // the product runs in decimal — a hub degree past ~3e9 would wrap
+    // the long square
+    val nWedges = deg.agg(
+        sum((col("__d").cast("decimal(38,0)") *
+          (col("__d").cast("decimal(38,0)") - 1)).cast("decimal(38,0)")))
+      .head().getDecimal(0).divide(java.math.BigDecimal.valueOf(2))
+      .longValueExact()
     val oriented = und
       .join(deg.select(col("node").as("src"), col("__d").as("__ds")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("__d").as("__dd")), Seq("dst"))

@@ -311,13 +311,17 @@ object Stats {
       val ps = Percentiles.exact(sub, "__v", Seq(pLo, pHi))
       val (lo, hi) = (ps(pLo), ps(pHi))
       val clipped = least(greatest(col("__v"), lit(lo)), lit(hi))
+      // decimal sums: micro-unit totals of trillion-row groups exceed
+      // the long range (the aggState construction)
       val a = sub.agg(
         count(lit(1)).as("n"),
-        sum(floor(clipped * 1e6 + 0.5).cast("long")).as("sw"),
-        sum(floor(col("__v") * 1e6 + 0.5).cast("long")).as("sr")).head()
+        sum(floor(clipped * 1e6 + 0.5).cast("decimal(38,0)")).as("sw"),
+        sum(floor(col("__v") * 1e6 + 0.5).cast("decimal(38,0)")).as("sr"))
+        .head()
       val n = a.getLong(0)
       (g, n, r6(lo), r6(hi),
-        r6(a.getLong(1).toDouble / 1e6 / n), r6(a.getLong(2).toDouble / 1e6 / n))
+        r6(a.getDecimal(1).doubleValue() / 1e6 / n),
+        r6(a.getDecimal(2).doubleValue() / 1e6 / n))
     }.toDF(groupCol, "n", "p_lo", "p_hi", "winsorized_mean", "raw_mean")
   }
 

@@ -2303,8 +2303,10 @@ object LlmQueries {
       lit(11.8) * (col("__y").cast("double") / col("__w")) - lit(15.59)
     val wps = col("__w").cast("double") / col("__s")
     base
-      .withColumn("__fki", floor(fk * 1e6 + 0.5).cast("long"))
-      .withColumn("__wpsi", floor(wps * 1e6 + 0.5).cast("long"))
+      // decimal sums: micro-unit totals of trillion-doc sources exceed
+      // the long range
+      .withColumn("__fki", floor(fk * 1e6 + 0.5).cast("decimal(38,0)"))
+      .withColumn("__wpsi", floor(wps * 1e6 + 0.5).cast("decimal(38,0)"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         round(sum(col("__fki")).cast("double") / 1e6 / count(lit(1)), 6)
