@@ -467,6 +467,65 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of resampled audio appended by [[resampleAudio]]. */
+  val audioResampleSchema: StructType = StructType(Seq(
+    StructField("channel", IntegerType, nullable = true),
+    StructField("k", IntegerType, nullable = true),
+    StructField("value", DoubleType, nullable = true)))
+
+  /** Linear-interpolation sample-rate conversion over decoded PCM —
+    * real DSP on real samples, the rate-normalization step an audio
+    * training pipeline runs before featurization. Output index k maps
+    * to source position k·srcRate/targetRate via EXACT integer
+    * arithmetic (idx = k·srcRate DIV targetRate, frac from the
+    * remainder), so the interpolation weights are engine-portable and
+    * the whole output is SQL-replayable; values round half-away-from-
+    * zero on the 1e-6 grid (= DuckDB round; samples are signed).
+    * Output length is floor((n−1)·target/src) + 1 per channel — the
+    * last output never reads past the clip. Scan-local mapPartitions
+    * (the codec-family shape): zero shuffle, no driver collection;
+    * undecodable payloads emit nothing. */
+  def resampleAudio(df: DataFrame, payloadCol: String,
+      targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    val schema = StructType(df.schema.fields ++ audioResampleSchema.fields)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    def r6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val pcm =
+          try {
+            if (p != null && p.length >= 4 && p(0) == 'R' && p(1) == 'I' &&
+              p(2) == 'F' && p(3) == 'F') Some(wavPcm(p))
+            else None
+          } catch {
+            case _: IllegalArgumentException |
+                 _: ArrayIndexOutOfBoundsException => None
+          }
+        pcm.iterator.filter(_.nFrames > 0).flatMap { w =>
+          val n = w.nFrames.toInt
+          val m = ((n - 1).toLong * targetRate / w.rate + 1L).toInt
+          for {
+            k <- (0 until m).iterator
+            c <- (0 until w.channels).iterator
+          } yield {
+            val posNum = k.toLong * w.rate
+            val idx = (posNum / targetRate).toInt
+            val frac = (posNum % targetRate).toDouble / targetRate
+            val s0 = w.samples(idx * w.channels + c).toDouble
+            val s1 = w.samples(
+              math.min(idx + 1, n - 1) * w.channels + c).toDouble
+            Row.fromSeq(r.toSeq ++
+              Seq[Any](c, k, r6(s0 * (1 - frac) + s1 * frac)))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic 16-bit PCM WAV generator (TEST DATA, like
     * `syntheticPpm`): channels 1+id%2, frames 20+id%7, rate 8000, and
     * sample(frame t, channel c) = (id·37 + t·11 + c·5) % 4096 − 2048 —

@@ -695,6 +695,42 @@ object MiscQueries {
       |SELECT id_1, id_2, hamming FROM dist
       |WHERE hamming <= 6 ORDER BY id_1, id_2""".stripMargin
 
+  /** q218: linear-interpolation resample of the synthetic WAV clips
+    * from 8 kHz to 12 kHz — every output sample replayed in SQL from
+    * the closed-form source formula with the identical exact-integer
+    * index/remainder arithmetic. */
+  def audioResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    Multimodal.resampleAudio(
+        Multimodal.syntheticWav(docs, "doc_id", "payload"), "payload",
+        targetRate = 12000)
+      .select(col("doc_id"), col("channel"), col("k"), col("value"))
+      .orderBy("doc_id", "channel", "k")
+  }
+
+  val audioResampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+      |         CAST(20 + doc_id % 7 AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |ks AS (SELECT doc_id, nch, n,
+      |         unnest(range(0, ((n - 1) * 12000) // 8000 + 1)) AS k
+      |       FROM d),
+      |kc AS (SELECT doc_id, nch, n, k, unnest(range(0, nch)) AS c FROM ks),
+      |pos AS (SELECT doc_id, nch, n, k, c,
+      |          (k * 8000) // 12000 AS idx, (k * 8000) % 12000 AS md
+      |        FROM kc),
+      |sv AS (SELECT doc_id, k, c, md,
+      |         CAST((doc_id*37 + idx*11 + c*5) % 4096 AS BIGINT) - 2048 AS s0,
+      |         CAST((doc_id*37 + least(idx + 1, n - 1)*11 + c*5) % 4096
+      |           AS BIGINT) - 2048 AS s1
+      |       FROM pos)
+      |SELECT doc_id, CAST(c AS INT) AS channel, CAST(k AS INT) AS k,
+      |  round(s0 * (1 - (md * 1.0) / 12000) + s1 * ((md * 1.0) / 12000), 6)
+      |    AS value
+      |FROM sv ORDER BY doc_id, channel, k""".stripMargin
+
   /** q152: shot-boundary detection under the oracle gate — the same
     * deterministic Y4M streams as q141, diffed frame-to-frame; the
     * mean-absolute-luma-difference metric and cut flags must equal the
@@ -823,6 +859,7 @@ object MiscQueries {
     "q153_image_dhash" -> (imageDHashQ _),
     "q209_image_near_dup" -> (imageNearDup _),
     "q212_image_dup_clusters" -> (imageDupClusters _),
+    "q218_audio_resample" -> (audioResample _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
     "q70_skew_transform" -> (skewTransform _))
@@ -852,6 +889,7 @@ object MiscQueries {
     "q153_image_dhash" -> imageDHashSql,
     "q209_image_near_dup" -> imageNearDupSql,
     "q212_image_dup_clusters" -> imageDupClustersSql,
+    "q218_audio_resample" -> audioResampleSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,
     "q70_skew_transform" -> skewTransformSql)

@@ -203,6 +203,24 @@ class IncrementalSpec extends SparkSpec {
     assert(r.getDouble(5) == 127.5) // std of {0, 255}
   }
 
+  test("resampleAudio: hand 2-sample mono clip, 8k -> 12k linear interp") {
+    // samples [0, 300] at 8 kHz -> 2 outputs at 12 kHz: k=0 reads 0;
+    // k=1 sits at source pos 2/3 -> 0·(1/3) + 300·(2/3) = 200
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val body =
+      Array[Byte]('f', 'm', 't', ' ') ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      Array[Byte]('d', 'a', 't', 'a') ++ le32(4) ++ le16(0) ++ le16(300)
+    val wav = Array[Byte]('R', 'I', 'F', 'F') ++ le32(4 + body.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++ body
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val got = graft.multimodal.Multimodal.resampleAudio(df, "payload", 12000)
+      .collect().map(r => (r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(got == Map((0, 0) -> 0.0, (0, 1) -> 200.0), s"got $got")
+  }
+
   test("rollingDistinct: hand-computed 7-day active counts") {
     def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
     val df = Seq((ts(1), 1L), (ts(3), 2L), (ts(10), 1L)).toDF("ts", "u")
