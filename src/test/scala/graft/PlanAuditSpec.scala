@@ -410,6 +410,18 @@ class PlanAuditSpec extends SparkSpec {
       "token counts and OLS sums must map-side combine")
   }
 
+  test("q210 grouped percentiles: CDF window partitions by the group, never global") {
+    val df = Queries.registry("q210_grouped_percentiles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected the per-group running total:\n$plan")
+    assert(windows.forall(_.contains("__g")),
+      s"the CDF window must partition by the group key:\n${windows.mkString("\n")}")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n${plan.take(1500)}")
+  }
+
   test("q217 market share: dims broadcast, region filter pushed to its scan") {
     val plan = formatted(Queries.registry("q217_market_share")(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
