@@ -208,6 +208,28 @@ class PropertiesSpec extends SparkSpec {
       s"banding missed/invented pairs: got ${got.size} vs brute ${brute.size}")
   }
 
+  test("resampleAudio property: target == source rate is the identity") {
+    // at ratio 1 every output index k maps exactly onto source frame k
+    // with zero fraction, so the resampled stream must equal the
+    // decoded samples bit-for-bit
+    val docs = (0L until 25L).map(Tuple1(_)).toDF("doc_id")
+    val wav = graft.multimodal.Multimodal.syntheticWav(docs, "doc_id", "payload")
+    val got = graft.multimodal.Multimodal.resampleAudio(wav, "payload", 8000)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    // closed-form synthetic source: s(t, c) = ((id·37 + t·11 + c·5) % 4096) − 2048
+    for (id <- 0L until 25L) {
+      val nch = (1 + id % 2).toInt
+      val n = (20 + id % 7).toInt
+      for (t <- 0 until n; c <- 0 until nch)
+        assert(got((id, c, t)) == ((id * 37 + t * 11 + c * 5) % 4096 - 2048).toDouble,
+          s"identity broken at id=$id t=$t c=$c")
+    }
+    assert(got.size == (0L until 25L).map(id =>
+      (20 + id % 7).toInt * (1 + id % 2).toInt).sum)
+  }
+
   test("classificationReport matches hand-computed sklearn values") {
     // labels: a,a,a,b,b,c  preds: a,a,b,b,b,b
     // a: tp=2 support=3 pred=2 -> P=1.0    R=0.666667 F=0.8
