@@ -211,6 +211,61 @@ object LlmQueries {
       |) ORDER BY query_id, neighbor_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q219: prefix-dimension recall (the Matryoshka-embedding
+  // diagnostic) — exact top-10 by cosine over the FIRST 16 of 64
+  // dimensions, scored against the full-dimension exact top-10 per
+  // probe. High recall means truncated embeddings are a viable
+  // first-pass index; the measurement itself is two brute-force
+  // top-ks + a bounded intersection count.
+  // -------------------------------------------------------------------
+  def prefixRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val full = Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val eP = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val pref = Similarity.bruteForceTopK(
+        eP, eP.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = full.join(pref, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    full.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / 10.0, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val prefixRecallSql: String =
+    """WITH full_tk AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+      |  WHERE p.vec_id < 20
+      |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |    list_cosine_similarity(p.embedding::DOUBLE[],
+      |                           c.embedding::DOUBLE[]) DESC,
+      |    c.vec_id) <= 10
+      |),
+      |pre AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+      |  WHERE p.vec_id < 20
+      |  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |    list_cosine_similarity(p.embedding[1:16]::DOUBLE[],
+      |                           c.embedding[1:16]::DOUBLE[]) DESC,
+      |    c.vec_id) <= 10
+      |),
+      |h AS (SELECT f.query_id, count(*) AS n_hits
+      |      FROM full_tk f JOIN pre USING (query_id, neighbor_id)
+      |      GROUP BY 1)
+      |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+      |       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+      |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+      |      WHERE vec_id < 20) q
+      |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q69: character-n-gram Jaccard near-dup — the MinHash/band/verify
   // pipeline over char-5-gram sets at threshold 0.5. Gram width and
   // band shape are tuned to the similarity distribution: char 3-grams
@@ -2340,6 +2395,7 @@ object LlmQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q200_vocab_richness" -> (vocabRichness _),
     "q216_readability" -> (readability _),
+    "q219_prefix_recall" -> (prefixRecall _),
     "q201_zipf_slope" -> (zipfSlopeQ _),
     "q66_dup_clusters" -> (dupClusters _),
     "q82_mix_sources" -> (mixBySource _),
@@ -2411,6 +2467,7 @@ object LlmQueries {
     "q200_vocab_richness" -> vocabRichnessSql,
     "q201_zipf_slope" -> zipfSlopeSql,
     "q216_readability" -> readabilitySql,
+    "q219_prefix_recall" -> prefixRecallSql,
     "q66_dup_clusters" -> dupClustersSql,
     "q82_mix_sources" -> mixBySourceSql,
     "q129_temperature_mix" -> temperatureMixSql,
