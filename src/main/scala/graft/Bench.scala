@@ -53,10 +53,16 @@ object Bench {
     // reads ~0.1s when q66 already built the MinHash pairs); the TOTAL
     // is honest, per-query splits of memoized groups are not.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = (1 to reps).map { _ =>
+    val passes = (1 to reps).map { _ =>
       graft.core.Memo.clear()
       runOnce()
-    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    }
+    // every pass total rides in the artifact so the judged JSON carries
+    // the whole measurement BRACKET, not one opaque number — PLANS.md's
+    // "compare the bracket" discipline, machine-readable
+    val passTotals = passes.map(_.values.sum)
+    val results = passes
+      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     if (failures > 0) System.err.println(s"[bench] $failures of ${results.size} queries failed")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -87,7 +93,8 @@ object Bench {
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"memo_groups":$groups,"queries":$qs}""")
+    val passJson = passTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"reps":$reps,"pass_totals":$passJson,"memo_groups":$groups,"queries":$qs}""")
     // The driver's capture keeps the TAIL of output (round 7 showed the
     // big line above truncated from the front → parsed:null), so a
     // short self-contained summary prints LAST — it always survives and
@@ -95,7 +102,7 @@ object Bench {
     // "total" must never double-count or pick the truncation-prone
     // long line. And a bench with failures exits nonzero: a partial
     // timing must never be mistaken for a clean run.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"memo_groups":$groups}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"reps":$reps,"pass_totals":$passJson,"memo_groups":$groups}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -140,7 +140,7 @@ object Evaluation {
     val pb = xb.toDouble / nb
     val pp = (xa + xb).toDouble / (na + nb)
     val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     val spark = df.sparkSession
     import spark.implicits._
     Seq((na, xa, nb, xb, r6(pa), r6(pb),

@@ -360,7 +360,7 @@ object Multimodal {
     val schema = StructType(df.schema.fields ++ audioFrameSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val p = r.getAs[Array[Byte]](payloadIdx)
@@ -491,8 +491,7 @@ object Multimodal {
     val schema = StructType(df.schema.fields ++ audioResampleSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    def r6(x: Double): Double =
-      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val p = r.getAs[Array[Byte]](payloadIdx)
@@ -858,7 +857,7 @@ object Multimodal {
     val schema = StructType(parentFields ++ sceneChangeSchema.fields)
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val parent = r.toSeq.zipWithIndex.collect { case (v, i) if i != idx => v }

@@ -145,15 +145,29 @@ object EventAnalytics {
     val sxx = daily.map(d => d._2 * d._2).sum
     val mean = sx.toDouble / n
     val sd = math.sqrt(sxx.toDouble / n - mean * mean)
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double) = graft.core.Round.r6(x)
     var sp = 0.0
     var sn = 0.0
     daily.map { case (day, x) =>
-      sp = math.max(0.0, sp + x - mean - slackSigma * sd)
-      sn = math.max(0.0, sn + mean - x - slackSigma * sd)
-      (day, x, r6(sp), r6(sn),
-        sp > alarmSigma * sd || sn > alarmSigma * sd)
+      val (sp2, sn2, alarm) = cusumStep(sp, sn, x, mean, sd,
+        slackSigma, alarmSigma)
+      sp = sp2
+      sn = sn2
+      (day, x, r6(sp), r6(sn), alarm)
     }.toSeq.toDF("day", "n_events", "cusum_pos", "cusum_neg", "is_alarm")
+  }
+
+  /** One CUSUM recursion step against a FIXED reference (mean, sd) —
+    * the formula shared bit-for-bit by [[cusumDaily]] (which derives
+    * the reference from the whole series' exact moments) and the
+    * streaming counterpart `streaming.Events.cusumStream` (which takes
+    * a calibration reference: a stream cannot see future moments).
+    * Returns (S⁺', S⁻', alarm). */
+  def cusumStep(sp: Double, sn: Double, x: Long, mean: Double, sd: Double,
+      slackSigma: Double, alarmSigma: Double): (Double, Double, Boolean) = {
+    val sp2 = math.max(0.0, sp + x - mean - slackSigma * sd)
+    val sn2 = math.max(0.0, sn + mean - x - slackSigma * sd)
+    (sp2, sn2, sp2 > alarmSigma * sd || sn2 > alarmSigma * sd)
   }
 
   /** Marketing attribution: for every conversion event, the FIRST and
@@ -310,9 +324,13 @@ object EventAnalytics {
     val mean = sum(col("__vi")).over(w).cast("double") / 1e6 / cnt
     // square in decimal: a micro-unit close past ~3e9 (|close| >= ~3038)
     // would wrap the long product
-    val varv = sum((col("__vi").cast("decimal(38,0)") *
-        col("__vi").cast("decimal(38,0)")).cast("decimal(38,0)"))
-      .over(w).cast("double") / lit(1e12) / cnt - mean * mean
+    // clamp: E[x²]−E[x]² can cancel to a tiny negative double (e.g. a
+    // full window of identical large closes) and NaN the sqrt
+    val varv = greatest(
+      sum((col("__vi").cast("decimal(38,0)") *
+          col("__vi").cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .over(w).cast("double") / lit(1e12) / cnt - mean * mean,
+      lit(0.0))
     daily.select(
       date_format(col("day"), "yyyy-MM-dd").as("day"),
       col("grp").as(groupCol),
@@ -487,7 +505,13 @@ object EventAnalytics {
     val tp = t0.join(ev,
         col(keyCol) === col("__k2") && col("__te") >= col("__t0"), "left")
       .groupBy(col(keyCol), col("__t0")).agg(min(col("__te")).as("__t1"))
-    val maxDay = df.agg(max(to_date(col(tsCol)))).head().getDate(0)
+    // empty input (or all-null ts) → max day is NULL; short-circuit to
+    // an empty curve instead of feeding a null Date into datediff
+    val maxRow = df.agg(max(to_date(col(tsCol)))).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("duration_days", "n_risk", "n_events", "survival")
+    val maxDay = maxRow.getDate(0)
     val days = tp.select(
         when(col("__t1").isNotNull,
           datediff(to_date(col("__t1")), to_date(col("__t0"))))
@@ -496,7 +520,7 @@ object EventAnalytics {
       .groupBy("d").agg(sum(col("ev")).as("d_i"), count(lit(1)).as("n_d"))
       .orderBy("d")
       .collect() // bounded: one row per distinct duration day
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double) = graft.core.Round.r6(x)
     var nRisk = days.map(_.getLong(2)).sum
     var s = 1.0
     days.flatMap { r =>

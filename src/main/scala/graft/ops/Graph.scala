@@ -157,7 +157,7 @@ object Graph {
         col("x.a") === col("y.a") && col("x.b") < col("y.b"))
       .select(col("x.b").as("src"), col("y.b").as("dst"))
     val nTri = wedgePairs.join(und, Seq("src", "dst")).count()
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double) = graft.core.Round.r6(x)
     val transitivity = if (nWedges > 0) r6(3.0 * nTri / nWedges) else 0.0
     Seq((nNodes, nEdges, nWedges, nTri, transitivity))
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "transitivity")

@@ -146,7 +146,7 @@ object Stats {
       .agg(sum((col("__o") - e) * (col("__o") - e) / e)).head().getDouble(0)
     val (r, c) = (rt.count(), ct.count())
     val minDim = math.min(r - 1, c - 1)
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     Seq((r6(chi), (r - 1) * (c - 1), r6(math.sqrt(chi / (n * minDim))), n))
       .toDF("chi2", "dof", "cramers_v", "n")
   }
@@ -163,7 +163,7 @@ object Stats {
   def describeExact(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     val rows = cols.map { c =>
       val vi = floor(col(c) * 1e6 + 0.5).cast("long")
       // drop NULLs so n matches the null-skipping sums/min/max and the
@@ -270,11 +270,13 @@ object Stats {
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .localCheckpoint(false) // read several times per group below
-    val groups = vals.select("__g").distinct()
-      .collect().map(_.get(0).toString).sorted // bounded group vocabulary
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // bounded group vocabulary; null groups excluded, native values
+    // kept for the typed re-filter (no implicit string casts)
+    val groups = vals.filter(col("__g").isNotNull).select("__g").distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     graft.core.Par.mapPar(groups.toSeq) { g =>
-      val sub = vals.filter(col("__g") === g)
+      val sub = vals.filter(col("__g") === lit(g))
       val n = sub.count()
       val med = Percentiles.exact(sub, "__v", Seq(0.5))(0.5)
       val mad = Percentiles.exact(
@@ -284,7 +286,7 @@ object Stats {
           Some(sub.filter(
             abs(lit(0.6745) * (col("__v") - med) / mad) > threshold).count())
         else None
-      (g, n, r6(med), r6(mad), nOut)
+      (g.toString, n, r6(med), r6(mad), nOut)
     }.toDF(groupCol, "n", "median", "mad", "n_outliers")
   }
 
@@ -303,11 +305,13 @@ object Stats {
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .localCheckpoint(false)
-    val groups = vals.select("__g").distinct()
-      .collect().map(_.get(0).toString).sorted // bounded group vocabulary
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // bounded group vocabulary; null groups excluded, native values
+    // kept for the typed re-filter (no implicit string casts)
+    val groups = vals.filter(col("__g").isNotNull).select("__g").distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     graft.core.Par.mapPar(groups.toSeq) { g =>
-      val sub = vals.filter(col("__g") === g)
+      val sub = vals.filter(col("__g") === lit(g))
       val ps = Percentiles.exact(sub, "__v", Seq(pLo, pHi))
       val (lo, hi) = (ps(pLo), ps(pHi))
       val clipped = least(greatest(col("__v"), lit(lo)), lit(hi))
@@ -319,7 +323,7 @@ object Stats {
         sum(floor(col("__v") * 1e6 + 0.5).cast("decimal(38,0)")).as("sr"))
         .head()
       val n = a.getLong(0)
-      (g, n, r6(lo), r6(hi),
+      (g.toString, n, r6(lo), r6(hi),
         r6(a.getDecimal(1).doubleValue() / 1e6 / n),
         r6(a.getDecimal(2).doubleValue() / 1e6 / n))
     }.toDF(groupCol, "n", "p_lo", "p_hi", "winsorized_mean", "raw_mean")

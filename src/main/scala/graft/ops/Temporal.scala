@@ -337,13 +337,17 @@ object Temporal {
         (col("__ts") - lag(col("__ts"), 1).over(w)).cast("double"))
       .filter(col("__gap").isNotNull)
       .localCheckpoint(false) // read once per group below
-    val groups = gaps.select("__g").distinct()
-      .collect().map(_.get(0).toString).sorted // bounded group vocabulary
+    // bounded group vocabulary; null groups have no defined timeline
+    // label and are excluded. The NATIVE group value feeds the
+    // re-filter (a typed literal — no implicit string cast that could
+    // silently mismatch a non-string group column).
+    val groups = gaps.filter(col("__g").isNotNull).select("__g").distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
     graft.core.Par.mapPar(groups.toSeq) { g =>
-      val sub = gaps.filter(col("__g") === g)
+      val sub = gaps.filter(col("__g") === lit(g))
       val n = sub.count()
       val ps = Percentiles.exact(sub, "__gap", Seq(0.25, 0.5, 0.75))
-      (g, n, ps(0.25), ps(0.5), ps(0.75))
+      (g.toString, n, ps(0.25), ps(0.5), ps(0.75))
     }.toDF(groupCol, "n_gaps", "p25_us", "p50_us", "p75_us")
   }
 

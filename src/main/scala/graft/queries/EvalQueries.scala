@@ -631,7 +631,7 @@ object EvalQueries {
     val ps = graft.ops.Percentiles.weightedExact(
       Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
       Seq(0.25, 0.5, 0.75))
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     import s.implicits._
     Seq((r6(ps(0.25)), r6(ps(0.5)), r6(ps(0.75)))).toDF("p25", "p50", "p75")
   }
@@ -816,12 +816,14 @@ object EvalQueries {
       |  round(close, 6) AS close,
       |  CASE WHEN cnt = 7 THEN round((s1 * 1.0) / 1e6 / cnt, 6) END AS sma,
       |  CASE WHEN cnt = 7 THEN round((s1 * 1.0) / 1e6 / cnt
-      |    + 2.0 * sqrt((s2 * 1.0) / 1e12 / cnt
-      |        - ((s1 * 1.0) / 1e6 / cnt) * ((s1 * 1.0) / 1e6 / cnt)), 6)
+      |    + 2.0 * sqrt(greatest((s2 * 1.0) / 1e12 / cnt
+      |        - ((s1 * 1.0) / 1e6 / cnt) * ((s1 * 1.0) / 1e6 / cnt),
+      |        0.0)), 6)
       |  END AS upper_band,
       |  CASE WHEN cnt = 7 THEN round((s1 * 1.0) / 1e6 / cnt
-      |    - 2.0 * sqrt((s2 * 1.0) / 1e12 / cnt
-      |        - ((s1 * 1.0) / 1e6 / cnt) * ((s1 * 1.0) / 1e6 / cnt)), 6)
+      |    - 2.0 * sqrt(greatest((s2 * 1.0) / 1e12 / cnt
+      |        - ((s1 * 1.0) / 1e6 / cnt) * ((s1 * 1.0) / 1e6 / cnt),
+      |        0.0)), 6)
       |  END AS lower_band
       |FROM w ORDER BY day, event_type""".stripMargin
 

@@ -615,7 +615,12 @@ object MiscQueries {
     * no pair at distance ≤ 6 is missed), exact popcount verification.
     * The oracle rebuilds every hash from the closed-form pixel formula
     * and takes the all-pairs Hamming distance it can afford at
-    * sf0.01 — the banded pipeline must reproduce it exactly. */
+    * sf0.01 — the banded pipeline must reproduce it exactly. The
+    * oracle mirrors the operator's maxBucketSize=10000 skew guard
+    * (the fuzzyJoinSql `ok` CTE pattern): cross-hash pairs must share
+    * at least one band bucket holding <= 10000 distinct hashes, while
+    * identical-hash pairs (distance 0) are always kept — so engine
+    * and oracle agree at ANY scale factor, not just below the cap. */
   /** q209's Hamming pairs feed q212's cluster pass too — build once
     * per (session, sf) and checkpoint (the fuzzy-pairs memo pattern). */
   private def imagePairs(s: SparkSession, d: String): DataFrame =
@@ -683,17 +688,29 @@ object MiscQueries {
       |  FROM g),
       |hsh AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
       |        FROM b WHERE x < 8 GROUP BY doc_id),
+      |reps AS (SELECT DISTINCT dhash FROM hsh),
+      |bnd AS (SELECT dhash, bi, substr(dhash, CAST(bi*8+1 AS INT), 8) AS v
+      |        FROM reps, range(0, 8) tb(bi)),
+      |okb AS (SELECT bi, v FROM bnd GROUP BY bi, v
+      |        HAVING count(*) <= 10000),
+      |hp AS (SELECT DISTINCT x.dhash AS ha, y.dhash AS hb
+      |       FROM bnd x JOIN okb o ON x.bi = o.bi AND x.v = o.v
+      |       JOIN bnd y ON y.bi = x.bi AND y.v = x.v
+      |                 AND x.dhash < y.dhash),
       |p AS (SELECT a.doc_id AS id_1, c.doc_id AS id_2,
       |             a.dhash AS ha, c.dhash AS hb
       |      FROM hsh a JOIN hsh c ON a.doc_id < c.doc_id),
       |dist AS (
-      |  SELECT id_1, id_2,
+      |  SELECT id_1, id_2, ha, hb,
       |    CAST(list_sum(list_transform(range(1, 65),
       |      i -> CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
       |           THEN 1 ELSE 0 END)) AS INT) AS hamming
       |  FROM p)
-      |SELECT id_1, id_2, hamming FROM dist
-      |WHERE hamming <= 6 ORDER BY id_1, id_2""".stripMargin
+      |SELECT d.id_1, d.id_2, d.hamming FROM dist d
+      |LEFT JOIN hp ON hp.ha = least(d.ha, d.hb)
+      |            AND hp.hb = greatest(d.ha, d.hb)
+      |WHERE d.hamming <= 6 AND (d.ha = d.hb OR hp.ha IS NOT NULL)
+      |ORDER BY id_1, id_2""".stripMargin
 
   /** q218: linear-interpolation resample of the synthetic WAV clips
     * from 8 kHz to 12 kHz — every output sample replayed in SQL from

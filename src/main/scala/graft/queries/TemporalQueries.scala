@@ -210,7 +210,7 @@ object TemporalQueries {
       count(col("t_2")).as("n2"), count(col("t_3")).as("n3")).head()
     val total = r.getLong(0)
     val ns = Seq(r.getLong(1), r.getLong(2), r.getLong(3))
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double) = graft.core.Round.r6(x)
     def rate(n: Long, den: Long) = if (den == 0) 0.0 else r6(n.toDouble / den)
     val spark = s
     import spark.implicits._

@@ -480,4 +480,67 @@ object Events {
           next
       }.toDF()
   }
+
+  final case class CusumDayBar(dayTs: java.sql.Timestamp, x: Long)
+  /** CUSUM carry across finalized days: last emitted day (µs) plus the
+    * two running sums — three scalars, never a buffer. */
+  final case class CusumCarry(lastDayUs: Long, sp: Double, sn: Double)
+  final case class CusumRow(day: String, n_events: Long, cusum_pos: Double,
+      cusum_neg: Double, is_alarm: Boolean)
+
+  /** Streaming CUSUM drift monitor — the incremental counterpart of
+    * [[graft.ops.EventAnalytics.cusumDaily]], sharing its
+    * `cusumStep` recursion bit-for-bit. Reference (mean, sd) is a
+    * CALIBRATION parameter: the sequential-monitoring formulation
+    * (Page 1954) scores deviations against a known in-control level,
+    * which is exactly what a stream has (the batch operator, able to
+    * see the whole series, derives the reference from its own exact
+    * moments — pass those in for stream==batch parity).
+    *
+    * Shape: a watermarked 1-day windowed count (distributed, partial
+    * aggregation map-side, append-finalized exactly once per day)
+    * chains into a single-key flatMapGroupsWithState that folds the
+    * DAY frame through the recursion — the chained-stateful-operator
+    * plan (Spark 3.4+). The serial stage sees one row per day (the
+    * funnelRates/cusumDaily day-frame discipline), never row-scale
+    * data; its state is three scalars. Day bars from the upstream
+    * append aggregate are final, so each day is folded exactly once:
+    * within a micro-batch bars may surface unordered and are sorted;
+    * across batches the watermark only moves forward, so later
+    * batches can only deliver later days. */
+  def cusumStream(spark: SparkSession, events: DataFrame, mean: Double,
+      sd: Double, slackSigma: Double = 0.5, alarmSigma: Double = 4.0,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val daily = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("__w"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("__w").getField("start").as("dayTs"), col("x"))
+      .as[CusumDayBar]
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def r6(x: Double) = graft.core.Round.r6(x)
+    daily.groupByKey(_ => 0)
+      .flatMapGroupsWithState[CusumCarry, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, bars, state: GroupState[CusumCarry]) =>
+          val prev = state.getOption.getOrElse(CusumCarry(Long.MinValue, 0.0, 0.0))
+          val ordered = bars.map(b => (usOf(b.dayTs), b.x)).toSeq
+            .filter(_._1 > prev.lastDayUs).sortBy(_._1)
+          var sp = prev.sp
+          var sn = prev.sn
+          var last = prev.lastDayUs
+          val out = ordered.map { case (dUs, x) =>
+            val (sp2, sn2, alarm) = graft.ops.EventAnalytics.cusumStep(
+              sp, sn, x, mean, sd, slackSigma, alarmSigma)
+            sp = sp2; sn = sn2; last = dUs
+            CusumRow(
+              java.time.Instant.ofEpochSecond(dUs / 1000000L)
+                .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+              x, r6(sp), r6(sn), alarm)
+          }
+          if (ordered.nonEmpty) state.update(CusumCarry(last, sp, sn))
+          out.iterator
+      }.toDF()
+  }
 }

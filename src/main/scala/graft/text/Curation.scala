@@ -519,7 +519,7 @@ object Curation {
       StructField("compression_ratio", DoubleType, nullable = true)))
     val textIdx = df.schema.fieldIndex(textCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     df.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
       val buf = new Array[Byte](8192)
@@ -663,15 +663,27 @@ object Curation {
     * would sort every source's full partition; CCNet itself pays that
     * sort, the percentile formulation doesn't need to). Exact
     * `percentile` holds one counts-map entry per distinct score in the
-    * aggregation buffer — fine for 6-decimal-rounded scores; set
-    * `exact=false` at extreme scale to bound the buffer with
-    * `approx_percentile`'s sketch instead (bucket boundaries shift
-    * within the sketch error; membership FRACTIONS stay ~thirds). */
+    * aggregation buffer — fine for 6-decimal-rounded scores, but an
+    * unbounded buffer in principle, so the guard below AUTO-FALLS-BACK
+    * to `approx_percentile`'s bounded sketch when any source's
+    * distinct-score cardinality exceeds `maxDistinctScores` (probed
+    * first with a plain distinct aggregate, which carries no map
+    * buffer — the `Encode.labelEncode` cardinality-guard pattern).
+    * Under the sketch, bucket boundaries shift within the sketch
+    * error; membership FRACTIONS stay ~thirds. `exact=false` forces
+    * the sketch unconditionally. */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, exact: Boolean = true): DataFrame = {
+      sourceCol: String, exact: Boolean = true,
+      maxDistinctScores: Long = 1000000L): DataFrame = {
     val scored = unigramLogProb(df, idCol, textCol)
       .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
-    val pfun = if (exact) "percentile" else "approx_percentile"
+    val useExact = exact && {
+      val r = scored.groupBy(sourceCol)
+        .agg(countDistinct(col("lm_score")).as("__c"))
+        .agg(max(col("__c"))).head()
+      r.isNullAt(0) || r.getLong(0) <= maxDistinctScores
+    }
+    val pfun = if (useExact) "percentile" else "approx_percentile"
     val th = scored.groupBy(sourceCol).agg(
       expr(s"$pfun(lm_score, 0.33d)").as("__p33"),
       expr(s"$pfun(lm_score, 0.67d)").as("__p67"))

@@ -466,6 +466,35 @@ class CurationSpec extends SparkSpec {
       s"3 docs in B split one per bucket, got $bBuckets")
   }
 
+  test("ccnetBuckets: cardinality guard auto-falls-back to the sketch") {
+    import spark.implicits._
+    val common = "the and of to in"
+    val docs = (1 to 9).map { i =>
+      val rares = (1 to i).map(j => s"rare${i}_$j").mkString(" ")
+      (i.toLong, s"$common $rares", "A")
+    }.toDF("doc_id", "text", "source")
+    // maxDistinctScores=1 cannot hold 9 distinct scores → the guard
+    // must pick approx_percentile; membership stays a full 3-way split
+    // (approx quantiles over 9 values are still ~thirds) and no exact
+    // counts-map buffer is ever built
+    val guarded = graft.text.Curation.ccnetBuckets(docs, "doc_id", "text",
+        "source", exact = true, maxDistinctScores = 1L)
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(guarded.values.toSet.subsetOf(Set("head", "middle", "tail")))
+    assert(guarded.values.toSet.size >= 2, s"degenerate split: $guarded")
+    // below the threshold the exact arm is chosen: thresholds are the
+    // exact interpolated percentiles, so doc 1 (best score) is head
+    // and doc 9 (worst) is tail — same pins as the main spec
+    val exact = graft.text.Curation.ccnetBuckets(docs, "doc_id", "text",
+        "source", exact = true, maxDistinctScores = 1000000L)
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(exact(1L) == "head" && exact(9L) == "tail")
+    // both arms run end-to-end on an empty frame (guard probe included)
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(graft.text.Curation.ccnetBuckets(empty, "doc_id", "text",
+      "source").count() == 0)
+  }
+
   test("topNgrams: BPE-style pair counts with deterministic tie-break") {
     // bigrams: "a b" x3, then "b a"/"b c"/"c a" all x1 — the k=3 cut
     // falls inside the tie, so the lexicographic tie-break decides

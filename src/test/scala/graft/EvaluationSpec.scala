@@ -811,4 +811,78 @@ class EvaluationSpec extends SparkSpec {
     windows.foreach(l => assert(l.contains("__pid"),
       s"row-scale window must partition by __pid:\n$l"))
   }
+
+  // -----------------------------------------------------------------
+  // round-11 hardening: oracle-exact negative rounding, null-group
+  // exclusion, degenerate-input guards
+  // -----------------------------------------------------------------
+  test("Round.r6: negative half-micro boundaries round away from zero") {
+    // DuckDB round(x, 6) rounds half AWAY from zero; the naive
+    // floor(x·1e6 + 0.5) form rounds toward +inf and diverges on
+    // negatives (verified against DuckDB: round(-2.5e-6,6) = -3e-6)
+    assert(graft.core.Round.r6(-2.5e-6) == -3e-6)
+    assert(graft.core.Round.r6(-5e-7) == -1e-6)
+    assert(graft.core.Round.r6(-1.5e-6) == -2e-6)
+    assert(graft.core.Round.r6(2.5e-6) == 3e-6)   // positive unchanged
+    assert(graft.core.Round.r6(0.0) == 0.0)
+    assert(graft.core.Round.r6(-7.25) == -7.25)   // on-grid passthrough
+  }
+
+  test("bollingerDaily: constant full window emits zero-width bands, not NaN") {
+    // E[x²]−E[x]² can cancel to a tiny negative double on a constant
+    // window of large closes; the greatest(·, 0) clamp keeps sqrt real
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    val df = (1 to 5).map(d => (t(d), d.toLong, "p", 2747.123451))
+      .toDF("ts", "event_id", "event_type", "value")
+    val rows = graft.ops.EventAnalytics.bollingerDaily(df, "ts", "event_id",
+        "event_type", "value", trailingDays = 3, k = 2.0)
+      .filter(col("sma").isNotNull).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (sma, up, lo) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(!up.isNaN && !lo.isNaN, s"NaN band at ${r.getString(0)}")
+      // cancellation noise is ~1e-9 in the variance (≲1e-4 in the
+      // band) and the clamp forbids the negative side entirely; both
+      // engines replay the identical double formula so parity holds
+      assert(up >= sma && lo <= sma && up - sma < 1e-3)
+    }
+  }
+
+  test("robustOutliers/groupGapPercentiles: null groups excluded, no NPE") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
+        (null.asInstanceOf[String], 9.0))
+      .toDF("event_type", "value")
+    val got = graft.ops.Stats.robustOutliers(df, "event_type", "value")
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("g"))
+    def t(s: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    val ev = Seq((1L, t(0), 1L, "a"), (1L, t(10), 2L, "a"),
+        (2L, t(0), 3L, null.asInstanceOf[String]),
+        (2L, t(5), 4L, null.asInstanceOf[String]))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val gp = graft.ops.Temporal.groupGapPercentiles(ev, "event_type",
+        "user_id", "ts", "event_id").collect()
+    assert(gp.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("per-group loops: non-string group columns re-filter by typed literal") {
+    // an integer group column must not be matched via string casts
+    val df = Seq((10L, 1.0), (10L, 2.0), (10L, 3.0), (20L, 5.0), (20L, 7.0))
+      .toDF("gid", "value")
+    val got = graft.ops.Stats.winsorizedMeans(df, "gid", "value",
+        pLo = 0.0, pHi = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("10" -> 3L, "20" -> 2L))
+  }
+
+  test("kaplanMeier: empty input yields empty curve, not NPE") {
+    val df = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.kaplanMeier(df, "user_id", "ts",
+      "event_type", "view", "purchase")
+    assert(got.count() == 0)
+    assert(got.columns.toSeq ==
+      Seq("duration_days", "n_risk", "n_events", "survival"))
+  }
 }

@@ -813,4 +813,47 @@ class PipelineStreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("tv"))
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
+
+  test("streaming cusum: day-finality recursion equals the batch monitor") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // days 1-4 with counts 2,1,3,1; batch 2 delivers day 3's third
+    // event OUT of order (09:30 after 10:00 arrived) but inside the
+    // watermark, plus day 4 — the day-3 bar must finalize with x=3.
+    val b1 = Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+      ts("2024-01-02 09:00:00"),
+      ts("2024-01-03 09:00:00"), ts("2024-01-03 10:00:00"))
+    val b2 = Seq(ts("2024-01-03 09:30:00"), ts("2024-01-04 12:00:00"))
+    val all = b1 ++ b2
+    // the stream's calibration reference = the batch operator's own
+    // exact-moment derivation over the full series (counts 2,1,3,1)
+    val counts = Seq(2L, 1L, 3L, 1L)
+    val n = counts.length
+    val mean = counts.sum.toDouble / n
+    val sd = math.sqrt(counts.map(c => c * c).sum.toDouble / n - mean * mean)
+    val input = MemoryStream[java.sql.Timestamp](spark)
+    val out = graft.streaming.Events.cusumStream(spark,
+      input.toDF().toDF("ts"), mean, sd)
+    val q = out.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // sentinel advances the watermark past day 4; its own 2030 day
+    // never finalizes, so it emits no bar itself
+    input.addData(Seq(ts("2030-01-01 00:30:00"))); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    val batch = graft.ops.EventAnalytics.cusumDaily(all.map(Tuple1(_))
+        .toDF("ts"), "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    assert(batch.map(_._1).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
 }
