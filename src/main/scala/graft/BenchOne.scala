@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+
+/** Focused micro-bench for attribution work: time a comma-separated
+  * list of registry queries, `reps` passes each (memo cleared between
+  * passes), and print per-query all-pass timings + min. Same session
+  * config and checksum-forcing as [[Bench]], so numbers are
+  * comparable to the per-query entries of the full artifact.
+  *
+  * Usage: runMain graft.BenchOne <sfDir> <q1,q2,...> [reps=3]
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(',').toSeq
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(graft.functions.GraftFunctions.inject)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def checksum(df: DataFrame): Unit =
+      df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
+    checksum(SparkEntry.queries("q1_agg")(spark, sfDir)) // warmup
+    val times = names.map { n =>
+      n -> (1 to reps).map { _ =>
+        graft.core.Memo.clear()
+        val t0 = System.nanoTime()
+        checksum(SparkEntry.queries(n)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    times.foreach { case (n, ts) =>
+      println(f"""{"query":"$n","min":${ts.min}%.3f,"passes":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
+    }
+    spark.stop()
+  }
+}

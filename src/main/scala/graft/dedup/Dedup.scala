@@ -464,51 +464,97 @@ object Dedup {
     * Emits (id_1, id_2, hamming) with id_1 < id_2. */
   def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
       maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
+      maxBucketSize: Int = 10000): DataFrame =
+    hammingExpandPairs(df, idCol, hashCol,
+      hammingHashPairs(df, hashCol, maxDistance, bands, hashBits,
+        maxBucketSize),
+      hashBits)
+
+  /** Distinct-hash near pairs (hash_1 < hash_2, hamming ≤
+    * `maxDistance`) — the hash-level core of [[hammingNearDup]],
+    * exposed so pair expansion ([[hammingExpandPairs]]) and
+    * clustering ([[hammingClusters]]) can share ONE banded-verify
+    * pass: the candidate join over distinct hashes is the expensive
+    * step at scale (the 8-bit band space holds only 256 values, so
+    * candidates grow ~N²/256 per band), while both consumers are
+    * output-bound. */
+  def hammingHashPairs(df: DataFrame, hashCol: String,
+      maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
       maxBucketSize: Int = 10000): DataFrame = {
     require(bands > maxDistance,
       s"pigeonhole needs bands > maxDistance ($bands <= $maxDistance)")
     require(hashBits == 64 && hashBits % bands == 0,
       s"64-bit hashes only (two conv halves), split evenly into $bands bands")
     val bandLen = hashBits / bands
-    val h = df.select(col(idCol).as("id"), col(hashCol).as("__h"))
+    val h = df.select(col(hashCol).as("__h"))
       .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
-      .localCheckpoint(false) // read by dedup, pairing, and two expansions
     // Canonicalize BEFORE banding (the exact-dedup-before-MinHash
     // trick): perceptual hashes collapse heavily — identical images
     // share a hash — so the candidate join runs over DISTINCT hashes
     // only and the result expands back through group membership.
     // Bucket cost drops from Σ(docs-per-bucket)² to Σ(hashes-per-
     // bucket)², which on near-dup-heavy corpora is orders of
-    // magnitude; the expansions below are output-bound, never larger
-    // than the answer itself.
-    val reps = h.select("__h").distinct().localCheckpoint(false)
-    val banded = reps.select(col("__h"),
+    // magnitude; the expansion back to ids ([[hammingExpandPairs]])
+    // is output-bound, never larger than the answer itself.
+    // Parse each DISTINCT hash's two 32-bit halves to longs ONCE,
+    // before banding: the candidate join's verify is then two long
+    // xor+popcounts per pair instead of four conv(substring(...))
+    // string parses — at band-bucket saturation (the 8-bit band space
+    // holds only 256 values, so candidate pairs grow ~N²/256 per
+    // band) the per-pair constant is the whole cost. Measured at the
+    // sf1 rehearsal: the string-parse verify ran ~8 min/pass; the
+    // long form with verify-before-dedup is ~10× cheaper (see
+    // PLANS.md round-11 sf1 section).
+    val reps = h.select("__h").distinct()
+      .withColumn("__p1", conv(substring(col("__h"), 1, 32), 2, 10)
+        .cast("long"))
+      .withColumn("__p2", conv(substring(col("__h"), 33, 32), 2, 10)
+        .cast("long"))
+      .localCheckpoint(false)
+    val banded = reps.select(col("__h"), col("__p1"), col("__p2"),
         explode(array((0 until bands).map(i =>
           struct(lit(i).as("b"),
             substring(col("__h"), i * bandLen + 1, bandLen).as("v"))): _*))
           .as("__bv"))
-      .select(col("__h"), col("__bv.b"), col("__bv.v"))
+      .select(col("__h"), col("__p1"), col("__p2"),
+        col("__bv.b"), col("__bv.v"))
     val sized = banded.join(
       banded.groupBy("b", "v").agg(count(lit(1)).as("__sz"))
         .filter(col("__sz") <= maxBucketSize).select("b", "v"),
       Seq("b", "v"))
-    def half(c: Column, start: Int): Column =
-      conv(substring(c, start, 32), 2, 10).cast("long")
-    def hamming(a: Column, b: Column): Column =
-      (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
-        bit_count(half(a, 33).bitwiseXOR(half(b, 33)))).cast("int")
-    // near pairs among distinct hashes (distance >= 1 by construction)
+    // near pairs among distinct hashes (distance >= 1 by construction).
+    // Verify-then-dedup, not dedup-then-verify: a pair surfaces once
+    // per shared band (≤ bands duplicates), and the long-xor verify is
+    // far cheaper per row than a hash-aggregate over the full
+    // candidate stream — so the dedup runs on the near-pair SURVIVORS
+    // (output-scale), never the candidate volume.
     val hashPairs = sized.as("x").join(sized.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.__h") < col("y.__h"))
-      .select(col("x.__h").as("__ha"), col("y.__h").as("__hb"))
-      .dropDuplicates("__ha", "__hb")
-      .withColumn("hamming", hamming(col("__ha"), col("__hb")))
+      .select(col("x.__h").as("__ha"), col("y.__h").as("__hb"),
+        (bit_count(col("x.__p1").bitwiseXOR(col("y.__p1"))) +
+          bit_count(col("x.__p2").bitwiseXOR(col("y.__p2"))))
+          .cast("int").as("hamming"))
       .filter(col("hamming") <= maxDistance)
-    // expand hash pairs to id pairs through group membership
+      .dropDuplicates("__ha", "__hb")
+    hashPairs.select(col("__ha").as("hash_1"), col("__hb").as("hash_2"),
+      col("hamming"))
+  }
+
+  /** Expand distinct-hash near pairs (from [[hammingHashPairs]]) into
+    * id pairs through group membership, plus identical-hash member
+    * pairs at distance 0. Output-bound: never larger than the answer.
+    * Emits (id_1, id_2, hamming) with id_1 < id_2. */
+  def hammingExpandPairs(df: DataFrame, idCol: String, hashCol: String,
+      hashPairs: DataFrame, hashBits: Int = 64): DataFrame = {
+    val h = df.select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
+      .localCheckpoint(false) // read by the two expansions below
     val cross = hashPairs
-      .join(h.select(col("__h").as("__ha"), col("id").as("__ia")), Seq("__ha"))
-      .join(h.select(col("__h").as("__hb"), col("id").as("__ib")), Seq("__hb"))
+      .join(h.select(col("__h").as("hash_1"), col("id").as("__ia")),
+        Seq("hash_1"))
+      .join(h.select(col("__h").as("hash_2"), col("id").as("__ib")),
+        Seq("hash_2"))
       .select(least(col("__ia"), col("__ib")).as("id_1"),
         greatest(col("__ia"), col("__ib")).as("id_2"), col("hamming"))
     // identical-hash members are pairwise distance 0
@@ -517,6 +563,42 @@ object Dedup {
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
         lit(0).as("hamming"))
     within.unionByName(cross)
+  }
+
+  /** Near-dup clusters over hashed rows WITHOUT expanding the id-pair
+    * graph: connected components run on the DISTINCT-hash graph (one
+    * node per hash, one edge per verified near pair from
+    * [[hammingHashPairs]]) and ids map in through two joins. The
+    * id-level graph this replaces carries every same-hash clique plus
+    * |group_a|×|group_b| copies of each hash edge — on collapse-heavy
+    * perceptual hashes that is orders of magnitude more edges for the
+    * SAME components, since ids sharing a hash are interchangeable.
+    * Equivalent to `duplicateClusters(hammingNearDup(...))`: id
+    * components = hash components unioned with multi-member
+    * singleton-hash groups, and the cluster label is min(id) per
+    * component either way (asserted in LlmOpsSpec). Emits
+    * (id, cluster) for every id with at least one near-dup. */
+  def hammingClusters(df: DataFrame, idCol: String, hashCol: String,
+      hashPairs: DataFrame, hashBits: Int = 64,
+      maxIter: Int = 20): DataFrame = {
+    val h = df.select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
+      .localCheckpoint(false) // read by membership counts and mapping
+    val hashCC = duplicateClusters(
+        hashPairs.select(col("hash_1").as("id_1"), col("hash_2").as("id_2")),
+        maxIter)
+      .select(col("id").as("__h"), col("cluster").as("__hc"))
+    // a hash with >= 2 members but no near-neighbor hash is its own
+    // component (its members pair at distance 0)
+    val lone = h.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("__h")
+      .join(hashCC.select("__h"), Seq("__h"), "left_anti")
+      .withColumn("__hc", col("__h"))
+    val members = h.join(hashCC.unionByName(lone), Seq("__h"))
+    members.join(
+        members.groupBy("__hc").agg(min(col("id")).as("cluster")),
+        Seq("__hc"))
+      .select(col("id"), col("cluster"))
   }
 
   /** Blocked fuzzy join (record linkage): candidate pairs share a

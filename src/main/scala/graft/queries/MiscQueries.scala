@@ -621,30 +621,43 @@ object MiscQueries {
     * at least one band bucket holding <= 10000 distinct hashes, while
     * identical-hash pairs (distance 0) are always kept — so engine
     * and oracle agree at ANY scale factor, not just below the cap. */
-  /** q209's Hamming pairs feed q212's cluster pass too — build once
-    * per (session, sf) and checkpoint (the fuzzy-pairs memo pattern). */
-  private def imagePairs(s: SparkSession, d: String): DataFrame =
+  /** q209 and q212 share the expensive step — the banded verify over
+    * DISTINCT dHashes — via this memo of (hashed frame, hash-level
+    * near pairs), both checkpointed once per (session, sf). q209
+    * expands to id pairs (output-bound) and q212 clusters at the HASH
+    * level (the sf1 rehearsal lesson: clustering the expanded id
+    * graph pays every same-hash clique and |a|×|b| edge copies for
+    * the same components — 586 s vs ~40 s at sf1). */
+  private def imageHashPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
     graft.core.Memo.getOrElseUpdate(
         s"imgpairs:${s.sparkContext.applicationId}:$d") {
       val docs = Tables.documents(s, d).select("doc_id")
       val hashed = Multimodal.imageDHash(
           Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
         .select(col("doc_id"), col("dhash"))
-      graft.dedup.Dedup.hammingNearDup(hashed, "doc_id", "dhash",
+        .localCheckpoint(false)
+      val hp = graft.dedup.Dedup.hammingHashPairs(hashed, "dhash",
           maxDistance = 6, bands = 8)
         .localCheckpoint(false)
+      (hashed, hp)
     }
 
-  def imageNearDup(s: SparkSession, d: String): DataFrame =
-    imagePairs(s, d).orderBy("id_1", "id_2")
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val (hashed, hp) = imageHashPairs(s, d)
+    graft.dedup.Dedup.hammingExpandPairs(hashed, "doc_id", "dhash", hp)
+      .orderBy("id_1", "id_2")
+  }
 
   /** q212: image near-dup clusters — connected components over the
-    * q209 Hamming pairs (pointer jumping; the oracle closes the same
-    * pairs with a recursive CTE, the q66/q194 pattern). */
-  def imageDupClusters(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.duplicateClusters(imagePairs(s, d))
+    * q209 Hamming pairs, computed on the distinct-hash graph and
+    * mapped to ids (the oracle closes the expanded id pairs with a
+    * recursive CTE, the q66/q194 pattern — same components). */
+  def imageDupClusters(s: SparkSession, d: String): DataFrame = {
+    val (hashed, hp) = imageHashPairs(s, d)
+    graft.dedup.Dedup.hammingClusters(hashed, "doc_id", "dhash", hp)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
+  }
 
   // lazy: textually precedes imageNearDupSql in this object
   lazy val imageDupClustersSql: String = {

@@ -543,4 +543,80 @@ object Events {
           out.iterator
       }.toDF()
   }
+
+  final case class CohortEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Per-key cohort state: the candidate first-activity time (final
+    * once the watermark passes it — accepted rows always have
+    * ts > watermark, so no future row can precede it), activity
+    * timestamps buffered until that finality (horizon-bounded: only
+    * until the watermark crosses the key's FIRST event), and the
+    * periods already emitted (bounded by time span / periodDays). */
+  final case class CohortBuf(cohortUs: Long, pending: List[Long],
+      emitted: List[Long])
+  final case class CohortPair(cohort: String, period: Long, user_id: Long)
+
+  /** Streaming cohort-retention pairs — the incremental counterpart of
+    * [[graft.ops.Temporal.cohortRetention]]. Emits each (cohort,
+    * period, key) activity pair EXACTLY once, as soon as the key's
+    * cohort (its first-activity day) is final under the watermark;
+    * `pairs.groupBy("cohort", "period").count()` is then the live
+    * retention matrix (aggregation after Append-mode
+    * flatMapGroupsWithState — counts grow as periods fill, so read
+    * the matrix under Complete/Update mode; each underlying pair is
+    * exact-once, so the count equals the batch exact distinct).
+    * Rows at or before the watermark are late and dropped (the
+    * decayStream contract) — the same rows a watermarked aggregate
+    * would drop.
+    *
+    * Note: chaining this operator's output into a streaming aggregate
+    * trips Spark's STATIC global-watermark correctness check (pairs
+    * are by design emitted once the watermark passes their cohort,
+    * i.e. "late" relative to it). With an UNwatermarked downstream
+    * aggregate read under Complete/Update mode no row can be
+    * discarded, so that chain is safe — disable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * for the query, as the parity spec does. */
+  def cohortRetentionStream(spark: SparkSession, events: DataFrame,
+      periodDays: Int = 7, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[CohortEvent]
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def dayOf(us: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortBuf, CohortPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[CohortBuf]) =>
+          val prev = state.getOption.getOrElse(
+            CohortBuf(Long.MaxValue, Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val fresh = rows.map(e => usOf(e.ts)).filter(_ > wmUs).toList
+          val pending = prev.pending ++ fresh
+          val cohortUs = (prev.cohortUs :: pending).min
+          if (cohortUs == Long.MaxValue) { state.remove(); Iterator.empty }
+          else if (wmUs >= cohortUs) {
+            // cohort final: flush every buffered activity into period
+            // pairs, emitting each period once
+            val cohortDay = dayOf(cohortUs)
+            var emitted = prev.emitted.toSet
+            val out = pending.sorted.flatMap { tUs =>
+              val p = java.time.temporal.ChronoUnit.DAYS
+                .between(cohortDay, dayOf(tUs)) / periodDays
+              if (emitted.contains(p)) None
+              else { emitted += p; Some(CohortPair(cohortDay.toString, p, uid)) }
+            }
+            state.update(CohortBuf(cohortUs, Nil, emitted.toList))
+            out.iterator
+          } else {
+            // cohort not yet final: buffer and wake at its finality
+            state.update(CohortBuf(cohortUs, pending, prev.emitted))
+            state.setTimeoutTimestamp(cohortUs / 1000L + 1L)
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

@@ -818,6 +818,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped == Map((1L, 4L) -> 0))
   }
 
+  test("hammingClusters: hash-level components equal id-level duplicateClusters") {
+    import spark.implicits._
+    val zeros = "0" * 64
+    def flip(s: String, idxs: Seq[Int]): String =
+      idxs.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == '0') '1' else '0'))
+    // collapse-heavy corpus: hash A has 3 members, B (near A) has 2,
+    // C is far from both but duplicated (its own 2-member component),
+    // D is a singleton with no neighbors (must not appear), and E-F
+    // form a chain A~B, B~E transitively merging three hash groups
+    val hA = zeros
+    val hB = flip(zeros, Seq(1, 21, 41))
+    val hE = flip(zeros, Seq(1, 21, 41, 5, 25, 45))
+    val hC = flip(zeros, 0 until 20)
+    val hD = flip(zeros, 30 until 50)
+    val df = Seq(
+      (1L, hA), (2L, hA), (3L, hA), (4L, hB), (5L, hB),
+      (6L, hC), (7L, hC), (8L, hD), (9L, hE))
+      .toDF("doc_id", "dhash")
+    val hp = Dedup.hammingHashPairs(df, "dhash", maxDistance = 6, bands = 8)
+    val viaHash = Dedup.hammingClusters(df, "doc_id", "dhash", hp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaIds = Dedup.duplicateClusters(
+        Dedup.hammingNearDup(df, "doc_id", "dhash", maxDistance = 6, bands = 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHash == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 9L -> 1L, 6L -> 6L, 7L -> 6L))
+    assert(viaHash == viaIds,
+      s"hash-level $viaHash != id-level $viaIds")
+  }
+
   test("vocabularyRichness: hand token/type/hapax counts") {
     import spark.implicits._
     val df = Seq((1L, "A", "a a b"), (2L, "A", "b c"), (3L, "B", "x x"))

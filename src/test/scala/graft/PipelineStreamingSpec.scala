@@ -856,4 +856,56 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
   }
+
+  test("streaming cohort retention: exact-once pairs aggregate to the batch matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // weekly periods: u1 joins Jan 1 (active again Jan 9 = period 1,
+    // Jan 20 = period 2); u2 joins Jan 2 (active Jan 9 = period 1);
+    // u3 joins Jan 9. Batch 2 re-delivers u1's Jan-9 activity (must
+    // not double-count) and adds the period-2 row.
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-09 12:00:00")),
+      (2L, ts("2024-01-09 13:00:00")),
+      (3L, ts("2024-01-09 14:00:00")))
+    val b2 = Seq(
+      (1L, ts("2024-01-09 12:30:00")), // same period as Jan 9 12:00
+      (1L, ts("2024-01-20 08:00:00")))
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val pairs = graft.streaming.Events.cohortRetentionStream(spark,
+      input.toDF().toDF("user_id", "ts"), periodDays = 7)
+    // Spark's static global-watermark check flags Append-mode
+    // flatMapGroupsWithState feeding an aggregate (the pairs are by
+    // design emitted only once the watermark passes the cohort, i.e.
+    // "late"); the downstream aggregate here is UNwatermarked under
+    // Complete mode, so no row can be discarded — the documented safe
+    // case for disabling the check (see operator scaladoc).
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = try pairs.groupBy("cohort", "period").count()
+      .writeStream.format("memory").queryName("cohort_stream")
+      .outputMode(OutputMode.Complete()).start()
+    finally spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // advance the watermark so every cohort/period above is final
+    input.addData(Seq((99L, ts("2030-01-01 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cohort_stream")
+      .filter(col("cohort") =!= "2030-01-01").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Temporal.cohortRetention(
+        (b1 ++ b2).toDF("user_id", "ts"), "user_id", "ts", periodDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch == Map(("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 1L, ("2024-01-02", 0L) -> 1L,
+      ("2024-01-02", 1L) -> 1L, ("2024-01-09", 0L) -> 1L))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
