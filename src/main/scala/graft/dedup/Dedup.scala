@@ -384,6 +384,20 @@ object Dedup {
     (labels, iter)
   }
 
+  /** Pin `df` to the session's full shuffle parallelism, hashed by
+    * `key`. Bucketed self-joins explode output ~|bucket|-fold, but
+    * AQE sizes exchanges by PRE-join bytes: on a probe side that is
+    * row-scale small it coalesces the exchange to one task and the
+    * whole quadratic verify serializes (sf1 rehearsal: the fuzzy-join
+    * levenshtein pass ran 433 s on a 2-partition probe, 19 s once
+    * pinned to 32). The EXPLICIT partition count opts this one
+    * exchange out of AQE coalescing; hashing by the row id (not the
+    * bucket key) keeps the distribution even under bucket skew. */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(key))
+
   /** Embedding near-duplicate pairs within blocking groups: exact
     * cosine on pairs sharing `blockCol` (a standard dedup blocking key —
     * bounded block sizes keep the join quadratic only per block, linear
@@ -392,7 +406,8 @@ object Dedup {
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("vec"))
+    val v = spread(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("vec")), "id")
     val pairs = v.as("a").join(v.as("b"),
       col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
     pairs.select(
@@ -418,9 +433,9 @@ object Dedup {
     val tcols = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         graft.sim.Similarity.srpBucket(col("vec"), planes, seed * (t + 1)).as("bkt")))
-    val bucketed = v.select(col("id"), col("vec"),
+    val bucketed = spread(v.select(col("id"), col("vec"),
         explode(array(tcols: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bkt"))
+      .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bkt")), "id")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
@@ -505,11 +520,11 @@ object Dedup {
     // sf1 rehearsal: the string-parse verify ran ~8 min/pass; the
     // long form with verify-before-dedup is ~10× cheaper (see
     // PLANS.md round-11 sf1 section).
-    val reps = h.select("__h").distinct()
+    val reps = spread(h.select("__h").distinct()
       .withColumn("__p1", conv(substring(col("__h"), 1, 32), 2, 10)
         .cast("long"))
       .withColumn("__p2", conv(substring(col("__h"), 33, 32), 2, 10)
-        .cast("long"))
+        .cast("long")), "__h")
       .localCheckpoint(false)
     val banded = reps.select(col("__h"), col("__p1"), col("__p2"),
         explode(array((0 until bands).map(i =>
@@ -615,10 +630,10 @@ object Dedup {
       maxBlockSize: Int = 10000): DataFrame = {
     val keyed = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("pfx"), blockKey.as("blk"))
-    val sized = keyed.join(
+    val sized = spread(keyed.join(
       keyed.groupBy("blk").agg(count(lit(1)).as("__sz"))
         .filter(col("__sz") <= maxBlockSize).select("blk"),
-      Seq("blk"))
+      Seq("blk")), "id")
     sized.as("a").join(sized.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       // 3-arg levenshtein = banded O(d·n) with early abandon (-1 when
