@@ -442,6 +442,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "per-vector quantization must not shuffle")
   }
 
+  test("bucketed self-join probe side is pinned to full shuffle parallelism") {
+    // the AQE pre-explosion trap (PLANS.md round-11): the probe side
+    // of a bucketed self-join is row-scale small before the join
+    // explodes it, so without an explicit-count repartition the
+    // quadratic verify would run on the input's file count (or on ONE
+    // task after AQE coalescing). The pinned exchange survives into
+    // the executed plan as the join output's partition count.
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = core.Tables.documents(spark, sf)
+    val fuzzy = graft.dedup.Dedup.fuzzyJoinBlocked(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("text"), 1, 2), maxDistance = 10)
+    fuzzy.collect()
+    assert(fuzzy.rdd.getNumPartitions == n,
+      s"probe side must stay at $n partitions, got ${fuzzy.rdd.getNumPartitions}")
+  }
+
   test("q88 capstone: packing windows stay partition-local post-checkpoint") {
     // the dedup stage's partial+final WindowGroupLimit is audited on
     // keepFirst directly (q47 case); packOffsets' localCheckpoint hides
