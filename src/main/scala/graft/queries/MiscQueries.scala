@@ -659,6 +659,54 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** q220: canonical image per near-dup cluster — composition of the
+    * q212 clusters with the q195 contrast score: each cluster keeps
+    * its highest-RMS-contrast member (doc_id tie-break), the image
+    * curation "keep the sharpest copy" step after near-dup grouping.
+    * The oracle reads the verified q212 dump and re-ranks with q195's
+    * closed-form contrast SQL (the q192 canonical-docs pattern). */
+  def canonicalImages(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val scored = Multimodal.imageContrast(
+        Multimodal.syntheticPpm(docs, "doc_id", "payload"), "payload")
+      .select(col("doc_id"), col("rms_contrast"))
+    graft.dedup.Dedup.canonicalPick(
+        imageDupClusters(s, d), scored, "doc_id", "rms_contrast")
+      .orderBy("cluster")
+  }
+
+  val canonicalImagesSql: String =
+    """WITH cl AS (
+      |  SELECT doc_id, cluster
+      |  FROM read_parquet('__VERIFY_OUT__/q212_image_dup_clusters/*.parquet')
+      |),
+      |d AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+      |         CAST(3 + doc_id % 4 AS INT) AS height
+      |  FROM documents
+      |),
+      |u AS (SELECT doc_id, unnest(range(0, CAST(width AS BIGINT) * height)) AS i
+      |      FROM d),
+      |g AS (SELECT doc_id,
+      |        ((doc_id * 31 + (i * 3 + 0) * 7) % 256 +
+      |         (doc_id * 31 + (i * 3 + 1) * 7) % 256 +
+      |         (doc_id * 31 + (i * 3 + 2) * 7) % 256) // 3 AS gv
+      |      FROM u),
+      |c AS (SELECT doc_id,
+      |        round(sqrt((sum(gv * gv) * 1.0) / count(*)
+      |          - ((sum(gv) * 1.0) / count(*)) * ((sum(gv) * 1.0) / count(*))), 6)
+      |          AS rms_contrast
+      |      FROM g GROUP BY doc_id),
+      |j AS (SELECT cl.cluster, cl.doc_id, c.rms_contrast
+      |      FROM cl JOIN c USING (doc_id)),
+      |r AS (SELECT cluster, doc_id, rms_contrast,
+      |        row_number() OVER (PARTITION BY cluster
+      |                           ORDER BY rms_contrast DESC, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY cluster) AS n_members
+      |      FROM j)
+      |SELECT cluster, doc_id AS canonical_doc_id, rms_contrast, n_members
+      |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // lazy: textually precedes imageNearDupSql in this object
   lazy val imageDupClustersSql: String = {
     val pairsCte = imageNearDupSql.replace("ORDER BY id_1, id_2", "")
@@ -889,6 +937,7 @@ object MiscQueries {
     "q153_image_dhash" -> (imageDHashQ _),
     "q209_image_near_dup" -> (imageNearDup _),
     "q212_image_dup_clusters" -> (imageDupClusters _),
+    "q220_image_canonical" -> (canonicalImages _),
     "q218_audio_resample" -> (audioResample _),
     "q142_video_frames" -> (videoFrames _),
     "q68_class_report" -> (classReport _),
@@ -919,6 +968,7 @@ object MiscQueries {
     "q153_image_dhash" -> imageDHashSql,
     "q209_image_near_dup" -> imageNearDupSql,
     "q212_image_dup_clusters" -> imageDupClustersSql,
+    "q220_image_canonical" -> canonicalImagesSql,
     "q218_audio_resample" -> audioResampleSql,
     "q142_video_frames" -> videoFramesSql,
     "q68_class_report" -> classReportSql,

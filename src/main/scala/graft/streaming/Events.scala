@@ -619,4 +619,100 @@ object Events {
           }
       }.toDF()
   }
+
+  final case class KmEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  /** Per-key survival state: the candidate start time (final once the
+    * watermark passes it), conversion-event times buffered while they
+    * might still precede a yet-lower start (horizon-bounded: only
+    * until the watermark crosses the key's first start), and the best
+    * eligible conversion time so far. */
+  final case class KmState(t0Us: Long, pending: List[Long], t1Us: Long)
+  final case class KmDuration(user_id: Long, duration_days: Long, event: Int)
+
+  /** Streaming Kaplan-Meier duration rows — the incremental
+    * counterpart of [[graft.ops.EventAnalytics.kaplanMeier]] with an
+    * EXPLICIT censor horizon (`censorDay`, inclusive; the batch
+    * operator censors at the corpus max day, which a stream cannot
+    * know). Emits one (key, duration_days, event) row per key,
+    * exactly once, as soon as its outcome is final under the
+    * watermark: event=1 with duration to the FIRST conversion at or
+    * after the key's first start (and inside the horizon), or event=0
+    * censored at `censorDay` when the watermark passes the horizon
+    * without one. The survival
+    * curve is then the standard KM recursion over these rows — the
+    * same grouped day frame the batch operator folds, so
+    * stream-then-fold equals batch (parity spec). Rows at or before
+    * the watermark are late and dropped (the decayStream contract);
+    * starts after the horizon never emit. */
+  def kaplanMeierStream(spark: SparkSession, events: DataFrame,
+      startType: String, eventType: String, censorDay: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val censorEndUs = java.time.LocalDate.parse(censorDay)
+      .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.getEpochSecond * 1000000L - 1L
+    val typed = events.withWatermark("ts", watermark)
+      .filter(col("event_type").isin(startType, eventType))
+      .select(col("user_id").cast("long"), col("ts"), col("event_type"))
+      .as[KmEvent]
+    def usOf(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def dayOf(us: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KmState, KmDuration](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[KmState]) =>
+          val prev = state.getOption.getOrElse(
+            KmState(Long.MaxValue, Nil, Long.MaxValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val fresh = rows.filter(e => usOf(e.ts) > wmUs).toList
+          val t0 = (prev.t0Us ::
+            fresh.filter(_.event_type == startType).map(e => usOf(e.ts))).min
+          // conversion candidates: eligible (>= the current start
+          // candidate) go straight to the running min — a later, LOWER
+          // start only widens eligibility; the rest stay buffered
+          // until the start is final
+          val conv = prev.pending ++
+            fresh.filter(_.event_type == eventType).map(e => usOf(e.ts))
+          val (elig, pending) = conv.partition(_ >= t0)
+          val t1 = (prev.t1Us :: elig).min
+          if (t0 == Long.MaxValue || t0 > censorEndUs) {
+            // no start yet (conversions alone never emit), or the
+            // start lies beyond the horizon (not at risk): hold until
+            // the horizon passes — an even-lower start may still
+            // arrive while t0 > watermark — then discard the key
+            if (wmUs >= censorEndUs && wmUs >= t0.min(censorEndUs)) {
+              state.remove(); Iterator.empty
+            } else {
+              state.update(KmState(t0, pending, t1))
+              state.setTimeoutTimestamp(censorEndUs / 1000L + 1L)
+              Iterator.empty
+            }
+          } else if (wmUs >= t0 && t1 <= wmUs && t1 <= censorEndUs) {
+            // converted within the horizon, and no future row (always
+            // > watermark) can beat t1 or lower t0: duration is final
+            state.remove()
+            Iterator.single(KmDuration(uid,
+              java.time.temporal.ChronoUnit.DAYS
+                .between(dayOf(t0), dayOf(t1)), 1))
+          } else if (wmUs >= censorEndUs) {
+            // horizon passed without an eligible in-horizon conversion
+            state.remove()
+            Iterator.single(KmDuration(uid,
+              java.time.temporal.ChronoUnit.DAYS.between(dayOf(t0),
+                java.time.LocalDate.parse(censorDay)), 0))
+          } else {
+            state.update(KmState(t0, if (wmUs >= t0) Nil else pending, t1))
+            // wake at whichever finality comes first: the conversion
+            // candidate, or the censor horizon
+            state.setTimeoutTimestamp(
+              (math.min(t1, censorEndUs) / 1000L + 1L)
+                .max(wmUs / 1000L + 1L))
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

@@ -857,6 +857,70 @@ class PipelineStreamingSpec extends SparkSpec {
       s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
   }
 
+  test("streaming kaplan-meier: exact-once durations fold to the batch curve") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 signs up Jan 1, converts Jan 4 (d=3; a PRE-start purchase in
+    // 2023 must stay ineligible); u2 signs up Jan 2, never converts
+    // (censored at the Jan-10 horizon, d=8); u3's purchase arrives
+    // BEFORE its same-day signup within batch 1 (d=0); u4 has a
+    // purchase but no signup (never at risk); u5 signs up Jan 5,
+    // converts Jan 10 in batch 2 (d=5). Batch 2 also redelivers u1's
+    // conversion behind the watermark (must stay exactly-once).
+    val b1 = Seq(
+      (1L, ts("2023-12-30 09:00:00"), "purchase"),
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 08:00:00"), "signup"),
+      (4L, ts("2024-01-02 11:00:00"), "purchase"),
+      (3L, ts("2024-01-03 09:00:00"), "purchase"),
+      (3L, ts("2024-01-03 07:00:00"), "signup"),
+      (1L, ts("2024-01-04 12:00:00"), "purchase"),
+      (5L, ts("2024-01-05 06:00:00"), "signup"))
+    val b2 = Seq(
+      (1L, ts("2024-01-04 12:00:00"), "purchase"), // late redelivery
+      (5L, ts("2024-01-10 23:00:00"), "purchase"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val durations = graft.streaming.Events.kaplanMeierStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "signup", "purchase", censorDay = "2024-01-10")
+    val q = durations.writeStream.format("memory").queryName("km_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // push the watermark past the censor horizon so every key is final
+    input.addData(Seq((99L, ts("2024-02-01 00:00:00"), "signup")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("km_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == Set((1L, 3L, 1), (2L, 8L, 0), (3L, 0L, 1), (5L, 5L, 1)),
+      s"got $streamed")
+    // fold the streamed rows through the KM recursion and compare to
+    // the batch operator on the same data (batch censors at its max
+    // day, Jan 10 == the stream's explicit horizon)
+    val frame = streamed.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (d, rs) => (d, rs.count(_._3 == 1).toLong, rs.size.toLong) }
+    var nRisk = frame.map(_._3).sum
+    var s = 1.0
+    val folded = frame.flatMap { case (d, di, nd) =>
+      val row = if (di > 0) {
+        s = s * (1 - di.toDouble / nRisk)
+        Some((d, nRisk, di, graft.core.Round.r6(s)))
+      } else None
+      nRisk -= nd
+      row
+    }
+    val batch = graft.ops.EventAnalytics.kaplanMeier(
+        (b1 ++ b2).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "signup", "purchase")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(folded == batch, s"stream-fold $folded != batch $batch")
+    assert(batch == Seq((0L, 4L, 1L, 0.75), (3L, 3L, 1L, 0.5),
+      (5L, 2L, 1L, 0.25)))
+  }
+
   test("streaming cohort retention: exact-once pairs aggregate to the batch matrix") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
