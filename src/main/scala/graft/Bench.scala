@@ -89,7 +89,10 @@ object Bench {
       "funnel" -> Seq("q135_funnel", "q138_funnel_rates", "q197_funnel_timing"),
       "graph" -> Seq("q162_copurchase_edges", "q163_part_pagerank",
         "q164_assoc_rules", "q186_degree_dist", "q208_triangles",
-        "q211_communities"))
+        "q211_communities"),
+      "image" -> Seq("q209_image_near_dup", "q212_image_dup_clusters",
+        "q220_image_canonical"),
+      "fuzzy" -> Seq("q175_fuzzy_join", "q194_fuzzy_clusters"))
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")
