@@ -627,7 +627,8 @@ object Events {
     * might still precede a yet-lower start (horizon-bounded: only
     * until the watermark crosses the key's first start), and the best
     * eligible conversion time so far. */
-  final case class KmState(t0Us: Long, pending: List[Long], t1Us: Long)
+  final case class KmState(t0Us: Long, pending: List[Long], t1Us: Long,
+      done: Boolean)
   final case class KmDuration(user_id: Long, duration_days: Long, event: Int)
 
   /** Streaming Kaplan-Meier duration rows — the incremental
@@ -666,8 +667,20 @@ object Events {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[KmState]) =>
           val prev = state.getOption.getOrElse(
-            KmState(Long.MaxValue, Nil, Long.MaxValue))
+            KmState(Long.MaxValue, Nil, Long.MaxValue, done = false))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (prev.done) {
+            // already emitted: swallow the key's further events as a
+            // tombstone until the horizon passes — removing the state
+            // early would let a LATER signup recreate it and emit a
+            // second (censored) row (caught by the parity property)
+            if (wmUs >= censorEndUs) state.remove()
+            else {
+              state.update(prev)
+              state.setTimeoutTimestamp(censorEndUs / 1000L + 1L)
+            }
+            Iterator.empty
+          } else {
           val fresh = rows.filter(e => usOf(e.ts) > wmUs).toList
           val t0 = (prev.t0Us ::
             fresh.filter(_.event_type == startType).map(e => usOf(e.ts))).min
@@ -687,31 +700,41 @@ object Events {
             if (wmUs >= censorEndUs && wmUs >= t0.min(censorEndUs)) {
               state.remove(); Iterator.empty
             } else {
-              state.update(KmState(t0, pending, t1))
+              state.update(KmState(t0, pending, t1, done = false))
               state.setTimeoutTimestamp(censorEndUs / 1000L + 1L)
               Iterator.empty
             }
           } else if (wmUs >= t0 && t1 <= wmUs && t1 <= censorEndUs) {
             // converted within the horizon, and no future row (always
-            // > watermark) can beat t1 or lower t0: duration is final
-            state.remove()
+            // > watermark) can beat t1 or lower t0: duration is final.
+            // Tombstone (not remove) until the horizon passes, so the
+            // key's later events cannot re-emit.
+            if (wmUs >= censorEndUs) state.remove()
+            else {
+              state.update(KmState(t0, Nil, t1, done = true))
+              state.setTimeoutTimestamp(censorEndUs / 1000L + 1L)
+            }
             Iterator.single(KmDuration(uid,
               java.time.temporal.ChronoUnit.DAYS
                 .between(dayOf(t0), dayOf(t1)), 1))
           } else if (wmUs >= censorEndUs) {
-            // horizon passed without an eligible in-horizon conversion
+            // horizon passed without an eligible in-horizon conversion;
+            // any future row is beyond the horizon and cannot emit, so
+            // plain removal is safe here
             state.remove()
             Iterator.single(KmDuration(uid,
               java.time.temporal.ChronoUnit.DAYS.between(dayOf(t0),
                 java.time.LocalDate.parse(censorDay)), 0))
           } else {
-            state.update(KmState(t0, if (wmUs >= t0) Nil else pending, t1))
+            state.update(KmState(t0, if (wmUs >= t0) Nil else pending, t1,
+              done = false))
             // wake at whichever finality comes first: the conversion
             // candidate, or the censor horizon
             state.setTimeoutTimestamp(
               (math.min(t1, censorEndUs) / 1000L + 1L)
                 .max(wmUs / 1000L + 1L))
             Iterator.empty
+          }
           }
       }.toDF()
   }

@@ -857,6 +857,103 @@ class PipelineStreamingSpec extends SparkSpec {
       s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
   }
 
+  test("streaming kaplan-meier property: random corpus, chunked delivery, batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // seeded random corpus: 40 users, 0-4 events each over Jan 1-10,
+    // ~30% signup / 70% purchase so some users convert, some never
+    // start, some never convert. Delivered as three CONSECUTIVE
+    // ascending chunks (each batch's min ts exceeds the prior max, so
+    // the 1-hour watermark can never drop a row and stream-accepted
+    // rows == batch rows — the parity precondition).
+    val rnd = new scala.util.Random(20260814L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1L to 40L).flatMap { uid =>
+      (0 until rnd.nextInt(5)).map { _ =>
+        val t = new java.sql.Timestamp(base + math.abs(rnd.nextLong()) % (10L * 86400 * 1000))
+        (uid, t, if (rnd.nextInt(10) < 3) "signup" else "purchase")
+      }
+    }
+    val sorted = rows.sortBy(_._2.getTime)
+    val censorDay = sorted.map(_._2.toLocalDateTime.toLocalDate).max.toString
+    val chunks = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val durations = graft.streaming.Events.kaplanMeierStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "signup", "purchase", censorDay = censorDay)
+    val q = durations.writeStream.format("memory").queryName("km_prop")
+      .outputMode(OutputMode.Append()).start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    input.addData(Seq((999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "signup")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("km_prop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch per-key durations from the same definition the operator
+    // documents: first signup, first purchase at/after it, censoring
+    // at the max day
+    val censor = java.time.LocalDate.parse(censorDay)
+    val expected = rows.groupBy(_._1).flatMap { case (uid, es) =>
+      val starts = es.filter(_._3 == "signup").map(_._2.getTime)
+      if (starts.isEmpty) None
+      else {
+        val t0 = starts.min
+        def dayOf(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val conv = es.filter(e => e._3 == "purchase" && e._2.getTime >= t0)
+          .map(_._2.getTime)
+        if (conv.nonEmpty)
+          Some((uid, java.time.temporal.ChronoUnit.DAYS
+            .between(dayOf(t0), dayOf(conv.min)), 1))
+        else Some((uid, java.time.temporal.ChronoUnit.DAYS
+          .between(dayOf(t0), censor), 0))
+      }
+    }.toSet
+    assert(streamed == expected,
+      s"missing=${expected -- streamed} extra=${streamed -- expected}")
+    assert(expected.nonEmpty && expected.exists(_._3 == 1) &&
+      expected.exists(_._3 == 0), "scenario must exercise both outcomes")
+  }
+
+  test("streaming cohort retention property: random corpus, chunked delivery, batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(4211L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1L to 50L).flatMap { uid =>
+      (0 until (1 + rnd.nextInt(4))).map { _ =>
+        (uid, new java.sql.Timestamp(
+          base + math.abs(rnd.nextLong()) % (28L * 86400 * 1000)))
+      }
+    }
+    val sorted = rows.sortBy(_._2.getTime)
+    val chunks = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val pairs = graft.streaming.Events.cohortRetentionStream(spark,
+      input.toDF().toDF("user_id", "ts"), periodDays = 7)
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = try pairs.groupBy("cohort", "period").count()
+      .writeStream.format("memory").queryName("cohort_prop")
+      .outputMode(OutputMode.Complete()).start()
+    finally spark.conf.unset(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    input.addData(Seq((999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cohort_prop")
+      .filter(col("cohort") =!= "2030-01-01").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Temporal.cohortRetention(
+        rows.toDF("user_id", "ts"), "user_id", "ts", periodDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"stream-only=${streamed.toSet -- batch.toSet} batch-only=${batch.toSet -- streamed.toSet}")
+    assert(batch.size > 5, s"scenario too small: $batch")
+  }
+
   test("streaming kaplan-meier: exact-once durations fold to the batch curve") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
