@@ -431,9 +431,16 @@ object Events {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val touches = prev.touches ++
             rs.filter(_.event_type == touchType).map(e => usOf(e.ts))
-          val pending = prev.pending ++
+          // distinctBy event_id: an at-least-once source can redeliver
+          // a conversion WITHIN the watermark window (behind-watermark
+          // duplicates are dropped by Spark's late-row filter), and a
+          // duplicate pending entry would attribute twice. Touches
+          // need no dedup — min/max over in-window touch times is
+          // idempotent under duplicates.
+          val pending = (prev.pending ++
             rs.filter(_.event_type == conversionType)
-              .map(e => (usOf(e.ts), e.event_id, e.value))
+              .map(e => (usOf(e.ts), e.event_id, e.value)))
+            .distinctBy(_._2)
           val (ready, still) = pending.partition(_._1 <= wmUs)
           val out = ready.map { case (cts, id, v) =>
             val in = touches.filter(t => t <= cts && t >= cts - wUs)

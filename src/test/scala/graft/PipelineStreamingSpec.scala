@@ -805,6 +805,39 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed(4L)._2.isEmpty && streamed(6L)._2.isEmpty)
   }
 
+  test("streaming attribution: in-window conversion redelivery emits once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: Long) = java.sql.Timestamp.valueOf(java.time.LocalDateTime
+      .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    // the conversion (id 3) is delivered in b1 AND redelivered in b2
+    // while still AHEAD of the watermark (b1 max = t(250), delay 1 h,
+    // so the watermark has not reached t(250) yet) — Spark's late-row
+    // filter cannot drop it; the operator's event_id dedup must.
+    val b1 = Seq(
+      (7L, t(100), 1L, "view", 0.0),
+      (7L, t(250), 3L, "purchase", 9.0))
+    val b2 = Seq(
+      (7L, t(250), 3L, "purchase", 9.0))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val out = graft.streaming.Events.attributionStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"),
+      "purchase", "view", windowSec = 1000L)
+    val q = out.writeStream.format("memory").queryName("attr_redeliver")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq((999L, t(100000), 100L, "view", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq((999L, t(200000), 101L, "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_redeliver")
+      .filter(col("event_id") === 3L).collect()
+    assert(rows.length == 1, s"conversion must emit exactly once, got ${rows.length}")
+    assert(rows.head.getLong(3) == 150000000L, "wait must use the t(100) touch")
+  }
+
   test("streaming: mapGroupsWithState running totals match batch groupBy") {
     val events = Events.normalize(core.Tables.events(spark, sf))
     val got = Events.runningUserTotals(spark, events)
