@@ -86,6 +86,15 @@ object Events {
     * state. Output rows match the batch operator's (keyed by start
     * time rather than a 1-based index, which a stream cannot know
     * until the user's history ends).
+    *
+    * Delivery contract: events carry no identity here, so an
+    * at-least-once source that redelivers a row WITHIN the watermark
+    * window inflates n_events/value sums (unlike the idempotent
+    * min/set/greedy folds of the cohort, KM and funnel streams, or
+    * the event_id-deduped attribution and decay streams). Feed exactly-once
+    * input, or dedup upstream with
+    * `withWatermark(...).dropDuplicates("event_id")` — the canonical
+    * Structured Streaming remedy.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapSec: Long, watermark: String = "1 hour"): DataFrame = {
@@ -333,9 +342,13 @@ object Events {
           // rows at-or-before the finalized frontier are late beyond the
           // watermark: their prior-sums were already emitted, so they are
           // dropped (the standard watermark contract), never back-applied
+          // distinctBy event_id: an at-least-once redelivery within
+          // the watermark window would otherwise enter the pending
+          // buffer twice — emitting the event twice AND inflating
+          // every later prior-sum (the attributionStream lesson)
           val buf = (prev.pending ++
             rows.map(e => (usOf(e.ts), e.event_id, e.value))
-              .filter(_._1 > prev.carryUs)).sortBy(_._1)
+              .filter(_._1 > prev.carryUs)).distinctBy(_._2).sortBy(_._1)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, still) = buf.span(_._1 <= wmUs)
           var carryUs = prev.carryUs

@@ -400,6 +400,48 @@ class PipelineStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decay: in-window event redelivery emits once, sums unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // event 12 is redelivered in batch 2 while still AHEAD of the
+    // watermark (wm = 11:00 after batch 1): without the event_id
+    // dedup it would both emit twice and inflate event 13's
+    // prior-sum through the carry
+    val b1 = Seq(
+      (10L, 2L, ts("2024-01-01 10:00:00"), 5.0),
+      (12L, 2L, ts("2024-01-01 12:00:00"), 7.0))
+    val b2 = Seq(
+      (12L, 2L, ts("2024-01-01 12:00:00"), 7.0), // redelivery
+      (13L, 2L, ts("2024-01-01 13:00:00"), 1.0))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.decayStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      halfLifeSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("decay_redeliver")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq((999L, 999L, ts("2030-01-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq((998L, 999L, ts("2030-01-01 02:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("decay_redeliver")
+      .filter(col("user_id") === 2L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    assert(rows.length == 3, s"each event once, got ${rows.toSeq}")
+    val got = rows.toMap
+    val batch = graft.ops.Temporal.decayFeatures(
+        b1.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", 3600L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("decayed_sum")).toMap
+    // event 13's prior-sum against the ONCE-counted history: 5.0
+    // decayed 3 h (factor 1/8) + 7.0 decayed 1 h (factor 1/2) = 4.125
+    assert(got(10L) == batch(10L) && got(12L) == batch(12L))
+    assert(math.abs(got(13L) - 4.125) <= 2e-6, s"got ${got(13L)}")
+  }
+
   test("streaming cms: incremental sketch state equals the batch sketch") {
     // The count-min sketch is a pure additive aggregate keyed by
     // (row, bucket), so the SAME Cms.sketch plan runs incrementally
