@@ -8,13 +8,21 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * config and checksum-forcing as [[Bench]], so numbers are
   * comparable to the per-query entries of the full artifact.
   *
-  * Usage: runMain graft.BenchOne <sfDir> <q1,q2,...> [reps=3]
+  * Usage: runMain graft.BenchOne <sfDir> <q1,q2,...> [reps=3] [pass]
+  *
+  * Default mode clears the memo before EVERY query rep, so each number
+  * is that query's full-chain-from-scratch cost. `pass` mode instead
+  * clears once per rep and runs the listed queries in order — the same
+  * accounting as one [[Bench]] pass, so it attributes the INCREMENTAL
+  * cost of each query given the group memo warm (the artifact's
+  * per-query slot semantics).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(',').toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
+    val passMode = args.length > 3 && args(3) == "pass"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,14 +39,25 @@ object BenchOne {
     def checksum(df: DataFrame): Unit =
       df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
     checksum(SparkEntry.queries("q1_agg")(spark, sfDir)) // warmup
-    val times = names.map { n =>
-      n -> (1 to reps).map { _ =>
-        graft.core.Memo.clear()
-        val t0 = System.nanoTime()
-        checksum(SparkEntry.queries(n)(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+    val times: Seq[(String, Seq[Double])] =
+      if (passMode) {
+        val perPass = (1 to reps).map { _ =>
+          graft.core.Memo.clear()
+          names.map { n =>
+            val t0 = System.nanoTime()
+            checksum(SparkEntry.queries(n)(spark, sfDir))
+            n -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+        names.map(n => n -> perPass.map(_.toMap.apply(n)))
+      } else names.map { n =>
+        n -> (1 to reps).map { _ =>
+          graft.core.Memo.clear()
+          val t0 = System.nanoTime()
+          checksum(SparkEntry.queries(n)(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
       }
-    }
     times.foreach { case (n, ts) =>
       println(f"""{"query":"$n","min":${ts.min}%.3f,"passes":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
     }
