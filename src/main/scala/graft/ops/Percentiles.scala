@@ -74,6 +74,71 @@ object Percentiles {
       .agg(pcols.head, pcols.tail: _*)
   }
 
+  /** Exact linearly-INTERPOLATED percentiles PER GROUP with no driver
+    * loop and no single-task window — `exact`'s np.percentile /
+    * quantile_cont semantics (rank r = (n-1)·p, interpolate the two
+    * bracketing order statistics) delivered for every group in one
+    * plan. Construction: one (group, value) count aggregate (map-side
+    * combinable, keys as fine as the data), then the global prefix sum
+    * over (group, value) order via `Evaluation.withRunningTotals` (the
+    * __pid idiom — every window partition-bounded), minus each group's
+    * base offset (a second, group-cardinality-sized running total), so
+    * the per-group cumulative count never rides a per-group window
+    * whose frame is the group's distinct-value cardinality. The
+    * bracketing order statistics resolve as conditional-min aggregates
+    * against integer thresholds.
+    *
+    * `percents` are integers in (0, 100]; the interpolation fraction
+    * is rem/100 with rem = ((n-1)·k) mod 100, so for quartile-style
+    * percents (multiples of 25) over integer-valued data the result is
+    * exactly representable and bit-identical to DuckDB quantile_cont.
+    * Null groups and null values are excluded. Output: (groupCol,
+    * n, p<k>...), group column keeps its native type. Scales to
+    * millions of groups AND row-cardinality value columns. */
+  def groupedInterpolated(df: DataFrame, groupCol: String, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
+    val counts = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // feeds the CDF AND the group totals —
+      // materialize once so the caller's upstream (often a window
+      // over the raw rows) is not computed twice
+    // global running count over (g, v); per-group cw = global − the
+    // group's base (sum of all prior groups' counts). Both prefix sums
+    // ride the partition-bounded __pid idiom.
+    val cum = graft.ml.Evaluation.withRunningTotals(
+      counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
+    val gtot = counts.groupBy("__g").agg(sum(col("__n")).as("__tot"))
+    val gbase = graft.ml.Evaluation.withRunningTotals(
+        gtot, Seq(col("__g")), Map("__cb" -> col("__tot")))
+      .withColumn("__base", col("__cb") - col("__tot"))
+      .select("__g", "__tot", "__base")
+    val joined = cum.join(gbase, Seq("__g"))
+      .withColumn("__cw", (col("__cwg") - col("__base")).cast("long"))
+    // conditional-min order statistics: 0-based index i lives at the
+    // smallest v whose cumulative count reaches i+1. All thresholds
+    // are exact long arithmetic; m/100 truncation is safe for
+    // m < 2^53 (integer quotients are exactly representable).
+    val aggCols = percents.flatMap { k =>
+      val m = (col("__tot") - 1) * lit(k.toLong)
+      val rem = m % lit(100L)
+      val loIdx = ((m - rem) / lit(100L)).cast("long")
+      val hiIdx = loIdx + when(rem > 0, lit(1L)).otherwise(lit(0L))
+      Seq(min(when(col("__cw") >= loIdx + 1, col("__v"))).as(s"__lo$k"),
+        min(when(col("__cw") >= hiIdx + 1, col("__v"))).as(s"__hi$k"))
+    } :+ max(col("__tot")).cast("long").as("n")
+    val agged = joined.groupBy(col("__g").as(groupCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val pcols = percents.map { k =>
+      val rem = ((col("n") - 1) * lit(k.toLong)) % lit(100L)
+      val frac = rem.cast("double") / lit(100.0)
+      (col(s"__lo$k") * (lit(1.0) - frac) + col(s"__hi$k") * frac).as(s"p$k")
+    }
+    agged.select(col(groupCol) +: col("n") +: pcols: _*)
+  }
+
   /** Exact WEIGHTED percentile (lower weighted quantile: the smallest
     * value whose cumulative weight reaches p·W). Aggregates weight per
     * distinct value first, then one distributed prefix sum over the

@@ -316,17 +316,17 @@ object Temporal {
 
   /** Exact inter-event gap quartiles per group: consecutive-event
     * waits (integer µs) under the (ts, tie) order WITHIN each
-    * (group, key) timeline, then the exact interpolated quartiles per
-    * group via `Percentiles.exact` (sort-based distributed order
-    * statistics). The per-group loop collects only the group
-    * vocabulary (bounded — event types, not keys); the gap frame is
-    * computed once and checkpointed. Quarter-fraction interpolation
-    * over integer µs is exactly representable, so both engines emit
-    * identical bits with no rounding. */
+    * (group, key) timeline, then exact interpolated quartiles for
+    * EVERY group in one plan via `Percentiles.groupedInterpolated`
+    * (the distributed per-group CDF — no per-group driver loop, no
+    * bounded-vocabulary contract: a high-cardinality group column
+    * stays one fixed set of Spark jobs). Quarter-fraction
+    * interpolation over integer µs is exactly representable, so both
+    * engines emit identical bits with no rounding. Null groups have
+    * no defined timeline label and are excluded; the group column
+    * keeps its native type. */
   def groupGapPercentiles(df: DataFrame, groupCol: String, key: String,
       ts: String, tieCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val us = unix_micros(col(ts))
     val w = Window.partitionBy(col("__g"), col("__k"))
       .orderBy(col("__ts"), col("__tie"))
@@ -336,19 +336,10 @@ object Temporal {
       .withColumn("__gap",
         (col("__ts") - lag(col("__ts"), 1).over(w)).cast("double"))
       .filter(col("__gap").isNotNull)
-      .localCheckpoint(false) // read once per group below
-    // bounded group vocabulary; null groups have no defined timeline
-    // label and are excluded. The NATIVE group value feeds the
-    // re-filter (a typed literal — no implicit string cast that could
-    // silently mismatch a non-string group column).
-    val groups = gaps.filter(col("__g").isNotNull).select("__g").distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
-    graft.core.Par.mapPar(groups.toSeq) { g =>
-      val sub = gaps.filter(col("__g") === lit(g))
-      val n = sub.count()
-      val ps = Percentiles.exact(sub, "__gap", Seq(0.25, 0.5, 0.75))
-      (g.toString, n, ps(0.25), ps(0.5), ps(0.75))
-    }.toDF(groupCol, "n_gaps", "p25_us", "p50_us", "p75_us")
+    Percentiles.groupedInterpolated(gaps, "__g", "__gap", Seq(25, 50, 75))
+      .select(col("__g").as(groupCol), col("n").as("n_gaps"),
+        col("p25").as("p25_us"), col("p50").as("p50_us"),
+        col("p75").as("p75_us"))
   }
 
   /** Cohort retention matrix — the other canonical funnel-adjacent

@@ -668,6 +668,32 @@ class EvaluationSpec extends SparkSpec {
     assert(got("h") == ((1.0, 1.0, 9.0)))
   }
 
+  test("groupedInterpolated: matches Percentiles.exact per group; " +
+      "high-cardinality groups; native group type") {
+    // 120 long-keyed groups of varying size (1..8 values) — the shape
+    // the per-group-loop version could not serve; parity against the
+    // audited single-column Percentiles.exact on sampled groups.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 120).flatMap { g =>
+      (0 to g % 8).map(_ => (g.toLong, (rnd.nextInt(1000000) * 1000).toDouble))
+    }
+    val df = rows.toDF("gid", "v")
+    val got = graft.ops.Percentiles.groupedInterpolated(df, "gid", "v",
+        Seq(25, 50, 75))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 120)
+    for (g <- Seq(0L, 7L, 63L, 118L, 119L)) {
+      val sub = rows.filter(_._1 == g).map(_._2)
+      val exp = graft.ops.Percentiles.exact(
+        sub.map(Tuple1(_)).toDF("v"), "v", Seq(0.25, 0.5, 0.75))
+      val (n, p25, p50, p75) = got(g)
+      assert(n == sub.size.toLong, s"group $g n")
+      assert(p25 == exp(0.25) && p50 == exp(0.5) && p75 == exp(0.75),
+        s"group $g: got ${(p25, p50, p75)} expected $exp")
+    }
+  }
+
   test("canonicalPick: best score wins, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster")
