@@ -67,12 +67,14 @@ object Events {
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
-  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  /** Per-user open buffer: (epoch_us, value) pairs of events not yet
-    * attributable to a CLOSED session. Bounded by the watermark
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double, event_id: Long = 0L)
+  /** Per-user open buffer: (epoch_us, value, event_id) triples of
+    * events not yet attributable to a CLOSED session (event_id is 0
+    * when the stream carries no identity). Bounded by the watermark
     * horizon: every timeout flushes all sessions whose end sits a
     * full gap below the watermark. */
-  final case class SessBuffer(events: List[(Long, Double)])
+  final case class SessBuffer(events: List[(Long, Double, Long)])
   final case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, duration_us: Long,
       sum_value: Double)
@@ -87,27 +89,36 @@ object Events {
     * time rather than a 1-based index, which a stream cannot know
     * until the user's history ends).
     *
-    * Delivery contract: events carry no identity here, so an
-    * at-least-once source that redelivers a row WITHIN the watermark
-    * window inflates n_events/value sums (unlike the idempotent
-    * min/set/greedy folds of the cohort, KM and funnel streams, or
-    * the event_id-deduped attribution and decay streams). Feed exactly-once
-    * input, or dedup upstream with
+    * Delivery contract: with `eventIdCol` set, redeliveries WITHIN the
+    * watermark window are deduped in-state by event id (the same
+    * `distinctBy` remedy as the attribution and decay streams), and
+    * redeliveries of an already-closed session's events arrive behind
+    * the watermark (a session closes only once the watermark sits a
+    * full gap past its last event) so Spark's late-row filter drops
+    * them — exactly-once output under at-least-once input. Without
+    * `eventIdCol` the events carry no identity and a redelivery
+    * inflates n_events/value sums (unlike the idempotent min/set/
+    * greedy folds of the cohort, KM and funnel streams): feed
+    * exactly-once input, or dedup upstream with
     * `withWatermark(...).dropDuplicates("event_id")` — the canonical
     * Structured Streaming remedy.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
-      gapSec: Long, watermark: String = "1 hour"): DataFrame = {
+      gapSec: Long, watermark: String = "1 hour",
+      eventIdCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val gapUs = gapSec * 1000000L
+    val idCol = eventIdCol.map(col(_).cast("long")).getOrElse(lit(0L))
     val typed = events.withWatermark("ts", watermark)
-      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"), idCol.as("event_id"))
       .as[SessEvent]
+    val hasId = eventIdCol.isDefined
 
-    def sessionsOf(buf: List[(Long, Double)]): List[List[(Long, Double)]] = {
+    def sessionsOf(buf: List[(Long, Double, Long)]): List[List[(Long, Double, Long)]] = {
       val sorted = buf.sortBy(_._1)
-      val out = scala.collection.mutable.ListBuffer.empty[List[(Long, Double)]]
-      var cur = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      val out = scala.collection.mutable.ListBuffer.empty[List[(Long, Double, Long)]]
+      var cur = scala.collection.mutable.ListBuffer.empty[(Long, Double, Long)]
       sorted.foreach { e =>
         if (cur.nonEmpty && e._1 - cur.last._1 > gapUs) {
           out += cur.toList; cur = scala.collection.mutable.ListBuffer.empty
@@ -117,7 +128,7 @@ object Events {
       if (cur.nonEmpty) out += cur.toList
       out.toList
     }
-    def emit(uid: Long, s: List[(Long, Double)]): SessionRow = {
+    def emit(uid: Long, s: List[(Long, Double, Long)]): SessionRow = {
       val startUs = s.head._1; val endUs = s.last._1
       SessionRow(uid,
         java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
@@ -133,9 +144,16 @@ object Events {
       .flatMapGroupsWithState[SessBuffer, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[SessBuffer]) =>
-          val buf = state.getOption.map(_.events).getOrElse(Nil) ++
+          val merged = state.getOption.map(_.events).getOrElse(Nil) ++
             rows.map(e => (e.ts.toInstant.getEpochSecond * 1000000L +
-              e.ts.toInstant.getNano / 1000L, e.value)).toList
+              e.ts.toInstant.getNano / 1000L, e.value, e.event_id)).toList
+          // distinctBy event_id (state first, so redelivered copies
+          // drop): an at-least-once redelivery within the watermark
+          // window would otherwise inflate n_events and the value sum
+          // — the attribution/decay lesson. Closed sessions need no
+          // guard: their events sit a full gap below the watermark,
+          // so redelivered copies are late rows Spark already drops.
+          val buf = if (hasId) merged.distinctBy(_._3) else merged
           if (buf.isEmpty) { state.remove(); Iterator.empty }
           else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -587,6 +605,17 @@ object Events {
     * Rows at or before the watermark are late and dropped (the
     * decayStream contract) — the same rows a watermarked aggregate
     * would drop.
+    *
+    * State lifetime: period dedup requires remembering which periods
+    * each key already emitted, so a finalized key's state (cohort day
+    * + emitted-period list, O(time span / periodDays) longs) is kept
+    * for the LIFE of the query — total state is O(distinct keys ×
+    * emitted periods), unlike the watermark-horizon-bounded buffers
+    * of the sibling streams. That is inherent to exact-once period
+    * pairs over an unbounded activity stream; bound it operationally
+    * by restarting the query per retention-report epoch, or cap the
+    * matrix at a max period by filtering `period <= P` downstream
+    * (state itself still grows with distinct keys).
     *
     * Note: chaining this operator's output into a streaming aggregate
     * trips Spark's STATIC global-watermark correctness check (pairs

@@ -251,6 +251,44 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(streamed.size == 3)
   }
 
+  test("streaming sessionization: eventIdCol dedups in-window redelivery (and its absence bites)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u2's session = ids 1 (10:00, v=1) + 2 (10:10, v=2). Batch 2
+    // redelivers id 2 while it is still AHEAD of the watermark
+    // (wm = 09:10 after batch 1), the exact window where only
+    // in-state dedup can catch it.
+    val b1 = Seq((1L, 2L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 2L, ts("2024-01-01 10:10:00"), 2.0))
+    val b2 = Seq((2L, 2L, ts("2024-01-01 10:10:00"), 2.0)) // redelivery
+    def run(idCol: Option[String], name: String) = {
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)](spark)
+      val out = graft.streaming.Events.sessionizeStream(spark,
+        input.toDF().toDF("event_id", "user_id", "ts", "value"),
+        gapSec = 1800L, eventIdCol = idCol)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(Seq((900L, 999L, ts("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((901L, 999L, ts("2030-01-01 02:00:00"), 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("user_id") === 2L).collect()
+        .map(r => (r.getLong(3), r.getDouble(5))).toSeq
+    }
+    // bite-check: without identity the duplicate inflates the session
+    val bitten = run(None, "sess_redeliver_bite")
+    assert(bitten == Seq((3L, 5.0)),
+      s"without eventIdCol the redelivery must inflate (guard the guard): $bitten")
+    // with eventIdCol: exactly-once output, equals the batch operator
+    val fixed = run(Some("event_id"), "sess_redeliver_fix")
+    assert(fixed == Seq((2L, 3.0)),
+      s"eventIdCol dedup failed: $fixed")
+  }
+
   test("streaming funnel: emitted chains equal the batch operator's, incl. late earlier anchor") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
