@@ -53,24 +53,46 @@ def main():
     for d in DIMS:
         write(f"SELECT * FROM '{src}/{d}.parquet'", d)
 
-    # id shifts use 10^k strides above the source max so scaled ids
-    # stay disjoint and recognizable
+    # id shifts use the smallest 10^k stride STRICTLY ABOVE the actual
+    # source max, computed per id column, so scaled ids stay disjoint
+    # for any source — including re-applying the tool to its own
+    # output (a hardcoded stride would silently collide there)
+    def stride_of(*cols):
+        m = 0
+        for table, colname in cols:
+            v = con.sql(
+                f"SELECT max({colname}) FROM '{src}/{table}.parquet'"
+            ).fetchone()[0]
+            m = max(m, int(v))
+        s = 10
+        while s <= m:
+            s *= 10
+        return s
+
+    # orders and lineitem share the orderkey stride so l_orderkey
+    # still joins to o_orderkey within every copy
+    ok = stride_of(("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+    eid = stride_of(("events", "event_id"))
+    uid = stride_of(("events", "user_id"))
+    did = stride_of(("documents", "doc_id"))
+    vid = stride_of(("embeddings", "vec_id"))
+
     write(f"""
-        SELECT o_orderkey + c.i * 1000000 AS o_orderkey, o_custkey,
+        SELECT o_orderkey + c.i * {ok} AS o_orderkey, o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{src}/orders.parquet', range(0, {factor}) c(i)""", "orders")
     write(f"""
-        SELECT l_orderkey + c.i * 1000000 AS l_orderkey, l_partkey,
+        SELECT l_orderkey + c.i * {ok} AS l_orderkey, l_partkey,
                l_suppkey, l_linenumber, l_quantity, l_extendedprice,
                l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM '{src}/lineitem.parquet', range(0, {factor}) c(i)""", "lineitem")
     write(f"""
-        SELECT event_id + c.i * 1000000 AS event_id, ts,
-               user_id + c.i * 10000 AS user_id, event_type, value, props
+        SELECT event_id + c.i * {eid} AS event_id, ts,
+               user_id + c.i * {uid} AS user_id, event_type, value, props
         FROM '{src}/events.parquet', range(0, {factor}) c(i)""", "events")
     write(f"""
         WITH scaled AS (
-          SELECT doc_id + c.i * 10000 AS doc_id, c.i AS cp, text, lang,
+          SELECT doc_id + c.i * {did} AS doc_id, c.i AS cp, text, lang,
                  source
           FROM '{src}/documents.parquet', range(0, {factor}) c(i)
         ),
@@ -88,7 +110,7 @@ def main():
         SELECT doc_id, text, lang, source, length(text) AS n_chars
         FROM perturbed""", "documents")
     write(f"""
-        SELECT vec_id + c.i * 10000 AS vec_id,
+        SELECT vec_id + c.i * {vid} AS vec_id,
                CASE WHEN c.i = 0 THEN embedding
                     ELSE list_concat(embedding[c.i + 1:],
                                      embedding[:c.i])::FLOAT[]
