@@ -479,11 +479,23 @@ object Dedup {
     * Emits (id_1, id_2, hamming) with id_1 < id_2. */
   def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
       maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
-      maxBucketSize: Int = 10000): DataFrame =
-    hammingExpandPairs(df, idCol, hashCol,
-      hammingHashPairs(df, hashCol, maxDistance, bands, hashBits,
-        maxBucketSize),
-      hashBits)
+      maxBucketSize: Int = 10000): DataFrame = {
+    // one checkpointed (id, hash) projection feeds BOTH the
+    // distinct-hash banding and the membership expansion, so an
+    // expensive upstream (e.g. an image-decode dHash) computes once
+    val h = hashedProjection(df, idCol, hashCol, hashBits)
+      .localCheckpoint(false)
+    expandPairsCore(h,
+      hammingHashPairs(h, "__h", maxDistance, bands, hashBits,
+        maxBucketSize))
+  }
+
+  /** The filtered (id, __h) projection shared by the hamming
+    * pipeline stages. */
+  private def hashedProjection(df: DataFrame, idCol: String,
+      hashCol: String, hashBits: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
 
   /** Distinct-hash near pairs (hash_1 < hash_2, hamming ≤
     * `maxDistance`) — the hash-level core of [[hammingNearDup]],
@@ -561,10 +573,15 @@ object Dedup {
     * pairs at distance 0. Output-bound: never larger than the answer.
     * Emits (id_1, id_2, hamming) with id_1 < id_2. */
   def hammingExpandPairs(df: DataFrame, idCol: String, hashCol: String,
-      hashPairs: DataFrame, hashBits: Int = 64): DataFrame = {
-    val h = df.select(col(idCol).as("id"), col(hashCol).as("__h"))
-      .filter(col("__h").isNotNull && length(col("__h")) === hashBits)
-      .localCheckpoint(false) // read by the two expansions below
+      hashPairs: DataFrame, hashBits: Int = 64): DataFrame =
+    expandPairsCore(
+      hashedProjection(df, idCol, hashCol, hashBits)
+        .localCheckpoint(false), // read by the two expansions below
+      hashPairs)
+
+  /** Expansion over an already-checkpointed (id, __h) projection. */
+  private def expandPairsCore(h: DataFrame,
+      hashPairs: DataFrame): DataFrame = {
     val cross = hashPairs
       .join(h.select(col("__h").as("hash_1"), col("id").as("__ia")),
         Seq("hash_1"))
