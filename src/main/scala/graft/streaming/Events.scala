@@ -281,6 +281,34 @@ object Events {
       }.toDF()
   }
 
+  /** Streaming funnel step-timing — the incremental counterpart of
+    * the q197 read-out: per finalized key, the wait between each pair
+    * of consecutive COMPLETED funnel steps, as (user_id, step,
+    * wait_us) with step = the 2-based index of the later step
+    * (matching the batch quartile frame's step labels). Purely a
+    * stateless projection over [[funnelStream]]'s exactly-once
+    * finality rows (the matched-step timestamps are always a prefix),
+    * so each wait row is itself emitted EXACTLY once, when the key's
+    * chain is provably final under the watermark. The live quartiles
+    * are then a downstream aggregate over these rows (the
+    * cohortRetentionStream pattern: exact-once pairs out of Append
+    * mode; fold the matrix under Complete/Update or in batch) — an
+    * Append-mode stream cannot emit a forever-revisable global order
+    * statistic, but the pair stream it folds from is exact. Parity:
+    * waits folded through `Percentiles.exact` equal the batch q197
+    * quartiles (PipelineStreamingSpec). */
+  def funnelTimingStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], withinSec: Long,
+      watermark: String = "1 hour"): DataFrame =
+    funnelStream(spark, events, steps, withinSec, watermark)
+      .filter(size(col("step_ts_us")) >= 2)
+      .select(col("user_id"), posexplode(zip_with(
+        slice(col("step_ts_us"), lit(2), size(col("step_ts_us")) - 1),
+        slice(col("step_ts_us"), lit(1), size(col("step_ts_us")) - 1),
+        (b, a) => b - a)))
+      .select(col("user_id"), (col("pos") + 2).cast("long").as("step"),
+        col("col").cast("long").as("wait_us"))
+
   /** Stream-stream interval join with watermark-bounded state: every
     * left-side window row (`window_id`, `ts` — e.g. an error's
     * `windowLenSec`-long incident window) is joined to every right-side

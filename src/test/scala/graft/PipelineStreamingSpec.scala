@@ -351,6 +351,66 @@ class PipelineStreamingSpec extends SparkSpec {
       "the late earlier anchor must re-anchor the chain")
   }
 
+  test("streaming funnel step-timing: waits equal the batch chain's, quartile fold matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the funnel parity scenario: u1 converts (waits 1800s, 1800s),
+    // u2 breaks at step 2 (no waits), u4 completes steps 1-2 only
+    // (wait 2400s) with its anchor arriving late in batch 2
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 09:50:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      (4L, ts("2024-01-01 11:00:00"), "view"))
+    val b2 = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      (4L, ts("2024-01-01 10:05:00"), "view"),
+      (4L, ts("2024-01-01 10:45:00"), "click"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val out = graft.streaming.Events.funnelTimingStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"), withinSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("funnel_timing")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq((999L, ts("2030-01-01 00:00:00"), "view")))
+    q.processAllAvailable()
+    input.addData(Seq((999L, ts("2030-01-01 02:00:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("funnel_timing")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch waits from the batch funnel chain's step timestamps
+    val batch = graft.ops.Temporal.funnel(
+        (b1 ++ b2).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 3600L)
+      .collect().flatMap { r =>
+        val prefix = (1 to 3).flatMap(i => Option(r.getTimestamp(i)))
+          .map(t => t.toInstant.getEpochSecond * 1000000L +
+            t.toInstant.getNano / 1000L)
+        prefix.sliding(2).filter(_.size == 2).zipWithIndex.map {
+          case (Seq(a, b), i) => (r.getLong(0), (i + 2).toLong, b - a)
+        }
+      }.toSet
+    assert(streamed == batch,
+      s"stream/batch wait mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed == Set((1L, 2L, 1800000000L), (1L, 3L, 1800000000L),
+      (4L, 2L, 2400000000L)))
+    // the q197 read-out: folding the exact-once pair stream through
+    // the same exact order statistic reproduces the batch quartiles
+    val waitsDf = streamed.toSeq.toDF("user_id", "step", "w")
+      .filter(col("step") === 2L).select(col("w").cast("double").as("w"))
+    val ps = graft.ops.Percentiles.exact(waitsDf, "w", Seq(0.25, 0.5, 0.75))
+    assert(ps(0.5) == 2100000000.0 && ps(0.25) == 1950000000.0,
+      s"quartile fold mismatch: $ps")
+  }
+
   test("streaming interval join: pairs equal the batch granule range join, across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
