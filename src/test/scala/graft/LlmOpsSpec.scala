@@ -74,6 +74,43 @@ class LlmOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("minhash banding S-curve: the (bands, rowsPerBand) knob sets threshold-edge recall") {
+    import spark.implicits._
+    // 300 planted pairs at EXACTLY the J=0.5 threshold edge, pair-unique
+    // vocabulary (cross-pair Jaccard 0): docs share an 18-word prefix
+    // (16 shared 3-gram shingles) and diverge on 8-word tails (8
+    // pair-side shingles each) -> J = 16 / (24 + 24 - 16) = 0.5.
+    // Published banding collision probability at Jaccard J is
+    // 1 - (1 - J^r)^b; the three configs below spend the SAME 32-hash
+    // budget across the curve:
+    //   (b=32, r=1): 1 - 2^-32          ~ 1.000  (catch-everything)
+    //   (b=16, r=2): 1 - (1 - .25)^16   ~ 0.990  (the default - the
+    //                README's documented 99% bound at the edge)
+    //   (b=4,  r=8): 1 - (1 - 2^-8)^4   ~ 0.016  (sharp cutoff above)
+    val nPairs = 300
+    val docs = (0 until nPairs).flatMap { i =>
+      val common = (0 until 18).map(j => s"p${i}c$j")
+      val a = common ++ (0 until 8).map(j => s"p${i}a$j")
+      val b = common ++ (0 until 8).map(j => s"p${i}b$j")
+      Seq((2L * i, a.mkString(" ")), (2L * i + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+    def recall(bands: Int, rows: Int): Double =
+      Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5,
+          bands = bands, rowsPerBand = rows)
+        .collect().count(r => r.getLong(1) == r.getLong(0) + 1 &&
+          r.getLong(0) % 2 == 0).toDouble / nPairs
+    val wide = recall(32, 1)
+    val default = recall(16, 2)
+    val sharp = recall(4, 8)
+    assert(wide == 1.0, s"(32,1) must catch every edge pair: $wide")
+    assert(default >= 0.96,
+      s"(16,2) edge recall must sit at the published ~0.99: $default")
+    assert(sharp <= 0.15,
+      s"(4,8) must cut off at the edge (expected ~0.016): $sharp")
+    assert(wide >= default && default > sharp,
+      s"S-curve must steepen with rows: $wide / $default / $sharp")
+  }
+
   test("minhash candidates never blow up to all-pairs") {
     val n = docs.count()
     val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5).count()

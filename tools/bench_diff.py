@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Mechanical bench-posture drift check between two bench artifacts.
+
+Usage: python3 tools/bench_diff.py <old> <new> [--ratio 2.0] [--floor 0.5]
+
+<old>/<new> are either driver artifacts (BENCH_r{N}.json with the bench
+line wrapped in "tail") or raw graft.Bench JSON lines. Prints the
+pass-total brackets of both runs, every per-query delta whose new/old
+ratio exceeds --ratio with new >= --floor seconds (the absolute floor
+keeps sub-second jitter out), and the exact graft.BenchOne command that
+attributes the flagged queries on an idle box (pass mode — the
+artifact's memo-slot accounting). Exits 1 when anything is flagged, so
+the round-close sequence can gate on it.
+
+Dev-tool only (driver-side python, like check_oracle.py).
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    with open(path) as f:
+        raw = f.read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "tail" in d and "queries" not in d:
+        # driver artifact: the bench line lives in "tail", which the
+        # driver TRUNCATES from the head — salvage fields by regex
+        # instead of a full JSON parse (early queries may be lost)
+        t = d["tail"]
+        sf = d.get("sf")
+        d = {"queries": {q: float(v) for q, v in
+                         re.findall(r'"(q\d+_\w+)":([0-9.]+)', t)},
+             "sf": sf, "truncated": True}
+        mv = re.search(r'"value":([0-9.]+)', t)
+        d["value"] = float(mv.group(1)) if mv else None
+        mp = re.search(r'"pass_totals":\[([0-9.,\s]*)\]', t)
+        if mp and mp.group(1).strip():
+            d["pass_totals"] = [float(x) for x in mp.group(1).split(",")]
+    if not isinstance(d, dict) or not d.get("queries"):
+        sys.exit(f"{path}: not a bench artifact (no queries map)")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--ratio", type=float, default=2.0,
+                    help="flag when new/old exceeds this (default 2.0)")
+    ap.add_argument("--floor", type=float, default=0.5,
+                    help="ignore queries whose new time is below this "
+                         "many seconds (default 0.5)")
+    args = ap.parse_args()
+
+    old = load_bench(args.old)
+    new = load_bench(args.new)
+    for name, d in (("old", old), ("new", new)):
+        brk = d.get("pass_totals", [])
+        tot = f"{d['value']:.1f}s" if d.get("value") else "?"
+        trunc = " (tail-truncated)" if d.get("truncated") else ""
+        print(f"{name}: total={tot} sf={d.get('sf')} "
+              f"queries={len(d['queries'])}{trunc} "
+              f"passes={['%.1f' % p for p in brk]}")
+    if old.get("pass_totals") and new.get("pass_totals"):
+        r = min(new["pass_totals"]) / min(old["pass_totals"])
+        print(f"min-pass ratio new/old: {r:.2f}")
+
+    flagged = []
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    for q in shared:
+        o, n = old["queries"][q], new["queries"][q]
+        if n >= args.floor and o > 0 and n / o >= args.ratio:
+            flagged.append((n / o, q, o, n))
+    only_new = sorted(set(new["queries"]) - set(old["queries"]))
+    if only_new:
+        print(f"new-only queries (no baseline): {', '.join(only_new)}")
+
+    if not flagged:
+        print(f"OK: no per-query drift >= {args.ratio}x above "
+              f"{args.floor}s across {len(shared)} shared queries")
+        return
+    print(f"\nFLAGGED ({len(flagged)} queries >= {args.ratio}x, "
+          f"new >= {args.floor}s):")
+    for r, q, o, n in sorted(flagged, reverse=True):
+        print(f"  {q:<30} {o:7.2f}s -> {n:7.2f}s  ({r:.1f}x)")
+    names = ",".join(q for _, q, _, _ in sorted(flagged, reverse=True))
+    print("\nattribute on an idle box with:")
+    print(f"  sbt -batch \"runMain graft.BenchOne /root/testdata/sf"
+          f"{new.get('sf')} {names} 3 pass\"")
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
