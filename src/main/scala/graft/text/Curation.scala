@@ -666,9 +666,14 @@ object Curation {
     * aggregation buffer — fine for 6-decimal-rounded scores, but an
     * unbounded buffer in principle, so the guard below AUTO-FALLS-BACK
     * to `approx_percentile`'s bounded sketch when any source's
-    * distinct-score cardinality exceeds `maxDistinctScores` (probed
-    * first with a plain distinct aggregate, which carries no map
-    * buffer — the `Encode.labelEncode` cardinality-guard pattern).
+    * distinct-score cardinality exceeds `maxDistinctScores` (the
+    * `Encode.labelEncode` cardinality-guard pattern). The probe is
+    * priced for the common case: inputs whose RAW row count (a
+    * metadata-cheap scan, no join/agg lineage) already fits the
+    * threshold skip it entirely, and when it must run it uses
+    * `approx_count_distinct` (bounded HLL partials, ~1% rsd — a
+    * relative error that is immaterial against a memory-cliff
+    * threshold) instead of shuffling every distinct score.
     * Under the sketch, bucket boundaries shift within the sketch
     * error; membership FRACTIONS stay ~thirds. `exact=false` forces
     * the sketch unconditionally. */
@@ -677,12 +682,12 @@ object Curation {
       maxDistinctScores: Long = 1000000L): DataFrame = {
     val scored = unigramLogProb(df, idCol, textCol)
       .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
-    val useExact = exact && {
+    val useExact = exact && (df.count() <= maxDistinctScores || {
       val r = scored.groupBy(sourceCol)
-        .agg(countDistinct(col("lm_score")).as("__c"))
+        .agg(approx_count_distinct(col("lm_score"), 0.01).as("__c"))
         .agg(max(col("__c"))).head()
       r.isNullAt(0) || r.getLong(0) <= maxDistinctScores
-    }
+    })
     val pfun = if (useExact) "percentile" else "approx_percentile"
     val th = scored.groupBy(sourceCol).agg(
       expr(s"$pfun(lm_score, 0.33d)").as("__p33"),
