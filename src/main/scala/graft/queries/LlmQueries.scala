@@ -2191,6 +2191,32 @@ object LlmQueries {
       |FROM s JOIN th USING (source) ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q221: seeded global shuffle into training shards — the pretraining
+  // export permutation: sort key md5(seed || '_' || id), shard from the
+  // key's md5-prefix value (the q64/q82 replayable-coin construction),
+  // pos = rank within shard. One hash exchange + per-shard sort, never
+  // a global sort.
+  // -------------------------------------------------------------------
+  def shuffleShards(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.shuffleShards(docs(s, d), "doc_id",
+        seed = 42L, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  val shuffleShardsSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('42_' || doc_id::VARCHAR) AS key FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, key,
+      |         ('0x' || substr(key, 1, 15))::BIGINT % 8 AS shard
+      |  FROM k)
+      |SELECT doc_id, shard,
+      |       row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+      |         AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
+  // -------------------------------------------------------------------
   // q87: per-source quality cap — keep only the 5 highest-quality docs
   // per source (deterministic tie-break), the per-domain cap step of a
   // curation pipeline; compiles to partial+final WindowGroupLimit.
@@ -2435,6 +2461,7 @@ object LlmQueries {
     "q133_ivfpq_topk" -> (ivfpqTopK _),
     "q136_ivfpq_rerank" -> (ivfpqRerank _),
     "q95_ccnet_buckets" -> (ccnetBuckets _),
+    "q221_shuffle_shards" -> (shuffleShards _),
     "q87_best_per_source" -> (bestPerSource _),
     "q88_curation_prep" -> (curationPrep _),
     "q80_pack_offsets" -> (packOffsets _),
@@ -2500,6 +2527,7 @@ object LlmQueries {
     "q136_ivfpq_rerank" -> ivfpqRerankSql,
     "q134_hybrid_rrf" -> hybridRrfSql,
     "q95_ccnet_buckets" -> ccnetBucketsSql,
+    "q221_shuffle_shards" -> shuffleShardsSql,
     "q87_best_per_source" -> bestPerSourceSql,
     "q88_curation_prep" -> curationPrepSql,
     "q80_pack_offsets" -> packOffsetsSql,

@@ -779,6 +779,49 @@ object Curation {
     tok.withColumn("keep_rate", rateCol).filter(coin < col("keep_rate"))
   }
 
+  /** Seeded global corpus shuffle into training shards — the export
+    * step of every pretraining pipeline: after curation/mixing the
+    * corpus is re-ordered pseudo-randomly (so each training shard is
+    * an i.i.d.-looking slice, not a source-ordered run) and split into
+    * `nShards` shards. Order and placement are DETERMINISTIC given
+    * (seed, id): sort key = md5(seed || '_' || id), shard = the key's
+    * md5-prefix value mod nShards (the q64/q82 replayable-coin
+    * construction, so a SQL oracle reproduces the exact permutation),
+    * pos = 1-based rank within the shard.
+    *
+    * Scale design: NO global sort — one hash exchange on `shard`
+    * followed by a per-shard external sort (the window below is
+    * `partitionBy(shard)`, never empty-partition). Choose nShards at
+    * or above cluster parallelism (shards are uniform under md5, so
+    * ~corpus/nShards rows each); each shard is the natural output-file
+    * unit. At 100 TB this is the one unavoidable full-corpus shuffle
+    * of the export, and exactly one of it. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = md5(concat(lit(seed.toString), lit("_"),
+      col(idCol).cast("string")).cast("binary"))
+    df.withColumn("__k", key)
+      .withColumn("shard", conv(substring(col("__k"), 1, 15), 16, 10)
+        .cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__k"), col(idCol)))
+        .cast("long"))
+      .drop("__k")
+  }
+
+  /** Materialize [[shuffleShards]] as one shard-partitioned parquet
+    * layout, rows stored in shuffled order within each shard (readers
+    * that consume a shard file sequentially see the seeded
+    * permutation; `pos` is stored so order survives splittable
+    * reads). */
+  def writeShuffledShards(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int, path: String): Unit =
+    shuffleShards(df, idCol, seed, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** GPT-style sequence-packing offsets: documents are conceptually
     * concatenated in id order and split into fixed `window`-token
     * training sequences; each document's token start offset and the

@@ -21,6 +21,38 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 1L, 0.0, 0.5)))
   }
 
+  test("shuffleShards: a seeded permutation — dense per-shard positions, seed-sensitive, write round-trips") {
+    val n = 500
+    val df = (1 to n).map(i => (i.toLong, s"doc $i")).toDF("id", "txt")
+    val out = Curation.shuffleShards(df, "id", seed = 7L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // every doc exactly once, shard in range, positions dense 1..|shard|
+    assert(out.map(_._1).toSet == (1L to n).map(identity).toSet)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // shards roughly uniform under the md5 prefix (500/8 = 62.5)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s > 30 && s < 95), s"skew: ${sizes.toMap}")
+    // deterministic for a seed; a different seed permutes
+    val again = Curation.shuffleShards(df, "id", seed = 7L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+    val other = Curation.shuffleShards(df, "id", seed = 8L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(other.toSet != out.toSet, "seed must change the permutation")
+    // writer round-trip: the shard-partitioned layout read back by
+    // (shard, pos) reproduces the operator's permutation exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curation.writeShuffledShards(df, "id", seed = 7L, nShards = 8, dir)
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(back.toSet == out.toSet, "written shards must match the plan")
+  }
+
   test("repetitionStats: documents shorter than n produce no grams") {
     val df = Seq((1L, "only"), (2L, "two words")).toDF("id", "txt")
     val got = Curation.repetitionStats(df, "id", "txt", n = 2).collect()
