@@ -2179,14 +2179,39 @@ object LlmQueries {
       |  SELECT sc.doc_id, d.source, sc.n_tokens, sc.lm_score
       |  FROM scored sc JOIN documents d USING (doc_id)
       |),
+      |-- explicit order statistics with Spark's exact interpolation
+      |-- form a + f*(b-a) (exact when the brackets tie), NOT
+      |-- quantile_cont: its (1-f)*a + f*b form drifts 1 ulp off a
+      |-- tied bracket, flipping docs that sit exactly ON a threshold
+      |-- (bit-for-bit at sf1, where ~90/150k rows tie the threshold).
+      |-- CAST(p AS DOUBLE) keeps the position math off the DECIMAL
+      |-- grid so frac matches Spark's double arithmetic bit-for-bit.
+      |r AS (
+      |  SELECT source, lm_score,
+      |         row_number() OVER (PARTITION BY source ORDER BY lm_score) - 1
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM s
+      |),
       |th AS (
-      |  SELECT source, quantile_cont(lm_score, 0.33) AS p33,
-      |         quantile_cont(lm_score, 0.67) AS p67
-      |  FROM s GROUP BY source
+      |  SELECT source,
+      |    max(CASE WHEN rn = CAST(floor(CAST(0.33 AS DOUBLE)*(n-1)) AS BIGINT)
+      |             THEN lm_score END) AS lo33,
+      |    max(CASE WHEN rn = CAST(ceil(CAST(0.33 AS DOUBLE)*(n-1)) AS BIGINT)
+      |             THEN lm_score END) AS hi33,
+      |    max(CASE WHEN rn = CAST(floor(CAST(0.67 AS DOUBLE)*(n-1)) AS BIGINT)
+      |             THEN lm_score END) AS lo67,
+      |    max(CASE WHEN rn = CAST(ceil(CAST(0.67 AS DOUBLE)*(n-1)) AS BIGINT)
+      |             THEN lm_score END) AS hi67,
+      |    any_value(CAST(0.33 AS DOUBLE)*(n-1)
+      |              - floor(CAST(0.33 AS DOUBLE)*(n-1))) AS f33,
+      |    any_value(CAST(0.67 AS DOUBLE)*(n-1)
+      |              - floor(CAST(0.67 AS DOUBLE)*(n-1))) AS f67
+      |  FROM r GROUP BY source
       |)
       |SELECT doc_id, source, n_tokens, lm_score,
-      |       CASE WHEN lm_score >= p67 THEN 'head'
-      |            WHEN lm_score >= p33 THEN 'middle'
+      |       CASE WHEN lm_score >= lo67 + f67 * (hi67 - lo67) THEN 'head'
+      |            WHEN lm_score >= lo33 + f33 * (hi33 - lo33) THEN 'middle'
       |            ELSE 'tail' END AS bucket
       |FROM s JOIN th USING (source) ORDER BY doc_id""".stripMargin
 
