@@ -89,9 +89,10 @@ def main():
     for r, q, o, n in sorted(flagged, reverse=True):
         print(f"  {q:<30} {o:7.2f}s -> {n:7.2f}s  ({r:.1f}x)")
     names = ",".join(q for _, q, _, _ in sorted(flagged, reverse=True))
+    sf = str(new.get("sf"))
+    sf_dir = sf if sf.startswith("/") else f"/root/testdata/sf{sf}"
     print("\nattribute on an idle box with:")
-    print(f"  sbt -batch \"runMain graft.BenchOne /root/testdata/sf"
-          f"{new.get('sf')} {names} 3 pass\"")
+    print(f"  sbt -batch \"runMain graft.BenchOne {sf_dir} {names} 3 pass\"")
     sys.exit(1)
 
 
