@@ -204,7 +204,11 @@ object Dedup {
     * the stored sorted gram arrays, without ever touching the old
     * corpus text again. Layout: `bands/` partitioned by `band`
     * (bounded cardinality) and `grams/` with the set-semantics sorted
-    * arrays used for exact verification. */
+    * arrays used for exact verification, plus a one-row `manifest/`
+    * carrying (shingleK, bands, rowsPerBand) — the query side
+    * validates against it, because probing with a DIFFERENT banding
+    * config than the index was written with makes every bsig hash
+    * miss and the join silently return (almost) nothing. */
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleK: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 2): Unit = {
@@ -214,6 +218,11 @@ object Dedup {
     sh.distinct().groupBy("id")
       .agg(sort_array(collect_list(col("s"))).as("gs"))
       .write.mode("overwrite").parquet(s"$path/grams")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleK, bands, rowsPerBand))
+      .toDF("shingle_k", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     sh.unpersist()
   }
 
@@ -230,6 +239,20 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, path: String,
       threshold: Double = 0.5, shingleK: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    // validate the banding config against the index manifest: a
+    // mismatched probe makes every bsig miss and silently returns
+    // (almost) nothing. Pre-manifest indexes (no manifest/ dir) skip
+    // the check for layout compatibility.
+    try {
+      val m = spark.read.parquet(s"$path/manifest").head()
+      val (mk, mb, mr) = (m.getInt(0), m.getInt(1), m.getInt(2))
+      require(mk == shingleK && mb == bands && mr == rowsPerBand,
+        s"band index at $path was written with (shingleK=$mk, bands=$mb, " +
+          s"rowsPerBand=$mr) but probed with ($shingleK, $bands, " +
+          s"$rowsPerBand) — a mismatched probe finds no candidates")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => // no manifest
+    }
     val shNew = hashedShingles(newDocs, idCol, textCol, shingleK).cache()
     val bNew = bandedSignatures(shNew, bands, rowsPerBand)
     val bOld = spark.read.parquet(s"$path/bands")

@@ -65,6 +65,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture plants cross-half near-dups")
   }
 
+  test("band index refuses a mismatched probe config (manifest guard)") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_mm").toString
+    Dedup.writeBandIndex(docs.limit(20), "doc_id", "text", idx,
+      bands = 16, rowsPerBand = 2)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndex(spark, probe, "doc_id", "text", idx,
+        bands = 8, rowsPerBand = 4)
+    }
+    assert(e.getMessage.contains("mismatched probe"),
+      s"wrong guard message: ${e.getMessage}")
+  }
+
   test("minhash near-dup: pairs are symmetric-free, above threshold, and real") {
     val pairs = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5).cache()
     val rows = pairs.collect()
