@@ -1030,6 +1030,108 @@ class PipelineStreamingSpec extends SparkSpec {
       s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
   }
 
+  test("streaming sessionization property: random corpus, random in-window redelivery, batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // seeded random corpus with event identity: 30 users, 0-5 events
+    // each over 2 days. Delivered as three CONSECUTIVE ascending
+    // chunks; each batch also redelivers a random ~30% of ITS OWN rows
+    // (ahead-of-watermark duplicates — the only kind Spark's late-row
+    // filter cannot drop) plus a random row of the PREVIOUS chunk
+    // (usually behind the watermark — dropped, also harmless). With
+    // eventIdCol set, stream output must equal batch sessionize over
+    // the DISTINCT rows.
+    val rnd = new scala.util.Random(1220L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var nextId = 1000L
+    val rows = (1L to 30L).flatMap { uid =>
+      (0 until rnd.nextInt(6)).map { _ =>
+        nextId += 1
+        val t = new java.sql.Timestamp(base + math.abs(rnd.nextLong()) % (2L * 86400 * 1000))
+        (nextId, uid, t, rnd.nextInt(100) / 10.0)
+      }
+    }
+    val sorted = rows.sortBy(_._3.getTime)
+    val chunks = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.sessionizeStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      gapSec = 1800L, eventIdCol = Some("event_id"))
+    val q = out.writeStream.format("memory").queryName("sess_prop")
+      .outputMode(OutputMode.Append()).start()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val redeliver = c.filter(_ => rnd.nextInt(10) < 3)
+      val fromPrev = if (i > 0) Seq(chunks(i - 1)(rnd.nextInt(chunks(i - 1).size)))
+        else Seq.empty
+      input.addData(c ++ redeliver ++ fromPrev)
+      q.processAllAvailable()
+    }
+    input.addData(Seq((1L, 999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq((2L, 999L, java.sql.Timestamp.valueOf("2030-01-01 02:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_prop")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (r.getTimestamp(2), r.getLong(3), r.getLong(4),
+          math.rint(r.getDouble(5) * 1e6) / 1e6)).toMap
+    val batch = graft.ops.Temporal.sessionize(
+        sorted.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", 1800L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3)) ->
+        (r.getTimestamp(4), r.getLong(2), r.getLong(5),
+          math.rint(r.getDouble(6) * 1e6) / 1e6)).toMap
+    assert(streamed == batch,
+      s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet}")
+    assert(batch.size > 20, s"scenario too small: ${batch.size} sessions")
+  }
+
+  test("streaming funnel step-timing property: random corpus, chunked delivery, batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(9127L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Seq("view", "click", "purchase")
+    val rows = (1L to 40L).flatMap { uid =>
+      (0 until rnd.nextInt(6)).map { _ =>
+        val t = new java.sql.Timestamp(base + math.abs(rnd.nextLong()) % (3L * 86400 * 1000))
+        (uid, t, types(rnd.nextInt(3)))
+      }
+    }
+    val sorted = rows.sortBy(_._2.getTime)
+    val chunks = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val out = graft.streaming.Events.funnelTimingStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      types, withinSec = 7200L)
+    val q = out.writeStream.format("memory").queryName("ft_prop")
+      .outputMode(OutputMode.Append()).start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    input.addData(Seq((999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "view")))
+    q.processAllAvailable()
+    input.addData(Seq((999L, java.sql.Timestamp.valueOf("2030-01-01 02:00:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ft_prop")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Temporal.funnel(
+        sorted.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", types, withinSec = 7200L)
+      .collect().flatMap { r =>
+        val prefix = (1 to 3).flatMap(i => Option(r.getTimestamp(i)))
+          .map(t => t.toInstant.getEpochSecond * 1000000L +
+            t.toInstant.getNano / 1000L)
+        prefix.sliding(2).filter(_.size == 2).zipWithIndex.map {
+          case (Seq(a, b), i) => (r.getLong(0), (i + 2).toLong, b - a)
+        }
+      }.toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(batch.nonEmpty, "scenario must produce completed-step waits")
+  }
+
   test("streaming kaplan-meier property: random corpus, chunked delivery, batch parity") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
