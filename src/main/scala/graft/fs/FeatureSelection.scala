@@ -164,7 +164,12 @@ object FeatureSelection {
     import spark.implicits._
     val scored = scores.select("feature", scoreCol).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
-    val rows = thresholds.map { t =>
+    // per-threshold CVs are independent seeded fits — run them from
+    // the bounded driver pool so the fixed multi-job overhead of each
+    // fit overlaps (the round-7 Par pattern; the inner fold loop
+    // detects the nesting and runs sequentially on the worker thread,
+    // results return in input order, output bit-identical)
+    val rows = graft.core.Par.mapPar(thresholds) { t =>
       val feats = scored.filter(_._2 >= t).map(_._1).toSeq.sorted
       require(feats.nonEmpty, s"threshold $t leaves no features")
       val r = CrossValidation.runCvOneSeed(
