@@ -134,7 +134,10 @@ object Percentiles {
     val pcols = percents.map { k =>
       val rem = ((col("n") - 1) * lit(k.toLong)) % lit(100L)
       val frac = rem.cast("double") / lit(100.0)
-      (col(s"__lo$k") * (lit(1.0) - frac) + col(s"__hi$k") * frac).as(s"p$k")
+      // a + f*(b-a), the np.percentile / Spark-percentile form — exact
+      // when the brackets tie, unlike (1-f)*a + f*b which drifts 1 ulp
+      // off a tied bracket (the round-12 quantile_cont lesson)
+      (col(s"__lo$k") + (col(s"__hi$k") - col(s"__lo$k")) * frac).as(s"p$k")
     }
     agged.select(col(groupCol) +: col("n") +: pcols: _*)
   }
