@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -64,6 +64,54 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  // ---- redelivery-dedup id columns -----------------------------------
+  // The in-state distinctBy guards (sessionize/decay/attribution) key on
+  // a Long identity. A blind cast("long") is a foot-gun: a string/UUID
+  // id casts to NULL, every buffered event then shares one identity and
+  // distinctBy drops all but one — silent data loss worse than the
+  // redelivery bug the dedup fixes. These helpers make the contract
+  // explicit instead.
+
+  private def isIntegral(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Runtime fail-fast on null ids: a null identity would collapse the
+    * whole dedup buffer into one event. */
+  private def guardNull(raw: Column, idExpr: Column, name: String): Column =
+    when(raw.isNull, raise_error(lit(
+      s"graft: dedup id column '$name' contains a null — a null " +
+        "identity would collapse every buffered event into one and " +
+        "silently drop data; ids must be non-null and unique per event")))
+      .otherwise(idExpr)
+
+  /** Identity for [[sessionizeStream]]'s `eventIdCol` (never emitted):
+    * integral ids pass through exactly; any other type — string, UUID,
+    * binary, decimal — is fingerprinted with xxhash64 over the RAW
+    * value, so dedup works instead of silently null-casting. */
+  private def dedupIdentity(df: DataFrame, name: String): Column = {
+    val raw = col(name)
+    guardNull(raw,
+      if (isIntegral(df, name)) raw.cast("long") else xxhash64(raw), name)
+  }
+
+  /** Identity for streams that EMIT `event_id` in their output rows
+    * (decay, attribution): the id must already be integral — hashing
+    * would change the output's meaning — so non-integral types fail
+    * fast at plan time with the remedy in the message. */
+  private def emittedId(df: DataFrame, name: String, op: String): Column = {
+    require(isIntegral(df, name),
+      s"graft: $op emits '$name' in its output and requires an integral " +
+        s"id type, got ${df.schema(name).dataType.simpleString}; " +
+        "fingerprint upstream (e.g. xxhash64) if your ids are strings")
+    guardNull(col(name), col(name).cast("long"), name)
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(user_id: Long, n_events: Long, total_value: Double)
 
@@ -102,13 +150,20 @@ object Events {
     * exactly-once input, or dedup upstream with
     * `withWatermark(...).dropDuplicates("event_id")` — the canonical
     * Structured Streaming remedy.
+    *
+    * Id contract: `eventIdCol` values must be NON-NULL and UNIQUE per
+    * logical event (two distinct events sharing an id are merged as if
+    * redelivered). Integral ids are used as-is; any other type
+    * (string/UUID/binary) is fingerprinted with xxhash64 of the raw
+    * value; a null id fails the query with a clear error instead of
+    * silently collapsing the buffer.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapSec: Long, watermark: String = "1 hour",
       eventIdCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val gapUs = gapSec * 1000000L
-    val idCol = eventIdCol.map(col(_).cast("long")).getOrElse(lit(0L))
+    val idCol = eventIdCol.map(dedupIdentity(events, _)).getOrElse(lit(0L))
     val typed = events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"),
         col("value").cast("double"), idCol.as("event_id"))
@@ -375,7 +430,8 @@ object Events {
     import spark.implicits._
     val lam = math.log(2.0) / halfLifeSec
     val typed = events.withWatermark("ts", watermark)
-      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+      .select(emittedId(events, "event_id", "decayStream").as("event_id"),
+        col("user_id").cast("long"),
         col("ts"), col("value").cast("double"))
       .as[DecayEvent]
     def usOf(t: java.sql.Timestamp): Long =
@@ -475,7 +531,8 @@ object Events {
     val typed = events
       .filter(col("event_type").isin(conversionType, touchType))
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
-        col("event_id").cast("long").as("event_id"), col("event_type"),
+        emittedId(events, "event_id", "attributionStream").as("event_id"),
+        col("event_type"),
         col("value").cast("double").as("value"))
       .withWatermark("ts", watermark)
       .as[AttrEvent]

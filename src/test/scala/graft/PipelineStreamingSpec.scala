@@ -289,6 +289,71 @@ class PipelineStreamingSpec extends SparkSpec {
       s"eventIdCol dedup failed: $fixed")
   }
 
+  test("sessionizeStream: string/UUID eventIdCol dedups on the raw value (no silent null-cast)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // same redelivery scenario as the long-id test, but ids are UUIDs:
+    // a cast("long") would null both DISTINCT ids and collapse the
+    // session to one event (n=1) — the foot-gun this spec pins shut
+    val b1 = Seq(("a-uuid-1", 2L, ts("2024-01-01 10:00:00"), 1.0),
+      ("a-uuid-2", 2L, ts("2024-01-01 10:10:00"), 2.0))
+    val b2 = Seq(("a-uuid-2", 2L, ts("2024-01-01 10:10:00"), 2.0))
+    val input = MemoryStream[(String, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.sessionizeStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      gapSec = 1800L, eventIdCol = Some("event_id"))
+    val q = out.writeStream.format("memory").queryName("sess_string_id")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq(("s1", 999L, ts("2030-01-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(("s2", 999L, ts("2030-01-01 02:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_string_id").filter(col("user_id") === 2L)
+      .collect().map(r => (r.getLong(3), r.getDouble(5))).toSeq
+    assert(got == Seq((2L, 3.0)),
+      s"string-id dedup must keep both distinct events and drop the redelivery: $got")
+  }
+
+  test("sessionizeStream: a null event id fails loudly instead of collapsing the buffer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(String, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.sessionizeStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      gapSec = 1800L, eventIdCol = Some("event_id"))
+    val q = out.writeStream.format("memory").queryName("sess_null_id")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(Seq(("ok-1", 2L, ts("2024-01-01 10:00:00"), 1.0),
+      (null, 2L, ts("2024-01-01 10:10:00"), 2.0)))
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dedup id column")),
+      s"expected the null-id fail-fast message, got: ${messages(ex)}")
+  }
+
+  test("decay/attribution streams: non-integral event_id fails fast at plan time") {
+    import spark.implicits._
+    val df = Seq(("u-1", 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      "click", 1.0)).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val exD = intercept[IllegalArgumentException] {
+      graft.streaming.Events.decayStream(spark, df, halfLifeSec = 60L)
+    }
+    assert(exD.getMessage.contains("integral"), exD.getMessage)
+    val exA = intercept[IllegalArgumentException] {
+      graft.streaming.Events.attributionStream(spark, df,
+        conversionType = "buy", touchType = "click", windowSec = 60L)
+    }
+    assert(exA.getMessage.contains("integral"), exA.getMessage)
+  }
+
   test("streaming funnel: emitted chains equal the batch operator's, incl. late earlier anchor") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
