@@ -53,6 +53,18 @@ object Bench {
     // reads ~0.1s when q66 already built the MinHash pairs); the TOTAL
     // is honest, per-query splits of memoized groups are not.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // pass 0 — full run, nothing recorded: fresh-JVM warm-up (JIT,
+    // codegen cache, parquet footers) otherwise lands entirely on the
+    // first counted pass (BENCH_r12: 391 s pass 1 vs 304 s pass 2 on
+    // the same idle box), and with reps=2 one contaminated pass is
+    // half the evidence. SPARK_GRAFT_BENCH_WARMUP=0 skips it (dev loop).
+    val warmupPasses =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "0") 0 else 1
+    (1 to warmupPasses).foreach { _ =>
+      graft.core.Memo.clear()
+      runOnce()
+      failures = 0 // warm-up outcomes are not evidence either way
+    }
     val passes = (1 to reps).map { _ =>
       graft.core.Memo.clear()
       runOnce()
@@ -105,7 +117,7 @@ object Bench {
     // "total" must never double-count or pick the truncation-prone
     // long line. And a bench with failures exits nonzero: a partial
     // timing must never be mistaken for a clean run.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"reps":$reps,"pass_totals":$passJson,"memo_groups":$groups}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"reps":$reps,"warmup_passes":$warmupPasses,"pass_totals":$passJson,"memo_groups":$groups}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
