@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(',').toSeq
+    // distinct up front: pass mode keys per-pass timings by name, so a
+    // duplicated input name would otherwise keep only its last
+    // occurrence there while default mode timed each occurrence
+    val names = args(1).split(',').toSeq.distinct
     val reps = if (args.length > 2) args(2).toInt else 3
     val passMode = args.length > 3 && args(3) == "pass"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

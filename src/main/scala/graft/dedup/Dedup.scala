@@ -242,16 +242,18 @@ object Dedup {
     // validate the banding config against the index manifest: a
     // mismatched probe makes every bsig miss and silently returns
     // (almost) nothing. Pre-manifest indexes (no manifest/ dir) skip
-    // the check for layout compatibility.
-    try {
+    // the check for layout compatibility — probed by explicit path
+    // existence, so a PRESENT-but-corrupt manifest fails the read
+    // loudly instead of silently skipping validation.
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(manifestPath)) {
       val m = spark.read.parquet(s"$path/manifest").head()
       val (mk, mb, mr) = (m.getInt(0), m.getInt(1), m.getInt(2))
       require(mk == shingleK && mb == bands && mr == rowsPerBand,
         s"band index at $path was written with (shingleK=$mk, bands=$mb, " +
           s"rowsPerBand=$mr) but probed with ($shingleK, $bands, " +
           s"$rowsPerBand) — a mismatched probe finds no candidates")
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => // no manifest
     }
     val shNew = hashedShingles(newDocs, idCol, textCol, shingleK).cache()
     val bNew = bandedSignatures(shNew, bands, rowsPerBand)

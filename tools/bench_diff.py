@@ -61,7 +61,7 @@ def main():
     new = load_bench(args.new)
     for name, d in (("old", old), ("new", new)):
         brk = d.get("pass_totals", [])
-        tot = f"{d['value']:.1f}s" if d.get("value") else "?"
+        tot = f"{d['value']:.1f}s" if d.get("value") is not None else "?"
         trunc = " (tail-truncated)" if d.get("truncated") else ""
         print(f"{name}: total={tot} sf={d.get('sf')} "
               f"queries={len(d['queries'])}{trunc} "
@@ -89,8 +89,12 @@ def main():
     for r, q, o, n in sorted(flagged, reverse=True):
         print(f"  {q:<30} {o:7.2f}s -> {n:7.2f}s  ({r:.1f}x)")
     names = ",".join(q for _, q, _, _ in sorted(flagged, reverse=True))
-    sf = str(new.get("sf"))
-    sf_dir = sf if sf.startswith("/") else f"/root/testdata/sf{sf}"
+    sf = new.get("sf")
+    if sf is None:
+        sf_dir = "<sfDir>"
+    else:
+        sf = str(sf)
+        sf_dir = sf if sf.startswith("/") else f"/root/testdata/sf{sf}"
     print("\nattribute on an idle box with:")
     print(f"  sbt -batch \"runMain graft.BenchOne {sf_dir} {names} 3 pass\"")
     sys.exit(1)
