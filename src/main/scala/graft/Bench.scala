@@ -98,6 +98,7 @@ object Bench {
         "q126_threshold_sweep", "q127_threshold_rank"),
       "minhash" -> Seq("q34_dedup_near", "q60_simhash_near", "q66_dup_clusters",
         "q110_fuzzy_dedup_apply"),
+      "ngram" -> Seq("q69_ngram_jaccard", "q222_pair_budget"),
       "funnel" -> Seq("q135_funnel", "q138_funnel_rates", "q197_funnel_timing"),
       "graph" -> Seq("q162_copurchase_edges", "q163_part_pagerank",
         "q164_assoc_rules", "q186_degree_dist", "q208_triangles",

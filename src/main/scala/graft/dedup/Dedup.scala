@@ -121,6 +121,31 @@ object Dedup {
     minHashOverShingles(hashedCharNgrams(df, idCol, textCol, n),
       threshold, bands, rowsPerBand, maxBucketSize)
 
+  /** Deterministic per-anchor output budget for verified pair tables —
+    * the answer-volume knob for the output-bound pair generators
+    * (char-gram Jaccard, fuzzy-join candidates): at corpus scale the
+    * TRUE pair count (C(k,2) per dup family) can exceed storage even
+    * when every plan stage is linear in the answer, so consumers opt
+    * into "at most `budget` pairs per anchor". Keeps the
+    * highest-`simCol` pairs, ties broken by `tieCol` ascending — fully
+    * deterministic — and every kept row carries `n_dropped`, the count
+    * of pairs truncated for its anchor (the no-silent-caps rule: an
+    * engaged budget is visible in the output, never inferred). One
+    * hash shuffle on the anchor; window partitions are answer-bounded
+    * (pairs per anchor, already capped upstream by maxBucketSize),
+    * never corpus-bounded. */
+  def budgetPairs(pairs: DataFrame, simCol: String, budget: Int,
+      anchorCol: String = "id_1", tieCol: String = "id_2"): DataFrame = {
+    require(budget > 0, s"pair budget must be positive, got $budget")
+    val ranked = Window.partitionBy(anchorCol)
+      .orderBy(col(simCol).desc, col(tieCol).asc)
+    pairs.withColumn("__rn", row_number().over(ranked))
+      .withColumn("n_dropped",
+        greatest(lit(0L),
+          count(lit(1)).over(Window.partitionBy(anchorCol)) - budget))
+      .filter(col("__rn") <= budget).drop("__rn")
+  }
+
   /** Shared MinHash LSH core over any hashed unit table (id, s: long).
     * The input may be a multiset: the signature min-aggregation is
     * idempotent over duplicates (and map-side combinable, so the gram

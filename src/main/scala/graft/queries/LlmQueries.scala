@@ -277,11 +277,69 @@ object LlmQueries {
   // j~0.25 mass, miss probability 2e-4 at j=0.9 — so the all-pairs
   // oracle agrees exactly and the candidate set stays tiny.
   // -------------------------------------------------------------------
+  /** Memoized per session+dir: q222's budgeted view consumes the same
+    * verified pairs, so it reuses the materialized frame instead of
+    * re-running gram→minhash→band→verify (the q34/q66 pattern). */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.getOrElseUpdate(
+        s"q69_ngram_pairs:${s.sparkContext.applicationId}:$d") {
+      Dedup.ngramJaccardNearDup(docs(s, d), "doc_id", "text", threshold = 0.5,
+          n = 5, bands = 8, rowsPerBand = 4)
+        .localCheckpoint(false)
+    }
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardNearDup(docs(s, d), "doc_id", "text", threshold = 0.5,
-        n = 5, bands = 8, rowsPerBand = 4)
+    ngramPairs(s, d)
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_1", "id_2")
+
+  // -------------------------------------------------------------------
+  // q222: output-budgeted near-dup pairs — the answer-volume knob for
+  // the output-bound pair family (VERDICT r12 #4). At 100 TB, true
+  // C(k,2) pair output can exceed storage even with linear plans;
+  // budgetPairs keeps the top `budget` pairs per anchor (similarity
+  // desc, id_2 asc — deterministic at the 6-dp grain both engines
+  // share) and counts the truncation on every kept row. budget=1
+  // ENGAGES at sf0.01 (anchors there carry up to 2 pairs), so the
+  // oracle verifies the cap, not just the pass-through.
+  // -------------------------------------------------------------------
+  def pairBudget(s: SparkSession, d: String): DataFrame =
+    Dedup.budgetPairs(
+        ngramPairs(s, d).select(col("id_1"), col("id_2"),
+          round(col("jaccard"), 6).as("jaccard")),
+        "jaccard", budget = 1)
+      .orderBy("id_1", "id_2")
+
+  val pairBudgetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS txt FROM documents
+      |),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |         substr(txt, CAST(i AS INT), 5) AS s
+      |  FROM t, unnest(range(1, len(txt) - 3)) AS u(i)
+      |  WHERE len(txt) >= 5
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_1, id_2,
+      |         round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_1
+      |  JOIN cnt cb ON cb.doc_id = id_2
+      |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5)
+      |SELECT id_1, id_2, jaccard,
+      |       greatest(0, cnt - 1) AS n_dropped
+      |FROM (SELECT *,
+      |        row_number() OVER (PARTITION BY id_1
+      |                           ORDER BY jaccard DESC, id_2) AS rn,
+      |        count(*) OVER (PARTITION BY id_1) AS cnt
+      |      FROM pairs) z
+      |WHERE rn <= 1 ORDER BY id_1, id_2""".stripMargin
 
   val ngramJaccardSql: String =
     """WITH t AS (
@@ -2504,6 +2562,7 @@ object LlmQueries {
     "q35_ann_topk" -> (annTopK _),
     "q67_ivf_topk" -> (ivfTopK _),
     "q69_ngram_jaccard" -> (ngramJaccard _),
+    "q222_pair_budget" -> (pairBudget _),
     "q71_corpus_prep" -> (corpusPrep _),
     "q40_simhash" -> (simhash _),
     "q41_embed_dedup" -> (embedDedup _),
@@ -2570,6 +2629,7 @@ object LlmQueries {
     "q35_ann_topk" -> annTopKSql,
     "q67_ivf_topk" -> ivfTopKSql,
     "q69_ngram_jaccard" -> ngramJaccardSql,
+    "q222_pair_budget" -> pairBudgetSql,
     "q71_corpus_prep" -> corpusPrepSql,
     "q40_simhash" -> simhashSql,
     "q41_embed_dedup" -> embedDedupSql,

@@ -943,6 +943,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.999999, s"r2 ${r.getDouble(4)}")
   }
 
+  test("budgetPairs: deterministic top-by-similarity cap with loud drop counts") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.90), (1L, 3L, 0.80), (1L, 4L, 0.95), // anchor 1: 3 pairs
+      (5L, 6L, 0.70),                                 // anchor 5: 1 pair
+      (7L, 8L, 0.60), (7L, 9L, 0.60)                  // anchor 7: tied sims
+    ).toDF("id_1", "id_2", "jaccard")
+    val capped = Dedup.budgetPairs(pairs, "jaccard", budget = 2)
+      .orderBy("id_1", "id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(capped.toSeq == Seq(
+      (1L, 2L, 0.90, 1L), // anchor 1 keeps its top-2 sims, counts 1 drop
+      (1L, 4L, 0.95, 1L),
+      (5L, 6L, 0.70, 0L), // under budget: untouched, zero drops
+      (7L, 8L, 0.60, 0L), // tie broken by id_2 asc: 8 beats 9
+      (7L, 9L, 0.60, 0L)
+    ), s"unexpected budgeted pairs: ${capped.toSeq}")
+    // bite arm: budget 1 on the tied anchor must keep exactly id_2=8
+    val tight = Dedup.budgetPairs(pairs, "jaccard", budget = 1)
+      .filter(col("id_1") === 7L).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(tight == Seq((8L, 1L)), s"tie-break or drop count broke: $tight")
+    // a generous budget never rewrites the pair set
+    val loose = Dedup.budgetPairs(pairs, "jaccard", budget = 10)
+    assert(loose.count() == 6 && loose.filter(col("n_dropped") =!= 0L).count() == 0)
+    intercept[IllegalArgumentException] { Dedup.budgetPairs(pairs, "jaccard", 0) }
+  }
+
   test("uint8-quantized embeddings keep brute-force ANN recall") {
     import org.apache.spark.sql.functions.col
     val k = 5
