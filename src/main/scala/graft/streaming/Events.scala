@@ -692,15 +692,27 @@ object Events {
     * would drop.
     *
     * State lifetime: period dedup requires remembering which periods
-    * each key already emitted, so a finalized key's state (cohort day
-    * + emitted-period list, O(time span / periodDays) longs) is kept
-    * for the LIFE of the query — total state is O(distinct keys ×
-    * emitted periods), unlike the watermark-horizon-bounded buffers
-    * of the sibling streams. That is inherent to exact-once period
-    * pairs over an unbounded activity stream; bound it operationally
-    * by restarting the query per retention-report epoch, or cap the
-    * matrix at a max period by filtering `period <= P` downstream
-    * (state itself still grows with distinct keys).
+    * each key already emitted, so WITHOUT a horizon a finalized key's
+    * state (cohort day + emitted-period list, O(time span /
+    * periodDays) longs) is kept for the LIFE of the query — total
+    * state is O(distinct keys × emitted periods), unlike the
+    * watermark-horizon-bounded buffers of the sibling streams. That is
+    * inherent to exact-once period pairs over an unbounded activity
+    * stream; bound it operationally by restarting the query per
+    * retention-report epoch — or set `maxPeriods`.
+    *
+    * `maxPeriods = Some(P)` bounds both the MATRIX (pairs with
+    * period > P are never emitted) and the STATE: a key's ledger drops
+    * — via event-time timeout, no activity needed — once the watermark
+    * passes cohortDay + (P+1)·periodDays, the instant no admissible
+    * event can still land in a period ≤ P. State is then
+    * O(keys active inside their own (P+1)-period horizon), not
+    * keys-for-life. The trade: a key that REAPPEARS after its horizon
+    * is indistinguishable from a new key and re-enters as a NEW cohort
+    * (its post-horizon first-activity day) — re-acquisition semantics,
+    * pinned in the parity spec. The unbounded operator has no such
+    * rows; a batch matrix restricted to period ≤ P matches exactly for
+    * every key whose activity stays inside its horizon.
     *
     * Note: chaining this operator's output into a streaming aggregate
     * trips Spark's STATIC global-watermark correctness check (pairs
@@ -711,8 +723,10 @@ object Events {
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
     * for the query, as the parity spec does. */
   def cohortRetentionStream(spark: SparkSession, events: DataFrame,
-      periodDays: Int = 7, watermark: String = "1 hour"): DataFrame = {
+      periodDays: Int = 7, watermark: String = "1 hour",
+      maxPeriods: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val maxP = maxPeriods.getOrElse(Long.MaxValue)
     val typed = events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"))
       .as[CohortEvent]
@@ -740,10 +754,28 @@ object Events {
             val out = pending.sorted.flatMap { tUs =>
               val p = java.time.temporal.ChronoUnit.DAYS
                 .between(cohortDay, dayOf(tUs)) / periodDays
-              if (emitted.contains(p)) None
+              // beyond the horizon: never emitted, never recorded —
+              // the ledger stays ≤ maxP+1 entries
+              if (p > maxP || emitted.contains(p)) None
               else { emitted += p; Some(CohortPair(cohortDay.toString, p, uid)) }
             }
-            state.update(CohortBuf(cohortUs, Nil, emitted.toList))
+            // with a horizon, the ledger drops the instant the
+            // watermark proves no admissible event can still land in
+            // a period ≤ maxP (every later event is either late —
+            // dropped upstream — or in a period > maxP); the timeout
+            // makes the drop happen even if the key never reappears
+            val endUsOpt = maxPeriods.map { mp =>
+              cohortDay.plusDays((mp + 1L) * periodDays)
+                .atStartOfDay(java.time.ZoneOffset.UTC)
+                .toInstant.getEpochSecond * 1000000L
+            }
+            endUsOpt match {
+              case Some(endUs) if wmUs >= endUs => state.remove()
+              case other =>
+                state.update(CohortBuf(cohortUs, Nil, emitted.toList))
+                other.foreach(endUs =>
+                  state.setTimeoutTimestamp(endUs / 1000L + 1L))
+            }
             out.iterator
           } else {
             // cohort not yet final: buffer and wake at its finality

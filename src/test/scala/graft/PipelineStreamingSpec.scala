@@ -1294,6 +1294,55 @@ class PipelineStreamingSpec extends SparkSpec {
     assert(batch.size > 5, s"scenario too small: $batch")
   }
 
+  test("cohort retention maxPeriods: restricted matrix matches batch; ledger drops at the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // periodDays=7, maxPeriods=1 → horizon = cohort day + 14 days.
+    // u1: p0 + p1 inside the horizon, then REAPPEARS Jan 20 (p2,
+    // beyond) — after the ledger drop that event must re-enter as a
+    // NEW Jan-20 cohort (the documented re-acquisition trade).
+    // u2/u3 stay inside their horizons and must match batch exactly.
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-02 09:00:00")), (2L, ts("2024-01-05 09:00:00")),
+      (3L, ts("2024-01-03 08:00:00")), (3L, ts("2024-01-12 08:00:00")))
+    val wmPush = Seq((99L, ts("2024-01-18 00:00:00"))) // wm past every horizon
+    val reacq = Seq((1L, ts("2024-01-20 12:00:00")))
+    val flush = Seq((98L, ts("2030-01-01 00:00:00")))
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val pairs = graft.streaming.Events.cohortRetentionStream(spark,
+      input.toDF().toDF("user_id", "ts"), periodDays = 7,
+      maxPeriods = Some(1L))
+    val q = pairs.writeStream.format("memory").queryName("cohort_horizon")
+      .outputMode(OutputMode.Append()).start()
+    Seq(b1, wmPush, reacq, flush).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cohort_horizon")
+      .filter(col("user_id") < 90L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRestricted = graft.ops.Temporal.cohortRetention(
+        (b1 ++ reacq).toDF("user_id", "ts"), "user_id", "ts", periodDays = 7)
+      .filter(col("period") <= 1L).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    // batch gives the (cohort, period) matrix; expand to expected pairs
+    val expectedInHorizon = Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-02", 0L, 2L),
+      ("2024-01-03", 0L, 3L), ("2024-01-03", 1L, 3L))
+    assert(expectedInHorizon.map(p => (p._1, p._2)) == batchRestricted,
+      s"spec's hand matrix drifted from the batch operator: $batchRestricted")
+    val reacqRow = ("2024-01-20", 0L, 1L)
+    assert(streamed == expectedInHorizon + reacqRow,
+      s"missing=${(expectedInHorizon + reacqRow) -- streamed} " +
+        s"extra=${streamed -- (expectedInHorizon + reacqRow)}")
+    // the re-acquisition row doubles as the ledger-drop witness: it can
+    // only exist if u1's state was removed at the horizon (otherwise
+    // Jan 20 would be period 2 > maxP and emit nothing)
+  }
+
   test("streaming kaplan-meier: exact-once durations fold to the batch curve") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

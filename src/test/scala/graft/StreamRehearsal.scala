@@ -46,6 +46,21 @@ object StreamRehearsal {
         windowSec = 86400L),
       "cohort" -> graft.streaming.Events.cohortRetentionStream(
         spark, src, periodDays = 7),
+      // horizon arm: same stream with a 2-period ledger horizon — the
+      // matrix is restricted (outRows drop) but every sf key is active
+      // across the whole span, so re-acquisition re-admits each key and
+      // end-state stays at the ACTIVE-key count (the documented bound)
+      "cohort_horizon" -> graft.streaming.Events.cohortRetentionStream(
+        spark, src, periodDays = 7, maxPeriods = Some(1L)),
+      // churned-key arms: each 10-day epoch rotates to fresh key ids
+      // (old keys go silent — realistic retention churn). Unbounded
+      // state ends at ALL-TIME distinct keys (~3x); the horizon arm's
+      // retired ledgers drop and end-state stays ~one epoch of keys —
+      // the keys-for-life vs horizon-bounded contrast, measured
+      "cohort_churn" -> graft.streaming.Events.cohortRetentionStream(
+        spark, churnKeys(src), periodDays = 7),
+      "cohort_churn_horizon" -> graft.streaming.Events.cohortRetentionStream(
+        spark, churnKeys(src), periodDays = 7, maxPeriods = Some(0L)),
       "km" -> graft.streaming.Events.kaplanMeierStream(
         spark, src, startType = "signup", eventType = "purchase",
         censorDay = "2024-01-30"),
@@ -69,6 +84,7 @@ object StreamRehearsal {
       val outRows = spark.table(s"rh_$name").count()
       println(f"[rehearsal] $name%-14s wall=$wallS%7.1fs batches=${progs.size}%3d " +
         f"peakStateRows=${if (stateRows.isEmpty) 0L else stateRows.max}%9d " +
+        f"endStateRows=${stateRows.lastOption.getOrElse(0L)}%9d " +
         f"peakStateMB=${if (stateMem.isEmpty) 0L else stateMem.max / (1024 * 1024)}%5d " +
         f"maxBatchS=${maxBatchMs / 1000.0}%6.1f outRows=$outRows%9d")
       spark.sql(s"DROP TABLE IF EXISTS rh_$name")
@@ -76,6 +92,13 @@ object StreamRehearsal {
     println(s"[rehearsal] done (chunks under $streamDir)")
     spark.stop()
   }
+
+  /** Rotate key identity every 10 event-days: epoch e's keys are
+    * user_id + 100000·e, so keys of earlier epochs go silent — the
+    * churn shape real retention streams have and the sf corpus lacks. */
+  private def churnKeys(df: DataFrame): DataFrame =
+    df.withColumn("user_id", col("user_id") +
+      lit(100000L) * floor((dayofmonth(col("ts")) - 1) / 10))
 
   /** Write the events table as `n` time-ordered single-file chunks so
     * the file stream source (mod-time order) replays event time
