@@ -1,45 +1,60 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** A14: exact percentiles at scale. Spark's built-in exact `percentile`
   * aggregate materializes a value->count map per partition and merges
   * them — memory-unbounded on high-cardinality doubles (the 100 TB
-  * failure mode). This implementation is sort-based: one
-  * range-partitioned sort + zipWithIndex, then interpolate between the
-  * two bracketing order statistics per requested percentile
-  * (np.percentile linear interpolation = DuckDB quantile_cont).
-  * Cost: one distributed sort, O(1) driver data.
+  * failure mode). These implementations aggregate (value, count) first
+  * and ride one range-partitioned prefix sum, then read the bracketing
+  * order statistics as conditional-min aggregates (np.percentile
+  * linear interpolation = DuckDB quantile_cont). Cost: one
+  * distinct-value-sized shuffle, O(1) driver data.
   */
 object Percentiles {
 
-  /** Returns (percentile -> value) for non-null values of `c`. */
+  /** Returns (percentile -> value) for non-null values of `c`.
+    *
+    * Shape: one (value, count) aggregate (map-side combinable, shuffle
+    * is distinct-value-sized), the partition-bounded prefix sum of
+    * `Evaluation.withRunningTotals`, then every bracketing order
+    * statistic as a conditional-min against its integer rank — one
+    * DataFrame plan, no RDD hop / zipWithIndex / row-scale cache (the
+    * earlier sort-based form paid all three). The in-plan floor/ceil
+    * of r = (n−1)·p runs the same IEEE double ops as the driver-side
+    * interpolation below, so brackets and fractions always agree. */
   def exact(df: DataFrame, c: String, ps: Seq[Double]): Map[Double, Double] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    val spark = df.sparkSession
-    val vals = df.select(col(c).cast("double").as("v")).filter(col("v").isNotNull)
-      .repartitionByRange(col("v")).sortWithinPartitions("v")
-    val schema = StructType(Seq(StructField("v", DoubleType, false), StructField("i", LongType, false)))
-    val indexed = spark.createDataFrame(
-      vals.rdd.zipWithIndex().map { case (r, i) => Row(r.getDouble(0), i) }, schema)
-      .cache()
-    val n = indexed.count()
-    require(n > 0, s"no non-null values in $c")
-    // bracketing order statistics for every requested percentile
-    val wanted = ps.flatMap { p =>
+    val dist = ps.distinct
+    val counts = df.select(col(c).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__n"))
+    val cum = graft.ml.Evaluation.withRunningTotals(
+        counts, Seq(col("__v")), Map("__cw" -> col("__n")))
+      .withColumn("__cw", col("__cw").cast("long"))
+    val tot = cum.agg(max(col("__cw")).as("__tot"))
+    val joined = cum.crossJoin(broadcast(tot))
+    // 0-based order statistic i lives at the smallest value whose
+    // cumulative count reaches i + 1
+    val aggCols = dist.zipWithIndex.flatMap { case (p, i) =>
+      val r = (col("__tot") - 1).cast("double") * lit(p)
+      Seq(min(when(col("__cw") >= floor(r).cast("long") + 1, col("__v")))
+          .as(s"__lo$i"),
+        min(when(col("__cw") >= ceil(r).cast("long") + 1, col("__v")))
+          .as(s"__hi$i"))
+    } :+ max(col("__tot")).as("n")
+    val row = joined.agg(aggCols.head, aggCols.tail: _*).head()
+    require(!row.isNullAt(row.fieldIndex("n")), s"no non-null values in $c")
+    val n = row.getLong(row.fieldIndex("n"))
+    dist.zipWithIndex.map { case (p, i) =>
       val r = (n - 1) * p
-      Seq(math.floor(r).toLong, math.ceil(r).toLong)
-    }.distinct
-    val picked = indexed.filter(col("i").isin(wanted: _*))
-      .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
-    indexed.unpersist()
-    ps.map { p =>
-      val r = (n - 1) * p
-      val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
-      val frac = r - lo
-      p -> (picked(lo) * (1 - frac) + picked(hi) * frac)
+      val frac = r - math.floor(r)
+      // (1−f)·a + f·b — np.percentile / DuckDB quantile_cont parity,
+      // the documented contract of THIS function (callers comparing
+      // data against the result use the tie-exact grouped variants)
+      p -> (row.getDouble(row.fieldIndex(s"__lo$i")) * (1 - frac) +
+        row.getDouble(row.fieldIndex(s"__hi$i")) * frac)
     }.toMap
   }
 
