@@ -210,7 +210,7 @@ object Dedup {
     * per-band argmin follow the lower envelope of lines across j, so
     * band collisions correlate and banding recall collapses (a
     * planted J=1/3 pair missed all 16 r=1 bands in spec). */
-  private def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val hashAggs = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
     val sig = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
