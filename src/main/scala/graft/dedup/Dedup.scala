@@ -82,15 +82,27 @@ object Dedup {
     * 3. verify: exact Jaccard on candidates only, via joins against the
     *    shingle table; keep pairs with jaccard >= threshold.
     *
+    * `minBandAgreements` (default 1 = classic banding, exact for the
+    * gate corpora) is the dense-background knob: requiring k >= 2
+    * agreeing bands (the MMDS multi-collision rule, Leskovec-
+    * Rajaraman-Ullman ch. 3) turns the candidate stage into THIN-row
+    * counting and crushes background leakage quadratically — the sf10
+    * census measured the default at 8.1e8 candidate pairs (each
+    * shipping two gram arrays to verify: the disk-spill cliff) vs
+    * ~1e6 at k=2, while a pair at j=0.9 is missed with probability
+    * P[Binom(b, j^r) <= 1] (0.35% at b=12, r=6). At 100 TB, pick
+    * (bands, rowsPerBand, minBandAgreements) from the BucketProbe
+    * census of the corpus's own similarity profile.
+    *
     * Returns (id_1, id_2, jaccard) with id_1 < id_2.
     */
   def minHashNearDup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleK: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2,
-      maxBucketSize: Int = 10000): DataFrame =
+      maxBucketSize: Int = 10000, minBandAgreements: Int = 1): DataFrame =
     minHashOverShingles(hashedShingles(df, idCol, textCol, shingleK),
-      threshold, bands, rowsPerBand, maxBucketSize)
+      threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements)
 
   /** Character n-gram occurrences as hashed Jaccard units: (id, s)
     * with s = xxhash64 of each n-char window of the trimmed text,
@@ -117,9 +129,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2,
-      maxBucketSize: Int = 10000): DataFrame =
+      maxBucketSize: Int = 10000, minBandAgreements: Int = 1): DataFrame =
     minHashOverShingles(hashedCharNgrams(df, idCol, textCol, n),
-      threshold, bands, rowsPerBand, maxBucketSize)
+      threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements)
 
   /** Deterministic per-anchor output budget for verified pair tables —
     * the answer-volume knob for the output-bound pair generators
@@ -156,7 +168,10 @@ object Dedup {
     * pair. */
   private def minHashOverShingles(
       shingleTable: DataFrame, threshold: Double,
-      bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, maxBucketSize: Int,
+      minBandAgreements: Int = 1): DataFrame = {
+    require(minBandAgreements >= 1 && minBandAgreements <= bands,
+      s"minBandAgreements must be in [1, $bands], got $minBandAgreements")
     val sh = shingleTable.cache()
     val banded = bandedSignatures(sh, bands, rowsPerBand)
 
@@ -168,10 +183,19 @@ object Dedup {
       .filter(col("__n") <= maxBucketSize).drop("__n")
       .cache()
 
-    val cand = sized.as("a").join(sized.as("b"),
+    // the self-join output is THIN (two longs per row) — the k-band
+    // agreement count folds it before anything wide (gram arrays)
+    // ships: candidates that collide in only one band are background
+    // at dense-similarity corpora and never reach the verify stage
+    // when minBandAgreements >= 2
+    val candBase = sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+    val cand = (if (minBandAgreements <= 1) candBase.distinct()
+      else candBase.groupBy("id_1", "id_2")
+        .agg(count(lit(1)).as("__k"))
+        .filter(col("__k") >= minBandAgreements).drop("__k"))
       .cache()
 
     // set-semantics shingles for exact Jaccard, but only for documents

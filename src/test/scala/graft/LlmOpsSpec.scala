@@ -943,6 +943,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.999999, s"r2 ${r.getDouble(4)}")
   }
 
+  test("minBandAgreements: k>=2 keeps a subset of classic banding with identical jaccards") {
+    val base = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val strict = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5,
+        minBandAgreements = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(strict.keySet.subsetOf(base.keySet),
+      s"k>=2 must never invent pairs: ${strict.keySet -- base.keySet}")
+    strict.foreach { case (k, j) =>
+      assert(j == base(k), s"jaccard drifted for $k: $j vs ${base(k)}")
+    }
+    // the corpus's true near-dups sit at j>=0.9, where missing both
+    // band collisions is (1-j^2)-squared-rare — all must survive k>=2
+    val high = base.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty && high.subsetOf(strict.keySet),
+      s"j>=0.9 pairs lost by k>=2: ${high -- strict.keySet}")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashNearDup(docs, "doc_id", "text", minBandAgreements = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashNearDup(docs, "doc_id", "text", minBandAgreements = 17)
+    }
+  }
+
   test("budgetPairs: deterministic top-by-similarity cap with loud drop counts") {
     import spark.implicits._
     val pairs = Seq(

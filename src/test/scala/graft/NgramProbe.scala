@@ -1,7 +1,7 @@
 package graft
 
 /** sf10 char-gram near-dup probe (dev-only; run via
-  * `sbt "Test/runMain graft.NgramProbe <sfDir> [maxBucketSize] [bands] [rowsPerBand]"`).
+  * `sbt "Test/runMain graft.NgramProbe <sfDir> [maxBucketSize] [bands] [rowsPerBand] [minAgree]"`).
   *
   * Times ngramJaccardNearDup with an explicit maxBucketSize and counts
   * its pairs, plus reports the (band, bsig) bucket-size distribution —
@@ -25,14 +25,15 @@ object NgramProbe {
     val cap = if (args.length > 1) args(1).toInt else 10000
     val bands = if (args.length > 2) args(2).toInt else 8
     val rows = if (args.length > 3) args(3).toInt else 4
+    val agree = if (args.length > 4) args(4).toInt else 1
     val docs = graft.core.Tables.documents(spark, args(0))
     val t0 = System.nanoTime()
     val pairs = graft.dedup.Dedup.ngramJaccardNearDup(docs, "doc_id",
       "text", threshold = 0.5, n = 5, bands = bands, rowsPerBand = rows,
-      maxBucketSize = cap)
+      maxBucketSize = cap, minBandAgreements = agree)
     val n = pairs.count()
-    println(f"[ngramprobe] b=$bands%d r=$rows%d cap=$cap%d pairs=$n%d " +
-      f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[ngramprobe] b=$bands%d r=$rows%d cap=$cap%d agree=$agree%d " +
+      f"pairs=$n%d wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
