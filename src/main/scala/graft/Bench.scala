@@ -105,7 +105,8 @@ object Bench {
         "q211_communities"),
       "image" -> Seq("q209_image_near_dup", "q212_image_dup_clusters",
         "q220_image_canonical"),
-      "fuzzy" -> Seq("q175_fuzzy_join", "q194_fuzzy_clusters"))
+      "fuzzy" -> Seq("q175_fuzzy_join", "q194_fuzzy_clusters",
+        "q223_fuzzy_budget"))
     val groups = memoGroups.map { case (g, names) =>
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")

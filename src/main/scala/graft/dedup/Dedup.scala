@@ -147,10 +147,14 @@ object Dedup {
     * (pairs per anchor, already capped upstream by maxBucketSize),
     * never corpus-bounded. */
   def budgetPairs(pairs: DataFrame, simCol: String, budget: Int,
-      anchorCol: String = "id_1", tieCol: String = "id_2"): DataFrame = {
+      anchorCol: String = "id_1", tieCol: String = "id_2",
+      ascending: Boolean = false): DataFrame = {
     require(budget > 0, s"pair budget must be positive, got $budget")
+    // descending for similarity scores (keep the MOST similar),
+    // ascending for distances (keep the CLOSEST)
     val ranked = Window.partitionBy(anchorCol)
-      .orderBy(col(simCol).desc, col(tieCol).asc)
+      .orderBy(if (ascending) col(simCol).asc else col(simCol).desc,
+        col(tieCol).asc)
     pairs.withColumn("__rn", row_number().over(ranked))
       .withColumn("n_dropped",
         greatest(lit(0L),

@@ -399,6 +399,39 @@ object EvalQueries {
   def fuzzyJoin(s: SparkSession, d: String): DataFrame =
     fuzzyPairs(s, d).orderBy("id_1", "id_2")
 
+  /** q223: the answer-volume knob on the fuzzy-join family — the
+    * ascending arm of Dedup.budgetPairs (keep the CLOSEST pairs per
+    * anchor, ties by id_2; drops counted on every kept row), closing
+    * the q69/q175-class budget ask on its second member. Shares q175's
+    * memoized pairs; budget=1 engages at sf0.01 (anchors carry up to
+    * 2 pairs) so the oracle verifies the cap, not a pass-through. */
+  def fuzzyBudget(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.budgetPairs(fuzzyPairs(s, d), "distance",
+        budget = 1, ascending = true)
+      .orderBy("id_1", "id_2")
+
+  val fuzzyBudgetSql: String =
+    """WITH k0 AS (
+      |  SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
+      |         string_split_regex(trim(text), '\s+')[1] AS blk
+      |  FROM documents
+      |),
+      |ok AS (SELECT blk FROM k0 GROUP BY blk HAVING count(*) <= 10000),
+      |k AS (SELECT k0.* FROM k0 JOIN ok USING (blk)),
+      |pairs AS (
+      |  SELECT a.id AS id_1, b.id AS id_2,
+      |         levenshtein(a.pfx, b.pfx) AS distance
+      |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE levenshtein(a.pfx, b.pfx) <= 10)
+      |SELECT id_1, id_2, distance,
+      |       greatest(0, cnt - 1) AS n_dropped
+      |FROM (SELECT *,
+      |        row_number() OVER (PARTITION BY id_1
+      |                           ORDER BY distance ASC, id_2) AS rn,
+      |        count(*) OVER (PARTITION BY id_1) AS cnt
+      |      FROM pairs) z
+      |WHERE rn <= 1 ORDER BY id_1, id_2""".stripMargin
+
   // the ok CTE mirrors the operator's maxBlockSize=10000 skew guard:
   // at a scale factor where a first-token block exceeds the cap the
   // engine drops it, so the oracle must drop it too
@@ -1074,6 +1107,7 @@ object EvalQueries {
     "q173_weighted_topn" -> (weightedTopN _),
     "q174_group_ols" -> (groupOls _),
     "q175_fuzzy_join" -> (fuzzyJoin _),
+    "q223_fuzzy_budget" -> (fuzzyBudget _),
     "q176_seasonal_backtest" -> (seasonalBacktest _),
     "q177_describe" -> (describe _),
     "q178_event_trigrams" -> (eventTrigrams _),
@@ -1113,6 +1147,7 @@ object EvalQueries {
     "q173_weighted_topn" -> weightedTopNSql,
     "q174_group_ols" -> groupOlsSql,
     "q175_fuzzy_join" -> fuzzyJoinSql,
+    "q223_fuzzy_budget" -> fuzzyBudgetSql,
     "q176_seasonal_backtest" -> seasonalBacktestSql,
     "q177_describe" -> describeSql,
     "q178_event_trigrams" -> eventTrigramsSql,

@@ -992,6 +992,11 @@ class LlmOpsSpec extends SparkSpec {
     // a generous budget never rewrites the pair set
     val loose = Dedup.budgetPairs(pairs, "jaccard", budget = 10)
     assert(loose.count() == 6 && loose.filter(col("n_dropped") =!= 0L).count() == 0)
+    // ascending arm (distances): keep the CLOSEST, not the largest
+    val asc = Dedup.budgetPairs(pairs, "jaccard", budget = 1, ascending = true)
+      .filter(col("id_1") === 1L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(asc == Seq((3L, 0.80, 2L)), s"ascending budget broke: $asc")
     intercept[IllegalArgumentException] { Dedup.budgetPairs(pairs, "jaccard", 0) }
   }
 
