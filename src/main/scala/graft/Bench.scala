@@ -76,7 +76,13 @@ object Bench {
     val results = passes
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     if (failures > 0) System.err.println(s"[bench] $failures of ${results.size} queries failed")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ASCENDING by time: the driver keeps the TAIL of output and the
+    // long line below truncates from the FRONT, so the surviving
+    // suffix must carry the queries that matter — the expensive ones
+    // (bench_diff regex-extracts per-query pairs from whatever tail
+    // survives).
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Memoized groups share computation within a pass, so only the
@@ -112,6 +118,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val passJson = passTotals.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"reps":$reps,"pass_totals":$passJson,"memo_groups":$groups,"queries":$qs}""")
+    // Belt-and-braces for the same truncation: a SHORT standalone line
+    // with just the top-cost queries (descending), printed late enough
+    // to always survive the tail capture even if the full map above is
+    // cut — bench_diff's regex reads pairs from either line.
+    val top = results.toSeq.sortBy(-_._2).take(60)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top_queries","n":${math.min(60, results.size)},"unit":"sec","sf":"$sfDir","queries":$top}""")
     // The driver's capture keeps the TAIL of output (round 7 showed the
     // big line above truncated from the front → parsed:null), so a
     // short self-contained summary prints LAST — it always survives and

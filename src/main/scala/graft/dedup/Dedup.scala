@@ -19,8 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
+
   /** Whitespace tokens of a trimmed text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** First-`nTokens` blocking key for [[fuzzyJoinBlocked]]: the first
+    * `nTokens` whitespace tokens joined by a single space (one split +
+    * one slice — never re-tokenizes per reference). Block-key ARITY is
+    * the fuzzy family's scale lever: expected block size is
+    * corpus / (token-vocabulary ^ arity), so on low-diversity corpora
+    * a single-token key collapses — the sf10 rehearsal measured every
+    * first-token block above the 10k cap (the guard then correctly
+    * drops ALL of them and the join answers empty; see
+    * [[fuzzyJoinBlockedWithStats]] for the loud counterpart), while
+    * the two-token key gave ~vocab² blocks of ~520 docs. Pick the
+    * smallest arity whose expected block size sits well under
+    * `maxBlockSize`; texts with fewer than `nTokens` tokens key on
+    * the tokens they have. */
+  def tokenBlockKey(textCol: Column, nTokens: Int = 2): Column =
+    concat_ws(" ", slice(tokens(textCol), 1, nTokens))
+
+  /** One-row drop-stats frame (n_groups_dropped, n_rows_dropped) from
+    * a (group, size) aggregate and a cap — the loud counterpart of the
+    * skew guards, whose dropped groups produce NO output rows (unlike
+    * [[budgetPairs]], which carries `n_dropped` on kept rows). */
+  private def dropStats(sizes: DataFrame, sizeCol: String, cap: Int): DataFrame =
+    sizes.filter(col(sizeCol) > cap)
+      .agg(count(lit(1)).as("n_groups_dropped"),
+        coalesce(sum(sizeCol), lit(0L)).as("n_rows_dropped"))
 
   /** Exact dedup (keep one row per distinct content). With full-row
     * duplicates any representative is identical, so `dropDuplicates`
@@ -91,8 +118,9 @@ object Dedup {
     * shipping two gram arrays to verify: the disk-spill cliff) vs
     * ~1e6 at k=2, while a pair at j=0.9 is missed with probability
     * P[Binom(b, j^r) <= 1] (0.35% at b=12, r=6). At 100 TB, pick
-    * (bands, rowsPerBand, minBandAgreements) from the BucketProbe
-    * census of the corpus's own similarity profile.
+    * (bands, rowsPerBand, minBandAgreements) from the
+    * [[graft.ProbeBanding]] census of the corpus's own similarity
+    * profile (runMain graft.ProbeBanding <docsDir> [BxR ...]).
     *
     * Returns (id_1, id_2, jaccard) with id_1 < id_2.
     */
@@ -103,6 +131,23 @@ object Dedup {
       maxBucketSize: Int = 10000, minBandAgreements: Int = 1): DataFrame =
     minHashOverShingles(hashedShingles(df, idCol, textCol, shingleK),
       threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements)
+
+  /** [[minHashNearDup]] plus the `maxBucketSize` guard's drop stats: a
+    * one-row (n_groups_dropped, n_rows_dropped) frame counting dropped
+    * (band, bsig) buckets and the SIGNATURE rows (id × band
+    * memberships) inside them, computed eagerly from the cheap half of
+    * the pipeline (one extra aggregate over the cached gram table) and
+    * logged as a warning when nonzero — the no-silent-caps rule for a
+    * guard whose drops otherwise only show as missing pairs. */
+  def minHashNearDupWithStats(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000,
+      minBandAgreements: Int = 1): (DataFrame, DataFrame) =
+    minHashOverShinglesCore(hashedShingles(df, idCol, textCol, shingleK),
+      threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements,
+      wantStats = true) match { case (p, s) => (p, s.get) }
 
   /** Character n-gram occurrences as hashed Jaccard units: (id, s)
     * with s = xxhash64 of each n-char window of the trimmed text,
@@ -132,6 +177,18 @@ object Dedup {
       maxBucketSize: Int = 10000, minBandAgreements: Int = 1): DataFrame =
     minHashOverShingles(hashedCharNgrams(df, idCol, textCol, n),
       threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements)
+
+  /** [[ngramJaccardNearDup]] with the guard drop stats of
+    * [[minHashNearDupWithStats]] (same semantics, char-n-gram units). */
+  def ngramJaccardNearDupWithStats(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000,
+      minBandAgreements: Int = 1): (DataFrame, DataFrame) =
+    minHashOverShinglesCore(hashedCharNgrams(df, idCol, textCol, n),
+      threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements,
+      wantStats = true) match { case (p, s) => (p, s.get) }
 
   /** Deterministic per-anchor output budget for verified pair tables —
     * the answer-volume knob for the output-bound pair generators
@@ -173,11 +230,38 @@ object Dedup {
   private def minHashOverShingles(
       shingleTable: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int,
-      minBandAgreements: Int = 1): DataFrame = {
+      minBandAgreements: Int = 1): DataFrame =
+    minHashOverShinglesCore(shingleTable, threshold, bands, rowsPerBand,
+      maxBucketSize, minBandAgreements, wantStats = false)._1
+
+  private def minHashOverShinglesCore(
+      shingleTable: DataFrame, threshold: Double,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Int,
+      minBandAgreements: Int,
+      wantStats: Boolean): (DataFrame, Option[DataFrame]) = {
     require(minBandAgreements >= 1 && minBandAgreements <= bands,
       s"minBandAgreements must be in [1, $bands], got $minBandAgreements")
     val sh = shingleTable.cache()
     val banded = bandedSignatures(sh, bands, rowsPerBand)
+
+    // drop stats ride the cheap half (signature aggregate over the
+    // cached gram table) and are collected EAGERLY so the warning
+    // fires before the expensive candidate join is paid; the default
+    // path skips the extra aggregate entirely.
+    val stats = if (!wantStats) None else {
+      val r = dropStats(
+        banded.groupBy("band", "bsig").agg(count(lit(1)).as("__n")),
+        "__n", maxBucketSize).head()
+      val (g, nRows) = (r.getLong(0), r.getLong(1))
+      if (g > 0) log.warn(
+        s"minhash LSH maxBucketSize=$maxBucketSize dropped $g bucket(s) " +
+          s"spanning $nRows signature rows; near-dups colliding only " +
+          "there are not searched - raise the cap or re-band " +
+          "(graft.ProbeBanding prices the shapes)")
+      val spark = shingleTable.sparkSession
+      Some(spark.range(1).select(lit(g).as("n_groups_dropped"),
+        lit(nRows).as("n_rows_dropped")))
+    }
 
     // drop pathological buckets (stop-shingle skew guard at scale);
     // cache: the self-join below consumes this frame twice, and without
@@ -214,7 +298,7 @@ object Dedup {
     sized.unpersist()
     cand.unpersist()
     sh.unpersist()
-    verified
+    (verified, stats)
   }
 
   /** Exact Jaccard for candidate pairs against a DISTINCT (id, s)
@@ -585,7 +669,26 @@ object Dedup {
     * output-bound. */
   def hammingHashPairs(df: DataFrame, hashCol: String,
       maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    hammingHashPairsCore(df, hashCol, maxDistance, bands, hashBits,
+      maxBucketSize)._1
+
+  /** [[hammingHashPairs]] plus the `maxBucketSize` guard's drop stats:
+    * a one-row (n_groups_dropped, n_rows_dropped) frame counting
+    * dropped (band, value) buckets and the DISTINCT-HASH band
+    * memberships inside them. Lazy, and derived from the same
+    * checkpointed distinct-hash projection as the pair result, so
+    * evaluating it re-runs only the banding aggregate — identical-hash
+    * (distance-0) pairs are never affected by the cap (see above). */
+  def hammingHashPairsWithStats(df: DataFrame, hashCol: String,
+      maxDistance: Int, bands: Int = 8, hashBits: Int = 64,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) =
+    hammingHashPairsCore(df, hashCol, maxDistance, bands, hashBits,
+      maxBucketSize)
+
+  private def hammingHashPairsCore(df: DataFrame, hashCol: String,
+      maxDistance: Int, bands: Int, hashBits: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(bands > maxDistance,
       s"pigeonhole needs bands > maxDistance ($bands <= $maxDistance)")
     require(hashBits == 64 && hashBits % bands == 0,
@@ -623,9 +726,10 @@ object Dedup {
           .as("__bv"))
       .select(col("__h"), col("__p1"), col("__p2"),
         col("__bv.b"), col("__bv.v"))
+    val bucketSizes = banded.groupBy("b", "v")
+      .agg(count(lit(1)).as("__sz"))
     val sized = banded.join(
-      banded.groupBy("b", "v").agg(count(lit(1)).as("__sz"))
-        .filter(col("__sz") <= maxBucketSize).select("b", "v"),
+      bucketSizes.filter(col("__sz") <= maxBucketSize).select("b", "v"),
       Seq("b", "v"))
     // near pairs among distinct hashes (distance >= 1 by construction).
     // Verify-then-dedup, not dedup-then-verify: a pair surfaces once
@@ -642,8 +746,9 @@ object Dedup {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxDistance)
       .dropDuplicates("__ha", "__hb")
-    hashPairs.select(col("__ha").as("hash_1"), col("__hb").as("hash_2"),
-      col("hamming"))
+    (hashPairs.select(col("__ha").as("hash_1"), col("__hb").as("hash_2"),
+      col("hamming")),
+      dropStats(bucketSizes, "__sz", maxBucketSize))
   }
 
   /** Expand distinct-hash near pairs (from [[hammingHashPairs]]) into
@@ -719,12 +824,21 @@ object Dedup {
     * larger than `maxBlockSize` are dropped (skew guard, same policy
     * as the LSH bucket cap: one degenerate block can't go quadratic).
     * Emits (id_1, id_2, distance) for pairs at or under
-    * `maxDistance`. */
+    * `maxDistance`.
+    *
+    * Block-key selection: expected block size ≈ corpus /
+    * (key-space ^ arity) must sit well under `maxBlockSize`, or the
+    * guard drops the bulk of the corpus — on the sf10 rehearsal's
+    * 31-word vocabulary EVERY first-token block exceeded the cap and
+    * the join (correctly, but silently here) answered empty. Use
+    * [[tokenBlockKey]] to widen the key and
+    * [[fuzzyJoinBlockedWithStats]] to SEE the drops: its stats frame
+    * counts dropped blocks and the rows inside them, per the
+    * no-silent-caps rule [[budgetPairs]] follows. */
   def fuzzyJoinBlocked(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, maxDistance: Int, prefixLen: Int = 40,
       maxBlockSize: Int = 10000): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"),
-      substring(col(textCol), 1, prefixLen).as("pfx"), blockKey.as("blk"))
+    val keyed = fuzzyKeyed(df, idCol, textCol, blockKey, prefixLen)
     val sized = spread(keyed.join(
       keyed.groupBy("blk").agg(count(lit(1)).as("__sz"))
         .filter(col("__sz") <= maxBlockSize).select("blk"),
@@ -737,5 +851,28 @@ object Dedup {
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
         levenshtein(col("a.pfx"), col("b.pfx"), maxDistance).as("distance"))
       .filter(col("distance") =!= -1)
+  }
+
+  private def fuzzyKeyed(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, prefixLen: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pfx"), blockKey.as("blk"))
+
+  /** [[fuzzyJoinBlocked]] plus its guard's drop stats: a one-row
+    * (n_groups_dropped, n_rows_dropped) frame counting the blocks the
+    * `maxBlockSize` guard removed and the DOCUMENTS inside them. The
+    * stats frame is lazy and lineage-independent of the pair result
+    * (evaluating it costs one scan + block-size aggregate, output
+    * bounded by block cardinality) so the join keeps its audited
+    * plan; both sides are exact-SQL-mirrorable (q224). */
+  def fuzzyJoinBlockedWithStats(df: DataFrame, idCol: String,
+      textCol: String, blockKey: Column, maxDistance: Int,
+      prefixLen: Int = 40, maxBlockSize: Int = 10000): (DataFrame, DataFrame) = {
+    val stats = dropStats(
+      fuzzyKeyed(df, idCol, textCol, blockKey, prefixLen)
+        .groupBy("blk").agg(count(lit(1)).as("__sz")),
+      "__sz", maxBlockSize)
+    (fuzzyJoinBlocked(df, idCol, textCol, blockKey, maxDistance,
+      prefixLen, maxBlockSize), stats)
   }
 }

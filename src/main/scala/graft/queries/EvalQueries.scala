@@ -410,6 +410,31 @@ object EvalQueries {
         budget = 1, ascending = true)
       .orderBy("id_1", "id_2")
 
+  /** q224: the loud half of the fuzzy-join skew guard — the
+    * (n_groups_dropped, n_rows_dropped) stats frame of
+    * `fuzzyJoinBlockedWithStats` over the TWO-token block key
+    * (`Dedup.tokenBlockKey`, the sf10 finding's recipe for
+    * low-diversity corpora), with `maxBlockSize = 3` so the guard
+    * ENGAGES at gate scale (two-token blocks reach size 4-5) and the
+    * oracle verifies nonzero drop counts, not a (0, 0) pass-through.
+    * Closes the r13 no-silent-caps ask: a 100%-dropped corpus now
+    * answers with its drop counts instead of only an empty pair
+    * table. */
+  def fuzzyGuardStats(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.fuzzyJoinBlockedWithStats(docs(s, d), "doc_id",
+      "text", graft.dedup.Dedup.tokenBlockKey(col("text"), 2),
+      maxDistance = 10, prefixLen = 40, maxBlockSize = 3)._2
+
+  val fuzzyGuardStatsSql: String =
+    """WITH k AS (
+      |  SELECT array_to_string(
+      |           (string_split_regex(trim(text), '\s+'))[1:2], ' ') AS blk
+      |  FROM documents),
+      |s AS (SELECT blk, count(*) AS sz FROM k GROUP BY blk)
+      |SELECT count(*) AS n_groups_dropped,
+      |       CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows_dropped
+      |FROM s WHERE sz > 3""".stripMargin
+
   val fuzzyBudgetSql: String =
     """WITH k0 AS (
       |  SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
@@ -1108,6 +1133,7 @@ object EvalQueries {
     "q174_group_ols" -> (groupOls _),
     "q175_fuzzy_join" -> (fuzzyJoin _),
     "q223_fuzzy_budget" -> (fuzzyBudget _),
+    "q224_fuzzy_guard_stats" -> (fuzzyGuardStats _),
     "q176_seasonal_backtest" -> (seasonalBacktest _),
     "q177_describe" -> (describe _),
     "q178_event_trigrams" -> (eventTrigrams _),
@@ -1148,6 +1174,7 @@ object EvalQueries {
     "q174_group_ols" -> groupOlsSql,
     "q175_fuzzy_join" -> fuzzyJoinSql,
     "q223_fuzzy_budget" -> fuzzyBudgetSql,
+    "q224_fuzzy_guard_stats" -> fuzzyGuardStatsSql,
     "q176_seasonal_backtest" -> seasonalBacktestSql,
     "q177_describe" -> describeSql,
     "q178_event_trigrams" -> eventTrigramsSql,

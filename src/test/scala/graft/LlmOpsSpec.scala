@@ -845,6 +845,76 @@ class LlmOpsSpec extends SparkSpec {
     assert(open.count() == 30L * 29 / 2, "default cap keeps the full clique")
   }
 
+  test("skew-guard drop stats: every capped family is loud when the cap engages") {
+    import spark.implicits._
+    // minhash LSH: 30 identical docs put one size-30 bucket in each of
+    // the 16 default bands; cap 10 drops all 16 (480 signature rows)
+    val clones = (1L to 30L)
+      .map(i => (i, "all these documents are exactly the same text"))
+      .toDF("id", "text")
+    val (mp, ms) = Dedup.minHashNearDupWithStats(clones, "id", "text",
+      threshold = 0.5, maxBucketSize = 10)
+    assert(mp.count() == 0L)
+    val mr = ms.head()
+    assert((mr.getLong(0), mr.getLong(1)) == (16L, 480L),
+      s"expected 16 dropped buckets / 480 rows, got $mr")
+    // ...and reads (0, 0) when the cap does not engage
+    val (mp2, ms2) = Dedup.minHashNearDupWithStats(clones, "id", "text",
+      threshold = 0.5)
+    assert(mp2.count() == 30L * 29 / 2)
+    val mr2 = ms2.head()
+    assert((mr2.getLong(0), mr2.getLong(1)) == (0L, 0L))
+
+    // fuzzy blocks: one 5-doc block over the cap → dropped whole, and
+    // the stats frame says so (the sf10 q175 empty-answer incident,
+    // now loud); the singleton block survives but pairs nothing
+    val fdocs = Seq((1L, "alpha one t1"), (2L, "alpha one t2"),
+      (3L, "alpha one t3"), (4L, "alpha two s1"), (5L, "alpha two s2"),
+      (6L, "beta solo")).toDF("doc_id", "text")
+    val (fp, fs) = Dedup.fuzzyJoinBlockedWithStats(fdocs, "doc_id",
+      "text", Dedup.tokenBlockKey(col("text"), 1), maxDistance = 10,
+      maxBlockSize = 3)
+    assert(fp.count() == 0L)
+    val fr = fs.head()
+    assert((fr.getLong(0), fr.getLong(1)) == (1L, 5L),
+      s"expected the alpha block (5 docs) dropped, got $fr")
+    // widening the key (the tokenBlockKey recipe) splits the hot
+    // block below the cap: nothing dropped, pairs come back
+    val (fp2, fs2) = Dedup.fuzzyJoinBlockedWithStats(fdocs, "doc_id",
+      "text", Dedup.tokenBlockKey(col("text"), 2), maxDistance = 10,
+      maxBlockSize = 3)
+    val fr2 = fs2.head()
+    assert((fr2.getLong(0), fr2.getLong(1)) == (0L, 0L))
+    assert(fp2.count() == 3L + 1L,
+      "two-token blocks sit under the cap: C(3,2) + C(2,2) pairs")
+
+    // hamming bands: 3 distinct hashes (zeros, flip{0,20,40},
+    // flip{0..9}) share 7 of the 24 (band, value) cells — band1 {h0,h3},
+    // band2 {h0,h10}, band5 {h0,h10}, bands 3/4/6/7 all three — so
+    // cap 1 drops 7 buckets spanning 2+2+3+3+2+3+3 = 18 memberships
+    def flip(s: String, idxs: Seq[Int]): String =
+      idxs.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == '0') '1' else '0'))
+    val zeros = "0" * 64
+    val hdf = Seq((1L, zeros), (2L, flip(zeros, Seq(0, 20, 40))),
+      (3L, flip(zeros, 0 until 10)), (4L, zeros)).toDF("doc_id", "dhash")
+    val (hp, hs) = Dedup.hammingHashPairsWithStats(hdf, "dhash",
+      maxDistance = 6, bands = 8, maxBucketSize = 1)
+    assert(hp.count() == 0L)
+    val hr = hs.head()
+    assert((hr.getLong(0), hr.getLong(1)) == (7L, 18L),
+      s"expected 7 dropped band cells / 18 distinct-hash rows, got $hr")
+  }
+
+  test("tokenBlockKey: first-n tokens, short texts key on what they have") {
+    import spark.implicits._
+    val df = Seq((1L, "  a  b c d "), (2L, "solo"), (3L, "x y"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        Dedup.tokenBlockKey(col("text"), 2).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b", 2L -> "solo", 3L -> "x y"))
+  }
+
   test("hammingNearDup: pigeonhole banding finds all close pairs, cap guards") {
     import spark.implicits._
     val zeros = "0" * 64

@@ -95,10 +95,14 @@ object StreamRehearsal {
 
   /** Rotate key identity every 10 event-days: epoch e's keys are
     * user_id + 100000·e, so keys of earlier epochs go silent — the
-    * churn shape real retention streams have and the sf corpus lacks. */
+    * churn shape real retention streams have and the sf corpus lacks.
+    * Epochs count days since a FIXED date (not day-of-month, which
+    * resets monthly and would resurrect "retired" ids on corpora
+    * spanning more than one month). */
   private def churnKeys(df: DataFrame): DataFrame =
     df.withColumn("user_id", col("user_id") +
-      lit(100000L) * floor((dayofmonth(col("ts")) - 1) / 10))
+      lit(100000L) * floor(datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")) / 10))
 
   /** Write the events table as `n` time-ordered single-file chunks so
     * the file stream source (mod-time order) replays event time

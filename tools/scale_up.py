@@ -29,8 +29,10 @@ explosions:
   - embeddings.embedding: copy i rotates the vector by i mod dim
     positions (norm-preserving, changes neighborhoods); copies past
     one full rotation cycle (i >= dim) additionally flip a
-    deterministic third of the signs keyed by i // dim, so no two
-    copies ever coincide at any factor.
+    deterministic third of the signs, with the mask keyed by
+    hash(position, i // dim) — the hash makes masks of different
+    cycles differ, so copies sharing a rotation (i ≡ j mod dim)
+    coincide only when i = j: no two copies match at any factor.
 
 Timestamps are left unchanged: the day/hour frames every temporal
 operator aggregates into stay bounded by the TIME SPAN while per-day
@@ -166,7 +168,7 @@ def main():
                       list_concat(embedding[(c.i % {dim}) + 1:],
                                   embedding[:(c.i % {dim})]),
                       (x, ix) -> CASE WHEN c.i >= {dim}
-                                      AND (ix + c.i // {dim}) % 3 = 0
+                                      AND hash(ix || '_' || (c.i // {dim})) % 3 = 0
                                  THEN -x ELSE x END)::FLOAT[]
                END AS embedding,
                label
