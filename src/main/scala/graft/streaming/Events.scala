@@ -101,15 +101,37 @@ object Events {
   }
 
   /** Identity for streams that EMIT `event_id` in their output rows
-    * (decay, attribution): the id must already be integral — hashing
-    * would change the output's meaning — so non-integral types fail
-    * fast at plan time with the remedy in the message. */
-  private def emittedId(df: DataFrame, name: String, op: String): Column = {
-    require(isIntegral(df, name),
-      s"graft: $op emits '$name' in its output and requires an integral " +
-        s"id type, got ${df.schema(name).dataType.simpleString}; " +
-        "fingerprint upstream (e.g. xxhash64) if your ids are strings")
-    guardNull(col(name), col(name).cast("long"), name)
+    * (decay, attribution). Integral ids pass through exactly. String
+    * ids parse as longs (numeric-typed-as-string sources keep their
+    * ids verbatim — restores the pre-round-13 behavior the blanket
+    * fail-fast briefly broke); a string that does NOT parse (UUIDs)
+    * fails loudly at runtime with the remedy in the message, never
+    * silently null-collapsing the dedup. With `fingerprint = true`
+    * (the shipped remedy) any non-integral id is xxhash64-fingerprinted
+    * over the raw value — dedup is correct and the OUTPUT's event_id
+    * is then a 64-bit fingerprint of the source id, not the id itself
+    * (documented on the operators). Other non-integral types (decimal,
+    * double, binary) without the opt-in still fail fast at plan
+    * time: a lossy cast would silently merge distinct ids. */
+  private def emittedId(df: DataFrame, name: String, op: String,
+      fingerprint: Boolean): Column = {
+    val raw = col(name)
+    if (isIntegral(df, name)) guardNull(raw, raw.cast("long"), name)
+    else if (fingerprint) guardNull(raw, xxhash64(raw), name)
+    else df.schema(name).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        when(raw.isNull || raw.cast("long").isNull, raise_error(lit(
+          s"graft: $op emits '$name' and needs integral ids; a string " +
+            "id was null or did not parse as a long - pass " +
+            "fingerprintIds=true to emit xxhash64 fingerprints instead")))
+          .otherwise(raw.cast("long"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft: $op emits '$name' in its output and requires an " +
+            s"integral id type, got ${other.simpleString}; pass " +
+            "fingerprintIds=true to emit xxhash64 fingerprints, or " +
+            "fingerprint upstream")
+    }
   }
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
@@ -424,13 +446,21 @@ object Events {
     * scalar, which is why the decay feature is THE canonical
     * streaming-state engagement signal. Associativity of the
     * recurrence differs from the batch anchored-sum formulation by
-    * float ulps (compare rounded values, as the parity spec does). */
+    * float ulps (compare rounded values, as the parity spec does).
+    *
+    * Id contract (output carries `event_id`): integral ids and
+    * long-parseable string ids pass through exactly; with
+    * `fingerprintIds = true` any other id type is emitted as its
+    * xxhash64 fingerprint (redelivery dedup keys on the raw value;
+    * the output id is then a fingerprint, not the source id). */
   def decayStream(spark: SparkSession, events: DataFrame,
-      halfLifeSec: Long, watermark: String = "1 hour"): DataFrame = {
+      halfLifeSec: Long, watermark: String = "1 hour",
+      fingerprintIds: Boolean = false): DataFrame = {
     import spark.implicits._
     val lam = math.log(2.0) / halfLifeSec
     val typed = events.withWatermark("ts", watermark)
-      .select(emittedId(events, "event_id", "decayStream").as("event_id"),
+      .select(emittedId(events, "event_id", "decayStream",
+        fingerprintIds).as("event_id"),
         col("user_id").cast("long"),
         col("ts"), col("value").cast("double"))
       .as[DecayEvent]
@@ -520,10 +550,14 @@ object Events {
     * arrived, so the row is emitted exactly once (the funnel/decay
     * finality discipline). Touches older than (watermark − windowSec)
     * can never serve a future conversion (whose cts >= watermark) and
-    * leave state — the bounded forward-join shape. */
+    * leave state — the bounded forward-join shape. Id contract as
+    * [[decayStream]]: long-parseable strings pass through; other
+    * types need `fingerprintIds = true` (emitted event_id is then an
+    * xxhash64 fingerprint of the raw id). */
   def attributionStream(spark: SparkSession, events: DataFrame,
       conversionType: String, touchType: String, windowSec: Long,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      fingerprintIds: Boolean = false): DataFrame = {
     import spark.implicits._
     val wUs = windowSec * 1000000L
     // filter BEFORE the watermark so event time tracks exactly the
@@ -531,7 +565,8 @@ object Events {
     val typed = events
       .filter(col("event_type").isin(conversionType, touchType))
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
-        emittedId(events, "event_id", "attributionStream").as("event_id"),
+        emittedId(events, "event_id", "attributionStream",
+          fingerprintIds).as("event_id"),
         col("event_type"),
         col("value").cast("double").as("value"))
       .withWatermark("ts", watermark)
@@ -710,9 +745,14 @@ object Events {
     * keys-for-life. The trade: a key that REAPPEARS after its horizon
     * is indistinguishable from a new key and re-enters as a NEW cohort
     * (its post-horizon first-activity day) — re-acquisition semantics,
-    * pinned in the parity spec. The unbounded operator has no such
-    * rows; a batch matrix restricted to period ≤ P matches exactly for
-    * every key whose activity stays inside its horizon.
+    * pinned in the parity spec, and DETERMINISTIC with respect to
+    * micro-batch boundaries: beyond-horizon activity arriving while
+    * the old ledger is still alive is buffered (never dropped with the
+    * ledger) and restarts as the fresh cohort the moment the watermark
+    * retires it, exactly as if it had arrived a batch later. The
+    * unbounded operator has no such rows; a batch matrix restricted to
+    * period ≤ P matches exactly for every key whose activity stays
+    * inside its horizon.
     *
     * Note: chaining this operator's output into a streaming aggregate
     * trips Spark's STATIC global-watermark correctness check (pairs
@@ -739,50 +779,78 @@ object Events {
       .flatMapGroupsWithState[CohortBuf, CohortPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[CohortBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(
             CohortBuf(Long.MaxValue, Nil, Nil))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val fresh = rows.map(e => usOf(e.ts)).filter(_ > wmUs).toList
-          val pending = prev.pending ++ fresh
-          val cohortUs = (prev.cohortUs :: pending).min
-          if (cohortUs == Long.MaxValue) { state.remove(); Iterator.empty }
-          else if (wmUs >= cohortUs) {
-            // cohort final: flush every buffered activity into period
-            // pairs, emitting each period once
-            val cohortDay = dayOf(cohortUs)
-            var emitted = prev.emitted.toSet
-            val out = pending.sorted.flatMap { tUs =>
-              val p = java.time.temporal.ChronoUnit.DAYS
-                .between(cohortDay, dayOf(tUs)) / periodDays
-              // beyond the horizon: never emitted, never recorded —
-              // the ledger stays ≤ maxP+1 entries
-              if (p > maxP || emitted.contains(p)) None
-              else { emitted += p; Some(CohortPair(cohortDay.toString, p, uid)) }
+          // Loop instead of single pass: when the horizon closes a
+          // ledger that still buffers beyond-horizon activity, that
+          // activity restarts as a FRESH cohort in the same invocation
+          // (remove-then-reinsert equivalence) — output is identical
+          // whether a beyond-horizon event lands in the batch that
+          // retires the ledger or any later one, so re-acquisition
+          // rows never depend on micro-batch boundaries.
+          var cohortUs = prev.cohortUs
+          var pending = prev.pending ++
+            rows.map(e => usOf(e.ts)).filter(_ > wmUs).toList
+          var emitted = prev.emitted.toSet
+          val out = scala.collection.mutable.ListBuffer.empty[CohortPair]
+          var done = false
+          while (!done) {
+            cohortUs = (cohortUs :: pending).min
+            if (cohortUs == Long.MaxValue) { state.remove(); done = true }
+            else if (wmUs < cohortUs) {
+              // cohort not yet final: buffer and wake at its finality
+              state.update(CohortBuf(cohortUs, pending, emitted.toList))
+              state.setTimeoutTimestamp(cohortUs / 1000L + 1L)
+              done = true
+            } else {
+              // cohort final: flush in-horizon activity into period
+              // pairs (each period once); beyond-horizon activity is
+              // RETAINED, never silently dropped — it re-enters as a
+              // new cohort when this ledger closes (bounded like any
+              // pending buffer: only events above the watermark enter,
+              // and they release once the watermark passes the
+              // horizon)
+              val cohortDay = dayOf(cohortUs)
+              val withPeriod = pending.sorted.map { tUs =>
+                (tUs, java.time.temporal.ChronoUnit.DAYS
+                  .between(cohortDay, dayOf(tUs)) / periodDays)
+              }
+              withPeriod.foreach { case (_, p) =>
+                if (p <= maxP && !emitted.contains(p)) {
+                  emitted += p
+                  out += CohortPair(cohortDay.toString, p, uid)
+                }
+              }
+              val beyond = withPeriod.collect { case (t, p) if p > maxP => t }
+              // with a horizon, the ledger drops the instant the
+              // watermark proves no admissible event can still land
+              // in a period ≤ maxP (every later event is either late —
+              // dropped upstream — or in a period > maxP); the timeout
+              // makes the drop happen even if the key never reappears
+              val endUsOpt = maxPeriods.map { mp =>
+                cohortDay.plusDays((mp + 1L) * periodDays)
+                  .atStartOfDay(java.time.ZoneOffset.UTC)
+                  .toInstant.getEpochSecond * 1000000L
+              }
+              endUsOpt match {
+                case Some(endUs) if wmUs >= endUs =>
+                  // ledger closes now; buffered beyond-horizon events
+                  // restart the loop as a fresh cohort (or the key
+                  // leaves state entirely)
+                  cohortUs = Long.MaxValue
+                  pending = beyond
+                  emitted = Set.empty
+                  if (beyond.isEmpty) { state.remove(); done = true }
+                case other =>
+                  state.update(CohortBuf(cohortUs, beyond, emitted.toList))
+                  other.foreach(endUs =>
+                    state.setTimeoutTimestamp(endUs / 1000L + 1L))
+                  done = true
+              }
             }
-            // with a horizon, the ledger drops the instant the
-            // watermark proves no admissible event can still land in
-            // a period ≤ maxP (every later event is either late —
-            // dropped upstream — or in a period > maxP); the timeout
-            // makes the drop happen even if the key never reappears
-            val endUsOpt = maxPeriods.map { mp =>
-              cohortDay.plusDays((mp + 1L) * periodDays)
-                .atStartOfDay(java.time.ZoneOffset.UTC)
-                .toInstant.getEpochSecond * 1000000L
-            }
-            endUsOpt match {
-              case Some(endUs) if wmUs >= endUs => state.remove()
-              case other =>
-                state.update(CohortBuf(cohortUs, Nil, emitted.toList))
-                other.foreach(endUs =>
-                  state.setTimeoutTimestamp(endUs / 1000L + 1L))
-            }
-            out.iterator
-          } else {
-            // cohort not yet final: buffer and wake at its finality
-            state.update(CohortBuf(cohortUs, pending, prev.emitted))
-            state.setTimeoutTimestamp(cohortUs / 1000L + 1L)
-            Iterator.empty
           }
+          out.iterator
       }.toDF()
   }
 

@@ -339,19 +339,81 @@ class PipelineStreamingSpec extends SparkSpec {
       s"expected the null-id fail-fast message, got: ${messages(ex)}")
   }
 
-  test("decay/attribution streams: non-integral event_id fails fast at plan time") {
+  test("decay/attribution streams: non-integral non-string event_id fails fast at plan time") {
     import spark.implicits._
-    val df = Seq(("u-1", 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+    // doubles (and decimals, binaries) have no lossless long identity
+    // and no opt-in given here — plan-time fail with the remedy named
+    val df = Seq((1.5, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
       "click", 1.0)).toDF("event_id", "user_id", "ts", "event_type", "value")
     val exD = intercept[IllegalArgumentException] {
       graft.streaming.Events.decayStream(spark, df, halfLifeSec = 60L)
     }
-    assert(exD.getMessage.contains("integral"), exD.getMessage)
+    assert(exD.getMessage.contains("fingerprintIds"), exD.getMessage)
     val exA = intercept[IllegalArgumentException] {
       graft.streaming.Events.attributionStream(spark, df,
         conversionType = "buy", touchType = "click", windowSec = 60L)
     }
-    assert(exA.getMessage.contains("integral"), exA.getMessage)
+    assert(exA.getMessage.contains("fingerprintIds"), exA.getMessage)
+  }
+
+  test("decayStream id contract: numeric strings pass through, UUIDs need the fingerprint opt-in") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def run(rows: Seq[(String, Long, java.sql.Timestamp, Double)],
+        name: String, fingerprint: Boolean): Map[Long, Double] = {
+      val input = MemoryStream[(String, Long, java.sql.Timestamp, Double)](spark)
+      val out = graft.streaming.Events.decayStream(spark,
+        input.toDF().toDF("event_id", "user_id", "ts", "value"),
+        halfLifeSec = 3600L, fingerprintIds = fingerprint)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      input.addData(rows); q.processAllAvailable()
+      input.addData(Seq(("999", 999L, ts("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(("998", 999L, ts("2030-01-01 02:00:00"), 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("user_id") =!= 999L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    }
+    // numeric-typed-as-string ids: verbatim long identities in the
+    // output (the pre-round-13 compatibility ADVICE asked back)
+    val numeric = run(Seq(
+      ("41", 7L, ts("2024-01-01 10:00:00"), 4.0),
+      ("42", 7L, ts("2024-01-01 11:00:00"), 8.0),
+      ("42", 7L, ts("2024-01-01 11:00:00"), 8.0)), // redelivery dedups
+      "decay_numstr", fingerprint = false)
+    assert(numeric.keySet == Set(41L, 42L), s"got ${numeric.keySet}")
+    assert(numeric(42L) > 0.0, "second event must see the first's decay sum")
+    // UUID ids under the opt-in: end-to-end, dedup on the raw value,
+    // emitted event_id is the xxhash64 fingerprint
+    val uuid = run(Seq(
+      ("a-uuid-1", 7L, ts("2024-01-01 10:00:00"), 4.0),
+      ("a-uuid-2", 7L, ts("2024-01-01 11:00:00"), 8.0),
+      ("a-uuid-2", 7L, ts("2024-01-01 11:00:00"), 8.0)),
+      "decay_uuid", fingerprint = true)
+    val fp = Seq("a-uuid-1", "a-uuid-2").toDF("id")
+      .select(xxhash64(col("id"))).collect().map(_.getLong(0)).toSet
+    assert(uuid.keySet == fp,
+      s"emitted ids must be xxhash64 fingerprints: got ${uuid.keySet} want $fp")
+    assert(uuid.size == 2, "redelivered UUID event must emit once")
+    // UUID ids WITHOUT the opt-in: loud runtime failure naming it
+    val input = MemoryStream[(String, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.decayStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      halfLifeSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("decay_uuid_noopt")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(Seq(("a-uuid-1", 7L, ts("2024-01-01 10:00:00"), 4.0),
+      ("zz", 7L, ts("2030-01-01 00:00:00"), 0.0)))
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("fingerprintIds")),
+      s"expected the parse-fail remedy message, got: ${messages(ex)}")
   }
 
   test("streaming funnel: emitted chains equal the batch operator's, incl. late earlier anchor") {
@@ -1341,6 +1403,45 @@ class PipelineStreamingSpec extends SparkSpec {
     // the re-acquisition row doubles as the ledger-drop witness: it can
     // only exist if u1's state was removed at the horizon (otherwise
     // Jan 20 would be period 2 > maxP and emit nothing)
+  }
+
+  test("cohort maxPeriods: re-acquisition is batch-boundary deterministic " +
+      "(beyond-horizon event in the ledger-retiring batch still re-enters)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // identical corpus to the spec above, but the wm-advancing event
+    // and u1's beyond-horizon reappearance share ONE batch: the event
+    // lands while u1's ledger is alive (wm < horizon at batch start)
+    // and must be buffered through the ledger drop, not swallowed with
+    // it — the round-13 horizon-boundary race, now pinned shut
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-02 09:00:00")), (2L, ts("2024-01-05 09:00:00")),
+      (3L, ts("2024-01-03 08:00:00")), (3L, ts("2024-01-12 08:00:00")))
+    val fused = Seq((99L, ts("2024-01-18 00:00:00")),
+      (1L, ts("2024-01-20 12:00:00")))
+    val flush = Seq((98L, ts("2030-01-01 00:00:00")))
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val pairs = graft.streaming.Events.cohortRetentionStream(spark,
+      input.toDF().toDF("user_id", "ts"), periodDays = 7,
+      maxPeriods = Some(1L))
+    val q = pairs.writeStream.format("memory").queryName("cohort_race")
+      .outputMode(OutputMode.Append()).start()
+    Seq(b1, fused, flush).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cohort_race")
+      .filter(col("user_id") < 90L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-02", 0L, 2L),
+      ("2024-01-03", 0L, 3L), ("2024-01-03", 1L, 3L),
+      ("2024-01-20", 0L, 1L))
+    assert(streamed == expected,
+      s"missing=${expected -- streamed} extra=${streamed -- expected}")
   }
 
   test("streaming kaplan-meier: exact-once durations fold to the batch curve") {
