@@ -363,15 +363,24 @@ object Temporal {
     * executor. No window over the whole corpus, no range join.
     */
   def cohortRetention(events: DataFrame, key: String, ts: String,
-      periodDays: Int = 7): DataFrame = {
+      periodDays: Int = 7, maxPeriods: Option[Long] = None): DataFrame = {
     val day = to_date(col(ts))
     val acts = events.select(col(key), day.as("__d")).distinct()
     val firsts = acts.groupBy(key).agg(min(col("__d")).as("cohort_start"))
-    val joined = acts.join(firsts, key)
+    // maxPeriods: the batch face of the streaming horizon
+    // (cohortRetentionStream(maxPeriods)) — pairs beyond period P are
+    // pruned BEFORE the distinct/aggregate so the matrix restriction
+    // also shrinks the shuffle; period-0 rows always survive, so
+    // cohort sizes and retention of kept rows are unchanged. (The
+    // stream adds re-acquisition rows for keys that REAPPEAR after
+    // their horizon — a batch pass sees the whole history, so its
+    // matrix is exactly this restriction; parity pinned in spec.)
+    val joined0 = acts.join(firsts, key)
       .select(col(key), col("cohort_start").as("__cs"),
         (floor(datediff(col("__d"), col("cohort_start")) / periodDays))
           .cast("long").as("period"))
-      .distinct()
+    val joined = maxPeriods.fold(joined0)(mp =>
+      joined0.filter(col("period") <= mp)).distinct()
     val matrix = joined.groupBy(col("__cs").as("cohort"), col("period"))
       .agg(countDistinct(col(key)).as("n_active"))
     val sizes = matrix.filter(col("period") === 0)

@@ -450,6 +450,39 @@ object TemporalQueries {
       |FROM m JOIN s USING (cohort)
       |ORDER BY cohort, period""".stripMargin
 
+  /** q225: the horizon arm of cohort retention — q144's matrix under
+    * `maxPeriods = 2`, the batch face of
+    * `cohortRetentionStream(maxPeriods)` (whose stream==batch parity
+    * is spec-pinned). The events table spans enough weeks that the
+    * restriction ENGAGES (periods > 2 exist and are pruned), so the
+    * oracle verifies the horizon cut, not a pass-through. */
+  def cohortHorizon(s: SparkSession, d: String): DataFrame =
+    Temporal.cohortRetention(events(s, d), "user_id", "ts",
+        periodDays = 7, maxPeriods = Some(2L))
+      .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+      .orderBy("cohort", "period")
+
+  val cohortHorizonSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |),
+      |f AS (SELECT user_id, min(d) AS cs FROM a GROUP BY 1),
+      |p AS (
+      |  SELECT DISTINCT a.user_id, cs,
+      |         CAST((d - cs) // 7 AS BIGINT) AS period
+      |  FROM a JOIN f USING (user_id)
+      |  WHERE (d - cs) // 7 <= 2
+      |),
+      |m AS (
+      |  SELECT cs AS cohort, period, count(DISTINCT user_id) AS n_active
+      |  FROM p GROUP BY 1, 2
+      |),
+      |s AS (SELECT cohort, n_active AS cohort_size FROM m WHERE period = 0)
+      |SELECT CAST(cohort AS VARCHAR) AS cohort, period, n_active, cohort_size,
+      |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      |FROM m JOIN s USING (cohort)
+      |ORDER BY cohort, period""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_funnel" -> (funnel _),
     "q138_funnel_rates" -> (funnelRates _),
@@ -457,6 +490,7 @@ object TemporalQueries {
     "q204_gap_percentiles" -> (gapPercentiles _),
     "q213_peak_concurrency" -> (peakConcurrency _),
     "q144_cohort_retention" -> (cohortRetention _),
+    "q225_cohort_horizon" -> (cohortHorizon _),
     "q151_decay_features" -> (decayFeatures _),
     "q111_asof_join" -> (asofJoin _),
     "q112_range_join" -> (rangeJoin _),
@@ -471,6 +505,7 @@ object TemporalQueries {
     "q204_gap_percentiles" -> gapPercentilesSql,
     "q213_peak_concurrency" -> peakConcurrencySql,
     "q144_cohort_retention" -> cohortRetentionSql,
+    "q225_cohort_horizon" -> cohortHorizonSql,
     "q151_decay_features" -> decayFeaturesSql,
     "q125_asof_forward" -> asofForwardSql,
     "q111_asof_join" -> asofJoinSql,

@@ -1386,8 +1386,8 @@ class PipelineStreamingSpec extends SparkSpec {
       .filter(col("user_id") < 90L).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val batchRestricted = graft.ops.Temporal.cohortRetention(
-        (b1 ++ reacq).toDF("user_id", "ts"), "user_id", "ts", periodDays = 7)
-      .filter(col("period") <= 1L).collect()
+        (b1 ++ reacq).toDF("user_id", "ts"), "user_id", "ts",
+        periodDays = 7, maxPeriods = Some(1L)).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
     // batch gives the (cohort, period) matrix; expand to expected pairs
     val expectedInHorizon = Set(
