@@ -375,7 +375,31 @@ object Dedup {
   def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, path: String,
       threshold: Double = 0.5, shingleK: Int = 3, bands: Int = 16,
-      rowsPerBand: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+      rowsPerBand: Int = 2, maxBucketSize: Int = 10000): DataFrame =
+    nearDupAgainstIndexCore(spark, newDocs, idCol, textCol, path,
+      threshold, shingleK, bands, rowsPerBand, maxBucketSize,
+      wantStats = false)._1
+
+  /** [[nearDupAgainstIndex]] plus the `maxBucketSize` guard's one-row
+    * (n_groups_dropped, n_rows_dropped) stats over the COMBINED
+    * (indexed + new) bucket population — collected eagerly from the
+    * banded frames (cheap: index bands are read, only the new batch is
+    * hashed) and logged when nonzero, same contract as
+    * [[minHashNearDupWithStats]]. */
+  def nearDupAgainstIndexWithStats(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      threshold: Double = 0.5, shingleK: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) =
+    nearDupAgainstIndexCore(spark, newDocs, idCol, textCol, path,
+      threshold, shingleK, bands, rowsPerBand, maxBucketSize,
+      wantStats = true) match { case (p, s) => (p, s.get) }
+
+  private def nearDupAgainstIndexCore(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      threshold: Double, shingleK: Int, bands: Int,
+      rowsPerBand: Int, maxBucketSize: Int,
+      wantStats: Boolean): (DataFrame, Option[DataFrame]) = {
     // validate the banding config against the index manifest: a
     // mismatched probe makes every bsig miss and silently returns
     // (almost) nothing. Pre-manifest indexes (no manifest/ dir) skip
@@ -397,6 +421,18 @@ object Dedup {
     val bOld = spark.read.parquet(s"$path/bands")
     val combined = bOld.withColumn("__new", lit(false))
       .unionByName(bNew.withColumn("__new", lit(true)))
+    val stats = if (!wantStats) None else {
+      val r = dropStats(
+        combined.groupBy("band", "bsig").agg(count(lit(1)).as("__n")),
+        "__n", maxBucketSize).head()
+      val (g, nRows) = (r.getLong(0), r.getLong(1))
+      if (g > 0) log.warn(
+        s"band-index probe maxBucketSize=$maxBucketSize dropped $g " +
+          s"bucket(s) spanning $nRows signature rows (indexed + new " +
+          "combined); near-dups colliding only there are not searched")
+      Some(spark.range(1).select(lit(g).as("n_groups_dropped"),
+        lit(nRows).as("n_rows_dropped")))
+    }
     val sized = combined.withColumn("__n",
         count(lit(1)).over(Window.partitionBy("band", "bsig")))
       .filter(col("__n") <= maxBucketSize).drop("__n")
@@ -416,7 +452,7 @@ object Dedup {
       .localCheckpoint()
     cand.unpersist()
     shNew.unpersist()
-    verified
+    (verified, stats)
   }
 
   private[graft] def exactJaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame =
@@ -586,28 +622,59 @@ object Dedup {
     * exact cosine keeps pairs >= threshold. Approximate in recall
     * (miss probability (1-(1-theta/pi)^planes)^tables for angle theta),
     * exact in precision — the scale path when no natural blocking key
-    * exists. */
+    * exists. Buckets over `maxBucketSize` are dropped (the LSH skew
+    * guard the minhash pipelines already carry — a degenerate bucket,
+    * e.g. a mass of identical or zero vectors landing one SRP cell,
+    * must not go quadratic); [[embeddingNearDupLshWithStats]] surfaces
+    * the drop counts. */
   def embeddingNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 12, tables: Int = 4, seed: Long = 7919L): DataFrame = {
+      planes: Int = 12, tables: Int = 4, seed: Long = 7919L,
+      maxBucketSize: Int = 10000): DataFrame =
+    embeddingNearDupLshCore(df, idCol, vecCol, threshold, planes,
+      tables, seed, maxBucketSize)._1
+
+  /** [[embeddingNearDupLsh]] plus the guard's one-row
+    * (n_groups_dropped, n_rows_dropped) stats frame — dropped
+    * (table, bucket) cells and the id × table memberships inside them
+    * (lazy; evaluating it re-runs only the projection + bucket-size
+    * aggregate). */
+  def embeddingNearDupLshWithStats(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 12, tables: Int = 4, seed: Long = 7919L,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) =
+    embeddingNearDupLshCore(df, idCol, vecCol, threshold, planes,
+      tables, seed, maxBucketSize)
+
+  private def embeddingNearDupLshCore(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int, tables: Int, seed: Long,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("vec"))
     val tcols = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         graft.sim.Similarity.srpBucket(col("vec"), planes, seed * (t + 1)).as("bkt")))
-    val bucketed = spread(v.select(col("id"), col("vec"),
+    val bucketed0 = v.select(col("id"), col("vec"),
         explode(array(tcols: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bkt")), "id")
+      .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bkt"))
+    val bucketSizes = bucketed0.groupBy("tbl", "bkt")
+      .agg(count(lit(1)).as("__sz"))
+    val bucketed = spread(bucketed0.join(
+      bucketSizes.filter(col("__sz") <= maxBucketSize)
+        .select("tbl", "bkt"),
+      Seq("tbl", "bkt")), "id")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
         col("a.vec").as("v1"), col("b.vec").as("v2"))
       .dropDuplicates("id_1", "id_2")
-    cand.select(col("id_1"), col("id_2"),
+    (cand.select(col("id_1"), col("id_2"),
         graft.functions.GraftFunctions.cosineSim(df.sparkSession,
           col("v1"), col("v2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= threshold),
+      dropStats(bucketSizes, "__sz", maxBucketSize))
   }
 
   /** Canonical-member selection: each cluster keeps its best-scoring

@@ -23,13 +23,15 @@ object FuzzyProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.core.Tables.documents(spark, args(0))
-    val toks = split(trim(col("text")), "\\s+")
     val t0 = System.nanoTime()
-    val pairs = graft.dedup.Dedup.fuzzyJoinBlocked(docs, "doc_id", "text",
-      concat_ws(" ", toks.getItem(0), toks.getItem(1)),
+    val (pairs, stats) = graft.dedup.Dedup.fuzzyJoinBlockedWithStats(
+      docs, "doc_id", "text",
+      graft.dedup.Dedup.tokenBlockKey(col("text"), 2),
       maxDistance = 10, prefixLen = 40)
     val n = pairs.count()
+    val s = stats.head()
     println(f"[fuzzyprobe] two-token blocks: pairs=$n%d " +
+      f"droppedBlocks=${s.getLong(0)}%d droppedRows=${s.getLong(1)}%d " +
       f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }

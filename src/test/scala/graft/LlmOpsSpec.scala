@@ -903,6 +903,37 @@ class LlmOpsSpec extends SparkSpec {
     val hr = hs.head()
     assert((hr.getLong(0), hr.getLong(1)) == (7L, 18L),
       s"expected 7 dropped band cells / 18 distinct-hash rows, got $hr")
+
+    // embedding SRP-LSH: 30 identical vectors land one bucket per
+    // table; cap 10 drops all 4 table cells (120 memberships) and the
+    // quadratic clique never forms — the cap is new this round (the
+    // one LSH family that had NO skew guard); uncapped, the clique
+    // comes back in full
+    val vecs = (1L to 30L).map(i => (i, Array(0.6f, 0.8f, 0.1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val (ep, es) = Dedup.embeddingNearDupLshWithStats(vecs, "vec_id",
+      "embedding", threshold = 0.9, maxBucketSize = 10)
+    assert(ep.count() == 0L)
+    val er = es.head()
+    assert((er.getLong(0), er.getLong(1)) == (4L, 120L),
+      s"expected 4 dropped table cells / 120 memberships, got $er")
+    assert(Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+      threshold = 0.9).count() == 30L * 29 / 2,
+      "default cap keeps the identical-vector clique")
+
+    // incremental band-index probe: clones on both sides saturate the
+    // combined buckets; cap 10 over 15+15 members drops all 16 bands
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_stats").toString
+    val cloneText = "all these documents are exactly the same text"
+    Dedup.writeBandIndex((1L to 15L).map(i => (i, cloneText))
+      .toDF("id", "text"), "id", "text", idx)
+    val (ip, is) = Dedup.nearDupAgainstIndexWithStats(spark,
+      (16L to 30L).map(i => (i, cloneText)).toDF("id", "text"),
+      "id", "text", idx, threshold = 0.5, maxBucketSize = 10)
+    assert(ip.count() == 0L)
+    val ir = is.head()
+    assert((ir.getLong(0), ir.getLong(1)) == (16L, 480L),
+      s"expected 16 dropped combined buckets / 480 rows, got $ir")
   }
 
   test("tokenBlockKey: first-n tokens, short texts key on what they have") {
