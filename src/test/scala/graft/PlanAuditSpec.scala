@@ -473,4 +473,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.forall(_.contains("__pid")),
       s"global-order window forbidden in the capstone:\n${windows.mkString("\n")}")
   }
+
+  test("q224 guard stats: one aggregate pass, no self-join, no window") {
+    // the loud half of the fuzzy skew guard must stay on the CHEAP side
+    // of the pipeline: scan -> block-size aggregate -> filter -> count,
+    // never touching the quadratic within-block join
+    val plan = formatted(Queries.registry("q224_fuzzy_guard_stats")(spark, sf))
+    assert(!plan.contains("Join"), s"stats must not join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), "stats must not window")
+    assert(!plan.contains("levenshtein"),
+      "stats must never reach the edit-distance stage")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial+final block-size aggregation expected")
+  }
+
+  test("q225 cohort horizon: period cut lands under the distinct, sizes join broadcasts") {
+    // maxPeriods must prune BEFORE the (key, period) distinct so the
+    // restriction shrinks the shuffle, not just the output
+    val df = Queries.registry("q225_cohort_horizon")(spark, sf)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val lines = optimized.linesIterator.toSeq
+    // Catalyst pushes the period cut all the way into the firsts-join
+    // CONDITION (even better than a standalone Filter): assert the
+    // `<= 2` predicate sits deeper in the tree than the count-distinct
+    // aggregate it shrinks (deeper = larger line index in the
+    // rendering)
+    val cutIdx = lines.indexWhere(_.contains("<= 2"))
+    val aggIdx = lines.indexWhere(_.contains("count(distinct"))
+    assert(cutIdx >= 0, s"horizon cut missing from the plan:\n$optimized")
+    assert(aggIdx >= 0 && aggIdx < cutIdx,
+      s"horizon cut must precede the distinct/aggregate:\n$optimized")
+    val physical = formatted(df)
+    assert(physical.contains("BroadcastHashJoin"),
+      "cohort-size join over the tiny matrix must broadcast")
+  }
 }
