@@ -63,10 +63,15 @@ object ProbeBanding {
         count(lit(1)).as("n_buckets")).head()
       def d(i: Int): Double =
         Option(row.get(i)).fold(0.0)(_ => row.getDouble(i))
+      // max(n) is null over an EMPTY corpus (0 signature rows —
+      // empty documents.parquet or every doc shorter than the n-gram
+      // width); print a zeros line instead of an NPE
+      def l(i: Int): Long =
+        Option(row.get(i)).fold(0L)(_ => row.getLong(i))
       println(f"[probebanding] ngram=$ngram b=$b%2d r=$r%d " +
         f"candAll=${d(0)}%.3g cap10k=${d(1)}%.3g cap1k=${d(2)}%.3g " +
-        f"cap100=${d(3)}%.3g maxBucket=${row.getLong(4)}%d " +
-        f"buckets=${row.getLong(5)}%d " +
+        f"cap100=${d(3)}%.3g maxBucket=${l(4)}%d " +
+        f"buckets=${l(5)}%d " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%.0fs")
     }
     spark.stop()

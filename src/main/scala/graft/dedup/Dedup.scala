@@ -658,18 +658,24 @@ object Dedup {
     val bucketed0 = v.select(col("id"), col("vec"),
         explode(array(tcols: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl"), col("tb.bkt"))
-    val bucketSizes = bucketed0.groupBy("tbl", "bkt")
-      .agg(count(lit(1)).as("__sz"))
-    val bucketed = spread(bucketed0.join(
-      bucketSizes.filter(col("__sz") <= maxBucketSize)
-        .select("tbl", "bkt"),
-      Seq("tbl", "bkt")), "id")
+    // cap via a window count (the minhash guard's shape): one exchange
+    // keyed by the bucket, no join-back, and the SRP projection is
+    // evaluated once — an aggregate + re-join here would re-run the
+    // per-row hashing for the probe side and add a shuffle to the
+    // default path
+    val bucketed = spread(bucketed0.withColumn("__sz",
+        count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
+      .filter(col("__sz") <= maxBucketSize).drop("__sz"), "id")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
         col("a.vec").as("v1"), col("b.vec").as("v2"))
       .dropDuplicates("id_1", "id_2")
+    // stats are a separate lazy aggregate (evaluating it re-runs only
+    // the projection + bucket-size count, per the WithStats contract)
+    val bucketSizes = bucketed0.groupBy("tbl", "bkt")
+      .agg(count(lit(1)).as("__sz"))
     (cand.select(col("id_1"), col("id_2"),
         graft.functions.GraftFunctions.cosineSim(df.sparkSession,
           col("v1"), col("v2")).as("cosine"))

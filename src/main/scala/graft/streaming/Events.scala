@@ -112,7 +112,16 @@ object Events {
     * is then a 64-bit fingerprint of the source id, not the id itself
     * (documented on the operators). Other non-integral types (decimal,
     * double, binary) without the opt-in still fail fast at plan
-    * time: a lossy cast would silently merge distinct ids. */
+    * time: a lossy cast would silently merge distinct ids.
+    *
+    * The string parse is `try_cast` + a round-trip compare, for two
+    * reasons: a plain `cast` throws CAST_INVALID_INPUT under Spark 4's
+    * default ANSI mode before the remedy message could ever fire
+    * (try_cast yields null instead), and under non-ANSI sessions a
+    * plain cast TRUNCATES ('7.5' and '7.4' both become 7, '042'
+    * collides with '42') — silently merging distinct ids, the exact
+    * loss this contract forbids. The round-trip (parsed back to string
+    * equals the raw id) admits only ids that ARE canonical longs. */
   private def emittedId(df: DataFrame, name: String, op: String,
       fingerprint: Boolean): Column = {
     val raw = col(name)
@@ -120,11 +129,13 @@ object Events {
     else if (fingerprint) guardNull(raw, xxhash64(raw), name)
     else df.schema(name).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        when(raw.isNull || raw.cast("long").isNull, raise_error(lit(
-          s"graft: $op emits '$name' and needs integral ids; a string " +
-            "id was null or did not parse as a long - pass " +
-            "fingerprintIds=true to emit xxhash64 fingerprints instead")))
-          .otherwise(raw.cast("long"))
+        val parsed = raw.try_cast("long")
+        when(raw.isNull || parsed.isNull || parsed.cast("string") =!= raw,
+          raise_error(lit(
+            s"graft: $op emits '$name' and needs integral ids; a string " +
+              "id was null or was not a canonical long - pass " +
+              "fingerprintIds=true to emit xxhash64 fingerprints instead")))
+          .otherwise(parsed)
       case other =>
         throw new IllegalArgumentException(
           s"graft: $op emits '$name' in its output and requires an " +

@@ -409,11 +409,52 @@ class PipelineStreamingSpec extends SparkSpec {
       ("zz", 7L, ts("2030-01-01 00:00:00"), 0.0)))
     val ex = intercept[Exception] { q.processAllAvailable() }
     q.stop()
-    def messages(t: Throwable): List[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toList ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("fingerprintIds")),
-      s"expected the parse-fail remedy message, got: ${messages(ex)}")
+    // The remedy must fire as the raise_error RUNTIME exception — the
+    // top-level STREAM_FAILED message embeds the query plan, which
+    // contains the raise_error literal, so a substring match over all
+    // messages is a false positive (it stayed green even when ANSI
+    // cast threw CAST_INVALID_INPUT before the remedy could run).
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(!chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("CAST_INVALID_INPUT"))),
+      s"plain cast threw before the remedy (ANSI regression): " +
+        s"${chain(ex).map(_.getMessage)}")
+    // the fired raise_error carries the USER_RAISED_EXCEPTION error
+    // class, which plan text never contains — a plan-embedded
+    // raise_error literal cannot pass as the fired error
+    assert(chain(ex).exists(t => Option(t.getMessage).exists(m =>
+      m.contains("USER_RAISED_EXCEPTION") && m.contains("fingerprintIds"))),
+      s"expected the raise_error remedy to fire, got: " +
+        s"${chain(ex).map(_.getMessage)}")
+  }
+
+  test("decayStream id contract: non-canonical numeric strings fail loudly, never merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // '7.5'/'7.4' truncate to the same long under a non-ANSI cast and
+    // '042' collides with '42' — the round-trip contract must reject
+    // them at runtime (remedy named) instead of silently merging ids
+    for (bad <- Seq("7.5", "042")) {
+      val input = MemoryStream[(String, Long, java.sql.Timestamp, Double)](spark)
+      val out = graft.streaming.Events.decayStream(spark,
+        input.toDF().toDF("event_id", "user_id", "ts", "value"),
+        halfLifeSec = 3600L)
+      val q = out.writeStream.format("memory")
+        .queryName(s"decay_noncanon_${bad.replace('.', '_')}")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      input.addData(Seq((bad, 7L, ts("2024-01-01 10:00:00"), 4.0),
+        ("zz", 7L, ts("2030-01-01 00:00:00"), 0.0)))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      q.stop()
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(t => Option(t.getMessage).exists(m =>
+        m.contains("USER_RAISED_EXCEPTION") && m.contains("fingerprintIds"))),
+        s"'$bad' must hit the raise_error remedy, got: " +
+          s"${chain(ex).map(_.getMessage)}")
+    }
   }
 
   test("streaming funnel: emitted chains equal the batch operator's, incl. late earlier anchor") {
