@@ -335,7 +335,10 @@ class PipelineStreamingSpec extends SparkSpec {
     def messages(t: Throwable): List[String] =
       if (t == null) Nil
       else Option(t.getMessage).toList ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("dedup id column")),
+    // key on the error class so a plan-embedded raise_error literal
+    // can never satisfy the assertion (the UUID-spec lesson)
+    assert(messages(ex).exists(m =>
+      m.contains("USER_RAISED_EXCEPTION") && m.contains("dedup id column")),
       s"expected the null-id fail-fast message, got: ${messages(ex)}")
   }
 
