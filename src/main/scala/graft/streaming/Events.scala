@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * presents and every downstream consumer sees one canonical
   * micro-precision TimestampType column.
   */
-object Events {
+// Serializable: the stateful handlers below call the object-level
+// µs/day/rounding helpers, so the executor closures capture this
+// module reference
+object Events extends Serializable {
 
   /** Canonicalize `ts` to TimestampType at micro precision, whatever
     * the parquet encoding. Schema-adaptive:
@@ -89,6 +92,26 @@ object Events {
         "identity would collapse every buffered event into one and " +
         "silently drop data; ids must be non-null and unique per event")))
       .otherwise(idExpr)
+
+  /** Epoch microseconds of a timestamp — THE event-time unit every
+    * stateful handler below buffers and compares in (one definition:
+    * a per-operator local copy would let a truncation or tie rule
+    * drift between operators). */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** UTC calendar day of an epoch-µs instant (cohort / survival day
+    * arithmetic — matches the batch operators' date_trunc). */
+  private def dayOf(us: Long): java.time.LocalDate =
+    java.time.Instant.ofEpochSecond(us / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+
+  /** Emission rounding for JVM-computed doubles: BigDecimal HALF_UP at
+    * 6 decimals — deliberately NOT [[graft.core.Round.r6]] (whose
+    * float path differs on half-µ ties); the parity specs compare
+    * these rounded values against the batch operators'. */
+  private def r6hu(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Identity for [[sessionizeStream]]'s `eventIdCol` (never emitted):
     * integral ids pass through exactly; any other type — string, UUID,
@@ -224,8 +247,7 @@ object Events {
         java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
           java.time.Duration.ofNanos(endUs * 1000L))),
         s.size.toLong, endUs - startUs,
-        BigDecimal(s.map(_._2).sum)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        r6hu(s.map(_._2).sum))
     }
 
     typed.groupByKey(_.user_id)
@@ -233,8 +255,7 @@ object Events {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[SessBuffer]) =>
           val merged = state.getOption.map(_.events).getOrElse(Nil) ++
-            rows.map(e => (e.ts.toInstant.getEpochSecond * 1000000L +
-              e.ts.toInstant.getNano / 1000L, e.value, e.event_id)).toList
+            rows.map(e => (usOf(e.ts), e.value, e.event_id)).toList
           // distinctBy event_id (state first, so redelivered copies
           // drop): an at-least-once redelivery within the watermark
           // window would otherwise inflate n_events and the value sum
@@ -251,9 +272,10 @@ object Events {
             val (closed, open) = sessions.partition(s => s.last._1 + gapUs <= wmUs)
             if (open.isEmpty) state.remove()
             else {
-              state.update(SessBuffer(open.flatten))
+              val flat = open.flatten
+              state.update(SessBuffer(flat))
               // fire when the watermark passes newest-event + gap
-              state.setTimeoutTimestamp(open.flatten.map(_._1).max / 1000L +
+              state.setTimeoutTimestamp(flat.map(_._1).max / 1000L +
                 gapSec * 1000L + 1L)
             }
             closed.map(emit(uid, _)).iterator
@@ -292,9 +314,18 @@ object Events {
     import spark.implicits._
     val wUs = withinSec * 1000000L
     val horizon = (steps.size - 1).toLong * wUs
-    // step index via a column expression, not a typed map — a typed map
+    // events carry their DISTINCT-type index, and the chain walks the
+    // funnel positions through stepIdx — with a repeated step type
+    // (view -> click -> view) a per-position mapping would be
+    // last-match-wins and the earlier position could never anchor
+    // (silent empty output); matching positions by TYPE is exactly the
+    // batch Temporal.funnel semantics (each asofJoin filters by type)
+    val distinctSteps = steps.distinct
+    val stepIdx: Seq[Int] =
+      steps.map(distinctSteps.zipWithIndex.toMap)
+    // type index via a column expression, not a typed map — a typed map
     // would drop the watermark tag the event-time timeout requires
-    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+    val stepCol = distinctSteps.zipWithIndex.foldLeft(lit(-1)) {
       case (acc, (s, i)) => when(col("event_type") === s, lit(i)).otherwise(acc)
     }
     // filter BEFORE the watermark: the watermark must track the funnel
@@ -308,14 +339,12 @@ object Events {
       .withWatermark("ts", watermark)
       .as[FunnelEv]
 
-    def usOf(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
     // the SAME greedy-earliest chain as Temporal.funnel, over the
     // buffered (ts, step) pairs
     def chainOf(evts: List[(Long, Int)]): Seq[Long] = {
-      val byStep = evts.groupBy(_._2)
-      byStep.get(0).map(_.map(_._1).min) match {
+      val byType = evts.groupBy(_._2)
+      byType.get(stepIdx.head).map(_.map(_._1).min) match {
         case None => Nil
         case Some(anchor) =>
           var chain = Vector(anchor)
@@ -323,7 +352,7 @@ object Events {
           var broken = false
           while (i < steps.size && !broken) {
             val prev = chain.last
-            val cand = byStep.getOrElse(i, Nil).map(_._1)
+            val cand = byType.getOrElse(stepIdx(i), Nil).map(_._1)
               .filter(t => t >= prev && t - prev <= wUs)
             if (cand.isEmpty) broken = true else chain :+= cand.min
             i += 1
@@ -339,7 +368,8 @@ object Events {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val buf = state.getOption.map(_.events).getOrElse(Nil) ++
             rows.map(e => (usOf(e.ts), e.step)).toList
-          val anchors = buf.collect { case (t, 0) => t }
+          val anchors =
+            buf.collect { case (t, s) if s == stepIdx.head => t }
           if (anchors.isEmpty) {
             // no chain can ever anchor before the watermark now
             val kept = buf.filter(_._1 >= wmUs)
@@ -475,8 +505,6 @@ object Events {
         col("user_id").cast("long"),
         col("ts"), col("value").cast("double"))
       .as[DecayEvent]
-    def usOf(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[DecayBuf, DecayRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -502,16 +530,23 @@ object Events {
               else carry * math.exp(-lam * ((tUs - carryUs).toDouble / 1e6))
             carry = decayed + v
             carryUs = tUs
-            DecayRow(id, uid,
-              BigDecimal(decayed)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            DecayRow(id, uid, r6hu(decayed))
           }
           if (still.isEmpty && carryUs == Long.MinValue) state.remove()
           else {
             state.update(DecayBuf(carryUs, carry, still))
-            val horizonMs =
-              (still.headOption.map(_._1).getOrElse(wmUs) / 1000L) + 1L
-            state.setTimeoutTimestamp(math.max(horizonMs, wmUs / 1000L + 1L))
+            // arm a timeout ONLY while events are pending: the carry
+            // needs no wake-up (a later event invokes the handler and
+            // reads it; until then there is nothing to emit), and
+            // not re-setting the timeout here CLEARS the previous one
+            // (GroupStateImpl starts each invocation unset and the
+            // exec persists the change). A watermark+1 re-arm on an
+            // empty buffer would wake EVERY key that ever emitted on
+            // every micro-batch forever — O(historical keys) no-op
+            // state rewrites per batch on a long-running stream.
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(still.head._1 / 1000L + 1L, wmUs / 1000L + 1L))
           }
           out.iterator
       }.toDF()
@@ -582,8 +617,6 @@ object Events {
         col("value").cast("double").as("value"))
       .withWatermark("ts", watermark)
       .as[AttrEvent]
-    def usOf(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrBuf, AttrRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -606,9 +639,7 @@ object Events {
           val (ready, still) = pending.partition(_._1 <= wmUs)
           val out = ready.map { case (cts, id, v) =>
             val in = touches.filter(t => t <= cts && t >= cts - wUs)
-            AttrRow(id, uid,
-              BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble,
+            AttrRow(id, uid, r6hu(v),
               if (in.isEmpty) None else Some(cts - in.min),
               if (in.isEmpty) None else Some(cts - in.max))
           }
@@ -686,8 +717,6 @@ object Events {
       .agg(count(lit(1)).as("x"))
       .select(col("__w").getField("start").as("dayTs"), col("x"))
       .as[CusumDayBar]
-    def usOf(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     def r6(x: Double) = graft.core.Round.r6(x)
     daily.groupByKey(_ => 0)
       .flatMapGroupsWithState[CusumCarry, CusumRow](
@@ -781,11 +810,6 @@ object Events {
     val typed = events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"))
       .as[CohortEvent]
-    def usOf(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-    def dayOf(us: Long): java.time.LocalDate =
-      java.time.Instant.ofEpochSecond(us / 1000000L)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[CohortBuf, CohortPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -902,11 +926,6 @@ object Events {
       .filter(col("event_type").isin(startType, eventType))
       .select(col("user_id").cast("long"), col("ts"), col("event_type"))
       .as[KmEvent]
-    def usOf(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-    def dayOf(us: Long): java.time.LocalDate =
-      java.time.Instant.ofEpochSecond(us / 1000000L)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[KmState, KmDuration](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -941,8 +960,10 @@ object Events {
             // no start yet (conversions alone never emit), or the
             // start lies beyond the horizon (not at risk): hold until
             // the horizon passes — an even-lower start may still
-            // arrive while t0 > watermark — then discard the key
-            if (wmUs >= censorEndUs && wmUs >= t0.min(censorEndUs)) {
+            // arrive while t0 > watermark (but any future start is
+            // > wm >= censorEndUs, i.e. also beyond the horizon) —
+            // then discard the key
+            if (wmUs >= censorEndUs) {
               state.remove(); Iterator.empty
             } else {
               state.update(KmState(t0, pending, t1, done = false))
@@ -969,7 +990,7 @@ object Events {
             state.remove()
             Iterator.single(KmDuration(uid,
               java.time.temporal.ChronoUnit.DAYS.between(dayOf(t0),
-                java.time.LocalDate.parse(censorDay)), 0))
+                dayOf(censorEndUs)), 0))
           } else {
             state.update(KmState(t0, if (wmUs >= t0) Nil else pending, t1,
               done = false))

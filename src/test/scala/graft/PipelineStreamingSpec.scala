@@ -522,6 +522,94 @@ class PipelineStreamingSpec extends SparkSpec {
       "the late earlier anchor must re-anchor the chain")
   }
 
+  test("streaming funnel: a REPEATED step type matches batch (view -> click -> view)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a per-position event->step mapping is last-match-wins on a
+    // duplicated type, so position 0 never anchors and the stream
+    // silently emits NOTHING while batch converts u1 — the chain must
+    // match positions by TYPE (the batch asofJoin semantics)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "view"),   // completes step 3
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "click"),  // no second view: 2 steps
+      (5L, ts("2024-01-01 10:10:00"), "click"))  // no anchor: no row
+    val steps = Seq("view", "click", "view")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val out = graft.streaming.Events.funnelStream(spark,
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      steps, withinSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("funnel_dup_step")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(rows); q.processAllAvailable()
+    input.addData(Seq((999L, ts("2030-01-01 00:00:00"), "view")))
+    q.processAllAvailable()
+    input.addData(Seq((999L, ts("2030-01-01 02:00:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_dup_step")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getSeq[Long](3).toList)).toMap
+    val batch = graft.ops.Temporal.funnel(
+        rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, withinSec = 3600L)
+      .collect().map { r =>
+        val prefix = (1 to 3).flatMap(i => Option(r.getTimestamp(i)))
+          .map(t => t.toInstant.getEpochSecond * 1000000L +
+            t.toInstant.getNano / 1000L).toList
+        r.getLong(0) -> ((r.getLong(4), r.getBoolean(5), prefix))
+      }.toMap
+    assert(streamed == batch,
+      s"duplicate-step stream/batch mismatch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed(1L)._2, "u1 must convert through the repeated view step")
+    assert(streamed(2L)._1 == 2L, "u2 completes exactly 2 steps")
+  }
+
+  test("decayStream: a drained key sleeps - no per-batch timeout re-arm") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 7 fully emits early, then only key 8 receives events. A
+    // watermark+1 re-arm on the empty buffer would wake key 7 and
+    // rewrite its state on EVERY later batch (numRowsUpdated = 2);
+    // with the timeout cleared it sleeps while its carry persists
+    // (numRowsTotal still counts it).
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.decayStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      halfLifeSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("decay_sleep")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(Seq((1L, 7L, ts("2024-01-01 10:00:00"), 4.0)))
+    q.processAllAvailable()
+    input.addData(Seq((2L, 8L, ts("2024-01-01 16:00:00"), 1.0)))
+    q.processAllAvailable() // wm -> 15:00, key 7 emits and drains
+    input.addData(Seq((3L, 8L, ts("2024-01-01 19:00:00"), 1.0)))
+    q.processAllAvailable() // wm 15:00 -> key 7 drains in this round
+    val seen = q.recentProgress.length
+    input.addData(Seq((4L, 8L, ts("2024-01-01 22:00:00"), 1.0)))
+    q.processAllAvailable()
+    // the buggy re-arm fires in the zero-input follow-up batch, so sum
+    // state writes across the WHOLE final round: key 8 legitimately
+    // writes twice (its 22:00 buffer in the data batch, then its 19:00
+    // timeout drain in the follow-up) -> fixed = 2; the re-arm bug
+    // adds a key-7 rewrite on top -> 3+
+    val finalRound = q.recentProgress.drop(seen)
+    q.stop()
+    assert(spark.table("decay_sleep").filter(col("user_id") === 7L).count() == 1,
+      "key 7 must have emitted exactly once")
+    val updated = finalRound.map(_.stateOperators.head.numRowsUpdated).sum
+    assert(updated <= 2,
+      s"drained key 7 must not be rewritten on later batches " +
+        s"(round numRowsUpdated=$updated, expected <= 2: key 8 only)")
+    assert(finalRound.last.stateOperators.head.numRowsTotal == 2L,
+      "key 7's carry must persist in state while it sleeps")
+  }
+
   test("streaming funnel step-timing: waits equal the batch chain's, quartile fold matches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
