@@ -63,7 +63,11 @@ object Encode {
       s"oneHot($c): more than $maxCategories distinct values; not a categorical column")
     // Single Project node (not an N-deep withColumn chain: each
     // withColumn adds a nested projection the analyzer must traverse).
-    val indicator = values.map(v => (col(c) === v).cast("int").as(s"${c}_$v")) :+
+    // Null-safe equality: get_dummies puts 0 (not NULL) in every value
+    // indicator of a null row — plain === would leave the whole row of
+    // indicators NULL and break downstream sums/assemblers.
+    val indicator = values.map(v =>
+      (col(c) <=> lit(v)).cast("int").as(s"${c}_$v")) :+
       col(c).isNull.cast("int").as(s"${c}_nan")
     val keep = df.columns.filterNot(_ == c).map(col)
     df.select(keep.toSeq ++ indicator: _*)

@@ -93,20 +93,20 @@ object Incremental {
 
   /** Snapshot diff: rows added, removed, or changed between two
     * versions of a keyed table. Content equality is an md5 over the
-    * compare columns (computed scan-local on each side), so the full
-    * outer join carries one 16-byte digest per row, never the payload.
-    * NULLs are encoded explicitly per column (coalesce to a NUL
-    * sentinel) so the digest keeps one field per compare column —
-    * concat_ws alone SKIPS nulls, which would make ('a', NULL, 'b')
-    * and ('a', 'b', NULL) collide and miss real changes.
+    * JSON of the compare-column struct (computed scan-local on each
+    * side), so the full outer join carries one 16-byte digest per
+    * row, never the payload. JSON keeps one DELIMITED, ESCAPED field
+    * per column: a raw separator-joined concat is injectable — with
+    * '|' glue, ('a|b', 'c') and ('a', 'b|c') serialize identically
+    * and a real change is reported unchanged — and a null maps to an
+    * ABSENT JSON field no string value can collide with (the earlier
+    * NUL sentinel still collided with a literal NUL-string value).
     * Returns (key columns..., status ∈ added|removed|changed). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, h: String): DataFrame =
       df.select(keyCols.map(col) :+
-        md5(concat_ws("|",
-          compareCols.map(c =>
-            coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h): _*)
+        md5(to_json(struct(compareCols.map(col): _*))).as(h): _*)
     hashed(oldDf, "__ho").join(hashed(newDf, "__hn"), keyCols, "full_outer")
       .withColumn("status",
         when(col("__ho").isNull, "added")

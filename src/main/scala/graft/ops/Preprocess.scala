@@ -80,7 +80,10 @@ object Preprocess {
       aggType: String = "mean"): DataFrame = {
     val aggCol = aggExpr(aggType, target).as("__imputed")
     val groups = df.filter(col(target).isNotNull).groupBy(keys.map(col): _*).agg(aggCol)
-    df.join(broadcast(groups), keys, "left")
+    // no broadcast hint: a forced broadcast OOMs the driver when the
+    // grouping key is high-cardinality; AQE broadcasts the (always
+    // smaller) aggregate side by measured size instead
+    df.join(groups, keys, "left")
       .withColumn(target, coalesce(col(target), col("__imputed")))
       .drop("__imputed")
   }
@@ -287,8 +290,13 @@ object Preprocess {
     * deviation). Returns (feature, is_int_like 0/1).
     */
   def intLike(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // int(x) truncates toward zero — floor alone misclassifies a
+    // negative near-integer (-2.000000001 is int-like to the
+    // reference: int(x) = -2, |diff| = 1e-9; floor gives -3 and a
+    // spurious 0.999... difference)
+    def trunc(c: Column): Column = when(c >= 0, floor(c)).otherwise(ceil(c))
     val aggs = cols.map(c =>
-      max(when(abs(col(c) - floor(col(c))) > 1e-8, 1).otherwise(0)).as(c))
+      max(when(abs(col(c) - trunc(col(c))) > 1e-8, 1).otherwise(0)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*)
     val n = cols.length
     row.select(expr(

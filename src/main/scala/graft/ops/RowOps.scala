@@ -59,6 +59,9 @@ object RowOps {
     */
   def weightedVote(cols: Seq[Column], weights: Seq[Double]): Column = {
     val total = weights.sum
+    require(total > 0,
+      s"weightedVote: weights must sum to a positive value, got $weights " +
+        "(an all-zero weighting would silently return the first column)")
     val norm = weights.map(_ / total)
     // np.argmax semantics: exact float comparison, first max wins; with
     // candidates scanned in column order the tie-break below (strictly

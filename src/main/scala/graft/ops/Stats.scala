@@ -130,7 +130,12 @@ object Stats {
   def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+    // rows with a null in either variable are excluded up front (the
+    // pandas.crosstab / scipy convention): a null key would inflate
+    // the totals and n while the equality grid join can never match
+    // it, silently corrupting chi2, dof, and V
+    val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
       .localCheckpoint() // consumers: row totals, col totals, grid join
     val rt = obs.groupBy("__a").agg(sum("__o").as("__rt"))

@@ -140,11 +140,18 @@ object Temporal {
     val pGr = points.select(
         col(ptTs).as("__pt"), col(valueCol).as("__pv"),
         floor(unix_micros(col(ptTs)) / g).cast("long").as("__gran"))
-    iGr.join(pGr, Seq("__gran"))
+    val matched = iGr.join(pGr, Seq("__gran"))
       .filter(col("__pt") >= col(startCol) && col("__pt") < col(endCol))
       .groupBy(intervalId)
-      .agg(count(lit(1)).as("n_points"),
-        round(sum(col("__pv")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("__n"), round(sum(col("__pv")), 6).as("__sv"))
+    // "for EVERY interval": an interval with zero in-window points
+    // must appear with (0, 0.0), not vanish with the inner join —
+    // callers joining results back per interval would silently lose
+    // rows otherwise
+    intervals.select(col(intervalId)).join(matched, Seq(intervalId), "left")
+      .select(col(intervalId),
+        coalesce(col("__n"), lit(0L)).as("n_points"),
+        coalesce(col("__sv"), lit(0.0)).as("sum_value"))
   }
 
   /** Rolling event-time features: for every row, the count and value
@@ -166,7 +173,11 @@ object Temporal {
     val us = unix_micros(col(ts))
     val ordered = Window.partitionBy(key).orderBy(us)
     val trailing = ordered.rangeBetween(-windowSec * 1000000L, -1L)
-    val lifetime = ordered.rowsBetween(Window.unboundedPreceding, -1L)
+    // RANGE, not ROWS: a ROWS frame counts same-timestamp peers for
+    // whichever row happens to sort later — nondeterministic and
+    // inconsistent with the trailing frame, which excludes peers; the
+    // RANGE frame is the documented strictly-prior (us' < us) count
+    val lifetime = ordered.rangeBetween(Window.unboundedPreceding, -1L)
     events
       .withColumn("n_prior_win", count(lit(1)).over(trailing))
       .withColumn("sum_prior_win",
@@ -195,8 +206,12 @@ object Temporal {
     val lam = math.log(2.0) / halfLifeSec
     val us = unix_micros(col(ts))
     val anchor = Window.partitionBy(key)
+    // RANGE, not ROWS: the documented sum is over t_i < t — a ROWS
+    // frame would include a same-timestamp peer for whichever row
+    // sorts later, nondeterministically (streaming decayStream
+    // applies the same tie rule: a tie group shares one prior sum)
     val prior = Window.partitionBy(key).orderBy(us)
-      .rowsBetween(Window.unboundedPreceding, -1L)
+      .rangeBetween(Window.unboundedPreceding, -1L)
     val relSec = (us - min(us).over(anchor)).cast("double") / lit(1e6)
     events
       .withColumn("__wv", exp(lit(lam) * relSec) * col(valueCol))
@@ -296,15 +311,31 @@ object Temporal {
     * prefix-sum helper (`Evaluation.withRunningTotals` — range
     * partition + per-partition window + broadcast offsets, never a
     * single-partition window), and the per-day max is a day-keyed
-    * aggregate. "Peak" is evaluated at session-boundary instants —
-    * the points where concurrency can change. */
+    * aggregate. "Peak" is evaluated at session-boundary instants PLUS
+    * each midnight in the span: concurrency is constant between
+    * boundaries, so those are the only instants where it can change —
+    * but a day whose busiest moment is CARRIED IN from the previous
+    * day (sessions still open at 00:00, first boundary a session end)
+    * has its peak at the day start, and a day with no boundaries at
+    * all lies entirely inside open sessions; the zero-delta midnight
+    * rows make both read the carried value. Midnights are one
+    * day-span sequence (bounded by the corpus time span, the
+    * funnelRates discipline). */
   def peakConcurrency(events: DataFrame, key: String, ts: String,
       valueCol: String, gapSec: Long): DataFrame = {
     val sess = sessionize(events, key, ts, valueCol, gapSec)
+    val bounds = sess.agg(
+      to_date(min(col("session_start"))).as("__d0"),
+      to_date(max(col("session_end"))).as("__d1"))
+    val midnights = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__day"))
+      .select(unix_micros(col("__day").cast("timestamp")).as("__t"),
+        lit(0L).as("__d"))
     val deltas = sess
       .select(unix_micros(col("session_start")).as("__t"), lit(1L).as("__d"))
       .unionByName(sess.select(
         (unix_micros(col("session_end")) + 1L).as("__t"), lit(-1L).as("__d")))
+      .unionByName(midnights)
       .groupBy("__t").agg(sum(col("__d")).as("__d"))
     graft.ml.Evaluation.withRunningTotals(
         deltas, Seq(col("__t")), Map("__c" -> col("__d")))

@@ -282,11 +282,13 @@ object EvalQueries {
     graft.ops.Stats.chi2Independence(docs(s, d), "lang", "source")
 
   val chi2Sql: String =
-    """WITH o AS (SELECT lang, source, count(*) AS obs
-      |           FROM documents GROUP BY 1, 2),
+    """WITH dd AS (SELECT lang, source FROM documents
+      |            WHERE lang IS NOT NULL AND source IS NOT NULL),
+      |o AS (SELECT lang, source, count(*) AS obs
+      |      FROM dd GROUP BY 1, 2),
       |rt AS (SELECT lang, sum(obs) AS r FROM o GROUP BY 1),
       |ct AS (SELECT source, sum(obs) AS c FROM o GROUP BY 1),
-      |nn AS (SELECT count(*) * 1.0 AS n FROM documents),
+      |nn AS (SELECT count(*) * 1.0 AS n FROM dd),
       |g AS (SELECT rt.lang, ct.source, rt.r, ct.c FROM rt CROSS JOIN ct),
       |f AS (SELECT g.lang, g.source, coalesce(o.obs, 0) AS obs,
       |             g.r * g.c / nn.n AS e
@@ -295,7 +297,7 @@ object EvalQueries {
       |d AS (SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
       |             least(count(DISTINCT lang) - 1,
       |                   count(DISTINCT source) - 1) AS mindim
-      |      FROM documents)
+      |      FROM dd)
       |SELECT round(s.chi2, 6) AS chi2, CAST(d.dof AS BIGINT) AS dof,
       |       round(sqrt(s.chi2 / (nn.n * d.mindim)), 6) AS cramers_v,
       |       CAST(nn.n AS BIGINT) AS n

@@ -83,17 +83,15 @@ object IncrementalQueries {
       |new2 AS (SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       |         FROM documents WHERE doc_id < 5),
       |nw AS (SELECT * FROM new1 UNION ALL SELECT * FROM new2),
-      |oh AS (SELECT doc_id, concat_ws('|', coalesce(text, chr(0)),
-      |                coalesce(lang, chr(0)), coalesce(source, chr(0)),
-      |                coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS h FROM old),
-      |nh AS (SELECT doc_id, concat_ws('|', coalesce(text, chr(0)),
-      |                coalesce(lang, chr(0)), coalesce(source, chr(0)),
-      |                coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS h FROM nw),
-      |j AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
-      |        CASE WHEN oh.h IS NULL THEN 'added'
-      |             WHEN nh.h IS NULL THEN 'removed'
-      |             WHEN oh.h <> nh.h THEN 'changed' END AS status
-      |      FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id)
+      |j AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+      |        CASE WHEN old.doc_id IS NULL THEN 'added'
+      |             WHEN nw.doc_id IS NULL THEN 'removed'
+      |             WHEN (old.text IS DISTINCT FROM nw.text)
+      |               OR (old.lang IS DISTINCT FROM nw.lang)
+      |               OR (old.source IS DISTINCT FROM nw.source)
+      |               OR (old.n_chars IS DISTINCT FROM nw.n_chars)
+      |             THEN 'changed' END AS status
+      |      FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
       |SELECT doc_id, status FROM j WHERE status IS NOT NULL
       |ORDER BY doc_id, status""".stripMargin
 

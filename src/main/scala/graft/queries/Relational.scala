@@ -428,9 +428,9 @@ object Relational {
 
   val oneHotSql: String =
     """SELECT o_orderkey,
-      |  CAST(o_orderstatus = 'F' AS BIGINT) AS o_orderstatus_F,
-      |  CAST(o_orderstatus = 'O' AS BIGINT) AS o_orderstatus_O,
-      |  CAST(o_orderstatus = 'P' AS BIGINT) AS o_orderstatus_P,
+      |  CAST(coalesce(o_orderstatus = 'F', FALSE) AS BIGINT) AS o_orderstatus_F,
+      |  CAST(coalesce(o_orderstatus = 'O', FALSE) AS BIGINT) AS o_orderstatus_O,
+      |  CAST(coalesce(o_orderstatus = 'P', FALSE) AS BIGINT) AS o_orderstatus_P,
       |  CAST(o_orderstatus IS NULL AS BIGINT) AS o_orderstatus_nan
       |FROM orders""".stripMargin
 
@@ -443,12 +443,12 @@ object Relational {
   val intLikeSql: String =
     """SELECT feature, is_int_like FROM (
       |  SELECT 'l_quantity' AS feature,
-      |    1 - max(CASE WHEN abs(l_quantity - floor(l_quantity)) > 1e-8 THEN 1 ELSE 0 END) AS is_int_like
+      |    1 - max(CASE WHEN abs(l_quantity - trunc(l_quantity)) > 1e-8 THEN 1 ELSE 0 END) AS is_int_like
       |  FROM lineitem
       |  UNION ALL SELECT 'l_discount',
-      |    1 - max(CASE WHEN abs(l_discount - floor(l_discount)) > 1e-8 THEN 1 ELSE 0 END) FROM lineitem
+      |    1 - max(CASE WHEN abs(l_discount - trunc(l_discount)) > 1e-8 THEN 1 ELSE 0 END) FROM lineitem
       |  UNION ALL SELECT 'l_extendedprice',
-      |    1 - max(CASE WHEN abs(l_extendedprice - floor(l_extendedprice)) > 1e-8 THEN 1 ELSE 0 END) FROM lineitem
+      |    1 - max(CASE WHEN abs(l_extendedprice - trunc(l_extendedprice)) > 1e-8 THEN 1 ELSE 0 END) FROM lineitem
       |) ORDER BY feature""".stripMargin
 
   // -------------------------------------------------------------------

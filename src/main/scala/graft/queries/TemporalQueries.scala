@@ -76,9 +76,9 @@ object TemporalQueries {
       |  FROM events WHERE event_type = 'error'
       |),
       |p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
-      |SELECT window_id, count(*) AS n_points,
-      |       round(sum(value), 6) AS sum_value
-      |FROM w JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
+      |SELECT window_id, count(p.ts) AS n_points,
+      |       round(coalesce(sum(value), 0), 6) AS sum_value
+      |FROM w LEFT JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
       |GROUP BY window_id ORDER BY window_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -174,7 +174,7 @@ object TemporalQueries {
       |  w1h AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |          RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
       |  wall AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -384,7 +384,13 @@ object TemporalQueries {
       |              max(epoch_us(ts)) AS en
       |       FROM s GROUP BY 1, 2),
       |dl AS (SELECT st AS t, 1 AS dd FROM iv
-      |       UNION ALL SELECT en + 1, -1 FROM iv),
+      |       UNION ALL SELECT en + 1, -1 FROM iv
+      |       UNION ALL
+      |       SELECT epoch_us(CAST(d AS TIMESTAMP)), 0 FROM (
+      |         SELECT unnest(generate_series(
+      |           CAST(make_timestamp((SELECT min(st) FROM iv)) AS DATE),
+      |           CAST(make_timestamp((SELECT max(en) FROM iv)) AS DATE),
+      |           INTERVAL 1 DAY)) AS d)),
       |g AS (SELECT t, sum(dd) AS dd FROM dl GROUP BY 1),
       |r AS (SELECT t, sum(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c
       |      FROM g)
@@ -415,7 +421,7 @@ object TemporalQueries {
       |SELECT event_id, user_id,
       |  round(exp(-(ln(2)/86400) * ((us - t0) / 1000000.0)) *
       |        coalesce(sum(wv) OVER (PARTITION BY user_id ORDER BY us
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 6)
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 6)
       |    AS decayed_sum
       |FROM w ORDER BY event_id""".stripMargin
 

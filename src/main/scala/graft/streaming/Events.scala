@@ -524,14 +524,22 @@ object Events extends Serializable {
           val (ready, still) = buf.span(_._1 <= wmUs)
           var carryUs = prev.carryUs
           var carry = prev.carry
-          val out = ready.map { case (tUs, id, v) =>
-            val decayed =
-              if (carryUs == Long.MinValue) 0.0
-              else carry * math.exp(-lam * ((tUs - carryUs).toDouble / 1e6))
-            carry = decayed + v
-            carryUs = tUs
-            DecayRow(id, uid, r6hu(decayed))
-          }
+          // fold per TIMESTAMP GROUP, not per row: the batch operator's
+          // strictly-prior (t_i < t) RANGE frame gives every member of
+          // a same-timestamp tie the SAME prior sum (ties exclude each
+          // other); a per-row fold would hand the second tied event the
+          // first at full weight, in buffer order — nondeterministic
+          // and diverging from batch
+          val out = ready.groupBy(_._1).toSeq.sortBy(_._1)
+            .flatMap { case (tUs, evs) =>
+              val decayed =
+                if (carryUs == Long.MinValue) 0.0
+                else carry * math.exp(-lam * ((tUs - carryUs).toDouble / 1e6))
+              carry = decayed + evs.map(_._3).sum
+              carryUs = tUs
+              evs.sortBy(_._2).map { case (_, id, _) =>
+                DecayRow(id, uid, r6hu(decayed)) }
+            }
           if (still.isEmpty && carryUs == Long.MinValue) state.remove()
           else {
             state.update(DecayBuf(carryUs, carry, still))

@@ -245,6 +245,45 @@ class EvaluationSpec extends SparkSpec {
       r1.getDouble(2) == 1.0 && r1.getLong(3) == 20L)
   }
 
+  test("chi2Independence: null categories are excluded, not zero-filled") {
+    // a null key inflates totals but can never match the equality grid
+    // join — the operator must behave as if the null rows were absent
+    // (pandas.crosstab semantics)
+    val clean = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val withNulls = clean.unionByName(
+      Seq((null.asInstanceOf[String], "p"), ("x", null.asInstanceOf[String]))
+        .toDF("a", "b"))
+    val r0 = graft.ops.Stats.chi2Independence(clean, "a", "b").head()
+    val r1 = graft.ops.Stats.chi2Independence(withNulls, "a", "b").head()
+    assert(r0 == r1, s"null rows must not change the statistic: $r0 vs $r1")
+    assert(r1.getLong(3) == 20L, "n must exclude null-category rows")
+  }
+
+  test("oneHot: a null row gets 0 in every value indicator (get_dummies parity)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+      .toDF("id", "c")
+    val got = graft.ops.Encode.oneHot(df, "c")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    // columns: c_a, c_b, c_nan — a plain === would leave row 3's value
+    // indicators NULL instead of get_dummies' 0
+    assert(got(3L) == ((0, 0, 1)), s"null row must be (0, 0, 1): $got")
+    assert(got(1L) == ((1, 0, 0)) && got(2L) == ((0, 1, 0)))
+  }
+
+  test("intLike: negative near-integers truncate toward zero like int(x)") {
+    import spark.implicits._
+    // int(-2.000000001) = -2 (|diff| 1e-9, int-like); floor would give
+    // -3 and a spurious 0.999... difference. The epsilon-BELOW case
+    // (1.999999999, int(x) = 1) is NOT int-like — the reference's own
+    // truncation semantics, preserved
+    val df = Seq((-2.000000001, 1.999999999)).toDF("neg_near", "below")
+    val got = graft.ops.Preprocess.intLike(df, Seq("neg_near", "below"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("neg_near" -> 1, "below" -> 0), s"got $got")
+  }
+
   test("quantileNormalize: exact percent rank with min-rank ties") {
     val df = Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 20.0), (4L, "g", 30.0))
       .toDF("doc_id", "src", "v")

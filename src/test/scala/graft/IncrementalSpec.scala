@@ -58,10 +58,22 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff: a delimiter INSIDE a value must not mask a change") {
+    // a raw separator-joined digest is injectable: ('a|b', 'c') and
+    // ('a', 'b|c') concat to the same string — the JSON-struct digest
+    // keeps escaped per-field boundaries so the change is seen
+    val old = Seq((1L, "a|b", "c")).toDF("id", "c1", "c2")
+    val nw = Seq((1L, "a", "b|c")).toDF("id", "c1", "c2")
+    val got = Incremental.snapshotDiff(old, nw, Seq("id"), Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed"),
+      s"pipe-injected column shift must register as changed: $got")
+  }
+
   test("snapshotDiff: a value moving between columns via NULL is a change") {
     // concat_ws alone skips NULLs, so ('a', NULL, 'b') and ('a', 'b',
     // NULL) would share a digest and the change would be missed; the
-    // per-column NUL sentinel keeps one field per compare column
+    // JSON-struct digest keeps one named field per compare column
     val old = Seq((1L, Some("a"), None: Option[String], Some("b")),
       (2L, Some("x"), Some("y"), None: Option[String]))
       .toDF("id", "c1", "c2", "c3")

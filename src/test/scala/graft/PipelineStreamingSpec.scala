@@ -757,6 +757,43 @@ class PipelineStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decay: same-timestamp ties share one prior sum, equal to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two events of one key at the IDENTICAL timestamp: the batch
+    // strictly-prior RANGE frame gives both the same decayed sum (they
+    // exclude each other); the stream folds per timestamp GROUP —
+    // a per-row fold would hand one tied event the other at full
+    // weight, in buffer order
+    val rows = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 11:00:00"), 2.0), // tie A
+      (3L, 7L, ts("2024-01-01 11:00:00"), 4.0), // tie B
+      (4L, 7L, ts("2024-01-01 12:00:00"), 8.0))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)](spark)
+    val out = graft.streaming.Events.decayStream(spark,
+      input.toDF().toDF("event_id", "user_id", "ts", "value"),
+      halfLifeSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("decay_ties")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    input.addData(rows); q.processAllAvailable()
+    input.addData(Seq((999L, 999L, ts("2030-01-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq((998L, 999L, ts("2030-01-01 02:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decay_ties").filter(col("user_id") === 7L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Temporal.decayFeatures(
+        rows.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", halfLifeSec = 3600L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(streamed == batch,
+      s"tie handling must match batch:\nstream=$streamed\nbatch=$batch")
+    assert(streamed(2L) == 0.5 && streamed(3L) == 0.5 && streamed(4L) == 3.25)
+  }
+
   test("streaming decay: in-window event redelivery emits once, sums unchanged") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -30,6 +30,13 @@ class RowOpsSpec extends SparkSpec {
     assert(got == Seq(0L, 0L, 1L, 2L))
   }
 
+  test("weightedVote: all-zero weights fail fast instead of returning the first column") {
+    val ex = intercept[IllegalArgumentException] {
+      RowOps.weightedVote(Seq($"a", $"b"), Seq(0.0, 0.0))
+    }
+    assert(ex.getMessage.contains("positive"), ex.getMessage)
+  }
+
   test("weightedMean normalizes weights") {
     val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
     val got = df.select(RowOps.weightedMean(Seq($"a", $"b", $"c"), Seq(2, 2, 2).map(_.toDouble)).as("m"))

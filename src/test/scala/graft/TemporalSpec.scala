@@ -249,6 +249,61 @@ class TemporalSpec extends SparkSpec {
       s"sessionization must stay per-key partitioned:\n$plan")
   }
 
+  test("rangeJoinCount: an interval with zero in-window points appears with (0, 0.0)") {
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:25")),
+      (2L, ts("2024-01-01 02:00:00"), ts("2024-01-01 02:10:00"))) // empty
+      .toDF("window_id", "w_start", "w_end")
+    val points = Seq((ts("2024-01-01 00:00:10"), 3.0)).toDF("ts", "value")
+    val got = Temporal.rangeJoinCount(intervals, points, "window_id",
+        "w_start", "w_end", "ts", "value", granuleSec = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> ((1L, 3.0)), 2L -> ((0L, 0.0))),
+      s"empty interval must not vanish: $got")
+  }
+
+  test("rollingFeatures + decayFeatures: same-timestamp ties share the strictly-prior frame deterministically") {
+    // two events of one key at the IDENTICAL timestamp: a ROWS frame
+    // would give whichever sorts second n_prior_total = 1 and a
+    // decayed sum including its peer — nondeterministically; the
+    // strictly-prior RANGE frame gives BOTH the same prior state
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 11:00:00"), 2.0), // tie A
+      (3L, 7L, ts("2024-01-01 11:00:00"), 4.0), // tie B
+      (4L, 7L, ts("2024-01-01 12:00:00"), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val roll = graft.ops.Temporal.rollingFeatures(ev, "user_id", "ts", "value", 7200L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(roll(2L) == ((1L, 1.0, 1L)) && roll(3L) == ((1L, 1.0, 1L)),
+      s"tied rows must both see only the strictly-prior event: $roll")
+    assert(roll(4L) == ((3L, 7.0, 3L)))
+    val dec = graft.ops.Temporal.decayFeatures(ev, "user_id", "ts", "value", 3600L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(dec(2L) == 0.5 && dec(3L) == 0.5,
+      s"tied rows must share the prior decayed sum (1.0 halved over 1h): $dec")
+    // the 12:00 row sees the tie group at half-life distance: (0.5+2+4)/2
+    assert(dec(4L) == 3.25, s"later row must fold the whole tie group: $dec")
+  }
+
+  test("peakConcurrency: a day's peak carried in from open sessions is seen at midnight") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // two users whose sessions straddle midnight (events on both
+    // sides within the 30-min gap): day 2's busiest instant is 00:00
+    // with BOTH still active; its only boundary instants are session
+    // ends (after which concurrency is 1 then 0) — without a midnight
+    // evaluation point day 2 would read 1
+    val df = Seq(
+      (1L, t("2024-01-01 23:50:00"), 1.0), (1L, t("2024-01-02 00:10:00"), 1.0),
+      (2L, t("2024-01-01 23:55:00"), 1.0), (2L, t("2024-01-02 00:02:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Temporal.peakConcurrency(df, "user_id", "ts",
+        "value", 1800L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L),
+      s"carried-over concurrency must count at day start: $got")
+  }
+
   test("peakConcurrency: overlap counting with closed-interval boundaries") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
