@@ -21,8 +21,11 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
 
-  /** Whitespace tokens of a trimmed text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens — ONE definition with [[graft.text.TextOps
+    * .tokens]] (regex-trimmed over ALL whitespace, not just 0x20, so
+    * a leading tab/newline cannot inject a phantom empty token into
+    * block keys, shingles, or simhash token sets). */
+  def tokens(text: Column): Column = graft.text.TextOps.tokens(text)
 
   /** First-`nTokens` blocking key for [[fuzzyJoinBlocked]]: the first
     * `nTokens` whitespace tokens joined by a single space (one split +
@@ -505,7 +508,24 @@ object Dedup {
     * exact hamming verification then removes false candidates. */
   def simHashNearDup(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 32,
+      maxBucketSize: Int = 10000): DataFrame =
+    simHashNearDupCore(df, idCol, textCol, maxHamming, bits,
+      maxBucketSize)._1
+
+  /** [[simHashNearDup]] plus the band-bucket guard's one-row
+    * (n_groups_dropped, n_rows_dropped) stats frame (lazy; evaluating
+    * it re-runs only the signature + bucket-size aggregate). */
+  def simHashNearDupWithStats(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 32,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) =
+    simHashNearDupCore(df, idCol, textCol, maxHamming, bits, maxBucketSize)
+
+  private def simHashNearDupCore(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val sig = simHash(df, idCol, textCol, bits).cache()
@@ -516,7 +536,14 @@ object Dedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.bsig"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // band-bucket skew guard (the minhash window-count shape): the
+    // band space holds only 2^bandBits values, so a saturated bucket
+    // would send the self-join quadratic — cap it, and surface the
+    // drops through the WithStats variant per the no-silent-caps rule
+    val sized = banded.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("band", "bsig")))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val cand = sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
@@ -527,7 +554,9 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .localCheckpoint()
     sig.unpersist()
-    out
+    (out, dropStats(
+      banded.groupBy("band", "bsig").agg(count(lit(1)).as("__sz")),
+      "__sz", maxBucketSize))
   }
 
   /** Duplicate clusters from near-dup pairs: connected components via
@@ -603,16 +632,38 @@ object Dedup {
     * `graft.sim.Similarity`. */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
-    val v = spread(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("vec")), "id")
+      threshold: Double, maxBlockSize: Int = 10000): DataFrame =
+    embeddingNearDupCore(df, idCol, vecCol, blockCol, threshold,
+      maxBlockSize)._1
+
+  /** [[embeddingNearDup]] plus the block guard's one-row
+    * (n_groups_dropped, n_rows_dropped) stats frame (lazy). */
+  def embeddingNearDupWithStats(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double, maxBlockSize: Int = 10000): (DataFrame, DataFrame) =
+    embeddingNearDupCore(df, idCol, vecCol, blockCol, threshold,
+      maxBlockSize)
+
+  private def embeddingNearDupCore(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double, maxBlockSize: Int): (DataFrame, DataFrame) = {
+    val keyed = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("vec"))
+    // block skew guard (the fuzzyJoinBlocked contract): one dominant
+    // block value would send the self-join quadratic — cap it, drops
+    // surfaced through the WithStats variant
+    val v = spread(keyed.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("__n") <= maxBlockSize).drop("__n"), "id")
     val pairs = v.as("a").join(v.as("b"),
       col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-    pairs.select(
+    (pairs.select(
         col("a.id").as("id_1"), col("b.id").as("id_2"),
         graft.functions.GraftFunctions.cosineSim(df.sparkSession,
           col("a.vec"), col("b.vec")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= threshold),
+      dropStats(keyed.groupBy("blk").agg(count(lit(1)).as("__sz")),
+        "__sz", maxBlockSize))
   }
 
   /** Embedding near-duplicate pairs WITHOUT a blocking key: candidates
@@ -693,11 +744,15 @@ object Dedup {
       scoreCol: String): DataFrame =
     clusters.join(scored, idCol)
       .groupBy("cluster").agg(
-        max(struct(col(scoreCol), (-col(idCol)).as("neg"),
-          col(idCol).as("id"))).as("__best"),
+        // min over (-score, id): -score ascending = score descending,
+        // ties then break to the SMALLEST id for ANY orderable id type
+        // — negating the id instead would null-cast (non-ANSI) or
+        // throw (ANSI) on string ids and silently pick the largest
+        min(struct((-col(scoreCol).cast("double")).as("negScore"),
+          col(idCol).as("id"), col(scoreCol).as("score"))).as("__best"),
         count(lit(1)).as("n_members"))
       .select(col("cluster"), col("__best.id").as(s"canonical_$idCol"),
-        col(s"__best.$scoreCol").as(scoreCol), col("n_members"))
+        col("__best.score").as(scoreCol), col("n_members"))
 
   /** Hamming-banded near-dup over fixed-width binary-string
     * fingerprints (the image analogue of the SimHash text pipeline:

@@ -430,7 +430,7 @@ object EvalQueries {
   val fuzzyGuardStatsSql: String =
     """WITH k AS (
       |  SELECT array_to_string(
-      |           (string_split_regex(trim(text), '\s+'))[1:2], ' ') AS blk
+      |           (string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))[1:2], ' ') AS blk
       |  FROM documents),
       |s AS (SELECT blk, count(*) AS sz FROM k GROUP BY blk)
       |SELECT count(*) AS n_groups_dropped,
@@ -440,7 +440,7 @@ object EvalQueries {
   val fuzzyBudgetSql: String =
     """WITH k0 AS (
       |  SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
-      |         string_split_regex(trim(text), '\s+')[1] AS blk
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1] AS blk
       |  FROM documents
       |),
       |ok AS (SELECT blk FROM k0 GROUP BY blk HAVING count(*) <= 10000),
@@ -465,7 +465,7 @@ object EvalQueries {
   val fuzzyJoinSql: String =
     """WITH k0 AS (
       |  SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
-      |         string_split_regex(trim(text), '\s+')[1] AS blk
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1] AS blk
       |  FROM documents
       |),
       |ok AS (SELECT blk FROM k0 GROUP BY blk HAVING count(*) <= 10000),

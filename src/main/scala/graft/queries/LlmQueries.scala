@@ -107,7 +107,7 @@ object LlmQueries {
 
   val dedupIncrementalSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
@@ -127,7 +127,7 @@ object LlmQueries {
 
   val dedupNearSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
@@ -159,7 +159,7 @@ object LlmQueries {
     val bits = (0 until simHashBits).map(i =>
       s"CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |  SELECT DISTINCT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
       |  FROM documents
       |),
       |hashed AS (
@@ -379,7 +379,7 @@ object LlmQueries {
   val corpusPrepSql: String =
     """WITH t0 AS (
       |  SELECT doc_id, trim(text) AS txt,
-      |         string_split_regex(trim(text), '\s+') AS w
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
       |  FROM documents
       |),
       |q AS (
@@ -400,7 +400,7 @@ object LlmQueries {
       |  SELECT * FROM kept
       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
       |),
-      |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM exact),
+      |tok AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM exact),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -417,7 +417,7 @@ object LlmQueries {
       |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_2 FROM drops)
       |)
       |SELECT source, count(*) AS n_docs,
-      |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+      |       CAST(sum(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT) AS total_tokens
       |FROM final GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------
@@ -464,7 +464,7 @@ object LlmQueries {
 
   val tokenStatsSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |)
       |SELECT doc_id,
       |  len(w) AS n_tokens,
@@ -494,7 +494,7 @@ object LlmQueries {
       s"CASE $cases END"
     }
     s"""WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w FROM documents
       |),
       |scored AS (
       |  SELECT doc_id,
@@ -517,7 +517,7 @@ object LlmQueries {
   val qualitySql: String =
     """WITH t AS (
       |  SELECT doc_id, trim(text) AS txt,
-      |         string_split_regex(trim(text), '\s+') AS w
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
       |  FROM documents
       |),
       |f AS (
@@ -543,7 +543,7 @@ object LlmQueries {
   val fingerprintSql: String =
     """SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(
-      |      string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+      |      string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -612,7 +612,7 @@ object LlmQueries {
 
   val bpeTokensSql: String =
     """SELECT doc_id,
-      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS n_ws_tokens,
       |  len(regexp_extract_all(trim(text),
       |      '''(?:s|d|m|t|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+', 0)) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -628,7 +628,7 @@ object LlmQueries {
 
   val gopherRepetitionSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |grams AS (
       |  SELECT doc_id,
@@ -682,7 +682,7 @@ object LlmQueries {
       |),
       |arr AS (
       |  SELECT doc_id, t,
-      |         string_split_regex(trim(t), '\s+') AS w,
+      |         string_split_regex(regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') AS w,
       |         string_split(t, chr(10)) AS lines
       |  FROM inj
       |),
@@ -769,7 +769,7 @@ object LlmQueries {
 
   val decontaminateSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |grams AS (
       |  SELECT doc_id,
@@ -802,7 +802,7 @@ object LlmQueries {
 
   val chunkDocsSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |ch AS (
       |  SELECT doc_id,
@@ -839,7 +839,7 @@ object LlmQueries {
   val packSequencesSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
-      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents
       |),
       |c AS (
@@ -864,7 +864,7 @@ object LlmQueries {
   val packOffsetsSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
-      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents
       |),
       |c AS (
@@ -926,7 +926,7 @@ object LlmQueries {
   val mixBySourceSql: String =
     """WITH tok AS (
       |  SELECT doc_id, source,
-      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents
       |),
       |tgt AS (SELECT * FROM (VALUES
@@ -962,7 +962,7 @@ object LlmQueries {
   val temperatureMixSql: String =
     """WITH tok AS (
       |  SELECT doc_id, source,
-      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |         CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents
       |),
       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
@@ -991,7 +991,7 @@ object LlmQueries {
 
   val chunkDupStatsSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |ch AS (
       |  SELECT doc_id,
@@ -1078,7 +1078,7 @@ object LlmQueries {
       |    AS t
       |  FROM documents
       |),
-      |tok AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS w FROM inj),
+      |tok AS (SELECT doc_id, string_split_regex(regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM inj),
       |gr AS (
       |  SELECT doc_id,
       |         generate_subscripts(gs, 1) - 1 AS pos,
@@ -1158,7 +1158,7 @@ object LlmQueries {
 
   val hybridRrfSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |stats AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl FROM tok
@@ -1211,7 +1211,7 @@ object LlmQueries {
 
   val bm25SearchSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |stats AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl FROM tok
@@ -1251,7 +1251,7 @@ object LlmQueries {
 
   val dsirSelectSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  SELECT doc_id, source, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
       |  FROM documents
       |),
       |gr AS (
@@ -1364,7 +1364,7 @@ object LlmQueries {
       |),
       |d AS (
       |  SELECT doc_id, source,
-      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+      |         CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS nt
       |  FROM documents
       |),
       |j AS (
@@ -1388,7 +1388,7 @@ object LlmQueries {
 
   val pmiTopKSql: String =
     """WITH tok AS (
-      |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |tot AS (
       |  SELECT CAST(sum(len(w)) AS DOUBLE) AS n_uni,
@@ -1445,7 +1445,7 @@ object LlmQueries {
       |),
       |t AS (
       |  SELECT doc_id, trim(text) AS txt,
-      |         string_split_regex(trim(text), '\s+') AS w
+      |         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
       |  FROM documents
       |),
       |f AS (
@@ -1482,7 +1482,7 @@ object LlmQueries {
 
   val tfidfKeywordsSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS token
       |  FROM documents
       |),
       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1510,7 +1510,7 @@ object LlmQueries {
 
   val sourceKlSql: String =
     """WITH tok AS (
-      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT source, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |),
       |gc AS (SELECT source, w, count(*) AS gcnt FROM tok GROUP BY 1, 2),
@@ -1536,7 +1536,7 @@ object LlmQueries {
 
   val fightinWordsSql: String =
     """WITH tok AS (
-      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT source, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |),
       |gc AS (SELECT source, w, count(*) AS gcnt FROM tok GROUP BY 1, 2),
@@ -1575,7 +1575,7 @@ object LlmQueries {
 
   val unigramLmSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |),
       |counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
@@ -1602,7 +1602,7 @@ object LlmQueries {
 
   val bigramLmSql: String =
     """WITH t AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
       |  FROM documents
       |),
       |uni AS (
@@ -1673,7 +1673,7 @@ object LlmQueries {
 
   val topBigramsSql: String =
     """WITH tok AS (
-      |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |),
       |grams AS (
       |  SELECT unnest(list_transform(range(1, len(w)),
@@ -2113,7 +2113,7 @@ object LlmQueries {
       |  FROM read_parquet('__VERIFY_OUT__/q106_bpe_merges/*.parquet')
       |),
       |words AS (
-      |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT DISTINCT unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |),
       |init AS (
@@ -2154,7 +2154,7 @@ object LlmQueries {
       |  FROM read_parquet('__VERIFY_OUT__/q107_bpe_segments/*.parquet')
       |),
       |tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |)
       |SELECT doc_id,
@@ -2222,7 +2222,7 @@ object LlmQueries {
 
   val ccnetBucketsSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |),
       |counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
@@ -2388,7 +2388,7 @@ object LlmQueries {
     """WITH tf AS (
       |  SELECT source AS g, tok, count(*) AS c
       |  FROM (SELECT source,
-      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |          unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
       |        FROM documents)
       |  WHERE tok <> '' GROUP BY 1, 2
       |)
@@ -2413,7 +2413,7 @@ object LlmQueries {
     """WITH tf AS (
       |  SELECT source AS g, tok, count(*) AS c
       |  FROM (SELECT source,
-      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |          unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
       |        FROM documents)
       |  WHERE tok <> '' GROUP BY 1, 2
       |),
@@ -2483,7 +2483,7 @@ object LlmQueries {
   val readabilitySql: String =
     """WITH b AS (
       |  SELECT source,
-      |    len(string_split_regex(trim(text), '\s+')) AS w,
+      |    len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w,
       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
       |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
       |  FROM documents

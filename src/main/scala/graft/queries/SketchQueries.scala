@@ -40,7 +40,7 @@ object SketchQueries {
 
   val hllDistinctSql: String =
     """WITH tok AS (
-      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT source, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
       |  FROM documents
       |)
       |SELECT source, count(DISTINCT tok) AS exact_distinct, true AS hll_ok
@@ -100,7 +100,7 @@ object SketchQueries {
 
   val heavyHittersSql: String =
     """WITH tok AS (
-      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  SELECT unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS token
       |  FROM documents
       |),
       |tot AS (SELECT count(*) AS n FROM tok)
@@ -124,7 +124,7 @@ object SketchQueries {
 
   val groupHeavyHittersSql: String =
     """WITH tok AS (
-      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  SELECT source, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS token
       |  FROM documents
       |),
       |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY source)
@@ -156,7 +156,7 @@ object SketchQueries {
 
   val cmsEstimatesSql: String =
     """WITH tok AS (
-      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  SELECT unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
       |  FROM documents
       |),
       |rb AS (

@@ -72,19 +72,16 @@ object IvfPq {
     * from the dump (unlike `model.transform`, whose unrounded boundary
     * could flip a near-tie). (id, cell, __x). */
   def assign(corpus: DataFrame, coarse: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val (cells, cents) = coarseLit(coarse)
-    corpus.select(col(idCol), Pq.asDouble(col(vecCol)).as("__x"))
-      .withColumn("__d", transform(cents, c => round(Pq.l2sq(col("__x"), c), 6)))
-      .withColumn("__pos",
-        array_position(col("__d"), array_min(col("__d"))).cast("int"))
-      .select(col(idCol), element_at(cells, col("__pos")).as("cell"), col("__x"))
-  }
+      idCol: String, vecCol: String): DataFrame =
+    assigned(corpus, coarse, idCol, vecCol)
+      .select(col(idCol), col("cell"), col("__x"))
 
-  /** Residual frame: (id, cell, residual = x − coarse[cell]) — one
-    * scan-local projection (assignment, centroid lookup, and the
-    * subtraction all against the collected model; zero shuffles). */
-  private def residuals(corpus: DataFrame, coarse: DataFrame,
+  /** The shared rounded-argmin assignment block: (id, cell, __x,
+    * __cent = the assigned centroid). ONE definition — assign() and
+    * residuals() both project from it, so the tie-break and the 6-dp
+    * rounding the dump-replay oracle depends on cannot drift between
+    * the assignment and the residual paths. */
+  private def assigned(corpus: DataFrame, coarse: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val (cells, cents) = coarseLit(coarse)
     corpus.select(col(idCol), Pq.asDouble(col(vecCol)).as("__x"))
@@ -92,9 +89,17 @@ object IvfPq {
       .withColumn("__pos",
         array_position(col("__d"), array_min(col("__d"))).cast("int"))
       .select(col(idCol), element_at(cells, col("__pos")).as("cell"),
-        zip_with(col("__x"), element_at(cents, col("__pos")),
-          (x, c) => x - c).as("__rvec"))
+        col("__x"), element_at(cents, col("__pos")).as("__cent"))
   }
+
+  /** Residual frame: (id, cell, residual = x − coarse[cell]) — one
+    * scan-local projection (assignment, centroid lookup, and the
+    * subtraction all against the collected model; zero shuffles). */
+  private def residuals(corpus: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assigned(corpus, coarse, idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        zip_with(col("__x"), col("__cent"), (x, c) => x - c).as("__rvec"))
 
   /** One shared PQ codebook over the residuals (sub, code, centroid) —
     * the IVFADC layout; residuals of every cell train one quantizer. */
@@ -140,7 +145,7 @@ object IvfPq {
       .select(col("query_id"), col("cell"),
         zip_with(col("__p"), col("centroid"), (x, c) => x - c).as("__rq"))
     // per-(probe, cell) ADC table: subspace distances to every code
-    val sliceLen = (size(col("__rq")) / m).cast("int")
+    val sliceLen = Pq.guardedSliceLen(col("__rq"), m)
     val table = pc
       .select(col("query_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),

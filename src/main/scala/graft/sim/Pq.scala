@@ -37,13 +37,26 @@ object Pq {
   private[sim] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** Slice length of an m-way subspace split, loudly guarded: a vector
+    * length not divisible by m would silently DROP the trailing
+    * dimensions from every distance (train, encode, and ADC all slice
+    * with it), and d < m would make every subvector empty — every
+    * vector then encodes to code 0 and every approximate distance is
+    * 0.0, meaningless neighbors with no error. Per the no-silent-caps
+    * rule, raise instead. */
+  private[sim] def guardedSliceLen(v: Column, m: Int): Column =
+    when(size(v) >= m && size(v) % m === 0, (size(v) / m).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"graft: PQ subspace split needs size(vec) divisible by " +
+          s"m=$m and >= m, got size="), size(v).cast("string"))))
+
   /** The m sliced subvectors of `vec` as (sub, subvec) rows; `sub` is
     * the 0-based subspace index. Scan-local (posexplode of a slice
     * transform — no shuffle). */
   private[sim] def subRows(df: DataFrame, idCol: String, idAs: String,
       vecCol: String, m: Int): DataFrame = {
     val v = asDouble(col(vecCol))
-    val sl = (size(v) / m).cast("int")
+    val sl = guardedSliceLen(v, m)
     df.select(col(idCol).as(idAs),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           i => slice(v, i * sl + 1, sl))).as(Seq("sub", "subvec")))

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-vector linear (asymmetric min/max) quantization of embedding
@@ -18,24 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** The shared staging frame: (idCol, __x cast-double vector, __min,
+    * __scale = (max−min)/levels). ONE definition — dequantized() and
+    * quantizeStats() both build their grids from it, so the
+    * quantization grid the recall spec reconstructs with and the grid
+    * the error-bound assertion measures cannot drift apart. */
+  private def staged(df: DataFrame, idCol: String, embCol: String,
+      levels: Int): DataFrame =
+    df.select(col(idCol),
+        transform(col(embCol), e => e.cast("double")).as("__x"))
+      .withColumn("__min", array_min(col("__x")))
+      .withColumn("__max", array_max(col("__x")))
+      .withColumn("__scale", (col("__max") - col("__min")) / levels)
+
+  /** The integer codes of the staged vector: round((x − min)/scale);
+    * a constant vector (scale 0) codes to all zeros. */
+  private def codesCol: Column =
+    when(col("__scale") > 0,
+      transform(col("__x"), e =>
+        round((e - col("__min")) / col("__scale")).cast("long")))
+      .otherwise(transform(col("__x"), _ => lit(0L)))
+
   /** Quantize-then-reconstruct: the vector a consumer would search
     * over after uint8 storage (each element snapped to its nearest of
     * `levels`+1 grid points in the vector's own [min, max] range).
     * Used by the recall spec to show ANN top-k survives quantization;
     * scan-local like quantizeStats. */
   def dequantized(df: DataFrame, idCol: String, embCol: String,
-      levels: Int = 255): DataFrame = {
-    val stage1 = df.select(col(idCol),
-      transform(col(embCol), e => e.cast("double")).as("__x"))
-    stage1
-      .withColumn("__min", array_min(col("__x")))
-      .withColumn("__scale", (array_max(col("__x")) - col("__min")) / levels)
+      levels: Int = 255): DataFrame =
+    staged(df, idCol, embCol, levels)
       .select(col(idCol),
         when(col("__scale") > 0,
           transform(col("__x"), e =>
             col("__min") + round((e - col("__min")) / col("__scale")) * col("__scale")))
           .otherwise(col("__x")).as("emb_q"))
-  }
 
   /** Quantization summary per vector: value range, the exact sum of
     * the integer codes, and the worst-case reconstruction error. The
@@ -46,18 +62,9 @@ object Quantize {
     * in spec.
     */
   def quantizeStats(df: DataFrame, idCol: String, embCol: String,
-      levels: Int = 255): DataFrame = {
-    val stage1 = df.select(col(idCol),
-      transform(col(embCol), e => e.cast("double")).as("__x"))
-    val stage2 = stage1.select(col(idCol), col("__x"),
-      array_min(col("__x")).as("__min"), array_max(col("__x")).as("__max"))
-      .withColumn("__scale", (col("__max") - col("__min")) / levels)
-    val codes = when(col("__scale") > 0,
-      transform(col("__x"), e =>
-        round((e - col("__min")) / col("__scale")).cast("long")))
-      .otherwise(transform(col("__x"), _ => lit(0L)))
-    stage2
-      .withColumn("__codes", codes)
+      levels: Int = 255): DataFrame =
+    staged(df, idCol, embCol, levels)
+      .withColumn("__codes", codesCol)
       .select(
         col(idCol),
         round(col("__min"), 6).as("vmin"),
@@ -65,5 +72,4 @@ object Quantize {
         aggregate(col("__codes"), lit(0L), (a, c) => a + c).as("code_sum"),
         round(array_max(zip_with(col("__codes"), col("__x"), (c, e) =>
           abs(col("__min") + c * col("__scale") - e))), 6).as("max_abs_err"))
-  }
 }

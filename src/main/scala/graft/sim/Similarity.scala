@@ -61,7 +61,16 @@ object Similarity {
   }
 
   /** KMeans coarse quantizer: (assigned corpus with a `cell` column,
-    * centroid table (cell, centroid)). Deterministic for a seed. */
+    * centroid table (cell, centroid)). Deterministic for a seed.
+    * Vectors are L2-NORMALIZED before clustering: the search metric is
+    * cosine (probeCells ranks cells by cosine, rerank by cosine), and
+    * on the unit sphere Euclidean KMeans clusters by direction — the
+    * same geometry. Clustering the RAW vectors would mix metrics: L2
+    * cells split by magnitude too, so an unnormalized probe's true
+    * top-cosine neighbor can sit in a cell whose centroid has low
+    * cosine to the probe and stay unreachable at any nProbe < nCells.
+    * Zero vectors pass through unnormalized (their cosine is 0 to
+    * everything; any cell is equally right). */
   private def quantize(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long): (DataFrame, DataFrame) = {
@@ -69,8 +78,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
+    def unit(v: Column): Column = {
+      val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+      transform(v, x => when(n > 0, x / n).otherwise(x))
+    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("__fv", array_to_vector(asDouble(col("cvec"))))
+      .withColumn("__fv", array_to_vector(unit(asDouble(col("cvec")))))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__fv").setPredictionCol("cell").fit(c)
     val cents = model.clusterCenters.zipWithIndex

@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. The trim is a REGEX trim over all
+    * whitespace, not functions.trim (which strips only ASCII space
+    * 0x20): a document starting with a tab or newline would otherwise
+    * yield a phantom empty first token that corrupts block keys,
+    * shingles, and distinct token sets. Every tokenizing oracle
+    * mirrors this with regexp_replace(..., '^\s+|\s+$', '', 'g'). */
+  def tokens(text: Column): Column =
+    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
 
   /** Token statistics per document: counts, distinct counts, mean token
     * length, type-token ratio. */

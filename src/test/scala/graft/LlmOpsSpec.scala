@@ -304,6 +304,63 @@ class LlmOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("pq: a vector length not divisible by m fails loudly, never silently truncates") {
+    import spark.implicits._
+    // d=10, m=4 would silently drop dims 9-10 from every distance;
+    // d=3, m=4 would encode every vector to code 0 with distance 0.0
+    for (d <- Seq(10, 3)) {
+      val bad = Seq((1L, (1 to d).map(_.toDouble))).toDF("id", "emb")
+      val ex = intercept[Exception] {
+        graft.sim.Pq.train(bad, "id", "emb", m = 4, ks = 2).collect()
+      }
+      def chain(t: Throwable): List[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toList ::: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("divisible")),
+        s"d=$d must hit the subspace-split guard: ${chain(ex)}")
+    }
+  }
+
+  test("canonicalPick: STRING ids keep the ascending tie-break") {
+    import spark.implicits._
+    // the old -id trick null-cast string ids (or threw under ANSI) and
+    // silently picked the LARGEST id on score ties
+    val clusters = Seq(("doc_b", 1L), ("doc_a", 1L), ("doc_c", 1L))
+      .toDF("doc_id", "cluster")
+    val scored = Seq(("doc_a", 5.0), ("doc_b", 5.0), ("doc_c", 1.0))
+      .toDF("doc_id", "score")
+    val got = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "doc_a", 3L)),
+      s"score tie must break to the SMALLEST id: ${got.toList}")
+  }
+
+  test("simHashNearDup / embeddingNearDup: skew guards engage and report drops") {
+    import spark.implicits._
+    // simhash: an engaged bucket cap must drop pairs AND surface counts
+    val docs = (1 to 30).map(i => (i.toLong, "same text body here"))
+      .toDF("doc_id", "text")
+    val (pairs, stats) = Dedup.simHashNearDupWithStats(
+      docs, "doc_id", "text", maxHamming = 3, maxBucketSize = 10)
+    assert(pairs.count() == 0, "capped buckets must emit no pairs")
+    val st = stats.head()
+    assert(st.getLong(0) > 0 && st.getLong(1) > 0,
+      s"drop stats must be loud: $st")
+    // embedding blocked: one dominant block over the cap drops; the
+    // small block still pairs
+    val emb = ((1 to 20).map(i => (i.toLong, "big", Seq(1.0, 0.0))) ++
+      Seq((21L, "small", Seq(0.0, 1.0)), (22L, "small", Seq(0.0, 1.0))))
+      .toDF("vec_id", "label", "embedding")
+    val (ep, es) = Dedup.embeddingNearDupWithStats(
+      emb, "vec_id", "embedding", "label", 0.5, maxBlockSize = 10)
+    val got = ep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((21L, 22L)),
+      s"only the under-cap block may pair: $got")
+    val est = es.head()
+    assert(est.getLong(0) == 1L && est.getLong(1) == 20L,
+      s"dropped-block stats must count the dominant block: $est")
+  }
+
   test("pq: codes cover all subspaces, ADC distance is exact on centroid-grid vectors") {
     import spark.implicits._
     // Vectors whose subvectors ARE codebook centroids: 8-dim, m=2,
