@@ -78,12 +78,20 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    def unit(v: Column): Column = {
-      val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
-      transform(v, x => when(n > 0, x / n).otherwise(x))
-    }
+    // The norm is hoisted into its OWN column and the zero-vector
+    // branch sits OUTSIDE the transform: an aggregate referenced
+    // inside a per-element lambda re-evaluates per element (O(d²)
+    // interpreted work per row, re-paid on every KMeans pass over the
+    // projection — measured 2.0 s → 10.8 s on q93 at sf0.1), the same
+    // re-projection trap as TextOps' materialize-the-token-array rule.
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("__fv", array_to_vector(unit(asDouble(col("cvec")))))
+      .withColumn("__x", asDouble(col("cvec")))
+      .withColumn("__n",
+        sqrt(aggregate(transform(col("__x"), x => x * x), lit(0.0), _ + _)))
+      .withColumn("__fv", array_to_vector(
+        when(col("__n") > 0, transform(col("__x"), x => x / col("__n")))
+          .otherwise(col("__x"))))
+      .drop("__x", "__n")
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__fv").setPredictionCol("cell").fit(c)
     val cents = model.clusterCenters.zipWithIndex
