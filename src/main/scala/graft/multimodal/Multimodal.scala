@@ -773,6 +773,7 @@ object Multimodal {
     * zero shuffle; undecodable payloads emit nothing. */
   def imageHistogram(df: DataFrame, payloadCol: String,
       bins: Int = 16): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("bin", IntegerType, nullable = false),
       StructField("n_px", LongType, nullable = false)))
@@ -1027,6 +1028,7 @@ object Multimodal {
     * byte), preserving determinism for tests. For decodable images use
     * `resizeImages` (the real pixel-space kernel). */
   def resizePayload(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val schema = df.schema
     val idx = schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)

@@ -204,6 +204,13 @@ class IncrementalSpec extends SparkSpec {
     val got = graft.multimodal.Multimodal.imageHistogram(df, "payload", 16)
       .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
     assert(got == Map((1L, 0) -> 1L, (1L, 15) -> 1L))
+    // degenerate params fail fast at plan build, not as an executor AIOOBE
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.imageHistogram(df, "payload", 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.resizePayload(df, "payload", 0)
+    }
   }
 
   test("imageContrast: hand min/max/range and RMS = half-range for a binary image") {
