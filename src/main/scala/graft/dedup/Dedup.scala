@@ -486,8 +486,16 @@ object Dedup {
     * defaults to 32 (of the 60 available). */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     require(bits <= 60, "only 60 bits available from a 15-hex-char hash")
+    // the token hash is materialized in its OWN projection: referenced
+    // directly inside the 32 per-bit aggregate expressions, the
+    // md5+conv chain is evaluated once per bit per row (aggregate
+    // update expressions sit outside projection-level subexpression
+    // elimination) — measured 32x redundant hashing on the q60 path
     val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
-    val h = conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+      .select(col("id"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    val h = col("__h")
     val sums = (0 until bits).map(i =>
       sum(when(shiftrightunsigned(h, i) % 2 === 1, 1).otherwise(-1)).as(s"b$i"))
     tok.groupBy("id").agg(sums.head, sums.tail: _*)
