@@ -58,6 +58,59 @@ object Percentiles {
     }.toMap
   }
 
+  /** [[exact]] for SEVERAL columns in ONE distributed plan — the
+    * pandas-describe shape (k quartile sets), which used to pay one
+    * full counts-aggregate + prefix-sum machine per column. The
+    * columns stack into a (column, value) long frame (one scan, k
+    * struct projections), the per-column CDF is the groupedInterpolated
+    * global-prefix-sum-minus-group-base construction keyed by the
+    * column NAME, and the bracketing order statistics resolve exactly
+    * as in [[exact]]: the same `(n−1)·p` double rank, the same
+    * conditional-min brackets, the same driver-side `(1−f)·a + f·b`
+    * interpolation — bit-identical results to k separate [[exact]]
+    * calls (quantile_cont parity preserved), at one scan + one
+    * value-keyed shuffle total. */
+  def exactPerColumn(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double]): Map[(String, Double), Double] = {
+    require(cols.nonEmpty, "exactPerColumn needs at least one column")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val dist = ps.distinct
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("__c"), col(c).cast("double").as("__v"))): _*)).as("e"))
+      .select(col("e.__c").as("__c"), col("e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // CDF and group totals both read it
+    val cum = graft.ml.Evaluation.withRunningTotals(
+      counts, Seq(col("__c"), col("__v")), Map("__cwg" -> col("__n")))
+    val gtot = counts.groupBy("__c").agg(sum(col("__n")).as("__tot"))
+    val gbase = graft.ml.Evaluation.withRunningTotals(
+        gtot, Seq(col("__c")), Map("__cb" -> col("__tot")))
+      .withColumn("__base", col("__cb") - col("__tot"))
+      .select("__c", "__tot", "__base")
+    val joined = cum.join(gbase, Seq("__c"))
+      .withColumn("__cw", (col("__cwg") - col("__base")).cast("long"))
+    val aggCols = dist.zipWithIndex.flatMap { case (p, i) =>
+      val r = (col("__tot") - 1).cast("double") * lit(p)
+      Seq(min(when(col("__cw") >= floor(r).cast("long") + 1, col("__v")))
+          .as(s"__lo$i"),
+        min(when(col("__cw") >= ceil(r).cast("long") + 1, col("__v")))
+          .as(s"__hi$i"))
+    } :+ max(col("__tot")).cast("long").as("__nv")
+    joined.groupBy("__c").agg(aggCols.head, aggCols.tail: _*)
+      .collect().iterator.flatMap { row =>
+        val c = row.getString(0)
+        val n = row.getLong(row.fieldIndex("__nv"))
+        dist.zipWithIndex.map { case (p, i) =>
+          val r = (n - 1) * p
+          val frac = r - math.floor(r)
+          (c, p) -> (row.getDouble(row.fieldIndex(s"__lo$i")) * (1 - frac) +
+            row.getDouble(row.fieldIndex(s"__hi$i")) * frac)
+        }
+      }.toMap
+  }
+
   /** Exact discrete (lower-quantile) percentiles PER GROUP with no
     * driver loop — the smallest value whose cumulative count reaches
     * p% of the group's rows, for every group at once. One (group,

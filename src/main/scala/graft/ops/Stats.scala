@@ -169,30 +169,34 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     def r6(x: Double): Double = graft.core.Round.r6(x)
-    val rows = cols.map { c =>
-      val vi = floor(col(c) * 1e6 + 0.5).cast("long")
+    // ONE moment pass for every column (k separate scans fused into
+    // one job) and ONE stacked percentile plan for every quartile set
+    // (Percentiles.exactPerColumn — bit-identical to per-column calls);
+    // describe() used to pay 4 moment scans + 4 percentile machines.
+    val aggCols = cols.flatMap { c =>
       // drop NULLs so n matches the null-skipping sums/min/max and the
-      // null-filtered quartiles (pandas describe excludes NaN/NULL)
-      val a = df.select(vi.as("__vi")).filter(col("__vi").isNotNull)
-        // multiply in decimal: a micro-unit value of 1e11 squares past
-        // the long range
-        .select(col("__vi"),
-          (col("__vi").cast("decimal(38,0)") * col("__vi").cast("decimal(38,0)"))
-            .cast("decimal(38,0)").as("__vi2"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("__vi").cast("decimal(38,0)")).as("s1"),
-          sum(col("__vi2")).as("s2"),
-          min(col("__vi")).as("mn"), max(col("__vi")).as("mx"))
-        .head()
-      val n = a.getLong(0)
-      val s1 = a.getDecimal(1).doubleValue()
-      val s2 = a.getDecimal(2).doubleValue()
+      // null-filtered quartiles (pandas describe excludes NaN/NULL);
+      // multiply in decimal: a micro-unit value of 1e11 squares past
+      // the long range
+      val vi = floor(col(c) * 1e6 + 0.5).cast("long")
+      val vid = vi.cast("decimal(38,0)")
+      Seq(count(vi).as(s"n_$c"),
+        sum(vid).as(s"s1_$c"),
+        sum((vid * vid).cast("decimal(38,0)")).as(s"s2_$c"),
+        min(vi).as(s"mn_$c"), max(vi).as(s"mx_$c"))
+    }
+    val a = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val ps = Percentiles.exactPerColumn(df, cols, Seq(0.25, 0.5, 0.75))
+    val rows = cols.map { c =>
+      val n = a.getLong(a.fieldIndex(s"n_$c"))
+      val s1 = a.getDecimal(a.fieldIndex(s"s1_$c")).doubleValue()
+      val s2 = a.getDecimal(a.fieldIndex(s"s2_$c")).doubleValue()
       val mean = s1 / 1e6 / n
       val variance = s2 / 1e12 / n - mean * mean
-      val ps = Percentiles.exact(df, c, Seq(0.25, 0.5, 0.75))
       (c, n, r6(mean), r6(math.sqrt(variance)),
-        r6(a.getLong(3) / 1e6), r6(ps(0.25)), r6(ps(0.5)), r6(ps(0.75)),
-        r6(a.getLong(4) / 1e6))
+        r6(a.getLong(a.fieldIndex(s"mn_$c")) / 1e6),
+        r6(ps((c, 0.25))), r6(ps((c, 0.5))), r6(ps((c, 0.75))),
+        r6(a.getLong(a.fieldIndex(s"mx_$c")) / 1e6))
     }
     rows.toDF("col_name", "n", "mean", "std", "min", "p25", "p50", "p75", "max")
   }

@@ -733,6 +733,25 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("exactPerColumn: bit-identical to per-column Percentiles.exact, " +
+      "nulls excluded per column") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(100) / 4.0,
+        if (i % 7 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextInt(1000) / 8.0),
+        rnd.nextGaussian() * 100)
+    }
+    val df = rows.toDF("a", "b", "c")
+    val ps = Seq(0.25, 0.5, 0.75, 0.99)
+    val got = graft.ops.Percentiles.exactPerColumn(df, Seq("a", "b", "c"), ps)
+    for (c <- Seq("a", "b", "c")) {
+      val exp = graft.ops.Percentiles.exact(df, c, ps)
+      for (p <- ps)
+        assert(got((c, p)) == exp(p), s"col $c p$p: ${got((c, p))} vs ${exp(p)}")
+    }
+  }
+
   test("canonicalPick: best score wins, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster")
