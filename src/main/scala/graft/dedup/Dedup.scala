@@ -486,23 +486,19 @@ object Dedup {
     * defaults to 32 (of the 60 available). */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     require(bits <= 60, "only 60 bits available from a 15-hex-char hash")
-    // the token hash is materialized in its OWN projection: referenced
-    // directly inside the 32 per-bit aggregate expressions, the
-    // md5+conv chain is evaluated once per bit per row (aggregate
-    // update expressions sit outside projection-level subexpression
-    // elimination) — measured 32x redundant hashing on the q60 path
-    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w")).distinct()
-      .select(col("id"),
-        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("__h"))
-    val h = col("__h")
-    val sums = (0 until bits).map(i =>
-      sum(when(shiftrightunsigned(h, i) % 2 === 1, 1).otherwise(-1)).as(s"b$i"))
-    tok.groupBy("id").agg(sums.head, sums.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(i =>
-          when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // scan-local via the native simhash_tokens expression: the earlier
+    // distributed form (explode → distinct → groupBy with `bits`
+    // conditional sums) shuffled the full (id, token) stream twice to
+    // compute a per-document-local function; now the signature runs at
+    // read bandwidth with zero Exchange (measured q60 6.0 s → see
+    // PLANS round-14). Same token-set semantics, same replayable
+    // md5-prefix hash, same >=0 tie rule — the DuckDB oracle is
+    // unchanged. Docs with NULL text produce no row, exactly as the
+    // explode-based form (tokens(null) explodes to nothing).
+    df.select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simhashTokens(
+          df.sparkSession, tokens(col(textCol)), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Hamming distance between two long-encoded signatures. */

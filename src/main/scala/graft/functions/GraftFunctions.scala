@@ -62,6 +62,20 @@ object GraftFunctions {
       "undercount. Null elements match nothing; duplicates count pairwise-min.",
     "")
 
+  private val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"simhash_tokens expects 2 arguments, got ${children.size}")
+    val bits = children(1) match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"simhash_tokens bits must be an integer literal, got $other")
+    }
+    SimHashTokens(children.head, bits)
+  }
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHashTokens].getCanonicalName, "simhash_tokens")
+
   private val nfcBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 1, s"nfc_normalize expects 1 argument, got ${children.size}")
     NfcNormalize(children.head)
@@ -76,6 +90,7 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier("hashed_shingles"), shingleInfo, shingleBuilder))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), isectInfo, isectBuilder))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"), nfcInfo, nfcBuilder))
+    ext.injectFunction((FunctionIdentifier("simhash_tokens"), simhashInfo, simhashBuilder))
   }
 
   /** Idempotent registration into an existing session's registry. */
@@ -96,6 +111,9 @@ object GraftFunctions {
     val fid = FunctionIdentifier("nfc_normalize")
     if (!registry.functionExists(fid))
       registry.registerFunction(fid, nfcInfo, nfcBuilder)
+    val shid = FunctionIdentifier("simhash_tokens")
+    if (!registry.functionExists(shid))
+      registry.registerFunction(shid, simhashInfo, simhashBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -121,6 +139,12 @@ object GraftFunctions {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("sorted_intersect_count", a, b)
+  }
+
+  /** Column API for the native token-array SimHash. */
+  def simhashTokens(spark: SparkSession, tokens: Column, bits: Int): Column = {
+    register(spark)
+    call_function("simhash_tokens", tokens, org.apache.spark.sql.functions.lit(bits))
   }
 
   /** Column API for the native Unicode NFC normalizer. */

@@ -131,6 +131,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs < n, s"found $pairs pairs for $n docs — bucket join degenerated")
   }
 
+  test("simhash_tokens: bit-identical to the distributed md5-vote formulation") {
+    // the old explode -> distinct -> 32-conditional-sum plan, rebuilt
+    // inline as the independent reference for the native expression
+    val bits = 32
+    val tok = docs.select(col("doc_id").as("id"),
+        explode(Dedup.tokens(col("text"))).as("w")).distinct()
+      .select(col("id"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    val sums = (0 until bits).map(i =>
+      sum(when(shiftrightunsigned(col("__h"), i) % 2 === 1, 1).otherwise(-1)).as(s"b$i"))
+    val expected = tok.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(i =>
+          when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simHash(docs, "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "native simhash_tokens diverged from the md5-vote reference")
+    // empty text: the phantom "" token still votes (tokens("") = [""]),
+    // exactly as the explode path did; null text yields no row
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "  \t "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = Dedup.simHash(edge, "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e.keySet == Set(1L, 2L) && e(1L) == e(2L),
+      s"empty/whitespace docs must hash alike and null must drop: $e")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val sig = Dedup.simHash(docs, "doc_id", "text").cache()
     val near = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.8)
