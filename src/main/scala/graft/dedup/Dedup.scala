@@ -509,7 +509,20 @@ object Dedup {
     * `maxHamming + 1` bands — by pigeonhole, any pair within
     * maxHamming differing bits shares at least one untouched band, so
     * the band-bucket self-join (never all-pairs) has perfect recall;
-    * exact hamming verification then removes false candidates. */
+    * exact hamming verification then removes false candidates.
+    *
+    * SIZING RULE at scale (the Manku-et-al. table-count trade, probed
+    * at sf10 by SimhashProbe): each band key has only
+    * 2^(bits / (maxHamming+1)) values, so the bucket space must be
+    * sized to the corpus — 32-bit / 4-band signatures give 256 values
+    * per band and SATURATE near 10^5 docs (sf10 measured: 1,010 of the
+    * 1,024 possible buckets occupied, max bucket 77k, candidate mass
+    * 2.15e10 — the cap then drops most of the corpus). Raise `bits`
+    * toward the 60-bit maximum as the corpus grows: at sf10 (500k
+    * docs), 60-bit / 4-band = 2^15 values per band → candidate mass
+    * 2.23e9 and the full pipeline completes answer-bounded (20.1M
+    * verified pairs, 283 s). Per-band expected bucket size is
+    * corpus / 2^(bits/(maxHamming+1)) — keep it answer-scale. */
   def simHashNearDup(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 32,
