@@ -119,13 +119,18 @@ object Bench {
     val passJson = passTotals.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"reps":$reps,"pass_totals":$passJson,"memo_groups":$groups,"queries":$qs}""")
     // Belt-and-braces for the same truncation: a SHORT standalone line
-    // with just the top-cost queries (descending), printed late enough
-    // to always survive the tail capture even if the full map above is
-    // cut — bench_diff's regex reads pairs from either line.
-    val top = results.toSeq.sortBy(-_._2).take(60)
+    // with just the top-cost queries, printed late enough to survive the
+    // tail capture even if the full map above is cut. Two truncation
+    // defenses (round 14 showed a 60-entry descending line still lost
+    // its head — i.e. the MOST expensive queries — to the capture
+    // window): (a) only 20 entries, so the whole line fits any
+    // plausible window; (b) ASCENDING within the line, so even if the
+    // front is cut the surviving suffix is the top-cost band.
+    // bench_diff's regex reads pairs from either line.
+    val top = results.toSeq.sortBy(-_._2).take(20).sortBy(_._2)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"top_queries","n":${math.min(60, results.size)},"unit":"sec","sf":"$sfDir","queries":$top}""")
+    println(s"""{"metric":"top_queries","n":${math.min(20, results.size)},"order":"asc","unit":"sec","sf":"$sfDir","queries":$top}""")
     // The driver's capture keeps the TAIL of output (round 7 showed the
     // big line above truncated from the front → parsed:null), so a
     // short self-contained summary prints LAST — it always survives and

@@ -14,25 +14,45 @@ object Queries {
 
   /** A1-style pricing-summary aggregate: per-group sums/avgs/counts on
     * lineitem. Reference per-column aggregate scans:
-    * data_processing/preprocessing.py:27-28,51-58. */
-  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    * data_processing/preprocessing.py:27-28,51-58.
+    *
+    * The money sums use the repo's micro-unit decimal-sum construction
+    * (`Incremental.aggState` pattern): each row's money value rounds to
+    * a fixed-point integer (cents for the 2-decimal inputs, 1e-4 units
+    * for the price*(1-discount) product), the integers sum exactly in
+    * decimal(38,0), and the quotient back to currency is a single
+    * deterministic double op. `round(sum(double), 2)` was
+    * order-DEPENDENT: at sf10 (60M rows, group sums ~5e11) the
+    * float-sum's partial-aggregation order left 7 of 28 values ±1 cent
+    * off the DuckDB replay (PLANS round-14 record); integer sums make
+    * Spark and any replaying engine bit-equal at every scale. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    // 2-decimal inputs → cents are exact; the product has 4 decimal
+    // digits → 1e-4 units. floor(x*scale + 0.5) reproduces identically
+    // in DuckDB (same per-row double expression), so both engines sum
+    // the SAME integers.
+    val qtyC = floor(col("l_quantity") * 100 + 0.5).cast("decimal(38,0)")
+    val baseC = floor(col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
+    val discC = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+      .cast("decimal(38,0)")
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(qtyC).cast("double") / 100, 2).as("sum_qty"),
+        round(sum(baseC).cast("double") / 100, 2).as("sum_base_price"),
+        round(sum(discC).cast("double") / 10000, 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100, 2) AS sum_qty,
+      |  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order

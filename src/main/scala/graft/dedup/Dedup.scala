@@ -483,7 +483,17 @@ object Dedup {
     * Per-token 60-bit hash = first 15 hex chars of md5 (chosen for
     * SQL-oracle parity: identical in Spark and ANSI SQL); signature bit
     * i is set iff sum over tokens of (+-1 for token-bit i) >= 0. `bits`
-    * defaults to 32 (of the 60 available). */
+    * defaults to 32 (of the 60 available).
+    *
+    * PRECONDITION: one row per id. The signature is computed per ROW
+    * (scan-local); a corpus with the same id on multiple rows gets one
+    * signature per row, whereas the pre-round-14 explode→distinct→
+    * groupBy(id) form silently merged the rows' token sets into one
+    * signature per id. Callers with duplicate ids must pre-aggregate
+    * (or dedupe) before calling — downstream simHashNearDup self-joins
+    * on id and would otherwise see duplicate, possibly differing,
+    * signatures per id. Docs whose text is NULL or tokenizes to
+    * nothing produce no row (both forms agree). */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     require(bits <= 60, "only 60 bits available from a 15-hex-char hash")
     // scan-local via the native simhash_tokens expression: the earlier

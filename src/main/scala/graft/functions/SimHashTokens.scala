@@ -44,7 +44,16 @@ object SimHashTokens {
     be >>> 4 // drop the 16th hex nibble: 15 hex chars = 60 bits
   }
 
-  def simhash(tokens: ArrayData, bits: Int): Long = {
+  /** Null (not a signature) when NO token voted — an empty array or an
+    * array of only null elements. The old distributed formulation
+    * (explode → distinct → groupBy) emitted no row at all for such
+    * inputs, so "no signature" is the parity-preserving answer; an
+    * all-zero counter vector would otherwise tie-break to an
+    * all-bits-set signature and collide every degenerate document into
+    * one giant near-dup bucket. (Null TOKENS differ from the old plan's
+    * when/otherwise(-1) all-bits-down vote, but Dedup.simHash's
+    * tokenizer never emits null elements; documented on the class.) */
+  def simhash(tokens: ArrayData, bits: Int): java.lang.Long = {
     val n = tokens.numElements()
     val seen = new java.util.HashSet[UTF8String](math.max(16, n * 2))
     val counters = new Array[Int](bits)
@@ -63,13 +72,14 @@ object SimHashTokens {
       }
       i += 1
     }
+    if (seen.isEmpty) return null
     var out = 0L
     var b = 0
     while (b < bits) {
       if (counters(b) >= 0) out |= 1L << b
       b += 1
     }
-    out
+    java.lang.Long.valueOf(out)
   }
 }
 
@@ -88,6 +98,15 @@ object SimHashTokens {
   */
 case class SimHashTokens(child: Expression, bits: Int) extends UnaryExpression {
 
+  // Null input → null (UnaryExpression default), AND a non-null array
+  // with no voting token (empty, or all-null elements) → null: see the
+  // kernel scaladoc. Parity with the old distributed plan therefore
+  // holds exactly for arrays with >= 1 non-null element; null ELEMENTS
+  // are skipped rather than voting all-bits-down as the old
+  // when/otherwise(-1) arm did (unreachable from Dedup.simHash, whose
+  // tokenizer emits neither).
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if bits >= 1 && bits <= 60 =>
       TypeCheckResult.TypeCheckSuccess
@@ -102,8 +121,13 @@ case class SimHashTokens(child: Expression, bits: Int) extends UnaryExpression {
     SimHashTokens.simhash(input.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHashTokens.simhash($c, $bits);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("simhashBoxed")
+      s"""
+      java.lang.Long $boxed = graft.functions.SimHashTokens.simhash($c, $bits);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.longValue(); }"""
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashTokens =
     copy(child = newChild)

@@ -98,7 +98,7 @@ object Percentiles {
         min(when(col("__cw") >= ceil(r).cast("long") + 1, col("__v")))
           .as(s"__hi$i"))
     } :+ max(col("__tot")).cast("long").as("__nv")
-    joined.groupBy("__c").agg(aggCols.head, aggCols.tail: _*)
+    val out = joined.groupBy("__c").agg(aggCols.head, aggCols.tail: _*)
       .collect().iterator.flatMap { row =>
         val c = row.getString(0)
         val n = row.getLong(row.fieldIndex("__nv"))
@@ -109,6 +109,13 @@ object Percentiles {
             row.getDouble(row.fieldIndex(s"__hi$i")) * frac)
         }
       }.toMap
+    // A column with zero non-null values simply vanishes from the
+    // grouped result; fail with exact()'s explicit message instead of
+    // letting a caller's map lookup surface a bare NoSuchElementException.
+    val missing = cols.filterNot(c => out.contains((c, dist.head)))
+    require(missing.isEmpty,
+      s"no non-null values in ${missing.mkString(", ")}")
+    out
   }
 
   /** Exact discrete (lower-quantile) percentiles PER GROUP with no

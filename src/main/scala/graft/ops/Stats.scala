@@ -166,6 +166,7 @@ object Stats {
     * Population std (ddof = 0). One aggregate pass per column plus
     * the bounded percentile collects. */
   def describeExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describeExact needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
     def r6(x: Double): Double = graft.core.Round.r6(x)
