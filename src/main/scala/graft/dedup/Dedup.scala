@@ -532,7 +532,17 @@ object Dedup {
     * docs), 60-bit / 4-band = 2^15 values per band → candidate mass
     * 2.23e9 and the full pipeline completes answer-bounded (20.1M
     * verified pairs, 283 s). Per-band expected bucket size is
-    * corpus / 2^(bits/(maxHamming+1)) — keep it answer-scale. */
+    * corpus / 2^(bits/(maxHamming+1)) — keep it answer-scale.
+    *
+    * The rule is ENFORCED at plan time from a cheap corpus count (one
+    * pass over the signature frame, which populates the cache banding
+    * reads anyway): when even the UNIFORM candidate mass
+    * nBands * n² / 2^(bandBits+1) exceeds 100·n — i.e. the average
+    * doc would meet 100+ banding candidates before skew — a warning
+    * names the width that fits; when the EXPECTED bucket
+    * n / 2^bandBits itself exceeds `maxBucketSize`, the cap would
+    * drop the average bucket (the run silently degrades to discarding
+    * nearly the whole corpus), so the call fails fast instead. */
   def simHashNearDup(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 32,
@@ -549,6 +559,43 @@ object Dedup {
       maxBucketSize: Int = 10000): (DataFrame, DataFrame) =
     simHashNearDupCore(df, idCol, textCol, maxHamming, bits, maxBucketSize)
 
+  /** The sizing-rule check, factored pure for spec-ability. None = the
+    * width fits. Some((fatal, msg)): fatal when the EXPECTED band
+    * bucket n / 2^bandBits exceeds `maxBucketSize` (the skew cap would
+    * drop the AVERAGE bucket — recall collapses corpus-wide, so the
+    * call must fail rather than silently discard the data); non-fatal
+    * warn when the uniform candidate mass nBands·n²/2^(bandBits+1)
+    * exceeds 100·n (100+ banding candidates per doc before skew — the
+    * sf10-measured onset of saturation). Both messages name the
+    * smallest width (multiple of nBands, capped at the hash's 60 bits)
+    * whose uniform mass fits the 100-candidates-per-doc budget. */
+  private[graft] def simHashSizingIssue(
+      n: Long, maxHamming: Int, bits: Int,
+      maxBucketSize: Int): Option[(Boolean, String)] = {
+    if (n <= 0) return None
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val expectedBucket = n / math.pow(2.0, bandBits)
+    val fitBandBits = math.max(bandBits,
+      math.ceil(math.log(nBands * n / 100.0) / math.log(2.0)).toInt - 1)
+    val fitBits = math.min(60, nBands * fitBandBits)
+    val uniformMass = nBands * n.toDouble * expectedBucket / 2.0
+    if (expectedBucket > maxBucketSize) Some((true,
+      s"simHashNearDup: $bits-bit signatures over $n docs put the " +
+        s"EXPECTED band bucket at ${expectedBucket.toLong} rows — above " +
+        s"maxBucketSize=$maxBucketSize, so the skew cap would drop the " +
+        s"average bucket and near-dup recall collapses corpus-wide. " +
+        s"Raise bits (bits=$fitBits fits this corpus; 60 max) — see " +
+        s"the sizing rule on simHashNearDup."))
+    else if (uniformMass > 100.0 * n) Some((false,
+      s"simHashNearDup: $bits-bit signatures over $n docs give " +
+        f"uniform candidate mass $uniformMass%.3g (${uniformMass / n}%.0f " +
+        s"candidates/doc before skew) — band space 2^$bandBits is " +
+        s"undersized for this corpus; bits=$fitBits fits " +
+        s"(rule: corpus / 2^(bits/(maxHamming+1)) answer-scale)"))
+    else None
+  }
+
   private def simHashNearDupCore(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, bits: Int,
@@ -556,6 +603,15 @@ object Dedup {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     val sig = simHash(df, idCol, textCol, bits).cache()
+    // Plan-time sizing enforcement (scaladoc rule; sf10-measured). The
+    // count is one pass that fills the cache every later stage reads,
+    // so the check is effectively free — and it fires BEFORE the
+    // quadratic candidate join is paid.
+    simHashSizingIssue(sig.count(), maxHamming, bits, maxBucketSize)
+      .foreach {
+        case (true, msg)  => throw new IllegalArgumentException(msg)
+        case (false, msg) => log.warn(msg)
+      }
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * bandBits)

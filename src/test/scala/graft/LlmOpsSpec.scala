@@ -162,6 +162,50 @@ class LlmOpsSpec extends SparkSpec {
       s"empty/whitespace docs must hash alike and null must drop: $e")
   }
 
+  test("simhash_tokens: no-vote inputs (empty / all-null arrays) yield null, not a signature") {
+    // the old explode→distinct→groupBy plan emitted NO row for these;
+    // an all-zero counter vector would otherwise tie-break to an
+    // all-bits-set signature and collide every degenerate doc into one
+    // giant near-dup bucket (ADVICE r14)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("real", null)),
+      (4L, Seq[String]("real"))).toDF("id", "toks")
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions.simhashTokens(spark, col("toks"), 32).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty,
+      s"no token voted — must be null: $got")
+    assert(got(3L).isDefined && got(3L) == got(4L),
+      s"null ELEMENTS are skipped, surviving tokens still vote: $got")
+  }
+
+  test("simhash sizing rule: enforced at plan time from the corpus count") {
+    import graft.dedup.Dedup.simHashSizingIssue
+    // sf10-measured shape: 500k docs on the 32-bit default saturates
+    // the 2^8 band space → warn naming the width that fits (56)
+    val warn = simHashSizingIssue(500000L, 3, 32, 10000)
+    assert(warn.exists(i => !i._1 && i._2.contains("bits=56")),
+      s"500k docs @32-bit must warn with the fitting width: $warn")
+    // the 60-bit width that completed answer-bounded at sf10 → clean
+    assert(simHashSizingIssue(500000L, 3, 60, 10000).isEmpty)
+    // expected bucket above the skew cap → the cap would drop the
+    // AVERAGE bucket; must be fatal, not a silent corpus-wide discard
+    val fatal = simHashSizingIssue(5000000L, 3, 32, 10000)
+    assert(fatal.exists(_._1), s"5M docs @32-bit must be fatal: $fatal")
+    // gate-scale corpora on defaults stay silent
+    assert(simHashSizingIssue(5000L, 3, 32, 10000).isEmpty)
+    // end-to-end: the require fires before the candidate join is paid
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDup(docs, "doc_id", "text",
+        maxHamming = 3, bits = 4, maxBucketSize = 10)
+    }
+    assert(ex.getMessage.contains("sizing rule"), ex.getMessage)
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val sig = Dedup.simHash(docs, "doc_id", "text").cache()
     val near = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.8)
