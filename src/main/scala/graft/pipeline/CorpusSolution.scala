@@ -83,13 +83,27 @@ object CorpusSolution {
       docs.join(wordKeep, Seq(idCol)).join(repKeep, Seq(idCol))
     }
 
-    val dedup = task("Deduplicate", "deduped", Seq(quality)) {
+    // The near-dup stage runs the LOUD variant and persists the skew
+    // guard's (n_groups_dropped, n_rows_dropped) accounting NEXT TO the
+    // corpus it describes: a production run must not require callers to
+    // know the WithStats face exists to learn the cap dropped buckets.
+    // Both parquet targets are declared, so the file-target resume
+    // contract is unchanged — a rerun skips only when corpus AND stats
+    // landed. The stats frame is one literal row (collected eagerly
+    // inside the WithStats call, which also warns before the candidate
+    // join is paid), so the extra write is a metadata-cost artifact.
+    val dedup = Pipeline.Task("Deduplicate",
+        Seq(s"$out/deduped/_SUCCESS", s"$out/deduped_drop_stats/_SUCCESS"),
+        Seq(quality))(() => {
       val docs = read("quality")
       val exact = Dedup.keepFirst(docs, Seq(textCol), Seq(col(idCol)))
-      val pairs = Dedup.minHashNearDup(exact, idCol, textCol, nearDupThreshold)
+      val (pairs, dropStats) = Dedup.minHashNearDupWithStats(
+        exact, idCol, textCol, nearDupThreshold)
+      dropStats.write.mode("overwrite").parquet(s"$out/deduped_drop_stats")
       exact.join(pairs.select(col("id_2").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-    }
+          Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$out/deduped")
+    })
 
     val mixture =
       if (!runMixture) None

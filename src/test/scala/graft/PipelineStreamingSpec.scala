@@ -82,6 +82,15 @@ class PipelineStreamingSpec extends SparkSpec {
     // stats artifacts: per-source accounting + stage-count manifest
     assert(r.stats.columns.toSeq == Seq("source", "n_docs", "total_tokens"))
     assert(Files.exists(Paths.get(s"$out/corpus_stats.json")))
+    // the dedup stage persists its skew guard's drop accounting next to
+    // the corpus (VERDICT r14 #4): one row, zero drops on this corpus
+    val drops = spark.read.parquet(s"$out/deduped_drop_stats").collect()
+    assert(drops.length == 1 &&
+      drops.head.schema.fieldNames.toSeq ==
+        Seq("n_groups_dropped", "n_rows_dropped"),
+      s"drop-stats artifact malformed: ${drops.toSeq}")
+    assert(drops.head.getLong(0) == 0L && drops.head.getLong(1) == 0L,
+      "no bucket should saturate the cap at spec scale")
     // Luigi resume: a second build skips every stage
     val again = graft.pipeline.CorpusSolution.buildCorpus(
       spark, proj, "configs", "corpus.conf")
