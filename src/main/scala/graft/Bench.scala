@@ -65,10 +65,20 @@ object Bench {
       runOnce()
       failures = 0 // warm-up outcomes are not evidence either way
     }
-    val passes = (1 to reps).map { _ =>
+    val passRuns = (1 to reps).map { _ =>
       graft.core.Memo.clear()
-      runOnce()
+      val r = runOnce()
+      (r, graft.core.Memo.buildSeconds)
     }
+    val passes = passRuns.map(_._1)
+    // shared memo-slot build cost per pass, min across passes like the
+    // per-query numbers — the build lands on whichever group query the
+    // Map iterates first, so this is the line item that lets group
+    // subtotals be read net of first-toucher accounting (VERDICT r14 #8)
+    val memoBuilds = passRuns.map(_._2)
+      .reduce((a, b) => (a.keySet ++ b.keySet).map(k =>
+        k -> math.min(a.getOrElse(k, Double.MaxValue),
+          b.getOrElse(k, Double.MaxValue))).toMap)
     // every pass total rides in the artifact so the judged JSON carries
     // the whole measurement BRACKET, not one opaque number — PLANS.md's
     // "compare the bracket" discipline, machine-readable
@@ -131,6 +141,15 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"top_queries","n":${math.min(20, results.size)},"order":"asc","unit":"sec","sf":"$sfDir","queries":$top}""")
+    // Shared-build accounting (its own SHORT line, so total_summary's
+    // size stays fixed): seconds each memo slot's build paid, min
+    // across passes. A group subtotal that moved round-over-round while
+    // its memo_build moved the same amount is first-toucher accounting,
+    // not a plan regression.
+    val mb = memoBuilds.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"memo_build","unit":"sec","sf":"$sfDir","slots":$mb}""")
     // The driver's capture keeps the TAIL of output (round 7 showed the
     // big line above truncated from the front → parsed:null), so a
     // short self-contained summary prints LAST — it always survives and

@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** sf10 fuzzy-join probe variant (dev-only; run via
-  * `sbt "Test/runMain graft.FuzzyProbe <sfDir>"`).
+/** Fuzzy-join block-key pricing probe — the runnable sizing tool the
+  * README scale rules cite (main-scope, like ProbeBanding):
+  * `runMain graft.FuzzyProbe <docsDir>`. <docsDir> must hold a
+  * documents.parquet with (doc_id, text).
   *
   * The synthetic corpus's 31-word vocabulary makes FIRST-token blocks
   * exceed the fuzzy join's maxBlockSize corpus-wide at sf10 (~16k docs

@@ -1,7 +1,9 @@
 package graft
 
-/** sf10 SimHash near-dup probe (dev-only; run via
-  * `sbt "Test/runMain graft.SimhashProbe <sfDir> [bits] [maxHamming] [maxBucketSize]"`).
+/** SimHash signature-width pricing probe — the runnable sizing tool
+  * the README scale rules cite (main-scope, like ProbeBanding):
+  * `runMain graft.SimhashProbe <docsDir> [bits] [maxHamming] [maxBucketSize]`.
+  * <docsDir> must hold a documents.parquet with (doc_id, text).
   *
   * Times simHashNearDup and counts its pairs, plus reports the
   * (band, bsig) bucket-size distribution — the family's scale knob is

@@ -12,9 +12,26 @@ import scala.collection.concurrent.TrieMap
   */
 object Memo {
   private val store = TrieMap.empty[String, Any]
+  private val buildSecs = TrieMap.empty[String, Double]
 
   def getOrElseUpdate[T](key: String)(value: => T): T =
-    store.getOrElseUpdate(key, value).asInstanceOf[T]
+    store.getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      val v: Any = value
+      buildSecs.put(key.takeWhile(_ != ':'), (System.nanoTime() - t0) / 1e9)
+      v
+    }).asInstanceOf[T]
 
-  def clear(): Unit = store.clear()
+  /** Wall seconds each memo slot's build paid since the last clear(),
+    * keyed by the slot slug (the key text before the first ':' — the
+    * applicationId/path suffixes are per-session noise). Most memoized
+    * intermediates end in an eager localCheckpoint, so the build cost
+    * is real wall time, not lazy-plan assembly. Bench emits this as
+    * the memo_build line item: the shared build lands on whichever
+    * group query touches the slot first, so per-query and group
+    * numbers can be read NET of it instead of wobbling with execution
+    * order. */
+  def buildSeconds: Map[String, Double] = buildSecs.toMap
+
+  def clear(): Unit = { store.clear(); buildSecs.clear() }
 }
