@@ -752,6 +752,27 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("exactPerColumn / describeExact: degenerate inputs fail with the explicit message") {
+    // a column with zero non-null values vanishes from the grouped
+    // result — the error must name it, not surface a bare
+    // NoSuchElementException from a caller's map lookup (ADVICE r14)
+    val df = Seq(
+      (1.0, null.asInstanceOf[java.lang.Double]),
+      (2.0, null.asInstanceOf[java.lang.Double])).toDF("ok", "allnull")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Percentiles.exactPerColumn(df, Seq("ok", "allnull"), Seq(0.5))
+    }
+    assert(e1.getMessage.contains("no non-null values in allnull"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Stats.describeExact(df, Seq("allnull"))
+    }
+    assert(e2.getMessage.contains("no non-null values"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Stats.describeExact(df, Seq.empty)
+    }
+    assert(e3.getMessage.contains("at least one column"), e3.getMessage)
+  }
+
   test("canonicalPick: best score wins, id breaks ties") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster")
