@@ -128,10 +128,17 @@ object Multimodal {
       s"unsupported BMP variant (hdr $hdrSize, $bpp bpp, compression $comp)")
     val bottomUp = hRaw > 0
     val h = math.abs(hRaw)
-    require(w > 0 && h > 0, s"bad BMP geometry ${w}x$hRaw")
-    val rowPad = (4 - (w * 3) % 4) % 4
-    require(dataOff + h.toLong * (w * 3 + rowPad) - rowPad <= p.length,
-      s"raster truncated: need ${h.toLong * (w * 3 + rowPad)} bytes from $dataOff, have ${p.length}")
+    require(w > 0 && h > 0 && dataOff >= 54, s"bad BMP geometry ${w}x$hRaw @$dataOff")
+    // all size arithmetic in LONGS: a poison header with huge w/h would
+    // otherwise overflow w*3 / w*h*3 into a negative rowPad or a
+    // NegativeArraySizeException the codec's catch doesn't cover — one
+    // corrupt payload must never kill a corpus-scale job. The
+    // truncation require bounds w·h·3 by p.length (an Int), so the
+    // int-typed allocation below it is exact.
+    val row3 = w.toLong * 3
+    val rowPad = ((4 - row3 % 4) % 4).toInt
+    require(dataOff + h.toLong * (row3 + rowPad) - rowPad <= p.length,
+      s"raster truncated: need ${h.toLong * (row3 + rowPad)} bytes from $dataOff, have ${p.length}")
     val out = new Array[Byte](w * h * 3)
     var r = 0
     while (r < h) {
@@ -159,7 +166,13 @@ object Multimodal {
       else if (p(0) == 'P' && (p(1) == '5' || p(1) == '6')) Some(netpbmRaster(p))
       else if (p(0) == 'B' && p(1) == 'M') Some(bmpRaster(p))
       else None
-    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+    } catch {
+      // NegativeArraySize: belt-and-braces for any remaining size-math
+      // wraparound on adversarial headers (the requires above aim to
+      // reject them first)
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
 
   /** Per-channel integer stats over a normalized raster. */
   private def rasterStats(r: Raster): Row = {

@@ -722,6 +722,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L).isNullAt(2) && got(3L).isNullAt(3), "garbage -> null decode row")
   }
 
+  test("image codec: poison BMP headers (overflowing dimensions) decode to null, not a crash") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // w·3 and w·h·3 overflow Int (w = 2^30): before the long-math fix
+    // this died with NegativeArraySizeException — a job-killer, not a
+    // null decode — because rowPad went negative / the allocation
+    // wrapped. Also: a huge-but-positive product (w=h=65536) and a
+    // negative data offset.
+    def bmp(w: Int, h: Int, dataOff: Int = 54) =
+      Array[Byte]('B', 'M') ++ le32(62) ++ le16(0) ++ le16(0) ++ le32(dataOff) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(8) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array[Byte](1, 2, 3, 4, 5, 6, 0, 0)
+    val poison = Seq(
+      (1L, bmp(1 << 30, 2)), (2L, bmp(65536, 65536)),
+      (3L, bmp(2, 2, dataOff = -8)), (4L, bmp(2, Int.MinValue)))
+    val got = Multimodal.decodeImages(poison.toDF("id", "payload"), "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    poison.foreach { case (id, _) =>
+      assert(got(id).isNullAt(2) && got(id).isNullAt(3),
+        s"poison payload $id must decode to null")
+    }
+  }
+
   test("image codec: synthetic PPM round-trip matches the closed-form stats") {
     import graft.multimodal.Multimodal
     import spark.implicits._
