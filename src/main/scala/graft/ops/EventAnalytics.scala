@@ -294,7 +294,11 @@ object EventAnalytics {
         round(max(col("__o")).getField("v"), 6).as("close"),
         round(max(col("__o.v")), 6).as("high"),
         round(min(col("__o.v")), 6).as("low"),
-        round(sum(col("__o.v")), 6).as("volume"),
+        // exact micro-unit sum (q1-family): a (day, group) bar can hold
+        // billions of events at corpus scale — float-sum order drift
+        // crosses the 6-dp grain there. Must stay expression-identical
+        // to dailyOhlcStream's volume (stream==batch parity spec).
+        round(graft.core.ExactSum.micro(col("__o.v")), 6).as("volume"),
         count(lit(1)).as("n"))
       .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
         col("grp").as(groupCol), col("open"), col("high"), col("low"),

@@ -143,7 +143,11 @@ object Temporal {
     val matched = iGr.join(pGr, Seq("__gran"))
       .filter(col("__pt") >= col(startCol) && col("__pt") < col(endCol))
       .groupBy(intervalId)
-      .agg(count(lit(1)).as("__n"), round(sum(col("__pv")), 6).as("__sv"))
+      // exact micro-unit sum: an interval over a hot granule can hold
+      // corpus-scale points, where a float sum's partial-agg order
+      // drifts past the 6-dp grain (the q1-family class)
+      .agg(count(lit(1)).as("__n"),
+        round(graft.core.ExactSum.micro(col("__pv")), 6).as("__sv"))
     // "for EVERY interval": an interval with zero in-window points
     // must appear with (0, 0.0), not vanish with the inner join —
     // callers joining results back per interval would silently lose
@@ -250,7 +254,9 @@ object Temporal {
         max(col(ts)).as("session_end"),
         (unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
           .as("duration_us"),
-        round(sum(col(valueCol)), 6).as("sum_value"))
+        // order-independent (q1-family): a bot key's "session" can be
+        // unbounded, and the float sum would drift with partition order
+        round(graft.core.ExactSum.micro(col(valueCol)), 6).as("sum_value"))
   }
 
   /** Event funnel — greedy-earliest completion of an ordered step

@@ -726,7 +726,7 @@ object EvalQueries {
       |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
       |  round(max(o), 6) AS open, round(max(value), 6) AS high,
       |  round(min(value), 6) AS low, round(max(c), 6) AS close,
-      |  round(sum(value), 6) AS volume, count(*) AS n
+      |  round(CAST(sum(CAST(sign(value) * floor(abs(value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000, 6) AS volume, count(*) AS n
       |FROM b GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
   // -------------------------------------------------------------------

@@ -857,7 +857,8 @@ object MiscQueries {
 
   val hourlyEventsSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-      |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |       event_type, count(*) AS n_events,
+      |       round(CAST(sum(CAST(sign(value) * floor(abs(value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000, 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   /** mapGroupsWithState running totals, batch-executed (the state op

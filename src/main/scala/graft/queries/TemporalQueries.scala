@@ -77,7 +77,7 @@ object TemporalQueries {
       |),
       |p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
       |SELECT window_id, count(p.ts) AS n_points,
-      |       round(coalesce(sum(value), 0), 6) AS sum_value
+      |       round(coalesce(CAST(sum(CAST(sign(value) * floor(abs(value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000, 0), 6) AS sum_value
       |FROM w LEFT JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
       |GROUP BY window_id ORDER BY window_id""".stripMargin
 
@@ -110,7 +110,7 @@ object TemporalQueries {
       |SELECT user_id, session, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-      |  round(sum(value), 6) AS sum_value
+      |  round(CAST(sum(CAST(sign(value) * floor(abs(value) * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000, 6) AS sum_value
       |FROM s GROUP BY 1, 2 ORDER BY user_id, session""".stripMargin
 
   // -------------------------------------------------------------------

@@ -51,7 +51,11 @@ object Events extends Serializable {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      // exact micro-unit sum (q1-family): an (hour, type) cell sums a
+      // whole event type's hourly volume — order-independent integers
+      // keep batch, stream, and any replaying engine bit-equal
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.core.ExactSum.micro(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -578,7 +582,9 @@ object Events extends Serializable {
         max(struct(col(tsCol), col(tieCol), col(valueCol).as("v"))).as("__omax"),
         round(max(col(valueCol)), 6).as("high"),
         round(min(col(valueCol)), 6).as("low"),
-        round(sum(col(valueCol)), 6).as("volume"),
+        // expression-identical to EventAnalytics.dailyOhlc's volume
+        // (stream==batch parity): exact micro-unit sum, q1-family
+        round(graft.core.ExactSum.micro(col(valueCol)), 6).as("volume"),
         count(lit(1)).as("n"))
       .select(date_format(col("__w.start"), "yyyy-MM-dd").as("day"),
         col("grp").as(groupCol),
