@@ -30,16 +30,35 @@ object Graph {
     * (quadratic blow-up guard; at 100 TB one degenerate basket would
     * otherwise dominate the stage). */
   def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String,
-      maxBasketSize: Int = 1000): DataFrame = {
+      maxBasketSize: Int = 1000): DataFrame =
+    coOccurrenceEdgesCore(df, basketCol, itemCol, maxBasketSize)._1
+
+  /** [[coOccurrenceEdges]] plus the basket-size guard's one-row
+    * (n_baskets_dropped, n_rows_dropped) stats frame — the same
+    * loudness contract as the dedup family's `*WithStats` variants
+    * (a dropped basket produces NO edges; a caller reading an edge
+    * list thinned by the cap must be able to see that it was). The
+    * stats frame is lazy; evaluating it re-runs only the basket-size
+    * aggregate over the distinct (basket, item) projection. */
+  def coOccurrenceEdgesWithStats(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int = 1000): (DataFrame, DataFrame) =
+    coOccurrenceEdgesCore(df, basketCol, itemCol, maxBasketSize)
+
+  private def coOccurrenceEdgesCore(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): (DataFrame, DataFrame) = {
     val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val sizes = b.groupBy("__b").agg(count(lit(1)).as("__sz"))
     val sized = b.join(
-      b.groupBy("__b").agg(count(lit(1)).as("__sz"))
-        .filter(col("__sz") <= maxBasketSize).select("__b"),
+      sizes.filter(col("__sz") <= maxBasketSize).select("__b"),
       Seq("__b"))
     val l = sized.select(col("__b"), col("__i").as("src"))
     val r = sized.select(col("__b"), col("__i").as("dst"))
-    l.join(r, Seq("__b")).filter(col("src") < col("dst"))
+    val edges = l.join(r, Seq("__b")).filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val dropped = sizes.filter(col("__sz") > maxBasketSize)
+      .agg(count(lit(1)).as("n_baskets_dropped"),
+        coalesce(sum(col("__sz")), lit(0L)).as("n_rows_dropped"))
+    (edges, dropped)
   }
 
   /** Weighted PageRank over an undirected edge list (src < dst, w):

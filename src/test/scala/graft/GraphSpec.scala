@@ -24,6 +24,18 @@ class GraphSpec extends SparkSpec {
     val got = Graph.coOccurrenceEdges(df, "b", "i", maxBasketSize = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((1L, 2L) -> 1L)) // only the size-2 basket survives
+    // the guard is loud (the dedup-family contract): the WithStats face
+    // reports the dropped basket and its rows
+    val (edges, stats) = Graph.coOccurrenceEdgesWithStats(
+      df, "b", "i", maxBasketSize = 3)
+    val s = stats.head()
+    assert((s.getLong(0), s.getLong(1)) == ((1L, 4L)),
+      s"one 4-item basket must be reported dropped: $s")
+    assert(edges.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap == got, "WithStats edges must equal the default variant's")
+    // no drops → explicit (0, 0), not an empty frame
+    val z = Graph.coOccurrenceEdgesWithStats(df, "b", "i")._2.head()
+    assert((z.getLong(0), z.getLong(1)) == ((0L, 0L)), s"zero-drop stats: $z")
   }
 
   test("pageRank: star graph matches the hand recurrence, mass is conserved") {
