@@ -62,16 +62,17 @@ object Sources {
     writer.csv(path)
   }
 
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** S4: JSON scalar-map manifest write (driver-side control data). */
   def writeJsonManifest(path: String, entries: Map[String, String]): Unit = {
-    def esc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
     val json = entries.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
@@ -80,11 +81,34 @@ object Sources {
   }
 
   /** S4: JSON string-list write (optimal feature lists,
-    * create_solution.py:167-168). */
+    * create_solution.py:167-168). Items are escaped like manifest
+    * values — a feature name with a quote or comma must round-trip. */
   def writeJsonList(path: String, items: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path),
-      items.map(s => s""""$s"""").mkString("[", ", ", "]"))
+      items.map(s => s""""${esc(s)}"""").mkString("[", ", ", "]"))
+  }
+
+  /** Inverse of writeJsonManifest's `esc` — without it, a value
+    * containing quotes/backslashes/newlines would not round-trip (the
+    * writer escapes, so the reader must unescape). */
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => b += c; b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
   }
 
   /** S4: JSON scalar-map manifest read (inverse of writeJsonManifest;
@@ -96,18 +120,21 @@ object Sources {
     if (inner.isEmpty) Map.empty
     else inner.split(",(?=\\s*\")").toSeq.map { kv =>
       val Array(k, v) = kv.split(":", 2)
-      k.trim.stripPrefix("\"").stripSuffix("\"") ->
-        v.trim.stripPrefix("\"").stripSuffix("\"")
+      unesc(k.trim.stripPrefix("\"").stripSuffix("\"")) ->
+        unesc(v.trim.stripPrefix("\"").stripSuffix("\""))
     }.toMap
   }
 
-  /** S4: JSON string-list read. */
+  /** S4: JSON string-list read. The split lookahead (comma followed by
+    * a quote) plus unescaping mirrors the writer exactly — a bare
+    * `split(",")` would break items containing commas. */
   def readJsonList(path: String): Seq[String] = {
     val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim
     require(txt.startsWith("[") && txt.endsWith("]"), s"not a JSON list: $path")
     val inner = txt.substring(1, txt.length - 1).trim
     if (inner.isEmpty) Seq.empty
-    else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    else inner.split(",(?=\\s*\")").toSeq
+      .map(s => unesc(s.trim.stripPrefix("\"").stripSuffix("\"")))
   }
 
   /** Columnar sinks/scans beyond the reference's CSV: parquet (used

@@ -105,6 +105,22 @@ class IoSpec extends SparkSpec {
     assert(Sources.readJsonManifest(s"$dir/m.txt") == m)
   }
 
+  test("json manifest/list round-trip escaped content (quotes, backslashes, newlines, tabs)") {
+    // the writer escapes; the reader must UNESCAPE or round-tripping
+    // silently corrupts any value with a special character
+    val dir = Files.createTempDirectory("graft_jesc").toString
+    val m = Map(
+      "quoted" -> """say "hi", then "bye"""",
+      "path" -> """C:\tmp\x""",
+      "multi" -> "line1\nline2",
+      "ctl" -> "a\tb")
+    Sources.writeJsonManifest(s"$dir/m.json", m)
+    assert(Sources.readJsonManifest(s"$dir/m.json") == m)
+    val items = Seq("plain", """with "quote"""", "with, comma", "back\\slash")
+    Sources.writeJsonList(s"$dir/l.json", items)
+    assert(Sources.readJsonList(s"$dir/l.json") == items)
+  }
+
   test("oof ingest renames prediction columns with the model prefix") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_oof").toString
