@@ -111,30 +111,47 @@ object Sources {
     b.toString
   }
 
+  /** Scan every quoted string out of a flat JSON text, honoring the
+    * writer's escapes. A regex split on `,(?="...)` falsely fires on a
+    * comma that ENDS a value (the lookahead sees the value's own
+    * closing quote), and `split(":", 2)` breaks on a key containing a
+    * colon — only a scanner that tracks the in-string state parses the
+    * writer's output for every input. */
+  private def quotedStrings(txt: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < txt.length) {
+      if (txt.charAt(i) == '"') {
+        val b = new StringBuilder
+        i += 1
+        while (i < txt.length && txt.charAt(i) != '"') {
+          if (txt.charAt(i) == '\\' && i + 1 < txt.length) {
+            b += txt.charAt(i); b += txt.charAt(i + 1); i += 2
+          } else { b += txt.charAt(i); i += 1 }
+        }
+        require(i < txt.length, "unterminated string in JSON manifest")
+        i += 1
+        out += unesc(b.toString)
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** S4: JSON scalar-map manifest read (inverse of writeJsonManifest;
     * flat string-valued objects only). */
   def readJsonManifest(path: String): Map[String, String] = {
     val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim
     require(txt.startsWith("{") && txt.endsWith("}"), s"not a JSON object: $path")
-    val inner = txt.substring(1, txt.length - 1).trim
-    if (inner.isEmpty) Map.empty
-    else inner.split(",(?=\\s*\")").toSeq.map { kv =>
-      val Array(k, v) = kv.split(":", 2)
-      unesc(k.trim.stripPrefix("\"").stripSuffix("\"")) ->
-        unesc(v.trim.stripPrefix("\"").stripSuffix("\""))
-    }.toMap
+    val strings = quotedStrings(txt.substring(1, txt.length - 1))
+    require(strings.length % 2 == 0, s"odd string count in JSON object: $path")
+    strings.grouped(2).map { case Seq(k, v) => k -> v }.toMap
   }
 
-  /** S4: JSON string-list read. The split lookahead (comma followed by
-    * a quote) plus unescaping mirrors the writer exactly — a bare
-    * `split(",")` would break items containing commas. */
+  /** S4: JSON string-list read (inverse of writeJsonList). */
   def readJsonList(path: String): Seq[String] = {
     val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim
     require(txt.startsWith("[") && txt.endsWith("]"), s"not a JSON list: $path")
-    val inner = txt.substring(1, txt.length - 1).trim
-    if (inner.isEmpty) Seq.empty
-    else inner.split(",(?=\\s*\")").toSeq
-      .map(s => unesc(s.trim.stripPrefix("\"").stripSuffix("\"")))
+    quotedStrings(txt.substring(1, txt.length - 1))
   }
 
   /** Columnar sinks/scans beyond the reference's CSV: parquet (used

@@ -121,6 +121,20 @@ class IoSpec extends SparkSpec {
     assert(Sources.readJsonList(s"$dir/l.json") == items)
   }
 
+  test("json manifest read survives a value ending with a comma and a key with a colon") {
+    // a regex split on `,(?=\s*")` fires on the comma that ENDS a value
+    // (lookahead sees the value's own closing quote), and split(":", 2)
+    // breaks a key containing a colon — the escape-aware scanner must
+    // round-trip both
+    val dir = Files.createTempDirectory("graft_jedge").toString
+    val m = Map("k" -> "a,", "ns:param" -> "v", "trail" -> "x, ")
+    Sources.writeJsonManifest(s"$dir/m.json", m)
+    assert(Sources.readJsonManifest(s"$dir/m.json") == m)
+    val items = Seq("a,", "b", ", ")
+    Sources.writeJsonList(s"$dir/l.json", items)
+    assert(Sources.readJsonList(s"$dir/l.json") == items)
+  }
+
   test("oof ingest renames prediction columns with the model prefix") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_oof").toString
