@@ -135,6 +135,29 @@ class IoSpec extends SparkSpec {
     assert(Sources.readJsonList(s"$dir/l.json") == items)
   }
 
+  test("json manifest/list round-trip property: arbitrary strings survive") {
+    // seeded generator biased toward the parser's danger characters
+    // (quotes, backslashes, commas, colons, braces, controls, unicode)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val danger = Gen.oneOf('"', '\\', ',', ':', '\n', '\t', '{', '}', '[', ']', ' ')
+    val ch = Gen.frequency(
+      4 -> Gen.alphaNumChar, 3 -> danger,
+      1 -> Gen.choose(1.toChar, 31.toChar), 1 -> Gen.choose('¡', 'ퟻ'))
+    val str = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, ch)).map(_.mkString)
+    def sample[A](g: Gen[A], i: Int): A =
+      g.apply(Gen.Parameters.default, Seed(7000L + i)).get
+    val dir = Files.createTempDirectory("graft_jprop").toString
+    (1 to 60).foreach { i =>
+      val m = sample(Gen.mapOfN(4, Gen.zip(str, str)), i)
+      Sources.writeJsonManifest(s"$dir/m$i.json", m)
+      assert(Sources.readJsonManifest(s"$dir/m$i.json") == m, s"manifest seed $i: $m")
+      val items = sample(Gen.listOfN(5, str), i)
+      Sources.writeJsonList(s"$dir/l$i.json", items)
+      assert(Sources.readJsonList(s"$dir/l$i.json") == items, s"list seed $i: $items")
+    }
+  }
+
   test("oof ingest renames prediction columns with the model prefix") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_oof").toString
