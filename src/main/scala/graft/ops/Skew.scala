@@ -24,8 +24,12 @@ object Skew {
     * by keys alone — by then every key holds at most `buckets` rows.
     * The salt is a content hash (deterministic, no rand()), derived
     * from all non-key columns so rows of a hot key spread evenly.
-    * Result is bit-identical to the direct groupBy for these algebraic
-    * aggregates (avg merges as sum/count).
+    * Result is bit-identical to the direct groupBy for integer/decimal
+    * inputs and for min/max/count on any type; float sum/avg are
+    * order-dependent in EITHER formulation (the partial-aggregation
+    * order already varies with partitioning), so salting adds no new
+    * drift class — use the micro-unit decimal construction
+    * (graft.core.ExactSum) when a float sum must be exact.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
       buckets: Int = 64): DataFrame = {
