@@ -134,6 +134,92 @@ class TemporalParitySpec extends SparkSpec {
     }
   }
 
+  test("rangeJoinCount parity: granule equi-join vs direct containment scan, 20 seeds") {
+    for (seed <- 1 to 20) {
+      val rnd = new Random(800L + seed)
+      val intervals = (1 to 25).map { i =>
+        val s = rnd.nextInt(300)
+        // zero-length and granule-spanning intervals both occur
+        (i.toLong, t(s.toLong), t((s + rnd.nextInt(60)).toLong))
+      }
+      val points = (1 to 120).map(_ =>
+        (t(rnd.nextInt(330).toLong), rnd.nextInt(8) / 4.0))
+      val granule = rnd.nextInt(25).toLong + 1L
+      val got = Temporal.rangeJoinCount(
+          intervals.toDF("iid", "s", "e"), points.toDF("pt", "pv"),
+          "iid", "s", "e", "pt", "pv", granule)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = intervals.map { case (iid, s, e) =>
+        val in = points.filter(p =>
+          p._1.getTime >= s.getTime && p._1.getTime < e.getTime)
+        iid -> ((in.size.toLong, math.floor(in.map(_._2).sum * 1e6 + 0.5) / 1e6))
+      }.toMap
+      assert(got == want, s"rangeJoinCount granule=$granule seed=$seed")
+    }
+  }
+
+  test("peakConcurrency parity: sweep line vs per-microsecond direct max, 12 seeds") {
+    for (seed <- 1 to 12) {
+      val rnd = new Random(900L + seed)
+      // events across ~3 days so midnight carry-in occurs
+      val events = (1 to 60).map(_ =>
+        (rnd.nextInt(5) + 1, t(rnd.nextInt(260000).toLong), 1.0))
+      val gapSec = rnd.nextInt(4000).toLong + 60L
+      val got = Temporal.peakConcurrency(
+          events.toDF("k", "ts", "v"), "k", "ts", "v", gapSec)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // reference: materialize sessions directly, then evaluate the
+      // running concurrency at every session boundary and midnight
+      val sessions = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        val sorted = evs.map(_._2.getTime).sorted
+        sorted.tail.foldLeft(Vector(Vector(sorted.head))) { case (acc, e) =>
+          if (e - acc.last.last > gapSec * 1000L) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }.map(s => (s.head, s.last))
+      }
+      val d0 = sessions.map(_._1).min; val d1 = sessions.map(_._2).max
+      val midnights = (d0 / 86400000L to d1 / 86400000L).map(_ * 86400000L)
+      val instants = (sessions.map(_._1) ++ sessions.map(_._2 + 1000L) ++
+        midnights).distinct.sorted
+      val want = instants.map { i =>
+        val conc = sessions.count(s => s._1 <= i && i <= s._2)
+        val day = java.time.Instant.ofEpochMilli(i)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        (day, conc.toLong)
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max }
+      assert(got == want, s"peakConcurrency gap=$gapSec seed=$seed")
+    }
+  }
+
+  test("cohortRetention parity: per-key period alignment vs direct scan, 15 seeds") {
+    for (seed <- 1 to 15) {
+      val rnd = new Random(1000L + seed)
+      val events = (1 to 90).map(_ =>
+        (rnd.nextInt(8) + 1, t(rnd.nextInt(40).toLong * 86400L + rnd.nextInt(86400).toLong)))
+      val periodDays = rnd.nextInt(6) + 1
+      val mp = if (rnd.nextBoolean()) Some(rnd.nextInt(4).toLong + 1L) else None
+      val got = Temporal.cohortRetention(
+          events.toDF("k", "ts"), "k", "ts", periodDays, mp)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val byKey = events.groupBy(_._1)
+      val pairs = byKey.toSeq.flatMap { case (k, evs) =>
+        val days = evs.map(e => e._2.getTime / 86400000L).distinct
+        val first = days.min
+        days.map(d => (k, first, (d - first) / periodDays))
+          .filter(p => mp.forall(p._3 <= _)).distinct
+      }
+      val matrix = pairs.groupBy(p => (p._2, p._3))
+        .map { case ((c, per), xs) => (c, per) -> xs.map(_._1).distinct.size.toLong }
+      val want = matrix.map { case ((c, per), n) =>
+        val size = matrix((c, 0L))
+        val day = java.time.LocalDate.ofEpochDay(c).toString
+        (day, per) -> ((n, size, math.floor(n.toDouble / size * 1e6 + 0.5) / 1e6))
+      }
+      assert(got == want, s"cohortRetention period=$periodDays mp=$mp seed=$seed")
+    }
+  }
+
   test("funnel parity: greedy-earliest walk vs direct reference, 20 seeds") {
     val steps = Seq("a", "b", "c")
     for (seed <- 1 to 20) {
