@@ -17,4 +17,14 @@ package graft.core
 object Round {
   def r6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  /** Column form of [[r6]] — the same IEEE ops in the same order
+    * (signum·floor first, divide once), so a value rounded in-plan is
+    * bit-equal to the same value rounded on the driver. Spark's
+    * `floor` returns LongType; the cast back to double is exact for
+    * |x|·1e6 < 2^53, far beyond any 6-dp-grid column. */
+  def r6c(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    signum(c) * floor(abs(c) * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+  }
 }

@@ -217,6 +217,63 @@ object Percentiles {
     agged.select(col(groupCol) +: col("n") +: pcols: _*)
   }
 
+  /** [[exact]]'s CONTINUOUS (np.percentile / quantile_cont) semantics
+    * PER GROUP with no driver loop — `ps` are arbitrary doubles in
+    * [0, 1] and the rank/interpolation arithmetic is op-for-op the
+    * same IEEE double sequence as [[exact]] (r = (n−1)·p as a double
+    * product, floor/ceil bracket thresholds, (1−f)·a + f·b), so a
+    * grouped result is bit-equal to calling [[exact]] once per group —
+    * at one (group, value) count aggregate + one value-keyed prefix
+    * sum for EVERY group at once, instead of 3 jobs × n_groups over an
+    * unbounded driver-collected vocabulary. This is the construction
+    * that retired the engine's last per-group driver loops
+    * (winsorizedMeans / robustOutliers).
+    *
+    * Output: (groupCol — native type, n, one double column per entry
+    * of `names`). Null groups and null values are excluded. */
+  def groupedContinuous(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    require(names.size == ps.size && names.distinct.size == names.size,
+      "names must be distinct and pair 1:1 with ps")
+    val dist = ps.distinct
+    val counts = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // feeds the CDF AND the group totals
+    val cum = graft.ml.Evaluation.withRunningTotals(
+      counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
+    val gtot = counts.groupBy("__g").agg(sum(col("__n")).as("__tot"))
+    val gbase = graft.ml.Evaluation.withRunningTotals(
+        gtot, Seq(col("__g")), Map("__cb" -> col("__tot")))
+      .withColumn("__base", col("__cb") - col("__tot"))
+      .select("__g", "__tot", "__base")
+    val joined = cum.join(gbase, Seq("__g"))
+      .withColumn("__cw", (col("__cwg") - col("__base")).cast("long"))
+    // 0-based order statistic i lives at the smallest value whose
+    // cumulative count reaches i + 1 — exact()'s thresholds verbatim
+    val aggCols = dist.zipWithIndex.flatMap { case (p, i) =>
+      val r = (col("__tot") - 1).cast("double") * lit(p)
+      Seq(min(when(col("__cw") >= floor(r).cast("long") + 1, col("__v")))
+          .as(s"__lo$i"),
+        min(when(col("__cw") >= ceil(r).cast("long") + 1, col("__v")))
+          .as(s"__hi$i"))
+    } :+ max(col("__tot")).cast("long").as("n")
+    val agged = joined.groupBy(col("__g").as(groupCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val pcols = names.zip(ps).map { case (name, p) =>
+      val i = dist.indexOf(p)
+      val r = (col("n") - 1).cast("double") * lit(p)
+      val frac = r - floor(r)
+      // (1−f)·a + f·b, exact()'s driver-side form — NOT the a+f·(b−a)
+      // of groupedInterpolated: this function's contract is bit-parity
+      // with exact() (and with it, quantile_cont), tied brackets and all
+      (col(s"__lo$i") * (lit(1.0) - frac) + col(s"__hi$i") * frac).as(name)
+    }
+    agged.select(col(groupCol) +: col("n") +: pcols: _*)
+  }
+
   /** Exact WEIGHTED percentile (lower weighted quantile: the smallest
     * value whose cumulative weight reaches p·W). Aggregates weight per
     * distinct value first, then one distributed prefix sum over the

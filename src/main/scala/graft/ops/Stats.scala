@@ -267,76 +267,82 @@ object Stats {
     * modified z-score M = 0.6745·(v − median)/MAD, where MAD is the
     * median absolute deviation from the group median; values with
     * |M| > `threshold` (3.5 is the published cutoff) count as
-    * outliers. Medians are exact interpolated order statistics
-    * (`Percentiles.exact`); the per-group loop collects only the
-    * bounded group vocabulary. Groups with MAD = 0 (over half the
-    * values identical) report a null outlier count — the score is
-    * undefined there. */
+    * outliers. Medians are exact interpolated order statistics with
+    * `Percentiles.exact`'s arithmetic, delivered for EVERY group at
+    * once by the distributed per-group CDF
+    * (`Percentiles.groupedContinuous`) — no driver-collected group
+    * vocabulary, no per-group jobs, any group cardinality. Groups with
+    * MAD = 0 (over half the values identical) report a null outlier
+    * count — the score is undefined there. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       threshold: Double = 3.5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val vals = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .localCheckpoint(false) // read several times per group below
-    // bounded group vocabulary; null groups excluded, native values
-    // kept for the typed re-filter (no implicit string casts)
-    val groups = vals.filter(col("__g").isNotNull).select("__g").distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
-    def r6(x: Double): Double = graft.core.Round.r6(x)
-    graft.core.Par.mapPar(groups.toSeq) { g =>
-      val sub = vals.filter(col("__g") === lit(g))
-      val n = sub.count()
-      val med = Percentiles.exact(sub, "__v", Seq(0.5))(0.5)
-      val mad = Percentiles.exact(
-        sub.select(abs(col("__v") - med).as("__d")), "__d", Seq(0.5))(0.5)
-      val nOut =
-        if (mad > 0)
-          Some(sub.filter(
-            abs(lit(0.6745) * (col("__v") - med) / mad) > threshold).count())
-        else None
-      (g.toString, n, r6(med), r6(mad), nOut)
-    }.toDF(groupCol, "n", "median", "mad", "n_outliers")
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .localCheckpoint(false) // median CDF, MAD CDF and the final
+      // screen all read it
+    val med = Percentiles.groupedContinuous(vals, "__g", "__v",
+        Seq(0.5), Seq("__med"))
+      .select(col("__g"), col("__med"))
+    // deviations from the group median feed a second grouped CDF;
+    // the med frame is group-cardinality-sized (AQE broadcasts it)
+    val dev = vals.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__d"))
+    val mad = Percentiles.groupedContinuous(dev, "__g", "__d",
+        Seq(0.5), Seq("__mad"))
+      .select(col("__g"), col("__mad"))
+    vals.join(med, Seq("__g")).join(mad, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__med")).as("__m"), min(col("__mad")).as("__s"),
+        // the MAD>0 branch guards the division (ANSI double /0 throws);
+        // CaseWhen short-circuits, so the score is never evaluated for
+        // a degenerate group
+        sum(when(col("__mad") > 0,
+          when(abs(lit(0.6745) * (col("__v") - col("__med")) /
+            col("__mad")) > threshold, 1L).otherwise(0L))
+          .otherwise(0L)).as("__no"))
+      .select(col("__g").cast("string").as(groupCol), col("n"),
+        graft.core.Round.r6c(col("__m")).as("median"),
+        graft.core.Round.r6c(col("__s")).as("mad"),
+        when(col("__s") > 0, col("__no")).as("n_outliers"))
   }
 
   /** Winsorized statistics per group: values clipped at the exact
     * [pLo, pHi] interpolated order statistics, then the clipped mean
-    * from exact micro-unit integer sums (order/partition-independent).
-    * The standard heavy-tail-robust alternative to trimming — every
-    * row still counts, extremes just stop dominating. Per-group loop
-    * over the bounded group vocabulary; one clip + aggregate pass per
-    * group over the checkpointed value frame. */
+    * from exact micro-unit integer sums (`ExactSum.micro` — the
+    * q1-family signum-corrected quantization, order/partition-
+    * independent). The standard heavy-tail-robust alternative to
+    * trimming — every row still counts, extremes just stop dominating.
+    * Clip bounds come from the distributed per-group CDF
+    * (`Percentiles.groupedContinuous`, bit-parity with
+    * `Percentiles.exact`), so the whole statistic is 2 passes over the
+    * data at ANY group cardinality — no driver-collected vocabulary,
+    * no per-group jobs. */
   def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val vals = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .localCheckpoint(false)
-    // bounded group vocabulary; null groups excluded, native values
-    // kept for the typed re-filter (no implicit string casts)
-    val groups = vals.filter(col("__g").isNotNull).select("__g").distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
-    def r6(x: Double): Double = graft.core.Round.r6(x)
-    graft.core.Par.mapPar(groups.toSeq) { g =>
-      val sub = vals.filter(col("__g") === lit(g))
-      val ps = Percentiles.exact(sub, "__v", Seq(pLo, pHi))
-      val (lo, hi) = (ps(pLo), ps(pHi))
-      val clipped = least(greatest(col("__v"), lit(lo)), lit(hi))
-      // decimal sums: micro-unit totals of trillion-row groups exceed
-      // the long range (the aggState construction)
-      val a = sub.agg(
-        count(lit(1)).as("n"),
-        sum(floor(clipped * 1e6 + 0.5).cast("decimal(38,0)")).as("sw"),
-        sum(floor(col("__v") * 1e6 + 0.5).cast("decimal(38,0)")).as("sr"))
-        .head()
-      val n = a.getLong(0)
-      (g.toString, n, r6(lo), r6(hi),
-        r6(a.getDecimal(1).doubleValue() / 1e6 / n),
-        r6(a.getDecimal(2).doubleValue() / 1e6 / n))
-    }.toDF(groupCol, "n", "p_lo", "p_hi", "winsorized_mean", "raw_mean")
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .localCheckpoint(false) // percentile CDF + clip aggregate read it
+    val pct = Percentiles.groupedContinuous(vals, "__g", "__v",
+        Seq(pLo, pHi), Seq("__plo", "__phi"))
+      .select(col("__g"), col("__plo"), col("__phi"))
+    val clipped = least(greatest(col("__v"), col("__plo")), col("__phi"))
+    // pct is group-cardinality-sized (AQE broadcasts it); decimal
+    // micro-unit sums: totals of trillion-row groups exceed the long
+    // range, and the integer sum is bit-equal under any partitioning
+    vals.join(pct, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__plo")).as("__lo"), min(col("__phi")).as("__hi"),
+        graft.core.ExactSum.micro(clipped).as("__sw"),
+        graft.core.ExactSum.micro(col("__v")).as("__sr"))
+      .select(col("__g").cast("string").as(groupCol), col("n"),
+        graft.core.Round.r6c(col("__lo")).as("p_lo"),
+        graft.core.Round.r6c(col("__hi")).as("p_hi"),
+        graft.core.Round.r6c(col("__sw") / col("n")).as("winsorized_mean"),
+        graft.core.Round.r6c(col("__sr") / col("n")).as("raw_mean"))
   }
 
   /** Per-group quantile normalization: each value mapped to its

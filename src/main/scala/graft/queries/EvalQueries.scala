@@ -981,9 +981,10 @@ object EvalQueries {
       |             quantile_cont(v, 0.95) AS hi
       |      FROM v GROUP BY 1),
       |c AS (SELECT v.g, p.lo, p.hi,
-      |        CAST(floor(least(greatest(v.v, p.lo), p.hi) * 1e6 + 0.5)
-      |          AS BIGINT) AS wi,
-      |        CAST(floor(v.v * 1e6 + 0.5) AS BIGINT) AS ri
+      |        CAST(sign(least(greatest(v.v, p.lo), p.hi))
+      |          * floor(abs(least(greatest(v.v, p.lo), p.hi)) * 1e6 + 0.5)
+      |          AS HUGEINT) AS wi,
+      |        CAST(sign(v.v) * floor(abs(v.v) * 1e6 + 0.5) AS HUGEINT) AS ri
       |      FROM v JOIN p USING (g))
       |SELECT g AS event_type, count(*) AS n,
       |  round(any_value(lo), 6) AS p_lo, round(any_value(hi), 6) AS p_hi,

@@ -693,6 +693,79 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(5) == 95.909091)
   }
 
+  // np.percentile linear interpolation, the documented contract of
+  // Percentiles.exact — op-for-op the same IEEE sequence, so the
+  // comparisons below assert BIT equality, not approximation
+  private def npPct(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val r = (s.size - 1) * p
+    val frac = r - math.floor(r)
+    s(math.floor(r).toInt) * (1 - frac) + s(math.ceil(r).toInt) * frac
+  }
+
+  test("groupedContinuous: bit-parity with per-group np.percentile, ties and all, 10 seeds") {
+    val ps = Seq(0.0, 0.05, 1.0 / 3, 0.5, 0.95, 1.0)
+    val names = Seq("q0", "q05", "q33", "q50", "q95", "q100")
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(1600L + seed)
+      // coarse 0.5 grid over few values -> dense exact ties (lo == hi
+      // brackets), plus negative values and singleton groups
+      val rows = (1 to 120).map { _ =>
+        (s"g${rnd.nextInt(7)}", (rnd.nextInt(17) - 5) * 0.5)
+      } :+ (("solo", 2.5))
+      val df = rows.toDF("g", "v")
+      val got = graft.ops.Percentiles.groupedContinuous(df, "g", "v", ps, names)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), names.indices.map(i => r.getDouble(2 + i))))).toMap
+      val want = rows.groupBy(_._1).map { case (g, gs) =>
+        g -> ((gs.size.toLong, ps.map(p => npPct(gs.map(_._2), p))))
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("winsorizedMeans/robustOutliers: randomized parity with in-memory reference, 10 seeds") {
+    def r6(x: Double) = graft.core.Round.r6(x)
+    def microMean(vs: Seq[Double]): Double = {
+      val s = vs.map(v => (math.signum(v) * math.floor(math.abs(v) * 1e6 + 0.5)).toLong).sum
+      r6(s.toDouble / 1e6 / vs.size)
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(1700L + seed)
+      // negative values exercise the signum-corrected quantizer
+      val rows = (1 to 150).map { _ =>
+        (s"g${rnd.nextInt(6)}", (rnd.nextInt(41) - 10) * 0.25)
+      }
+      val df = rows.toDF("g", "v")
+      val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+      val gotW = graft.ops.Stats.winsorizedMeans(df, "g", "v", 0.1, 0.9)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      val wantW = byG.map { case (g, vs) =>
+        val (lo, hi) = (npPct(vs, 0.1), npPct(vs, 0.9))
+        g -> ((vs.size.toLong, r6(lo), r6(hi),
+          microMean(vs.map(v => math.min(math.max(v, lo), hi))),
+          microMean(vs)))
+      }
+      assert(gotW == wantW, s"winsorized seed=$seed")
+
+      val gotR = graft.ops.Stats.robustOutliers(df, "g", "v", 2.0)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val wantR = byG.map { case (g, vs) =>
+        val med = npPct(vs, 0.5)
+        val mad = npPct(vs.map(v => math.abs(v - med)), 0.5)
+        val nOut = if (mad > 0)
+          Some(vs.count(v => math.abs(0.6745 * (v - med) / mad) > 2.0).toLong)
+        else None
+        g -> ((vs.size.toLong, r6(med), r6(mad), nOut))
+      }
+      assert(gotR == wantR, s"robust seed=$seed")
+    }
+  }
+
   test("groupedDiscrete: lower-quantile per group, integer thresholds") {
     // g: 1..10 -> p25 = smallest v with cum >= 2.5 -> 3; p50 -> 5;
     // p90 -> 9. h: {1,1,1,9}: p50 -> cum(1)=3 >= 2 -> 1; p90 -> 9

@@ -508,4 +508,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(physical.contains("BroadcastHashJoin"),
       "cohort-size join over the tiny matrix must broadcast")
   }
+
+  test("winsorizedMeans/robustOutliers: Spark-job count independent of group cardinality") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // the r15 shape ran 3 jobs PER GROUP off a driver-collected
+    // vocabulary; the grouped-CDF rewrite must run a CONSTANT number
+    // of jobs regardless of how many groups the data holds
+    def jobs(tag: String)(f: => Unit): Int = {
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try f finally sc.clearJobGroup()
+      // the status store fills from an async listener bus — poll until
+      // the job-id count is stable
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(tag).length
+      while (cur != last) {
+        last = cur; Thread.sleep(200)
+        cur = sc.statusTracker.getJobIdsForGroup(tag).length
+      }
+      cur
+    }
+    def data(nGroups: Int) = (1 to 600).map(i =>
+      (s"g${i % nGroups}", (i % 37) * 0.25)).toDF("g", "v")
+    val wFew = jobs("w_few") {
+      graft.ops.Stats.winsorizedMeans(data(3), "g", "v").collect() }
+    val wMany = jobs("w_many") {
+      graft.ops.Stats.winsorizedMeans(data(80), "g", "v").collect() }
+    assert(wMany <= wFew + 2,
+      s"winsorizedMeans job count must not scale with groups: 3 groups -> $wFew jobs, 80 groups -> $wMany")
+    val rFew = jobs("r_few") {
+      graft.ops.Stats.robustOutliers(data(3), "g", "v").collect() }
+    val rMany = jobs("r_many") {
+      graft.ops.Stats.robustOutliers(data(80), "g", "v").collect() }
+    assert(rMany <= rFew + 2,
+      s"robustOutliers job count must not scale with groups: 3 groups -> $rFew jobs, 80 groups -> $rMany")
+  }
 }
