@@ -27,12 +27,19 @@ def load_bench(path):
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = None
+    if d is None and '"metric"' in raw:
+        # multi-line raw graft.Bench output: salvage with the same
+        # regex path as a truncated driver tail
+        d = {"tail": raw, "sf": None}
     if isinstance(d, dict) and "tail" in d and "queries" not in d:
         # driver artifact: the bench line lives in "tail", which the
         # driver TRUNCATES from the head — salvage fields by regex
         # instead of a full JSON parse (early queries may be lost)
         t = d["tail"]
         sf = d.get("sf")
+        if sf is None:
+            ms = re.search(r'"sf":"([^"]+)"', t)
+            sf = ms.group(1) if ms else None
         d = {"queries": {q: float(v) for q, v in
                          re.findall(r'"(q\d+_\w+)":([0-9.]+)', t)},
              "sf": sf, "truncated": True}
@@ -41,6 +48,11 @@ def load_bench(path):
         mp = re.search(r'"pass_totals":\[([0-9.,\s]*)\]', t)
         if mp and mp.group(1).strip():
             d["pass_totals"] = [float(x) for x in mp.group(1).split(",")]
+        for field in ("memo_groups", "slots"):
+            mm = re.findall(r'"%s":\{([^}]*)\}' % field, t)
+            if mm:
+                d[field] = {k: float(v) for k, v in
+                            re.findall(r'"([a-z0-9_]+)":([0-9.]+)', mm[-1])}
     if not isinstance(d, dict) or not d.get("queries"):
         sys.exit(f"{path}: not a bench artifact (no queries map)")
     return d
@@ -69,6 +81,43 @@ def main():
     if old.get("pass_totals") and new.get("pass_totals"):
         r = min(new["pass_totals"]) / min(old["pass_totals"])
         print(f"min-pass ratio new/old: {r:.2f}")
+
+    # memoized-group deltas NET of the shared memo build (round-15 close
+    # rule, mechanical): a group that moved while its memo slots' build
+    # moved the same amount is first-toucher accounting, not a plan
+    # regression. Slot -> group join mirrors Bench.scala's memoGroups.
+    SLOT_GROUP = {
+        "cv_seed27": "cv_shap", "q73_tree_shap": "cv_shap",
+        "rf_bag": "rf_bag", "semdedup": "semdedup",
+        "pq_codebook": "pq", "pq_codes": "pq",
+        "ivfpq_coarse": "ivfpq", "ivfpq_codes": "ivfpq",
+        "ivfpq_codebook": "ivfpq", "pca_components": "pca",
+        "quality_lr_model": "qlr", "bpe_table": "bpe",
+        "null_imp": "null_imp", "fs_sweep": "null_imp",
+        "q34_minhash_pairs": "minhash", "q69_ngram_pairs": "ngram",
+        "funnel": "funnel", "copurchase": "graph", "imgpairs": "image",
+        "fuzzypairs": "fuzzy",
+    }
+    if old.get("memo_groups") and new.get("memo_groups"):
+        def net(d):
+            build = {}
+            for slot, s in (d.get("slots") or {}).items():
+                g = SLOT_GROUP.get(slot)
+                if g:
+                    build[g] = build.get(g, 0.0) + s
+            return {g: (v, v - build.get(g, 0.0))
+                    for g, v in d["memo_groups"].items()}
+        no, nn = net(old), net(new)
+        print("\nmemo groups, gross -> net of memo_build "
+              "(old | new, net delta):")
+        for name, d in (("old", old), ("new", new)):
+            if not d.get("slots"):
+                print(f"  NOTE: {name} artifact carries no memo_build "
+                      "slots — its net column equals gross")
+        for g in sorted(set(no) & set(nn)):
+            (og, on_), (ng, nn_) = no[g], nn[g]
+            print(f"  {g:<10} {og:7.2f}/{on_:7.2f}s | "
+                  f"{ng:7.2f}/{nn_:7.2f}s  net {nn_ - on_:+6.2f}s")
 
     flagged = []
     shared = sorted(set(old["queries"]) & set(new["queries"]))
