@@ -237,6 +237,52 @@ object Dedup {
     minHashOverShinglesCore(shingleTable, threshold, bands, rowsPerBand,
       maxBucketSize, minBandAgreements, wantStats = false)._1
 
+  /** The MinHash banding sizing rule, factored pure for spec-ability —
+    * the [[simHashSizingIssue]] analogue, fed by MEASURED bucket
+    * statistics rather than a uniform-hash model (band signatures live
+    * in a 64-bit space, so saturation here is a property of corpus
+    * diversity, not signature width). None = the shape fits.
+    * Some((fatal, msg)):
+    *  - FATAL when the over-cap buckets hold the MAJORITY of the
+    *    banding index's signature rows — the `maxBucketSize` skew
+    *    guard would then drop most of the corpus from the candidate
+    *    search and near-dup recall collapses corpus-wide (the
+    *    low-diversity / template-corpus failure mode), so the call
+    *    must fail rather than silently discard the data;
+    *  - non-fatal WARN when the kept candidate mass Σ C(bucket, 2)
+    *    exceeds 100·n (100+ banding candidates per doc — the measured
+    *    saturation onset shared with the SimHash rule): the verify
+    *    join still runs, but the (bands, rowsPerBand,
+    *    minBandAgreements) shape is mis-sized for this corpus.
+    * Both messages point at the knobs that fix the shape (rowsPerBand
+    * sharpens the per-band collision probability j^r;
+    * minBandAgreements >= 2 crushes background mass quadratically) and
+    * at [[graft.ProbeBanding]], which prices candidates against the
+    * corpus's own similarity profile. */
+  private[graft] def minHashSizingIssue(
+      nDocs: Long, bands: Int, rowsPerBand: Int, minBandAgreements: Int,
+      maxBucketSize: Int, totalRows: Long, overCapRows: Long,
+      keptCandidateMass: Long): Option[(Boolean, String)] = {
+    if (nDocs <= 0) return None
+    if (overCapRows * 2 > totalRows) Some((true,
+      s"minHashNearDup: banding at (b=$bands, r=$rowsPerBand) puts " +
+        s"$overCapRows of $totalRows signature rows in buckets above " +
+        s"maxBucketSize=$maxBucketSize — the skew cap would drop the " +
+        s"MAJORITY of the banding index and near-dup recall collapses " +
+        s"corpus-wide (low-diversity corpus). Raise rowsPerBand (per-" +
+        s"band collision prob is j^r), raise the cap, or require " +
+        s"minBandAgreements >= 2 — graft.ProbeBanding prices the " +
+        s"shapes against this corpus."))
+    else if (keptCandidateMass > 100.0 * nDocs) Some((false,
+      s"minHashNearDup: banding at (b=$bands, r=$rowsPerBand, k=" +
+        f"$minBandAgreements) yields $keptCandidateMass%,d kept band-" +
+        f"collision candidates over $nDocs%,d docs (${keptCandidateMass * 1.0 / nDocs}%.0f" +
+        s"/doc before the verify join) — the shape is saturated for " +
+        s"this corpus; raise rowsPerBand or minBandAgreements " +
+        s"(graft.ProbeBanding prices the candidate mass)"))
+    else None
+  }
+
   private def minHashOverShinglesCore(
       shingleTable: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int,
@@ -245,25 +291,50 @@ object Dedup {
     require(minBandAgreements >= 1 && minBandAgreements <= bands,
       s"minBandAgreements must be in [1, $bands], got $minBandAgreements")
     val sh = shingleTable.cache()
-    val banded = bandedSignatures(sh, bands, rowsPerBand)
+    // cache the THIN banded frame (3 longs x bands per doc): the
+    // sizing aggregate below and the bucket-size window both read it,
+    // so the expensive signature aggregation runs exactly once even
+    // on the WithStats path (which used to pay it twice)
+    val banded = bandedSignatures(sh, bands, rowsPerBand).cache()
 
-    // drop stats ride the cheap half (signature aggregate over the
-    // cached gram table) and are collected EAGERLY so the warning
-    // fires before the expensive candidate join is paid; the default
-    // path skips the extra aggregate entirely.
+    // Plan-time sizing enforcement (the simHashNearDup discipline,
+    // round 16): one bucket-count aggregate — filling the banded cache
+    // every later stage reads — measures the index BEFORE the
+    // quadratic candidate join is paid. It yields the sizing-rule
+    // inputs AND the skew-guard drop stats in the same pass.
+    val bc = banded.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
+    val m = bc.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("rows"),
+      coalesce(sum(when(col("__n") > maxBucketSize, col("__n"))), lit(0L))
+        .as("over_rows"),
+      coalesce(sum(when(col("__n") > maxBucketSize, 1L)), lit(0L))
+        .as("over_groups"),
+      // n·(n−1) is even; shiftright halves it in exact long arithmetic
+      // (Column./ is double division)
+      coalesce(sum(when(col("__n") <= maxBucketSize,
+        shiftright(col("__n") * (col("__n") - 1), 1))), lit(0L))
+        .as("kept_mass"))
+      .head()
+    val (totalRows, overRows, overGroups, keptMass) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    minHashSizingIssue(totalRows / bands, bands, rowsPerBand,
+        minBandAgreements, maxBucketSize, totalRows, overRows, keptMass)
+      .foreach {
+        case (true, msg)  => throw new IllegalArgumentException(msg)
+        case (false, msg) => log.warn(msg)
+      }
+    // skew-guard drops are loud on EVERY path now that the numbers are
+    // free (no-silent-caps rule); the WithStats variant additionally
+    // surfaces them as a frame
+    if (overGroups > 0) log.warn(
+      s"minhash LSH maxBucketSize=$maxBucketSize dropped $overGroups " +
+        s"bucket(s) spanning $overRows signature rows; near-dups " +
+        "colliding only there are not searched - raise the cap or " +
+        "re-band (graft.ProbeBanding prices the shapes)")
     val stats = if (!wantStats) None else {
-      val r = dropStats(
-        banded.groupBy("band", "bsig").agg(count(lit(1)).as("__n")),
-        "__n", maxBucketSize).head()
-      val (g, nRows) = (r.getLong(0), r.getLong(1))
-      if (g > 0) log.warn(
-        s"minhash LSH maxBucketSize=$maxBucketSize dropped $g bucket(s) " +
-          s"spanning $nRows signature rows; near-dups colliding only " +
-          "there are not searched - raise the cap or re-band " +
-          "(graft.ProbeBanding prices the shapes)")
       val spark = shingleTable.sparkSession
-      Some(spark.range(1).select(lit(g).as("n_groups_dropped"),
-        lit(nRows).as("n_rows_dropped")))
+      Some(spark.range(1).select(lit(overGroups).as("n_groups_dropped"),
+        lit(overRows).as("n_rows_dropped")))
     }
 
     // drop pathological buckets (stop-shingle skew guard at scale);
@@ -299,6 +370,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint() // materialize before releasing the caches below
     sized.unpersist()
+    banded.unpersist()
     cand.unpersist()
     sh.unpersist()
     (verified, stats)

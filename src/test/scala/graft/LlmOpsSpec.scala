@@ -993,32 +993,71 @@ class LlmOpsSpec extends SparkSpec {
     // 30 identical docs land every band bucket at size 30; with the cap
     // below that, the bucket self-join must see none of them -- the
     // guard trades recall on degenerate stop-content for never building
-    // a quadratic bucket. With the default cap the pairs come back.
+    // a quadratic bucket. The diverse fillers keep the drop a MINORITY
+    // of the banding index (a majority drop is now fatal at plan time —
+    // the round-16 sizing rule). With the default cap the pairs come back.
     val clones = (1L to 30L).map(i => (i, "all these documents are exactly the same text"))
-    val df = clones.toDF("id", "text")
+    val fillers = (31L to 130L).map(i =>
+      (i, (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
+    val df = (clones ++ fillers).toDF("id", "text")
     val guarded = Dedup.minHashNearDup(df, "id", "text",
       threshold = 0.5, maxBucketSize = 10)
     assert(guarded.count() == 0L, "capped buckets must produce no candidate pairs")
-    val open = Dedup.minHashNearDup(df, "id", "text", threshold = 0.5)
+    val open = Dedup.minHashNearDup(clones.toDF("id", "text"), "id", "text",
+      threshold = 0.5)
     assert(open.count() == 30L * 29 / 2, "default cap keeps the full clique")
+  }
+
+  test("minhash sizing rule: enforced at plan time from measured bucket stats") {
+    import spark.implicits._
+    import graft.dedup.Dedup.minHashSizingIssue
+    // majority of signature rows in over-cap buckets → the skew cap
+    // would drop most of the corpus from the candidate search: fatal
+    val fatal = minHashSizingIssue(1000L, 16, 2, 1, 100,
+      totalRows = 16000L, overCapRows = 9000L, keptCandidateMass = 0L)
+    assert(fatal.exists(_._1), s"majority drop must be fatal: $fatal")
+    // saturated-but-searchable: kept candidate mass over 100/doc warns
+    // with the knobs that fix the shape
+    val warn = minHashSizingIssue(1000L, 16, 2, 1, 10000,
+      totalRows = 16000L, overCapRows = 0L, keptCandidateMass = 200000L)
+    assert(warn.exists(i => !i._1 && i._2.contains("rowsPerBand")),
+      s"200 candidates/doc must warn: $warn")
+    // healthy shape stays silent; so does an empty corpus
+    assert(minHashSizingIssue(1000L, 16, 2, 1, 10000, 16000L, 100L, 50000L).isEmpty)
+    assert(minHashSizingIssue(0L, 16, 2, 1, 10000, 0L, 0L, 0L).isEmpty)
+    // end-to-end: a low-diversity corpus under a tight cap fails
+    // BEFORE the candidate join is paid, naming the knobs
+    val clones = (1L to 30L)
+      .map(i => (i, "all these documents are exactly the same text"))
+      .toDF("id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minHashNearDup(clones, "id", "text",
+        threshold = 0.5, maxBucketSize = 10).count()
+    }
+    assert(ex.getMessage.contains("MAJORITY") &&
+      ex.getMessage.contains("ProbeBanding"), ex.getMessage)
   }
 
   test("skew-guard drop stats: every capped family is loud when the cap engages") {
     import spark.implicits._
     // minhash LSH: 30 identical docs put one size-30 bucket in each of
-    // the 16 default bands; cap 10 drops all 16 (480 signature rows)
+    // the 16 default bands; cap 10 drops all 16 (480 signature rows).
+    // Diverse fillers keep the drop a minority of the index (majority
+    // is plan-time fatal since round 16) without adding dropped rows.
     val clones = (1L to 30L)
       .map(i => (i, "all these documents are exactly the same text"))
-      .toDF("id", "text")
-    val (mp, ms) = Dedup.minHashNearDupWithStats(clones, "id", "text",
+    val fillers = (31L to 130L).map(i =>
+      (i, (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
+    val mixed = (clones ++ fillers).toDF("id", "text")
+    val (mp, ms) = Dedup.minHashNearDupWithStats(mixed, "id", "text",
       threshold = 0.5, maxBucketSize = 10)
     assert(mp.count() == 0L)
     val mr = ms.head()
     assert((mr.getLong(0), mr.getLong(1)) == (16L, 480L),
       s"expected 16 dropped buckets / 480 rows, got $mr")
     // ...and reads (0, 0) when the cap does not engage
-    val (mp2, ms2) = Dedup.minHashNearDupWithStats(clones, "id", "text",
-      threshold = 0.5)
+    val (mp2, ms2) = Dedup.minHashNearDupWithStats(clones.toDF("id", "text"),
+      "id", "text", threshold = 0.5)
     assert(mp2.count() == 30L * 29 / 2)
     val mr2 = ms2.head()
     assert((mr2.getLong(0), mr2.getLong(1)) == (0L, 0L))
