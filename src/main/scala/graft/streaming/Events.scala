@@ -288,7 +288,8 @@ object Events extends Serializable {
   }
 
   final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, step: Int)
-  final case class FunnelBuf(events: List[(Long, Int)])
+  final case class FunnelBuf(events: List[(Long, Int)],
+      done: Boolean = false)
   final case class FunnelRow(user_id: Long, steps_completed: Long,
       converted: Boolean, step_ts_us: Seq[Long])
 
@@ -305,8 +306,15 @@ object Events extends Serializable {
     * key's earliest step-1 event. Once the watermark passes that
     * deadline nothing can change the result (a later-arriving EARLIER
     * anchor is impossible: its timestamp would be below the watermark
-    * and is dropped), so the row is emitted and state cleared via the
-    * event-time timeout. Until then the buffer keeps only events in
+    * and is dropped), so the row is emitted via the event-time timeout
+    * and the key's state collapses to an exactly-once TOMBSTONE: a
+    * step-1 event arriving after the deadline must not re-anchor and
+    * emit a second row (the batch operator reports ONE chain per key,
+    * from its earliest anchor). The tombstone is O(1) per emitted key
+    * and lives for the life of the query — the cohort-ledger trade,
+    * inherent to exact-once per-key output over an unbounded stream;
+    * bound it operationally by restarting per report epoch. Until
+    * finality the buffer keeps only events in
     * [min(anchor, watermark), deadline]; keys with no anchor yet keep
     * only post-watermark events (a future chain's anchor must be ≥ the
     * watermark, so nothing older can ever participate). State is
@@ -370,6 +378,20 @@ object Events extends Serializable {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[FunnelBuf]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (state.getOption.exists(_.done)) {
+            // exactly-once tombstone: this key's chain was already
+            // emitted as final. A step-1 event arriving AFTER the
+            // deadline would otherwise re-create the state and emit a
+            // SECOND row for the key — diverging from the batch
+            // operator, which reports one chain per key from its
+            // earliest anchor (caught by the randomized parity net,
+            // round 16). Like the cohort ledger, the tombstone lives
+            // for the life of the query — inherent to exact-once
+            // per-key output over an unbounded stream; bound it
+            // operationally by restarting per funnel-report epoch.
+            state.update(FunnelBuf(Nil, done = true))
+            Iterator.empty
+          } else {
           val buf = state.getOption.map(_.events).getOrElse(Nil) ++
             rows.map(e => (usOf(e.ts), e.step)).toList
           val anchors =
@@ -384,7 +406,7 @@ object Events extends Serializable {
             val anchor = anchors.min
             val deadline = anchor + horizon
             if (wmUs > deadline) {
-              state.remove()
+              state.update(FunnelBuf(Nil, done = true))
               val chain = chainOf(buf)
               Iterator.single(FunnelRow(uid, chain.size.toLong,
                 chain.size == steps.size, chain))
@@ -399,6 +421,7 @@ object Events extends Serializable {
               state.setTimeoutTimestamp(deadline / 1000L + 1L)
               Iterator.empty
             }
+          }
           }
       }.toDF()
   }

@@ -1132,7 +1132,11 @@ class PipelineStreamingSpec extends SparkSpec {
     val rows = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
-      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappaY"))
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappaY")) ++
+      // disjoint-vocab fillers keep the capped buckets a MINORITY of
+      // the banding index (a majority drop is plan-time fatal since
+      // round 16); they share no shingles, so they pair with nothing
+      (4L to 23L).map(i => (i, (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
     val df = rows.toDF("doc_id", "text")
     val streamedStatic = graft.streaming.StreamingDedup
       .verifiedNearDup(spark, df, "doc_id", "text", threshold = 0.1,
