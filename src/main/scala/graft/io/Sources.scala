@@ -91,7 +91,12 @@ object Sources {
 
   /** Inverse of writeJsonManifest's `esc` — without it, a value
     * containing quotes/backslashes/newlines would not round-trip (the
-    * writer escapes, so the reader must unescape). */
+    * writer escapes, so the reader must unescape). Decodes ALL the
+    * standard JSON short escapes, not only the ones the own writer
+    * emits: a manifest written by any conforming JSON writer (the
+    * reference's Python json emits \t, \r, \b, \f, and may emit the
+    * optional \/) must read back byte-identical, not with literal
+    * backslash pairs preserved. */
   private def unesc(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
@@ -101,7 +106,12 @@ object Sources {
         s.charAt(i + 1) match {
           case '"' => b += '"'; i += 2
           case '\\' => b += '\\'; i += 2
+          case '/' => b += '/'; i += 2
           case 'n' => b += '\n'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 'b' => b += '\b'; i += 2
+          case 'f' => b += '\f'; i += 2
           case 'u' if i + 6 <= s.length =>
             b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
           case other => b += c; b += other; i += 2

@@ -146,7 +146,8 @@ class IoSpec extends SparkSpec {
       1 -> Gen.choose(1.toChar, 31.toChar), 1 -> Gen.choose('¡', 'ퟻ'))
     val str = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, ch)).map(_.mkString)
     def sample[A](g: Gen[A], i: Int): A =
-      g.apply(Gen.Parameters.default, Seed(7000L + i)).get
+      g.apply(Gen.Parameters.default, Seed(7000L + i))
+        .getOrElse(fail(s"generator exhausted retries at seed $i"))
     val dir = Files.createTempDirectory("graft_jprop").toString
     (1 to 60).foreach { i =>
       val m = sample(Gen.mapOfN(4, Gen.zip(str, str)), i)
@@ -156,6 +157,18 @@ class IoSpec extends SparkSpec {
       Sources.writeJsonList(s"$dir/l$i.json", items)
       assert(Sources.readJsonList(s"$dir/l$i.json") == items, s"list seed $i: $items")
     }
+  }
+
+  test("json manifest: foreign-writer short escapes decode (\\t \\r \\b \\f \\/)") {
+    // the own writer emits controls as \u00XX; a standard JSON writer
+    // (e.g. Python json) emits the short forms — the reader must
+    // decode BOTH to the same bytes, not preserve literal backslash
+    // pairs
+    val dir = Files.createTempDirectory("graft_jforeign").toString
+    val foreign = "{\"k\\t1\": \"a\\tb\\rc\\bd\\fe\\/f\\ng\", \"p\": \"\\u0041\\\\x\"}"
+    Files.writeString(Paths.get(s"$dir/f.json"), foreign)
+    assert(Sources.readJsonManifest(s"$dir/f.json") ==
+      Map("k\t1" -> "a\tb\rc\bd\fe/f\ng", "p" -> "A\\x"))
   }
 
   test("oof ingest renames prediction columns with the model prefix") {

@@ -179,8 +179,12 @@ class TemporalParitySpec extends SparkSpec {
       }
       val d0 = sessions.map(_._1).min; val d1 = sessions.map(_._2).max
       val midnights = (d0 / 86400000L to d1 / 86400000L).map(_ * 86400000L)
-      val instants = (sessions.map(_._1) ++ sessions.map(_._2 + 1000L) ++
-        midnights).distinct.sorted
+      // starts + midnights suffice: concurrency only DECREASES at a
+      // session end, so an end-side sample never sets a day's max —
+      // and an end+1s sample was seed-fragile (a session ending in the
+      // last second of a day attributed the post-end reading to a day
+      // the operator never emits)
+      val instants = (sessions.map(_._1) ++ midnights).distinct.sorted
       val want = instants.map { i =>
         val conc = sessions.count(s => s._1 <= i && i <= s._2)
         val day = java.time.Instant.ofEpochMilli(i)
