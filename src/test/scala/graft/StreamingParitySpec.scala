@@ -245,6 +245,78 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("attributionStream randomized parity: trailing-window first/last touch under random cuts, 5 seeds") {
+    val windowSec = 60L
+    val wUs = windowSec * 1000000L
+    for (seed <- 1 to 5) {
+      val rnd = new Random(3100L + seed)
+      val types = Vector("touch", "touch", "conv", "noise")
+      val evs = (1 to 80).map { i =>
+        (i.toLong, rnd.nextInt(5) + 1L, rnd.nextInt(500).toLong,
+          types(rnd.nextInt(4)), rnd.nextInt(9) * 0.25)
+      }.sortBy(_._3)
+      // redeliver some conversions adjacent (same id): only the
+      // in-state distinctBy can stop double attribution
+      val fed = evs.flatMap(e =>
+        if (e._4 == "conv" && rnd.nextInt(3) == 0) Seq(e, e) else Seq(e))
+      val batches = randomBatches(
+        fed.map(e => (e._2, ts(e._3), e._1, e._4, e._5)), rnd)
+      val sent = Seq(Seq((SENTINEL, ts(86400L * 30), SENTINEL, "touch", 0.0)),
+        Seq((SENTINEL, ts(86400L * 31), SENTINEL + 1, "touch", 0.0)))
+      val got = runStream[(Long, Timestamp, Long, String, Double)](
+        s"attr_par_$seed", batches, sent,
+        df => graft.streaming.Events.attributionStream(spark,
+          df.toDF("user_id", "ts", "event_id", "event_type", "value"),
+          "conv", "touch", windowSec, watermark = "10 seconds"))
+        .filter(_.getLong(1) != SENTINEL)
+        .map(r => r.getLong(0) -> ((r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val want = evs.groupBy(_._2).flatMap { case (_, es) =>
+        val touches = es.collect { case (_, _, off, "touch", _) => us(off) }
+        es.collect { case (id, _, off, "conv", v) =>
+          val cts = us(off)
+          val in = touches.filter(t => t <= cts && t >= cts - wUs)
+          id -> ((r6hu(v),
+            if (in.isEmpty) None else Some(cts - in.min),
+            if (in.isEmpty) None else Some(cts - in.max)))
+        }
+      }
+      assert(got == want, s"attribution seed=$seed\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("cusumStream randomized parity: day-bar fold equals the in-memory recursion, 5 seeds") {
+    val (mean, sd) = (4.0, 2.0)
+    for (seed <- 1 to 5) {
+      val rnd = new Random(3200L + seed)
+      // Poisson-ish day counts over 12 days with gaps
+      val evs = (1 to 50).map { _ =>
+        rnd.nextInt(12 * 86400).toLong
+      }.sorted
+      val batches = randomBatches(evs.map(o => Tuple1(ts(o))), rnd)
+      val sent = Seq(Seq(Tuple1(ts(86400L * 60))), Seq(Tuple1(ts(86400L * 61))))
+      val got = runStream[Tuple1[Timestamp]](
+        s"cusum_par_$seed", batches, sent,
+        df => graft.streaming.Events.cusumStream(spark,
+          df.toDF("ts"), mean, sd, watermark = "1 hour"))
+        .filter(_.getString(0) < "2024-04-01")
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))).toMap
+      def r6(x: Double) = graft.core.Round.r6(x)
+      var sp = 0.0; var sn = 0.0
+      val want = evs.groupBy(_ / 86400L).toSeq.sortBy(_._1).map {
+        case (day, xs) =>
+          val x = xs.size.toLong
+          val (sp2, sn2, alarm) = graft.ops.EventAnalytics.cusumStep(
+            sp, sn, x, mean, sd, 0.5, 4.0)
+          sp = sp2; sn = sn2
+          dayOfUs(us(day * 86400L)).toString -> ((x, r6(sp), r6(sn), alarm))
+      }.toMap
+      assert(got == want, s"cusum seed=$seed\ngot=$got\nwant=$want")
+    }
+  }
+
   test("kaplanMeierStream randomized parity: finality + tombstone under random cuts, 5 seeds") {
     val censorDay = "2024-03-11" // base + 10 days, inclusive
     val censorEndUs = us(86400L * 11) - 1L
