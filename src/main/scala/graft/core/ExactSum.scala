@@ -29,4 +29,14 @@ object ExactSum {
   def micro(c: Column): Column =
     sum((signum(c) * floor(abs(c) * 1e6 + 0.5)).cast("decimal(38,0)"))
       .cast("double") / 1e6
+
+  /** [[micro]] over a distinct-value count frame: the exact micro-unit
+    * sum of `w` copies of `c` is w·quant(c) because quantization is
+    * per-VALUE — bit-identical to the row-expanded sum at a fraction
+    * of the rows. The operators that aggregate off a (group, value,
+    * count) CDF frame (winsorizedMeans) use this to stay one-pass. */
+  def microWeighted(c: Column, w: Column): Column =
+    sum((signum(c) * floor(abs(c) * 1e6 + 0.5)).cast("decimal(38,0)") *
+        w.cast("decimal(38,0)"))
+      .cast("double") / 1e6
 }

@@ -233,15 +233,28 @@ object Percentiles {
     * of `names`). Null groups and null values are excluded. */
   def groupedContinuous(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], names: Seq[String]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    require(names.size == ps.size && names.distinct.size == names.size,
-      "names must be distinct and pair 1:1 with ps")
-    val dist = ps.distinct
     val counts = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
       .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
       .localCheckpoint(false) // feeds the CDF AND the group totals
+    groupedContinuousFromCounts(counts, ps, names)
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** [[groupedContinuous]] over a PRE-AGGREGATED distinct-value count
+    * frame (__g, __v: double, __n) with one row per (group, value) —
+    * the shape callers that also need weighted aggregates over the
+    * same distinct values (winsorizedMeans, robustOutliers) already
+    * hold. Sharing the frame keeps the whole statistic at ONE pass
+    * over the data: everything after the first count aggregate is
+    * distinct-value-sized. */
+  private[graft] def groupedContinuousFromCounts(counts: DataFrame,
+      ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    require(names.size == ps.size && names.distinct.size == names.size,
+      "names must be distinct and pair 1:1 with ps")
+    val dist = ps.distinct
     val cum = graft.ml.Evaluation.withRunningTotals(
       counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
     val gtot = counts.groupBy("__g").agg(sum(col("__n")).as("__tot"))
@@ -260,7 +273,7 @@ object Percentiles {
         min(when(col("__cw") >= ceil(r).cast("long") + 1, col("__v")))
           .as(s"__hi$i"))
     } :+ max(col("__tot")).cast("long").as("n")
-    val agged = joined.groupBy(col("__g").as(groupCol))
+    val agged = joined.groupBy(col("__g"))
       .agg(aggCols.head, aggCols.tail: _*)
     val pcols = names.zip(ps).map { case (name, p) =>
       val i = dist.indexOf(p)
@@ -271,7 +284,7 @@ object Percentiles {
       // with exact() (and with it, quantile_cont), tied brackets and all
       (col(s"__lo$i") * (lit(1.0) - frac) + col(s"__hi$i") * frac).as(name)
     }
-    agged.select(col(groupCol) +: col("n") +: pcols: _*)
+    agged.select(col("__g") +: col("n") +: pcols: _*)
   }
 
   /** Exact WEIGHTED percentile (lower weighted quantile: the smallest

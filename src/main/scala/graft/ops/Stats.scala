@@ -276,32 +276,37 @@ object Stats {
     * count — the score is undefined there. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       threshold: Double = 3.5): DataFrame = {
-    val vals = df
+    // ONE pass over the data: the distinct-value (group, value, count)
+    // frame feeds the median CDF, the deviation counts (re-aggregated
+    // distinct-sized, never a second data pass), the MAD CDF, and the
+    // weighted outlier screen
+    val counts = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
-      .localCheckpoint(false) // median CDF, MAD CDF and the final
-      // screen all read it
-    val med = Percentiles.groupedContinuous(vals, "__g", "__v",
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val med = Percentiles.groupedContinuousFromCounts(counts,
         Seq(0.5), Seq("__med"))
       .select(col("__g"), col("__med"))
-    // deviations from the group median feed a second grouped CDF;
     // the med frame is group-cardinality-sized (AQE broadcasts it)
-    val dev = vals.join(med, Seq("__g"))
-      .select(col("__g"), abs(col("__v") - col("__med")).as("__d"))
-    val mad = Percentiles.groupedContinuous(dev, "__g", "__d",
+    val withMed = counts.join(med, Seq("__g"))
+    val dev = withMed
+      .groupBy(col("__g"), abs(col("__v") - col("__med")).as("__v"))
+      .agg(sum(col("__n")).as("__n"))
+    val mad = Percentiles.groupedContinuousFromCounts(dev,
         Seq(0.5), Seq("__mad"))
       .select(col("__g"), col("__mad"))
-    vals.join(med, Seq("__g")).join(mad, Seq("__g"))
+    withMed.join(mad, Seq("__g"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("__n")).cast("long").as("n"),
         min(col("__med")).as("__m"), min(col("__mad")).as("__s"),
         // the MAD>0 branch guards the division (ANSI double /0 throws);
         // CaseWhen short-circuits, so the score is never evaluated for
         // a degenerate group
         sum(when(col("__mad") > 0,
           when(abs(lit(0.6745) * (col("__v") - col("__med")) /
-            col("__mad")) > threshold, 1L).otherwise(0L))
-          .otherwise(0L)).as("__no"))
+            col("__mad")) > threshold, col("__n")).otherwise(0L))
+          .otherwise(0L)).cast("long").as("__no"))
       .select(col("__g").cast("string").as(groupCol), col("n"),
         graft.core.Round.r6c(col("__m")).as("median"),
         graft.core.Round.r6c(col("__s")).as("mad"),
@@ -315,29 +320,34 @@ object Stats {
     * independent). The standard heavy-tail-robust alternative to
     * trimming — every row still counts, extremes just stop dominating.
     * Clip bounds come from the distributed per-group CDF
-    * (`Percentiles.groupedContinuous`, bit-parity with
-    * `Percentiles.exact`), so the whole statistic is 2 passes over the
-    * data at ANY group cardinality — no driver-collected vocabulary,
-    * no per-group jobs. */
+    * (`Percentiles.groupedContinuousFromCounts`, bit-parity with
+    * `Percentiles.exact`), and both the CDF and the clipped sums ride
+    * the same distinct-value count frame — ONE pass over the data at
+    * ANY group cardinality, no driver-collected vocabulary, no
+    * per-group jobs. */
   def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
-    val vals = df
+    // ONE pass over the data: the distinct-value count frame feeds the
+    // CDF and the weighted clip aggregate (micro(w copies of v) =
+    // w·quant(v) exactly — quantization is per value)
+    val counts = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
-      .localCheckpoint(false) // percentile CDF + clip aggregate read it
-    val pct = Percentiles.groupedContinuous(vals, "__g", "__v",
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val pct = Percentiles.groupedContinuousFromCounts(counts,
         Seq(pLo, pHi), Seq("__plo", "__phi"))
       .select(col("__g"), col("__plo"), col("__phi"))
     val clipped = least(greatest(col("__v"), col("__plo")), col("__phi"))
     // pct is group-cardinality-sized (AQE broadcasts it); decimal
     // micro-unit sums: totals of trillion-row groups exceed the long
     // range, and the integer sum is bit-equal under any partitioning
-    vals.join(pct, Seq("__g"))
+    counts.join(pct, Seq("__g"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("__n")).cast("long").as("n"),
         min(col("__plo")).as("__lo"), min(col("__phi")).as("__hi"),
-        graft.core.ExactSum.micro(clipped).as("__sw"),
-        graft.core.ExactSum.micro(col("__v")).as("__sr"))
+        graft.core.ExactSum.microWeighted(clipped, col("__n")).as("__sw"),
+        graft.core.ExactSum.microWeighted(col("__v"), col("__n")).as("__sr"))
       .select(col("__g").cast("string").as(groupCol), col("n"),
         graft.core.Round.r6c(col("__lo")).as("p_lo"),
         graft.core.Round.r6c(col("__hi")).as("p_hi"),
