@@ -289,7 +289,7 @@ object Events extends Serializable {
 
   final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, step: Int)
   final case class FunnelBuf(events: List[(Long, Int)],
-      done: Boolean = false)
+      done: Boolean = false, expiryUs: Long = Long.MaxValue)
   final case class FunnelRow(user_id: Long, steps_completed: Long,
       converted: Boolean, step_ts_us: Seq[Long])
 
@@ -311,9 +311,26 @@ object Events extends Serializable {
     * step-1 event arriving after the deadline must not re-anchor and
     * emit a second row (the batch operator reports ONE chain per key,
     * from its earliest anchor). The tombstone is O(1) per emitted key
-    * and lives for the life of the query — the cohort-ledger trade,
-    * inherent to exact-once per-key output over an unbounded stream;
-    * bound it operationally by restarting per report epoch. Until
+    * and, by default, lives for the life of the query — the
+    * cohort-ledger trade, inherent to exact-once per-key output over
+    * an unbounded stream; bound it operationally by restarting per
+    * report epoch, or set `tombstoneTtlSec`.
+    *
+    * `tombstoneTtlSec = Some(T)` bounds tombstone STATE the way
+    * `cohortRetentionStream(maxPeriods)` bounds its ledger: a key's
+    * tombstone drops — via event-time timeout, no activity needed —
+    * once the watermark passes its journey's deadline + T, and the
+    * key's LATER activity starts a NEW funnel journey that emits its
+    * own row (re-acquisition semantics: one row per journey, journeys
+    * separated by at least T of event time; events inside the
+    * suppression window (deadline, deadline+T] are swallowed). The
+    * trade is DETERMINISTIC with respect to micro-batch boundaries:
+    * beyond-expiry activity arriving while the tombstone is alive is
+    * buffered (never dropped with it) and restarts the instant the
+    * watermark retires it, exactly as if it had arrived a batch later
+    * — an event at or before the expiry always arrives while the
+    * tombstone is alive (its ts would otherwise be behind the
+    * watermark), so its fate never depends on the cut either. Until
     * finality the buffer keeps only events in
     * [min(anchor, watermark), deadline]; keys with no anchor yet keep
     * only post-watermark events (a future chain's anchor must be ≥ the
@@ -321,8 +338,10 @@ object Events extends Serializable {
     * horizon-bounded per key, never the key's full history. */
   def funnelStream(spark: SparkSession, events: DataFrame,
       steps: Seq[String], withinSec: Long,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      tombstoneTtlSec: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    require(tombstoneTtlSec.forall(_ >= 0), "tombstoneTtlSec must be >= 0")
     import spark.implicits._
     val wUs = withinSec * 1000000L
     val horizon = (steps.size - 1).toLong * wUs
@@ -378,51 +397,82 @@ object Events extends Serializable {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[FunnelBuf]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          if (state.getOption.exists(_.done)) {
-            // exactly-once tombstone: this key's chain was already
-            // emitted as final. A step-1 event arriving AFTER the
-            // deadline would otherwise re-create the state and emit a
-            // SECOND row for the key — diverging from the batch
-            // operator, which reports one chain per key from its
-            // earliest anchor (caught by the randomized parity net,
-            // round 16). Like the cohort ledger, the tombstone lives
-            // for the life of the query — inherent to exact-once
-            // per-key output over an unbounded stream; bound it
-            // operationally by restarting per funnel-report epoch.
-            state.update(FunnelBuf(Nil, done = true))
-            Iterator.empty
-          } else {
-          val buf = state.getOption.map(_.events).getOrElse(Nil) ++
-            rows.map(e => (usOf(e.ts), e.step)).toList
-          val anchors =
-            buf.collect { case (t, s) if s == stepIdx.head => t }
-          if (anchors.isEmpty) {
-            // no chain can ever anchor before the watermark now
-            val kept = buf.filter(_._1 >= wmUs)
-            if (kept.isEmpty) state.remove()
-            else state.update(FunnelBuf(kept))
-            Iterator.empty
-          } else {
-            val anchor = anchors.min
-            val deadline = anchor + horizon
-            if (wmUs > deadline) {
-              state.update(FunnelBuf(Nil, done = true))
-              val chain = chainOf(buf)
-              Iterator.single(FunnelRow(uid, chain.size.toLong,
-                chain.size == steps.size, chain))
+          val prev = state.getOption.getOrElse(FunnelBuf(Nil))
+          // Loop instead of a single pass (the cohort-ledger idiom):
+          // when the watermark retires a tombstone that still buffers
+          // beyond-expiry activity, that activity restarts as a FRESH
+          // journey in the same invocation — and a long-gapped key can
+          // resolve several complete journeys at once. Output is
+          // identical whether an event lands in the batch that retires
+          // the tombstone or any later one.
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelRow]
+          var buf = prev.events ++ rows.map(e => (usOf(e.ts), e.step)).toList
+          var done = prev.done
+          var expiry = prev.expiryUs
+          var finished = false
+          while (!finished) {
+            if (done) {
+              // exactly-once tombstone: this key's chain was already
+              // emitted as final. A step-1 event arriving AFTER the
+              // deadline must not re-create the state and emit a
+              // second row while the tombstone is alive (caught by
+              // the randomized parity net, round 16); events beyond
+              // the expiry belong to the NEXT journey and are
+              // buffered, never dropped with the tombstone.
+              buf = buf.filter(_._1 > expiry)
+              if (wmUs >= expiry) { done = false; expiry = Long.MaxValue }
+              else {
+                state.update(FunnelBuf(buf, done = true, expiry))
+                if (expiry != Long.MaxValue)
+                  state.setTimeoutTimestamp(
+                    math.max(expiry / 1000L, wmUs / 1000L) + 1L)
+                finished = true
+              }
             } else {
-              // an earlier anchor may still arrive (>= wm), so keep
-              // everything from min(anchor, wm); nothing past the
-              // current deadline can extend any chain (a future
-              // earlier anchor only shrinks the deadline)
-              val lo = math.min(anchor, wmUs)
-              state.update(FunnelBuf(buf.filter(e =>
-                e._1 >= lo && e._1 <= deadline)))
-              state.setTimeoutTimestamp(deadline / 1000L + 1L)
-              Iterator.empty
+              val anchors =
+                buf.collect { case (t, s) if s == stepIdx.head => t }
+              if (anchors.isEmpty) {
+                // no chain can ever anchor before the watermark now
+                val kept = buf.filter(_._1 >= wmUs)
+                if (kept.isEmpty) state.remove()
+                else state.update(FunnelBuf(kept))
+                finished = true
+              } else {
+                val anchor = anchors.min
+                val deadline = anchor + horizon
+                if (wmUs > deadline) {
+                  // chain final: emit, then collapse to the tombstone
+                  // (post-deadline events can't extend the chain: a
+                  // step-i candidate sits within i·withinSec of the
+                  // anchor, inside the deadline by construction)
+                  val chain = chainOf(buf)
+                  out += FunnelRow(uid, chain.size.toLong,
+                    chain.size == steps.size, chain)
+                  done = true
+                  expiry = tombstoneTtlSec
+                    .map(t => deadline + t * 1000000L)
+                    .getOrElse(Long.MaxValue)
+                } else {
+                  // an earlier anchor may still arrive (>= wm), so keep
+                  // everything from min(anchor, wm); nothing past the
+                  // current deadline can extend any chain (a future
+                  // earlier anchor only shrinks the deadline) — but
+                  // with a tombstone TTL, beyond-deadline events are
+                  // the NEXT journey's and must be retained (bounded
+                  // by the watermark delay: an event's ts never runs
+                  // more than the delay ahead of the watermark)
+                  val lo = math.min(anchor, wmUs)
+                  val hi = if (tombstoneTtlSec.isDefined) Long.MaxValue
+                    else deadline
+                  state.update(FunnelBuf(buf.filter(e =>
+                    e._1 >= lo && e._1 <= hi)))
+                  state.setTimeoutTimestamp(deadline / 1000L + 1L)
+                  finished = true
+                }
+              }
             }
           }
-          }
+          out.iterator
       }.toDF()
   }
 
@@ -444,8 +494,9 @@ object Events extends Serializable {
     * quartiles (PipelineStreamingSpec). */
   def funnelTimingStream(spark: SparkSession, events: DataFrame,
       steps: Seq[String], withinSec: Long,
-      watermark: String = "1 hour"): DataFrame =
-    funnelStream(spark, events, steps, withinSec, watermark)
+      watermark: String = "1 hour",
+      tombstoneTtlSec: Option[Long] = None): DataFrame =
+    funnelStream(spark, events, steps, withinSec, watermark, tombstoneTtlSec)
       .filter(size(col("step_ts_us")) >= 2)
       .select(col("user_id"), posexplode(zip_with(
         slice(col("step_ts_us"), lit(2), size(col("step_ts_us")) - 1),

@@ -156,6 +156,70 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("funnelStream tombstone TTL: re-acquisition journeys under random cuts, 5 seeds") {
+    val steps = Seq("a", "b")
+    val withinSec = 20L
+    val ttlSec = 30L
+    val horizonUs = (steps.size - 1) * withinSec * 1000000L
+    for (seed <- 1 to 5) {
+      val rnd = new Random(3300L + seed)
+      // few keys over a long span → several journeys per key, with
+      // events inside the suppression window (deadline, deadline+ttl]
+      val types = Vector("a", "a", "b")
+      val evs = (1 to 80).map { _ =>
+        (rnd.nextInt(3) + 1L, rnd.nextInt(600).toLong,
+          types(rnd.nextInt(3)))
+      }.sortBy(_._2)
+      val batches = randomBatches(evs.map(e => (e._1, ts(e._2), e._3)), rnd)
+      val sent = Seq(Seq((SENTINEL, ts(86400L * 30), "a")),
+        Seq((SENTINEL, ts(86400L * 31), "a")))
+      val got = runStream[(Long, Timestamp, String)](
+        s"funnel_ttl_$seed", batches, sent,
+        df => graft.streaming.Events.funnelStream(spark,
+          df.toDF("user_id", "ts", "event_type"),
+          steps, withinSec, watermark = "10 seconds",
+          tombstoneTtlSec = Some(ttlSec)))
+        .filter(_.getLong(0) != SENTINEL)
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getSeq[Long](3).toList))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))
+          .sortBy(_._3.headOption.getOrElse(0L)).toList).toMap
+      // reference: iterate journeys — chain from the earliest step-1
+      // among remaining events; everything at or before deadline+ttl
+      // is consumed; the rest starts the next journey
+      val want = evs.groupBy(_._1).map { case (uid, es) =>
+        val all = es.map(e => (us(e._2), steps.indexOf(e._3)))
+        val rows = scala.collection.mutable.ListBuffer
+          .empty[(Long, Boolean, List[Long])]
+        var rest = all
+        var going = true
+        while (going) {
+          val anchors = rest.collect { case (t, 0) => t }
+          if (anchors.isEmpty) going = false
+          else {
+            val anchor = anchors.min
+            val byType = rest.groupBy(_._2)
+            var chain = Vector(anchor); var broken = false
+            for (i <- 1 until steps.size if !broken) {
+              val cand = byType.getOrElse(i, Nil).map(_._1)
+                .filter(t => t >= chain.last &&
+                  t - chain.last <= withinSec * 1000000L)
+              if (cand.isEmpty) broken = true else chain :+= cand.min
+            }
+            rows += ((chain.size.toLong, chain.size == steps.size,
+              chain.toList))
+            val expiry = anchor + horizonUs + ttlSec * 1000000L
+            rest = rest.filter(_._1 > expiry)
+          }
+        }
+        uid -> rows.toList.sortBy(_._3.headOption.getOrElse(0L))
+      }
+      assert(got == want, s"funnel ttl seed=$seed\ngot=$got\nwant=$want")
+      assert(got.values.exists(_.size > 1),
+        s"fixture must produce at least one re-acquired journey: seed=$seed")
+    }
+  }
+
   test("decayStream randomized parity: O(1) carry recurrence under random cuts and redelivery, 5 seeds") {
     val halfLife = 20L
     val lam = math.log(2.0) / halfLife
