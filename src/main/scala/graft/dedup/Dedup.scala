@@ -452,7 +452,13 @@ object Dedup {
     * cost is proportional to the batch, not the corpus. The same
     * `maxBucketSize` skew guard caps pathological buckets, counted
     * over the combined (indexed + new) bucket population exactly like
-    * the batch pipeline. */
+    * the batch pipeline — and the same plan-time sizing rule
+    * ([[minHashSizingIssue]]) runs on every call: fail-fast when the
+    * over-cap buckets hold the majority of the combined index (the
+    * low-diversity corpus-drift case, where the cap would silently
+    * discard most of the search space), warn at candidate saturation
+    * (measured as kept old×new pairs per new doc), and drop counts
+    * log unconditionally. */
   def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, path: String,
       threshold: Double = 0.5, shingleK: Int = 3, bands: Int = 16,
@@ -500,20 +506,56 @@ object Dedup {
     val shNew = hashedShingles(newDocs, idCol, textCol, shingleK).cache()
     val bNew = bandedSignatures(shNew, bands, rowsPerBand)
     val bOld = spark.read.parquet(s"$path/bands")
+    // cache the THIN combined banded frame (3 longs + flag per row):
+    // the sizing aggregate below and the bucket-size window both read
+    // it, so the new batch's signature aggregation and the index
+    // parquet scan each run exactly once.
     val combined = bOld.withColumn("__new", lit(false))
       .unionByName(bNew.withColumn("__new", lit(true)))
-    val stats = if (!wantStats) None else {
-      val r = dropStats(
-        combined.groupBy("band", "bsig").agg(count(lit(1)).as("__n")),
-        "__n", maxBucketSize).head()
-      val (g, nRows) = (r.getLong(0), r.getLong(1))
-      if (g > 0) log.warn(
-        s"band-index probe maxBucketSize=$maxBucketSize dropped $g " +
-          s"bucket(s) spanning $nRows signature rows (indexed + new " +
-          "combined); near-dups colliding only there are not searched")
-      Some(spark.range(1).select(lit(g).as("n_groups_dropped"),
-        lit(nRows).as("n_rows_dropped")))
-    }
+      .cache()
+    // Plan-time sizing enforcement over the COMBINED (indexed + new)
+    // bucket population — the batch path's discipline on the
+    // corpus-growth path, where it matters MOST: a drifting corpus
+    // going low-diversity is exactly when the persisted index's
+    // buckets blow past the cap, and silently filtering them would
+    // drop the majority of the index from the candidate search. One
+    // bucket-count aggregate (filling the cache every later stage
+    // reads) yields the sizing-rule inputs AND the skew-guard drop
+    // stats; kept candidate mass is the true incremental form
+    // n_old·n_new per kept bucket (old-old pairs are never searched
+    // here), measured per NEW doc.
+    val m = combined.groupBy("band", "bsig").agg(
+        count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__new"), 1L)), lit(0L)).as("__nn"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("rows"),
+        coalesce(sum(when(col("__n") > maxBucketSize, col("__n"))), lit(0L))
+          .as("over_rows"),
+        coalesce(sum(when(col("__n") > maxBucketSize, 1L)), lit(0L))
+          .as("over_groups"),
+        coalesce(sum(when(col("__n") <= maxBucketSize,
+          (col("__n") - col("__nn")) * col("__nn"))), lit(0L))
+          .as("kept_mass"),
+        coalesce(sum(col("__nn")), lit(0L)).as("new_rows"))
+      .head()
+    val (totalRows, overRows, overGroups, keptMass, newRows) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+    minHashSizingIssue(newRows / bands, bands, rowsPerBand,
+        minBandAgreements = 1, maxBucketSize, totalRows, overRows, keptMass)
+      .foreach {
+        case (true, msg)  => throw new IllegalArgumentException(
+          s"[band-index probe at $path] $msg")
+        case (false, msg) => log.warn(s"[band-index probe at $path] $msg")
+      }
+    // skew-guard drops are loud on EVERY path (no-silent-caps rule);
+    // the WithStats variant additionally surfaces them as a frame
+    if (overGroups > 0) log.warn(
+      s"band-index probe maxBucketSize=$maxBucketSize dropped $overGroups " +
+        s"bucket(s) spanning $overRows signature rows (indexed + new " +
+        "combined); near-dups colliding only there are not searched")
+    val stats = if (!wantStats) None else
+      Some(spark.range(1).select(lit(overGroups).as("n_groups_dropped"),
+        lit(overRows).as("n_rows_dropped")))
     val sized = combined.withColumn("__n",
         count(lit(1)).over(Window.partitionBy("band", "bsig")))
       .filter(col("__n") <= maxBucketSize).drop("__n")
@@ -532,6 +574,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint()
     cand.unpersist()
+    combined.unpersist()
     shNew.unpersist()
     (verified, stats)
   }

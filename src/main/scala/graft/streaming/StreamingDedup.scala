@@ -28,9 +28,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Bucket cap (stop-shingle skew guard): the batch path DROPS any
   * bucket that exceeds `maxBucketSize` outright. Mirrored here: a
   * bucket that grows past the cap clears its state, emits nothing
-  * further, and retracts any pairs buffered within the same group
-  * call — so a static (batch-mode) run of this operator matches
-  * minHashNearDup's drop semantics exactly. The one unavoidable
+  * further, retracts any pairs buffered within the same group
+  * call, and WARNS once at the crossing (the batch path's loud-drop
+  * contract; a streaming deployment watches the log rate as its
+  * recall-health signal) — so a static (batch-mode) run of this
+  * operator matches minHashNearDup's drop semantics exactly. The one unavoidable
   * divergence in a live stream: pairs already emitted in EARLIER
   * micro-batches cannot be retracted under Append output; they stand.
   * Same default cap as the batch path (10000). The same function body
@@ -41,6 +43,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ingestion watermark to age buckets out.
   */
 object StreamingDedup {
+
+  // executor-side (inside the state functions): resolved lazily per
+  // JVM so the object serializes without dragging a logger along
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.dedup")
 
   final case class BandRow(band: Int, bsig: Long, id: Long)
   final case class CandPair(id_1: Long, id_2: Long, band: Int)
@@ -100,7 +107,14 @@ object StreamingDedup {
             if (!bucket.saturated && !seen.contains(r.id)) {
               if (nSeen + 1 > maxBucketSize) {
                 // mirror the batch drop: the whole bucket is void —
-                // clear state, retract this call's buffered pairs
+                // clear state, retract this call's buffered pairs.
+                // Loud like every other cap (no-silent-caps rule):
+                // fires once per bucket, at the saturation crossing.
+                log.warn(s"streaming minhash bucket (band=$band) " +
+                  s"crossed maxBucketSize=$maxBucketSize and is " +
+                  "permanently dropped; near-dups colliding only " +
+                  "there are not searched — raise the cap or re-band " +
+                  "(graft.ProbeBanding prices the shapes)")
                 bucket = Bucket(saturated = true, Nil)
                 seen = Nil; nSeen = 0
                 out.clear()
@@ -154,6 +168,12 @@ object StreamingDedup {
           rows.foreach { r =>
             if (!bucket.saturated && !docsSeen.exists(_.id == r.id)) {
               if (nSeen + 1 > maxBucketSize) {
+                // loud like the candidate path: once per bucket
+                log.warn(s"streaming verified-minhash bucket " +
+                  s"(band=$band) crossed maxBucketSize=$maxBucketSize " +
+                  "and is permanently dropped; near-dups colliding " +
+                  "only there are not searched — raise the cap or " +
+                  "re-band (graft.ProbeBanding prices the shapes)")
                 bucket = VBucket(saturated = true, Nil)
                 docsSeen = Nil; nSeen = 0
                 out.clear()

@@ -1119,18 +1119,47 @@ class LlmOpsSpec extends SparkSpec {
       "default cap keeps the identical-vector clique")
 
     // incremental band-index probe: clones on both sides saturate the
-    // combined buckets; cap 10 over 15+15 members drops all 16 bands
+    // combined buckets; cap 10 over 15+15 members drops all 16 bands.
+    // Diverse fillers on both sides keep the drop a MINORITY of the
+    // combined index — a majority drop is now fatal at plan time on
+    // this path too (the round-17 enforcement; see the fatal spec)
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_stats").toString
     val cloneText = "all these documents are exactly the same text"
-    Dedup.writeBandIndex((1L to 15L).map(i => (i, cloneText))
+    Dedup.writeBandIndex(((1L to 15L).map(i => (i, cloneText)) ++
+        (101L to 140L).map(i =>
+          (i, (0 until 8).map(j => s"iw${i}_$j").mkString(" "))))
       .toDF("id", "text"), "id", "text", idx)
     val (ip, is) = Dedup.nearDupAgainstIndexWithStats(spark,
-      (16L to 30L).map(i => (i, cloneText)).toDF("id", "text"),
+      ((16L to 30L).map(i => (i, cloneText)) ++
+        (201L to 240L).map(i =>
+          (i, (0 until 8).map(j => s"pw${i}_$j").mkString(" "))))
+        .toDF("id", "text"),
       "id", "text", idx, threshold = 0.5, maxBucketSize = 10)
     assert(ip.count() == 0L)
     val ir = is.head()
     assert((ir.getLong(0), ir.getLong(1)) == (16L, 480L),
       s"expected 16 dropped combined buckets / 480 rows, got $ir")
+  }
+
+  test("incremental band-index probe fails fast on majority-over-cap (sizing rule)") {
+    import spark.implicits._
+    // all-clone index + all-clone probe: every combined bucket is over
+    // the cap, so the skew guard would silently drop the ENTIRE search
+    // space — the corpus-drift failure mode the batch path fails fast
+    // on since round 16; the incremental path must refuse it too, and
+    // BEFORE the candidate join is paid
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_fatal").toString
+    val cloneText = "all these documents are exactly the same text"
+    Dedup.writeBandIndex((1L to 15L).map(i => (i, cloneText))
+      .toDF("id", "text"), "id", "text", idx)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndex(spark,
+        (16L to 30L).map(i => (i, cloneText)).toDF("id", "text"),
+        "id", "text", idx, threshold = 0.5, maxBucketSize = 10)
+    }
+    assert(e.getMessage.contains("MAJORITY") &&
+        e.getMessage.contains("band-index probe"),
+      s"wrong guard message: ${e.getMessage}")
   }
 
   test("tokenBlockKey: first-n tokens, short texts key on what they have") {
