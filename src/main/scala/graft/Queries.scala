@@ -28,13 +28,13 @@ object Queries {
     * Spark and any replaying engine bit-equal at every scale. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     // 2-decimal inputs → cents are exact; the product has 4 decimal
-    // digits → 1e-4 units. floor(x*scale + 0.5) reproduces identically
-    // in DuckDB (same per-row double expression), so both engines sum
-    // the SAME integers.
-    val qtyC = floor(col("l_quantity") * 100 + 0.5).cast("decimal(38,0)")
-    val baseC = floor(col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
-    val discC = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
-      .cast("decimal(38,0)")
+    // digits → 1e-4 units. The sign-corrected quantizer reproduces
+    // identically in DuckDB (same per-row double expression), so both
+    // engines sum the SAME integers.
+    val qtyC = graft.core.ExactSum.quantDec(col("l_quantity"), 100)
+    val baseC = graft.core.ExactSum.quantDec(col("l_extendedprice"), 100)
+    val discC = graft.core.ExactSum.quantDec(
+      col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -50,9 +50,9 @@ object Queries {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100, 2) AS sum_qty,
-      |  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
-      |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(sign(l_quantity) * floor(abs(l_quantity) * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100, 2) AS sum_qty,
+      |  round(CAST(sum(CAST(sign(l_extendedprice) * floor(abs(l_extendedprice) * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(sign(l_extendedprice * (1 - l_discount)) * floor(abs(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order

@@ -23,12 +23,43 @@ import org.apache.spark.sql.functions._
   *        AS DOUBLE) / 1000000
   */
 object ExactSum {
+  /** The signum-corrected micro-unit quantizer itself (pre-cast):
+    * sign(v)·floor(|v|·1e6 + 0.5). Private — consumers take the typed
+    * faces below so every quantize-then-sum site in the engine shares
+    * ONE rounding rule (the engine-wide grep gate: a plain
+    * `floor(x·1e6 + 0.5)` outside this file / [[Round]] is a review
+    * flag). */
+  private def quant(c: Column): Column = quant(c, 1e6)
+  private def quant(c: Column, scale: Double): Column =
+    signum(c) * floor(abs(c) * scale + 0.5)
+
+  /** The quantizer as a LONG column, for operators that keep the
+    * micro-unit integers as a working column (moment sums, window
+    * sums, leading-digit extraction) rather than summing in place —
+    * square/multiply in decimal(38,0) on the caller side when products
+    * can leave the long range. Oracle mirror (DuckDB):
+    *   CAST(sign(v) * floor(abs(v) * 1e6 + 0.5) AS BIGINT|HUGEINT) */
+  def quantLong(c: Column): Column = quant(c).cast("long")
+
+  /** [[quantLong]] at an explicit grain (`scale` = units per 1.0 —
+    * e.g. 1.0 keeps integers as-is, 100 is cent grain). */
+  def quantLong(c: Column, scale: Double): Column =
+    quant(c, scale).cast("long")
+
+  /** The quantizer as a decimal(38,0) column, for operators whose SUM
+    * must itself run in decimal (corpus-scale totals past the long
+    * range). */
+  def quantDec(c: Column): Column = quant(c).cast("decimal(38,0)")
+
+  /** [[quantDec]] at an explicit grain. */
+  def quantDec(c: Column, scale: Double): Column =
+    quant(c, scale).cast("decimal(38,0)")
+
   /** Exact micro-unit sum of `c`, returned as a double (callers wrap
     * in `round(_, k)` for rendering parity). Decimal(38,0) holds 1e38:
     * overflow needs 1e32 micro-units — unreachable from any corpus. */
   def micro(c: Column): Column =
-    sum((signum(c) * floor(abs(c) * 1e6 + 0.5)).cast("decimal(38,0)"))
-      .cast("double") / 1e6
+    sum(quant(c).cast("decimal(38,0)")).cast("double") / 1e6
 
   /** [[micro]] over a distinct-value count frame: the exact micro-unit
     * sum of `w` copies of `c` is w·quant(c) because quantization is
@@ -36,7 +67,6 @@ object ExactSum {
     * of the rows. The operators that aggregate off a (group, value,
     * count) CDF frame (winsorizedMeans) use this to stay one-pass. */
   def microWeighted(c: Column, w: Column): Column =
-    sum((signum(c) * floor(abs(c) * 1e6 + 0.5)).cast("decimal(38,0)") *
-        w.cast("decimal(38,0)"))
+    sum(quant(c).cast("decimal(38,0)") * w.cast("decimal(38,0)"))
       .cast("double") / 1e6
 }

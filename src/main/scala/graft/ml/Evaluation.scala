@@ -170,7 +170,7 @@ object Evaluation {
     val u = ra - na.toDouble * (na + 1) / 2.0
     val z = (u - na.toDouble * nb / 2.0) /
       math.sqrt(na.toDouble * nb * (na + nb + 1.0) / 12.0)
-    def r6(x: Double): Double = math.signum(x) * (math.floor(math.abs(x) * 1e6 + 0.5) / 1e6)
+    def r6(x: Double): Double = graft.core.Round.r6(x)
     val spark = df.sparkSession
     import spark.implicits._
     Seq((r6(u), r6(z), na, nb)).toDF("u", "z", "n_a", "n_b")
@@ -194,7 +194,7 @@ object Evaluation {
     val fracs = (1 until nBins).map(_.toDouble / nBins)
     val breaks = graft.ops.Percentiles
       .exact(df.filter(col(groupCol) === refGroup), featureCol, fracs)
-      .toSeq.sortBy(_._1).map { case (_, v) => math.floor(v * 1e6 + 0.5) / 1e6 }
+      .toSeq.sortBy(_._1).map { case (_, v) => graft.core.Round.r6(v) }
     val bin = breaks.foldLeft(lit(1L))((acc, b) =>
       acc + (col(featureCol) > lit(b)).cast("long"))
     val counts = df.select(col(groupCol).as("grp"), bin.as("bin"))

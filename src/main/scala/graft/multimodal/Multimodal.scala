@@ -444,7 +444,11 @@ object Multimodal {
     val schema = StructType(df.schema.fields ++ audioSpectrumSchema.fields)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    def r3(x: Double): Double = math.floor(x * 1e3 + 0.5) / 1e3
+    // sign-corrected like Round.r6, at the 1e-3 grain (the rounded
+    // value re²+im² is nonnegative, so the sign term is an identity —
+    // kept for the engine-wide one-quantizer grep rule)
+    def r3(x: Double): Double =
+      math.signum(x) * (math.floor(math.abs(x) * 1e3 + 0.5) / 1e3)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val p = r.getAs[Array[Byte]](payloadIdx)
@@ -841,7 +845,7 @@ object Multimodal {
           val mean = s.toDouble / n
           val rms = math.sqrt(s2.toDouble / n - mean * mean)
           Row.fromSeq(r.toSeq ++ Seq[Any](mn, mx, mx - mn,
-            math.floor(rms * 1e6 + 0.5) / 1e6))
+            graft.core.Round.r6(rms)))
         }
       }
     }(enc)

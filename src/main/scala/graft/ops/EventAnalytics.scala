@@ -229,7 +229,7 @@ object EventAnalytics {
     val us = unix_micros(col(tsCol))
     val conv = df.filter(col(typeCol) === conversionType)
       .select(col(keyCol), col(idCol).as("__cid"), us.as("__cts"),
-        floor(col(valueCol) * 1e6 + 0.5).cast("long").as("__vi"))
+        graft.core.ExactSum.quantLong(col(valueCol)).as("__vi"))
     val touch = df.filter(col(typeCol).isin(touchTypes.map(lit): _*))
       .select(col(keyCol).as("__tk"), col(idCol).as("__tid"),
         us.as("__tts"), col(typeCol).as("channel"))
@@ -247,6 +247,10 @@ object EventAnalytics {
       .when(rn === 1 || rn === k, 0.4)
       .otherwise(lit(0.2) / (k - 2))
     joined
+      // ci = floor(vi·w + 0.5) is the documented CREDIT-rounding
+      // contract (scaladoc above), not the value quantizer: vi is
+      // already a sign-corrected micro-unit integer and w ∈ [0, 1],
+      // and the oracle replays this exact form
       .withColumn("__lin", floor(col("__vi") * linW + 0.5).cast("long"))
       .withColumn("__pos", floor(col("__vi") * posW + 0.5).cast("long"))
       .groupBy("channel").agg(
@@ -321,7 +325,7 @@ object EventAnalytics {
         struct(col(tsCol), col(tieCol), col(valueCol).as("v")).as("__o"))
       .groupBy("day", "grp")
       .agg(max(col("__o")).getField("v").as("__close"))
-      .withColumn("__vi", floor(col("__close") * 1e6 + 0.5).cast("long"))
+      .withColumn("__vi", graft.core.ExactSum.quantLong(col("__close")))
     val w = Window.partitionBy("grp").orderBy("day")
       .rowsBetween(-(trailingDays - 1), 0)
     val cnt = count(lit(1)).over(w)

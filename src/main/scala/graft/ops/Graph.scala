@@ -206,9 +206,9 @@ object Graph {
       (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getDouble(3))
     val gini = 2.0 * rc / (nk.toDouble * nr) - (nk + 1.0) / nk
     Seq((nk, nr, mx,
-        math.floor(ps(0.5) * 1e6 + 0.5) / 1e6,
-        math.floor(ps(0.99) * 1e6 + 0.5) / 1e6,
-        math.floor(gini * 1e6 + 0.5) / 1e6))
+        graft.core.Round.r6(ps(0.5)),
+        graft.core.Round.r6(ps(0.99)),
+        graft.core.Round.r6(gini)))
       .toDF("n_keys", "n_rows", "max_cnt", "p50_cnt", "p99_cnt", "gini")
   }
 }

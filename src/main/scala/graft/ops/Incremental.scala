@@ -25,7 +25,7 @@ object Incremental {
   /** Per-key mergeable state over `valueCol`: row count, exact scaled
     * sum and sum-of-squares (decimal), min/max in micro-units. */
   def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    val vi = floor(col(valueCol) * Scale + 0.5).cast("long")
+    val vi = graft.core.ExactSum.quantLong(col(valueCol), Scale)
     df.select(col(keyCol).as("key"), vi.as("__vi"))
       // multiply in decimal: a micro-unit value past ~3e9 (|v| >= ~3038)
       // squares past the long range and would silently wrap

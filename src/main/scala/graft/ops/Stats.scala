@@ -179,7 +179,7 @@ object Stats {
       // null-filtered quartiles (pandas describe excludes NaN/NULL);
       // multiply in decimal: a micro-unit value of 1e11 squares past
       // the long range
-      val vi = floor(col(c) * 1e6 + 0.5).cast("long")
+      val vi = graft.core.ExactSum.quantLong(col(c))
       val vid = vi.cast("decimal(38,0)")
       Seq(count(vi).as(s"n_$c"),
         sum(vid).as(s"s1_$c"),
@@ -210,7 +210,7 @@ object Stats {
     * no float log10 near powers of ten. One 9-key aggregate. Returns
     * (digit, n, obs_frac, exp_frac). */
   def benfordDigits(df: DataFrame, c: String): DataFrame = {
-    val vi = floor(col(c) * 1e6 + 0.5).cast("long")
+    val vi = graft.core.ExactSum.quantLong(col(c))
     val counts = df.select(vi.as("__vi")).filter(col("__vi") > 0)
       .select(substring(col("__vi").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
@@ -232,8 +232,8 @@ object Stats {
     * r2). Groups need n >= 2 and non-constant x. */
   def groupOls(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, xScale: Double = 1e6, yScale: Double = 1e6): DataFrame = {
-    val xi = floor(col(xCol) * xScale + 0.5).cast("long")
-    val yi = floor(col(yCol) * yScale + 0.5).cast("long")
+    val xi = graft.core.ExactSum.quantLong(col(xCol), xScale)
+    val yi = graft.core.ExactSum.quantLong(col(yCol), yScale)
     val d38 = "decimal(38,0)"
     val sums = df
       .select(col(groupCol).as("grp"), xi.as("__x"), yi.as("__y"))

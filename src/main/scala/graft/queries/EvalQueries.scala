@@ -358,7 +358,9 @@ object EvalQueries {
   val groupOlsSql: String =
     s"""WITH q AS (${LlmQueries.qualitySql}),
       |j AS (SELECT d.source, d.n_chars AS xi,
-      |             CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT) AS yi
+      |             CAST(sign(q.quality)
+      |                  * floor(abs(q.quality) * 1000000.0 + 0.5)
+      |                  AS BIGINT) AS yi
       |      FROM documents d JOIN q USING (doc_id)),
       |a AS (SELECT source, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
       |             sum(xi * xi) AS sxx, sum(xi * yi) AS sxy,
@@ -513,7 +515,8 @@ object EvalQueries {
         |  round(quantile_cont(v, 0.5), 6) AS p50,
         |  round(quantile_cont(v, 0.75), 6) AS p75,
         |  round(max(vi) / 1000000.0, 6) AS max
-        |FROM (SELECT CAST(floor($c * 1000000.0 + 0.5) AS HUGEINT) AS vi,
+        |FROM (SELECT CAST(sign($c) * floor(abs($c) * 1000000.0 + 0.5)
+        |               AS HUGEINT) AS vi,
         |             $c * 1.0 AS v FROM lineitem)""".stripMargin
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
       .map(block).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
@@ -614,7 +617,9 @@ object EvalQueries {
       .orderBy("digit")
 
   val benfordSql: String =
-    """WITH v AS (SELECT CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS vi
+    """WITH v AS (SELECT CAST(sign(l_extendedprice)
+      |                        * floor(abs(l_extendedprice) * 1e6 + 0.5)
+      |                        AS BIGINT) AS vi
       |           FROM lineitem),
       |c AS (SELECT CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS INT) AS digit,
       |             count(*) AS n
@@ -769,8 +774,9 @@ object EvalQueries {
 
   val attributionCreditSql: String =
     """WITH c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts,
-      |             CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-      |               AS vi
+      |             CAST(sign(CAST(value AS DOUBLE))
+      |                  * floor(abs(CAST(value AS DOUBLE)) * 1e6 + 0.5)
+      |                  AS BIGINT) AS vi
       |           FROM events WHERE event_type = 'purchase'),
       |t AS (SELECT user_id, event_id AS tid, epoch_us(ts) AS tts,
       |             event_type AS channel
@@ -863,7 +869,9 @@ object EvalQueries {
       |           ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events),
       |d AS (SELECT day, grp, value AS close,
-      |        CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vi
+      |        CAST(sign(CAST(value AS DOUBLE))
+      |             * floor(abs(CAST(value AS DOUBLE)) * 1e6 + 0.5)
+      |             AS BIGINT) AS vi
       |      FROM r WHERE rn = 1),
       |w AS (SELECT day, grp, close,
       |        count(*) OVER win AS cnt,

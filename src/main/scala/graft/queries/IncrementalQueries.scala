@@ -39,7 +39,8 @@ object IncrementalQueries {
   val incrementalAggSql: String =
     """WITH s AS (
       |  SELECT event_type,
-      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vi
+      |         CAST(sign(value) * floor(abs(value) * 1000000.0 + 0.5)
+      |              AS BIGINT) AS vi
       |  FROM events
       |),
       |a AS (
@@ -193,8 +194,9 @@ object IncrementalQueries {
       |  SELECT label, p.pos AS pos,
       |         -- 1e6 parses as DOUBLE; 1000000.0 would parse as DECIMAL and
       |         -- change the float rounding path
-      |         CAST(floor(CAST(list_extract(embedding, p.pos + 1) AS DOUBLE)
-      |                    * 1e6 + 0.5) AS BIGINT) AS vi
+      |         CAST(sign(CAST(list_extract(embedding, p.pos + 1) AS DOUBLE))
+      |              * floor(abs(CAST(list_extract(embedding, p.pos + 1)
+      |                              AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS vi
       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
       |)
       |SELECT label, pos, count(*) AS n,
@@ -219,7 +221,8 @@ object IncrementalQueries {
       |),
       |cent AS (
       |  SELECT label AS cl, pos,
-      |    round((sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) * 1.0)
+      |    round((sum(CAST(sign(v) * floor(abs(v) * 1e6 + 0.5) AS BIGINT))
+      |           * 1.0)
       |          / 1e6 / count(*), 9) AS c
       |  FROM x GROUP BY 1, 2
       |)""".stripMargin
@@ -227,8 +230,11 @@ object IncrementalQueries {
   val centroidDistancesSql: String =
     s"""WITH $centroidCte
       |SELECT a.cl AS label_a, b.cl AS label_b,
-      |  round(sqrt((sum(CAST(floor((a.c - b.c) * 1e6 + 0.5) AS BIGINT)
-      |              * CAST(floor((a.c - b.c) * 1e6 + 0.5) AS BIGINT)) * 1.0)
+      |  round(sqrt((sum(CAST(sign(a.c - b.c)
+      |                       * floor(abs(a.c - b.c) * 1e6 + 0.5) AS BIGINT)
+      |              * CAST(sign(a.c - b.c)
+      |                     * floor(abs(a.c - b.c) * 1e6 + 0.5) AS BIGINT))
+      |              * 1.0)
       |             / 1e12), 6) AS distance
       |FROM cent a JOIN cent b ON a.pos = b.pos AND a.cl < b.cl
       |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
@@ -247,8 +253,10 @@ object IncrementalQueries {
     s"""WITH $centroidCte,
       |dst AS (
       |  SELECT x.vec_id, x.label, cent.cl,
-      |    sum(CAST(floor((x.v - cent.c) * 1e6 + 0.5) AS BIGINT)
-      |        * CAST(floor((x.v - cent.c) * 1e6 + 0.5) AS BIGINT)) AS dq
+      |    sum(CAST(sign(x.v - cent.c)
+      |             * floor(abs(x.v - cent.c) * 1e6 + 0.5) AS BIGINT)
+      |        * CAST(sign(x.v - cent.c)
+      |               * floor(abs(x.v - cent.c) * 1e6 + 0.5) AS BIGINT)) AS dq
       |  FROM x JOIN cent ON cent.pos = x.pos
       |  GROUP BY 1, 2, 3
       |),

@@ -2423,8 +2423,10 @@ object LlmQueries {
       |  FROM tf QUALIFY rn <= 100
       |),
       |j AS (SELECT g,
-      |        CAST(floor(ln(rn) * 1e6 + 0.5) AS BIGINT) AS xi,
-      |        CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS yi
+      |        CAST(sign(ln(rn)) * floor(abs(ln(rn)) * 1e6 + 0.5)
+      |             AS BIGINT) AS xi,
+      |        CAST(sign(ln(c)) * floor(abs(ln(c)) * 1e6 + 0.5)
+      |             AS BIGINT) AS yi
       |      FROM ranked),
       |a AS (SELECT g, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
       |             sum(xi * xi) AS sxx, sum(xi * yi) AS sxy,
@@ -2469,8 +2471,8 @@ object LlmQueries {
     base
       // decimal sums: micro-unit totals of trillion-doc sources exceed
       // the long range
-      .withColumn("__fki", floor(fk * 1e6 + 0.5).cast("decimal(38,0)"))
-      .withColumn("__wpsi", floor(wps * 1e6 + 0.5).cast("decimal(38,0)"))
+      .withColumn("__fki", graft.core.ExactSum.quantDec(fk))
+      .withColumn("__wpsi", graft.core.ExactSum.quantDec(wps))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         round(sum(col("__fki")).cast("double") / 1e6 / count(lit(1)), 6)
@@ -2490,9 +2492,12 @@ object LlmQueries {
       |),
       |q AS (
       |  SELECT source,
-      |    CAST(floor((0.39 * ((w * 1.0) / s) + 11.8 * ((y * 1.0) / w)
-      |                - 15.59) * 1e6 + 0.5) AS BIGINT) AS fki,
-      |    CAST(floor(((w * 1.0) / s) * 1e6 + 0.5) AS BIGINT) AS wpsi
+      |    CAST(sign(0.39 * ((w * 1.0) / s) + 11.8 * ((y * 1.0) / w)
+      |              - 15.59)
+      |         * floor(abs(0.39 * ((w * 1.0) / s) + 11.8 * ((y * 1.0) / w)
+      |                     - 15.59) * 1e6 + 0.5) AS BIGINT) AS fki,
+      |    CAST(sign((w * 1.0) / s)
+      |         * floor(abs((w * 1.0) / s) * 1e6 + 0.5) AS BIGINT) AS wpsi
       |  FROM b WHERE w > 0
       |)
       |SELECT source, count(*) AS n_docs,

@@ -260,7 +260,8 @@ object Similarity {
   /** Pairwise L2 distance between the exact label centroids — the
     * label-separability read-out (close centroids predict confusable
     * classes). Distances are computed over the MICRO-QUANTIZED
-    * component differences (floor((ca−cb)·1e6 + 0.5) as integers, so
+    * component differences (sign-corrected half-away-from-zero
+    * micro-units, [[graft.core.ExactSum.quantLong]], as integers, so
     * the sum is order/partition-independent and bit-replayable; the
     * ≤1e-6-per-component quantization is far below any separability
     * signal). Bounded output: (labels choose 2) rows. */
@@ -269,7 +270,7 @@ object Similarity {
     val c = exactCentroids(df, labelCol, vecCol)
       .select(col(labelCol).as("__l"), col("pos"), col("centroid").as("__c"))
       .localCheckpoint(false) // both join sides read it
-    val di = floor((col("a.__c") - col("b.__c")) * 1e6 + 0.5).cast("long")
+    val di = graft.core.ExactSum.quantLong(col("a.__c") - col("b.__c"))
     c.as("a").join(c.as("b"),
         col("a.pos") === col("b.pos") && col("a.__l") < col("b.__l"))
       .withColumn("__di", di)
@@ -298,7 +299,7 @@ object Similarity {
       .withColumn("__v", col("__v0").cast("double"))
     val d = x.join(broadcast(cent), Seq("pos"))
       .withColumn("__di",
-        floor((col("__v") - col("__c")) * 1e6 + 0.5).cast("long"))
+        graft.core.ExactSum.quantLong(col("__v") - col("__c")))
       // decimal squares, long result: exact up to |x−c| ~ 4e8 per
       // component — far beyond any embedding scale
       .groupBy(col(idCol), col("__l"), col("__cl"))
@@ -323,7 +324,7 @@ object Similarity {
     df.select(col(groupCol).as("grp"),
         posexplode(col(vecCol)).as(Seq("pos", "__v")))
       .select(col("grp"), col("pos"),
-        floor(col("__v").cast("double") * 1e6 + 0.5).cast("long").as("__vi"))
+        graft.core.ExactSum.quantLong(col("__v").cast("double")).as("__vi"))
       .groupBy("grp", "pos").agg(
         count(lit(1)).as("__n"),
         sum(col("__vi").cast("decimal(38,0)")).as("__s"))

@@ -769,7 +769,7 @@ object Curation {
     // rate differing by 1e-6 on the half boundary would flip membership
     // between the engines.
     val rates = totals.map { case (s, t) =>
-      s -> math.floor(math.min(1.0, q(s) * budget / t) * 1e6 + 0.5) / 1e6
+      s -> graft.core.Round.r6(math.min(1.0, q(s) * budget / t))
     }
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
