@@ -66,7 +66,15 @@ object StreamRehearsal {
         censorDay = "2024-01-30"),
       "funnel_timing" -> graft.streaming.Events.funnelTimingStream(
         spark, src, Seq("view", "click", "purchase"),
-        withinSec = 259200L))
+        withinSec = 259200L),
+      // TTL arm: the bounded-tombstone alternative to the default
+      // keys-for-life contract — tombstones expire after 1 day of
+      // event time (journeys re-acquire), so end-state must sit well
+      // BELOW the default arm's endStateRows ≈ keys (the README
+      // scale-notes contrast, measured)
+      "funnel_timing_ttl" -> graft.streaming.Events.funnelTimingStream(
+        spark, src, Seq("view", "click", "purchase"),
+        withinSec = 259200L, tombstoneTtlSec = Some(86400L)))
 
     ops.filter(o => only.isEmpty || only(o._1)).foreach { case (name, out) =>
       val t0 = System.nanoTime()

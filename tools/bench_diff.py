@@ -53,6 +53,10 @@ def load_bench(path):
             if mm:
                 d[field] = {k: float(v) for k, v in
                             re.findall(r'"([a-z0-9_]+)":([0-9.]+)', mm[-1])}
+        for field in ("pass_cpu_ratios", "loadavg"):
+            mm = re.search(r'"%s":\[([0-9.,\s]*)\]' % field, t)
+            if mm and mm.group(1).strip():
+                d[field] = [float(x) for x in mm.group(1).split(",")]
     if not isinstance(d, dict) or not d.get("queries"):
         sys.exit(f"{path}: not a bench artifact (no queries map)")
     return d
@@ -81,6 +85,37 @@ def main():
     if old.get("pass_totals") and new.get("pass_totals"):
         r = min(new["pass_totals"]) / min(old["pass_totals"])
         print(f"min-pass ratio new/old: {r:.2f}")
+
+    # Posture verdict (round 17, mechanical): a counted pass whose
+    # process-CPU/wall ratio sits well below the run's own max was
+    # descheduled mid-pass — min-of-N over such a pass is not a
+    # structural measurement. Rule from the round-16 close run (pass 1
+    # at 2.61 vs clean 4.20): flag cpu_ratio < 0.75 x max(ratios).
+    # loadavg is printed as context only — the 1-min average can still
+    # carry a just-drained workload while every pass measures clean.
+    def posture(name, d):
+        ratios = d.get("pass_cpu_ratios") or []
+        load = d.get("loadavg")
+        if not ratios:
+            print(f"posture[{name}]: UNPROVEN — no pass_cpu_ratios in "
+                  "the artifact (pre-round-16 bench); its pass totals "
+                  "cannot be adjudicated")
+            return False
+        mx = max(ratios)
+        bad = [(i, r) for i, r in enumerate(ratios) if r < 0.75 * mx]
+        ctx = f"cpu_ratios={ratios} loadavg={load}"
+        if bad:
+            print(f"posture[{name}]: CONTAMINATED — "
+                  + ", ".join(f"pass {i + 1} cpu_ratio {r:.2f} < 0.75x "
+                              f"max {mx:.2f}" for i, r in bad)
+                  + f" (descheduled); re-run idle. {ctx}")
+            return True
+        print(f"posture[{name}]: CLEAN — every counted pass within "
+              f"0.75x of max cpu_ratio {mx:.2f}. {ctx}")
+        return False
+
+    posture("old", old)
+    new_contaminated = posture("new", new)
 
     # memoized-group deltas NET of the shared memo build (round-15 close
     # rule, mechanical): a group that moved while its memo slots' build
@@ -132,6 +167,10 @@ def main():
     if not flagged:
         print(f"OK: no per-query drift >= {args.ratio}x above "
               f"{args.floor}s across {len(shared)} shared queries")
+        if new_contaminated:
+            print("EXIT 1: new artifact failed the posture gate — "
+                  "its totals are not comparable; re-run idle")
+            sys.exit(1)
         return
     print(f"\nFLAGGED ({len(flagged)} queries >= {args.ratio}x, "
           f"new >= {args.floor}s):")
