@@ -264,7 +264,16 @@ object Dedup {
     * sharpens the per-band collision probability j^r;
     * minBandAgreements >= 2 crushes background mass quadratically) and
     * at [[graft.ProbeBanding]], which prices candidates against the
-    * corpus's own similarity profile. */
+    * corpus's own similarity profile.
+    *
+    * Long-running drivers (a foreachBatch loop calling the batch path
+    * per micro-batch) should treat the fatal as per-CALL, not
+    * per-query: catch the IllegalArgumentException, log it, and skip
+    * the batch — one transiently skewed micro-batch is a degraded
+    * batch, not a reason to kill the stream. The dedicated streaming
+    * operator ([[graft.streaming.StreamingDedup]]) never throws here:
+    * its per-bucket cap degrades with a warning instead, because its
+    * state outlives any single batch. */
   private[graft] def minHashSizingIssue(
       nDocs: Long, bands: Int, rowsPerBand: Int, minBandAgreements: Int,
       maxBucketSize: Int, totalRows: Long, overCapRows: Long,

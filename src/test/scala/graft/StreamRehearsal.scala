@@ -74,6 +74,16 @@ object StreamRehearsal {
       // scale-notes contrast, measured)
       "funnel_timing_ttl" -> graft.streaming.Events.funnelTimingStream(
         spark, src, Seq("view", "click", "purchase"),
+        withinSec = 259200L, tombstoneTtlSec = Some(86400L)),
+      // churned-key funnel arms: the cohort_churn contrast for the
+      // funnel tombstone — default keeps every epoch's keys forever
+      // (end ≈ ALL-TIME keys); the TTL arm drops expired tombstones,
+      // so end-state falls back toward the live epoch's keys
+      "funnel_churn" -> graft.streaming.Events.funnelTimingStream(
+        spark, churnKeys(src), Seq("view", "click", "purchase"),
+        withinSec = 259200L),
+      "funnel_churn_ttl" -> graft.streaming.Events.funnelTimingStream(
+        spark, churnKeys(src), Seq("view", "click", "purchase"),
         withinSec = 259200L, tombstoneTtlSec = Some(86400L)))
 
     ops.filter(o => only.isEmpty || only(o._1)).foreach { case (name, out) =>
