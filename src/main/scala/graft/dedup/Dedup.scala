@@ -97,9 +97,33 @@ object Dedup {
     * normalized like the concat_ws form — see NgramHash). Multiset
     * (see shingles). */
   private[dedup] def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(
-      graft.functions.GraftFunctions.hashedShingles(
-        df.sparkSession, col(textCol), k)).as("s"))
+    graft.core.Parallelize.scan(df)
+      .select(col(idCol).as("id"), explode(
+        graft.functions.GraftFunctions.hashedShingles(
+          df.sparkSession, col(textCol), k)).as("s"))
+
+  /** Per-doc word-shingle hash arrays (id, __gs) — the UNEXPLODED
+    * counterpart of [[hashedShingles]]: one native-expression pass per
+    * document, no corpus-scale (id, gram) row stream. The minhash
+    * pipeline consumes this shape since round 17 (signature and
+    * exact-verify unit set are both per-document functions — see
+    * [[minHashOverGramsCore]]). */
+  private[dedup] def shingleArrays(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    graft.core.Parallelize.scan(df)
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.hashedShingles(
+          df.sparkSession, col(textCol), k).as("__gs"))
+
+  /** Per-doc char-n-gram hash arrays (id, __gs) — the unexploded
+    * counterpart of [[hashedCharNgrams]] (same trim, same native
+    * hasher). */
+  private[graft] def charNgramArrays(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    graft.core.Parallelize.scan(df)
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.hashedNgrams(
+          df.sparkSession, trim(col(textCol)), n).as("__gs"))
 
   /** MinHash near-duplicate pairs with exact-Jaccard verification.
     *
@@ -138,7 +162,7 @@ object Dedup {
       threshold: Double = 0.5, shingleK: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2,
       maxBucketSize: Int = 10000, minBandAgreements: Int = 1): DataFrame =
-    minHashOverShingles(hashedShingles(df, idCol, textCol, shingleK),
+    minHashOverGrams(shingleArrays(df, idCol, textCol, shingleK),
       threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements)
 
   /** [[minHashNearDup]] plus the `maxBucketSize` guard's drop stats: a
@@ -154,7 +178,7 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 2,
       maxBucketSize: Int = 10000,
       minBandAgreements: Int = 1): (DataFrame, DataFrame) =
-    minHashOverShinglesCore(hashedShingles(df, idCol, textCol, shingleK),
+    minHashOverGramsCore(shingleArrays(df, idCol, textCol, shingleK),
       threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements,
       wantStats = true) match { case (p, s) => (p, s.get) }
 
@@ -170,7 +194,8 @@ object Dedup {
     * the distinct is deferred. */
   private[graft] def hashedCharNgrams(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = df.select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
+    val t = graft.core.Parallelize.scan(df)
+      .select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
     t.select(col("id"), explode(
       graft.functions.GraftFunctions.hashedNgrams(
         df.sparkSession, col("__t"), n)).as("s"))
@@ -184,7 +209,7 @@ object Dedup {
       threshold: Double = 0.5, n: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2,
       maxBucketSize: Int = 10000, minBandAgreements: Int = 1): DataFrame =
-    minHashOverShingles(hashedCharNgrams(df, idCol, textCol, n),
+    minHashOverGrams(charNgramArrays(df, idCol, textCol, n),
       threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements)
 
   /** [[ngramJaccardNearDup]] with the guard drop stats of
@@ -195,7 +220,7 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 2,
       maxBucketSize: Int = 10000,
       minBandAgreements: Int = 1): (DataFrame, DataFrame) =
-    minHashOverShinglesCore(hashedCharNgrams(df, idCol, textCol, n),
+    minHashOverGramsCore(charNgramArrays(df, idCol, textCol, n),
       threshold, bands, rowsPerBand, maxBucketSize, minBandAgreements,
       wantStats = true) match { case (p, s) => (p, s.get) }
 
@@ -236,11 +261,11 @@ object Dedup {
     * candidate ids — a corpus-scale `.distinct()` up front would be a
     * full shuffle spent mostly on documents that never reach a bucket
     * pair. */
-  private def minHashOverShingles(
-      shingleTable: DataFrame, threshold: Double,
+  private def minHashOverGrams(
+      docGrams: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int,
       minBandAgreements: Int = 1): DataFrame =
-    minHashOverShinglesCore(shingleTable, threshold, bands, rowsPerBand,
+    minHashOverGramsCore(docGrams, threshold, bands, rowsPerBand,
       maxBucketSize, minBandAgreements, wantStats = false)._1
 
   /** The MinHash banding sizing rule, factored pure for spec-ability —
@@ -298,26 +323,63 @@ object Dedup {
     else None
   }
 
-  private def minHashOverShinglesCore(
-      shingleTable: DataFrame, threshold: Double,
+  /** (id, __gs sorted-distinct array, __sig minhash array) per doc —
+    * computed SCAN-LOCAL in one projection: both the exact-verify unit
+    * set and the signature are per-document functions, so nothing here
+    * shuffles. Docs with no grams (short/NULL text) carry a NULL
+    * signature and are dropped, exactly as the exploded form produced
+    * no rows for them. */
+  private def enrichedGrams(docGrams: DataFrame, numHashes: Int): DataFrame =
+    docGrams.select(col("id"),
+        sort_array(array_distinct(col("__gs"))).as("__gs"),
+        graft.functions.GraftFunctions.minhashSignature(
+          docGrams.sparkSession, col("__gs"), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+
+  /** Thin (id, band, bsig) banded frame from a __sig minhash-array
+    * column — bit-identical to [[bandedSignatures]]' output (element_at
+    * yields the same LongType hash columns the aggregate produced, so
+    * the band hash chain is unchanged). */
+  private def bandedFromSig(enriched: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bsig"))
+    }
+    enriched.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.bsig"))
+  }
+
+  private def minHashOverGramsCore(
+      docGrams: DataFrame, threshold: Double,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int,
       minBandAgreements: Int,
       wantStats: Boolean): (DataFrame, Option[DataFrame]) = {
     require(minBandAgreements >= 1 && minBandAgreements <= bands,
       s"minBandAgreements must be in [1, $bands], got $minBandAgreements")
-    val sh = shingleTable.cache()
-    // cache the THIN banded frame (3 longs x bands per doc): the
-    // sizing aggregate below and the bucket-size window both read it,
-    // so the expensive signature aggregation runs exactly once even
-    // on the WithStats path (which used to pay it twice)
-    val banded = bandedSignatures(sh, bands, rowsPerBand).cache()
+    // ONE corpus-scale cache: (id, sorted-distinct grams, signature),
+    // all scan-local. The round-16 shape exploded grams to corpus-scale
+    // (id, gram) rows and re-aggregated them twice (signature min-agg,
+    // verify collect_list) — two full shuffles of data that never
+    // needed to leave its document. Same bytes cached (arrays vs rows),
+    // two shuffles and one aggregation machine fewer.
+    val enriched = enrichedGrams(docGrams, bands * rowsPerBand).cache()
+    val banded = bandedFromSig(enriched, bands, rowsPerBand)
 
     // Plan-time sizing enforcement (the simHashNearDup discipline,
-    // round 16): one bucket-count aggregate — filling the banded cache
-    // every later stage reads — measures the index BEFORE the
+    // round 16): one bucket-count aggregate — filling the enriched
+    // cache every later stage reads — measures the index BEFORE the
     // quadratic candidate join is paid. It yields the sizing-rule
-    // inputs AND the skew-guard drop stats in the same pass.
+    // inputs AND the skew-guard drop stats in the same pass. The
+    // bucket-count frame is kept (cached, bucket-cardinality-bounded)
+    // because the skew-guard filter below reuses it as an anti-join
+    // list — replacing the round-16 window count over the banded frame
+    // (one full sort saved; over-cap keys number at most
+    // totalRows / maxBucketSize, so the anti-join side is always the
+    // small one).
     val bc = banded.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
+      .cache()
     val m = bc.agg(
       coalesce(sum(col("__n")), lit(0L)).as("rows"),
       coalesce(sum(when(col("__n") > maxBucketSize, col("__n"))), lit(0L))
@@ -347,18 +409,16 @@ object Dedup {
         "colliding only there are not searched - raise the cap or " +
         "re-band (graft.ProbeBanding prices the shapes)")
     val stats = if (!wantStats) None else {
-      val spark = shingleTable.sparkSession
+      val spark = docGrams.sparkSession
       Some(spark.range(1).select(lit(overGroups).as("n_groups_dropped"),
         lit(overRows).as("n_rows_dropped")))
     }
 
-    // drop pathological buckets (stop-shingle skew guard at scale);
-    // cache: the self-join below consumes this frame twice, and without
-    // a cache the whole shingle->minhash->band lineage runs twice.
-    val sized = banded.withColumn("__n",
-      count(lit(1)).over(Window.partitionBy("band", "bsig")))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
-      .cache()
+    // drop pathological buckets (stop-shingle skew guard at scale) by
+    // anti-joining the over-cap bucket list measured above — identical
+    // keep-set to the round-16 per-bucket window count, minus its sort
+    val over = bc.filter(col("__n") > maxBucketSize).select("band", "bsig")
+    val sized = banded.join(over, Seq("band", "bsig"), "left_anti")
 
     // the self-join output is THIN (two longs per row) — the k-band
     // agreement count folds it before anything wide (gram arrays)
@@ -369,25 +429,31 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
-    val cand = (if (minBandAgreements <= 1) candBase.distinct()
+    val cand = if (minBandAgreements <= 1) candBase.distinct()
       else candBase.groupBy("id_1", "id_2")
         .agg(count(lit(1)).as("__k"))
-        .filter(col("__k") >= minBandAgreements).drop("__k"))
-      .cache()
+        .filter(col("__k") >= minBandAgreements).drop("__k")
 
-    // set-semantics shingles for exact Jaccard, but only for documents
-    // that appear in a candidate pair (semi-join first, distinct after:
-    // the distinct shuffle is then candidate-sized, not corpus-sized).
-    val candIds = cand.select(col("id_1").as("id"))
-      .union(cand.select(col("id_2").as("id"))).distinct()
-    val shCand = sh.join(candIds, Seq("id"), "left_semi").distinct()
-    val verified = exactJaccardOnPairs(cand, shCand)
+    // exact Jaccard on candidates: attach each side's sorted-distinct
+    // gram array straight from the enriched cache (the inner join IS
+    // the candidate restriction — the round-16 semi-join + per-doc
+    // re-distinct + collect_list re-aggregation are gone, the arrays
+    // already exist)
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(docGrams.sparkSession, col("gs1"), col("gs2"))
+    val verified = cand
+      .join(enriched.select(col("id").as("id_1"), col("__gs").as("gs1")),
+        Seq("id_1"))
+      .join(enriched.select(col("id").as("id_2"), col("__gs").as("gs2")),
+        Seq("id_2"))
+      .select(col("id_1"), col("id_2"),
+        inter.as("i"), size(col("gs1")).as("n1"), size(col("gs2")).as("n2"))
+      .select(col("id_1"), col("id_2"),
+        (col("i") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint() // materialize before releasing the caches below
-    sized.unpersist()
-    banded.unpersist()
-    cand.unpersist()
-    sh.unpersist()
+    bc.unpersist()
+    enriched.unpersist()
     (verified, stats)
   }
 
@@ -439,18 +505,21 @@ object Dedup {
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleK: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 2): Unit = {
-    val sh = hashedShingles(df, idCol, textCol, shingleK).cache()
-    bandedSignatures(sh, bands, rowsPerBand)
+    // scan-local per-doc arrays + signatures (the minHashOverGramsCore
+    // shape) — same rows written, no corpus-scale explode/re-aggregation
+    val g = enrichedGrams(
+      shingleArrays(df, idCol, textCol, shingleK), bands * rowsPerBand)
+      .cache()
+    bandedFromSig(g, bands, rowsPerBand)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    sh.distinct().groupBy("id")
-      .agg(sort_array(collect_list(col("s"))).as("gs"))
+    g.select(col("id"), col("__gs").as("gs"))
       .write.mode("overwrite").parquet(s"$path/grams")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((shingleK, bands, rowsPerBand))
       .toDF("shingle_k", "bands", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
-    sh.unpersist()
+    g.unpersist()
   }
 
   /** Verified near-dup pairs between a NEW batch and a persisted band
@@ -512,8 +581,12 @@ object Dedup {
           s"rowsPerBand=$mr) but probed with ($shingleK, $bands, " +
           s"$rowsPerBand) — a mismatched probe finds no candidates")
     }
-    val shNew = hashedShingles(newDocs, idCol, textCol, shingleK).cache()
-    val bNew = bandedSignatures(shNew, bands, rowsPerBand)
+    // scan-local per-doc arrays + signatures for the NEW batch (the
+    // minHashOverGramsCore shape — no explode/re-aggregation)
+    val gNew = enrichedGrams(
+      shingleArrays(newDocs, idCol, textCol, shingleK), bands * rowsPerBand)
+      .cache()
+    val bNew = bandedFromSig(gNew, bands, rowsPerBand)
     val bOld = spark.read.parquet(s"$path/bands")
     // cache the THIN combined banded frame (3 longs + flag per row):
     // the sizing aggregate below and the bucket-size window both read
@@ -533,9 +606,11 @@ object Dedup {
     // stats; kept candidate mass is the true incremental form
     // n_old·n_new per kept bucket (old-old pairs are never searched
     // here), measured per NEW doc.
-    val m = combined.groupBy("band", "bsig").agg(
+    val bc = combined.groupBy("band", "bsig").agg(
         count(lit(1)).as("__n"),
         coalesce(sum(when(col("__new"), 1L)), lit(0L)).as("__nn"))
+      .cache() // sizing aggregate + the skew-guard anti-join list below
+    val m = bc
       .agg(
         coalesce(sum(col("__n")), lit(0L)).as("rows"),
         coalesce(sum(when(col("__n") > maxBucketSize, col("__n"))), lit(0L))
@@ -565,26 +640,31 @@ object Dedup {
     val stats = if (!wantStats) None else
       Some(spark.range(1).select(lit(overGroups).as("n_groups_dropped"),
         lit(overRows).as("n_rows_dropped")))
-    val sized = combined.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("band", "bsig")))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    // skew-guard filter as an anti-join against the over-cap bucket
+    // list measured above (identical keep-set to the per-bucket window
+    // count it replaces, minus its sort — the batch-path change,
+    // round 17)
+    val over = bc.filter(col("__n") > maxBucketSize).select("band", "bsig")
+    val sized = combined.join(over, Seq("band", "bsig"), "left_anti")
     val cand = sized.filter(!col("__new")).as("a")
       .join(sized.filter(col("__new")).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2")).distinct()
       .cache()
-    val gsNew = shNew
+    // the new batch's sorted-distinct gram arrays already exist in the
+    // enriched cache; the indexed side still semi-joins down to
+    // candidate ids before its (heavy-array) parquet read joins
+    val gsNew = gNew.select(col("id"), col("__gs").as("gs"))
       .join(cand.select(col("id_2").as("id")).distinct(), Seq("id"), "left_semi")
-      .distinct()
-      .groupBy("id").agg(sort_array(collect_list(col("s"))).as("gs"))
     val gsOld = spark.read.parquet(s"$path/grams")
       .join(cand.select(col("id_1").as("id")).distinct(), Seq("id"), "left_semi")
     val verified = jaccardFromGramSets(cand, gsOld.unionByName(gsNew))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint()
     cand.unpersist()
+    bc.unpersist()
     combined.unpersist()
-    shNew.unpersist()
+    gNew.unpersist()
     (verified, stats)
   }
 
@@ -635,7 +715,8 @@ object Dedup {
     // md5-prefix hash, same >=0 tie rule — the DuckDB oracle is
     // unchanged. Docs with NULL text produce no row, exactly as the
     // explode-based form (tokens(null) explodes to nothing).
-    df.select(col(idCol).as("id"),
+    graft.core.Parallelize.scan(df)
+      .select(col(idCol).as("id"),
         graft.functions.GraftFunctions.simhashTokens(
           df.sparkSession, tokens(col(textCol)), bits).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -749,13 +830,17 @@ object Dedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.bsig"))
-    // band-bucket skew guard (the minhash window-count shape): the
-    // band space holds only 2^bandBits values, so a saturated bucket
-    // would send the self-join quadratic — cap it, and surface the
-    // drops through the WithStats variant per the no-silent-caps rule
-    val sized = banded.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("band", "bsig")))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    // band-bucket skew guard: anti-join against the over-cap bucket
+    // list (the minHashOverGramsCore shape since round 17 — identical
+    // keep-set to the per-bucket window count it replaces, minus its
+    // sort; over-cap keys number at most rows / maxBucketSize). The
+    // `spread` pin matters here: the banded frame is doc-count-thin, so
+    // AQE would coalesce its exchange to one task and the whole
+    // quadratic candidate join + hamming verify would serialize (the
+    // fuzzy-join lesson at sized-join sites, PLANS round-11).
+    val over = banded.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize).select("band", "bsig")
+    val sized = spread(banded.join(over, Seq("band", "bsig"), "left_anti"), "id")
     val cand = sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))

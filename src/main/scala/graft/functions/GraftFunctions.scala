@@ -76,6 +76,21 @@ object GraftFunctions {
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHashTokens].getCanonicalName, "simhash_tokens")
 
+  private val minhashSigBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"minhash_signature expects 2 arguments, got ${children.size}")
+    val k = children(1) match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"minhash_signature numHashes must be an integer literal, got $other")
+    }
+    MinHashSignature(children.head, k)
+  }
+
+  private val minhashSigInfo = new ExpressionInfo(
+    classOf[MinHashSignature].getCanonicalName, "minhash_signature")
+
   private val nfcBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 1, s"nfc_normalize expects 1 argument, got ${children.size}")
     NfcNormalize(children.head)
@@ -91,6 +106,7 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), isectInfo, isectBuilder))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"), nfcInfo, nfcBuilder))
     ext.injectFunction((FunctionIdentifier("simhash_tokens"), simhashInfo, simhashBuilder))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"), minhashSigInfo, minhashSigBuilder))
   }
 
   /** Idempotent registration into an existing session's registry. */
@@ -114,6 +130,9 @@ object GraftFunctions {
     val shid = FunctionIdentifier("simhash_tokens")
     if (!registry.functionExists(shid))
       registry.registerFunction(shid, simhashInfo, simhashBuilder)
+    val mid = FunctionIdentifier("minhash_signature")
+    if (!registry.functionExists(mid))
+      registry.registerFunction(mid, minhashSigInfo, minhashSigBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -139,6 +158,13 @@ object GraftFunctions {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("sorted_intersect_count", a, b)
+  }
+
+  /** Column API for the native per-row MinHash signature. */
+  def minhashSignature(spark: SparkSession, grams: Column, numHashes: Int): Column = {
+    register(spark)
+    call_function("minhash_signature", grams,
+      org.apache.spark.sql.functions.lit(numHashes))
   }
 
   /** Column API for the native token-array SimHash. */

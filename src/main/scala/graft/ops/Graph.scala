@@ -151,16 +151,22 @@ object Graph {
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("__d"))
       .localCheckpoint(false)
-    val nNodes = deg.count()
-    val nEdges = und.count()
-    // d(d-1) is always even, so halving the exact decimal sum is exact;
-    // the product runs in decimal — a hub degree past ~3e9 would wrap
-    // the long square
-    val nWedges = deg.agg(
-        sum((col("__d").cast("decimal(38,0)") *
-          (col("__d").cast("decimal(38,0)") - 1)).cast("decimal(38,0)")))
-      .head().getDecimal(0).divide(java.math.BigDecimal.valueOf(2))
-      .longValueExact()
+    // node / edge / wedge counts in ONE aggregate over the bounded
+    // degree table (was three separate jobs): edges = Σd / 2 exactly,
+    // d(d-1) is always even so halving the exact decimal sums is
+    // exact; products run in decimal — a hub degree past ~3e9 would
+    // wrap the long square
+    val cnt = deg.agg(
+      count(lit(1)).as("n"),
+      sum(col("__d").cast("decimal(38,0)")).as("sd"),
+      sum((col("__d").cast("decimal(38,0)") *
+        (col("__d").cast("decimal(38,0)") - 1)).cast("decimal(38,0)")).as("sw"))
+      .head()
+    val nNodes = cnt.getLong(0)
+    val nEdges = cnt.getDecimal(1)
+      .divide(java.math.BigDecimal.valueOf(2)).longValueExact()
+    val nWedges = cnt.getDecimal(2)
+      .divide(java.math.BigDecimal.valueOf(2)).longValueExact()
     val oriented = und
       .join(deg.select(col("node").as("src"), col("__d").as("__ds")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("__d").as("__dd")), Seq("dst"))
@@ -169,13 +175,26 @@ object Graph {
           struct(col("src").as("a"), col("dst").as("b")))
         .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("__e"))
       .select(col("__e.a").as("a"), col("__e.b").as("b"))
-      .localCheckpoint(false) // wedge join reads it twice
-    // out-neighbor pairs at each low-rank vertex, normalized by id so
-    // the closure probe hits the und (src < dst) edge layout directly
-    val wedgePairs = oriented.as("x").join(oriented.as("y"),
-        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
-      .select(col("x.b").as("src"), col("y.b").as("dst"))
-    val nTri = wedgePairs.join(und, Seq("src", "dst")).count()
+      .localCheckpoint(false) // edge stream + adjacency build read it
+    // Adjacency-intersect triangle count (the edge-iterator form of the
+    // same degree-ordered orientation): every triangle has exactly one
+    // edge (a, b) with both endpoints ranked below the third vertex, so
+    // T = Σ over oriented edges |N⁺(a) ∩ N⁺(b)| with the sorted
+    // out-neighbor arrays merged by the native sorted_intersect_count.
+    // Replaces the round-3 wedge-pair self-join + closure equi-join,
+    // which materialized and shuffled Σ C(d⁺,2) wedge rows (19M at
+    // sf0.1 — the bench's most expensive single stage) to count the
+    // exact same intersections; adjacency arrays stay O(√m) per node
+    // under the orientation, so per-edge merge work is the same
+    // Schank-Wagner bound without the wedge-row blow-up.
+    val adj = oriented.groupBy(col("a").as("node"))
+      .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
+    val isect = graft.functions.GraftFunctions.sortedIntersectCount(
+      spark, col("__na"), col("__nb"))
+    val nTri = oriented
+      .join(adj.select(col("node").as("a"), col("__nbrs").as("__na")), Seq("a"))
+      .join(adj.select(col("node").as("b"), col("__nbrs").as("__nb")), Seq("b"))
+      .agg(coalesce(sum(isect), lit(0L))).head().getLong(0)
     def r6(x: Double) = graft.core.Round.r6(x)
     val transitivity = if (nWedges > 0) r6(3.0 * nTri / nWedges) else 0.0
     Seq((nNodes, nEdges, nWedges, nTri, transitivity))

@@ -297,4 +297,37 @@ class FunctionsSpec extends SparkSpec {
       assert(m == bf.mightContain(h), s"codegen/driver mismatch for $h")
     }
   }
+
+  test("minhash_signature equals the aggregate min(xxhash64(lit(j), s)) form bit-for-bit") {
+    // the round-17 scan-local signature must reproduce the exploded
+    // aggregate formulation exactly: same candidates, same recall, same
+    // committed answers. Random multisets (duplicates included), plus
+    // the empty/null edge cases the exploded form expressed as "no rows".
+    val rnd = new scala.util.Random(20260817L)
+    val rows = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(50)
+      (id, Seq.fill(n)(rnd.nextLong(1000))) // small space => duplicates
+    }
+    val df = rows.toDF("id", "gs")
+    val numHashes = 8
+    val native = df.select(col("id"),
+        GraftFunctions.minhashSignature(spark, col("gs"), numHashes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggCols = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val exploded = df.select(col("id"), explode(col("gs")).as("s"))
+      .groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+    val agg = exploded.collect()
+      .map(r => r.getLong(0) -> (0 until numHashes).map(j =>
+        r.getLong(r.fieldIndex(s"h$j"))).toSeq).toMap
+    assert(native == agg, "scan-local minhash diverges from the aggregate form")
+    // empty and null arrays carry no signature (the exploded form
+    // produced no rows for such docs)
+    val edge = Seq((0L, Some(Seq.empty[Long])), (1L, None))
+      .toDF("id", "gs")
+      .select(col("id"),
+        GraftFunctions.minhashSignature(spark, col("gs"), numHashes).as("sig"))
+      .collect()
+    assert(edge.forall(_.isNullAt(1)))
+  }
 }
