@@ -44,7 +44,12 @@ object Evaluation {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // materialize the range shuffle once; offsets + window both read it
+      // LAZY checkpoint: the offsets aggregate below is the first
+      // reader and materializes the range shuffle in ITS job; the
+      // window join then reads the cached blocks. The round-16 eager
+      // form paid a separate blocking materialization job per call —
+      // one driver round-trip per prefix sum, engine-wide.
+      .localCheckpoint(false)
     // per-partition totals of every sum input in one bounded aggregate
     val aggCols = names.map(n => sum(col(s"__in_$n").cast("double")).as(s"__t_$n"))
     val totals = base.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)

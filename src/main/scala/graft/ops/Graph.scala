@@ -75,20 +75,27 @@ object Graph {
     * distributed PageRank step; lineage is truncated per iteration. */
   def pageRank(edges: DataFrame, damping: Double = 0.85,
       iters: Int = 3): DataFrame = {
+    // lazy checkpoints: each frame materializes inside the first job
+    // that reads it and is reused after — the round-16 EAGER
+    // checkpoints paid one blocking driver round-trip per frame plus
+    // one per ITERATION (3 extra job launches for the default contract)
+    // purely to truncate lineage that, at 3 iterations, is 3 joins deep
+    // and plans in milliseconds. For long runs an eager cut every 4th
+    // round keeps plan re-analysis constant without per-round jobs.
     val sym = edges.select(col("src").as("x"), col("dst").as("y"), col("w"))
       .union(edges.select(col("dst").as("x"), col("src").as("y"), col("w")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = sym.groupBy("x").agg(sum(col("w").cast("double")).as("__wd"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = deg.count()
-    val withDeg = sym.join(deg, Seq("x")).localCheckpoint()
+    val withDeg = sym.join(deg, Seq("x")).localCheckpoint(false)
     var r = deg.select(col("x").as("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       r = withDeg.join(r, withDeg("x") === r("node"))
         .select(col("y"), (col("r") * col("w") / col("__wd")).as("__c"))
         .groupBy(col("y").as("node"))
         .agg((lit((1 - damping) / n) + lit(damping) * sum(col("__c"))).as("r"))
-        .localCheckpoint()
+      if (i % 4 == 0 && i < iters) r = r.localCheckpoint()
     }
     r.select(col("node"), round(col("r") * n, 6).as("rank"))
   }

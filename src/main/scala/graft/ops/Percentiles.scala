@@ -73,21 +73,36 @@ object Percentiles {
   def exactPerColumn(df: DataFrame, cols: Seq[String],
       ps: Seq[Double]): Map[(String, Double), Double] = {
     require(cols.nonEmpty, "exactPerColumn needs at least one column")
-    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    val dist = ps.distinct
     val stacked = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("__c"), col(c).cast("double").as("__v"))): _*)).as("e"))
       .select(col("e.__c").as("__c"), col("e.__v").as("__v"))
       .filter(col("__v").isNotNull)
     val counts = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
-      .localCheckpoint(false) // CDF and group totals both read it
+    exactPerColumnFromCounts(counts, cols, ps)
+  }
+
+  /** [[exactPerColumn]] over a pre-aggregated (__c, __v, __n)
+    * distinct-value count frame — the shape callers that also derive
+    * other statistics from the same counts (describeExact's moment
+    * sums) already hold, so the whole describe() surface runs at ONE
+    * scan of the data. */
+  private[graft] def exactPerColumnFromCounts(counts: DataFrame,
+      cols: Seq[String], ps: Seq[Double]): Map[(String, Double), Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val dist = ps.distinct
     val cum = graft.ml.Evaluation.withRunningTotals(
-      counts, Seq(col("__c"), col("__v")), Map("__cwg" -> col("__n")))
-    val gtot = counts.groupBy("__c").agg(sum(col("__n")).as("__tot"))
-    val gbase = graft.ml.Evaluation.withRunningTotals(
-        gtot, Seq(col("__c")), Map("__cb" -> col("__tot")))
-      .withColumn("__base", col("__cb") - col("__tot"))
+        counts, Seq(col("__c"), col("__v")), Map("__cwg" -> col("__n")))
+      .localCheckpoint(false) // group bases and the CDF join both read it
+    // each group's base offset (global running count just before the
+    // group starts) and total fall straight out of the FIRST prefix
+    // sum: base = min over the group of (cwg − n), total = max(cwg) −
+    // base — one hash aggregate instead of the second range-partition
+    // prefix-sum machine the round-16 form ran over the group totals
+    val gbase = cum.groupBy("__c").agg(
+        min(col("__cwg") - col("__n")).as("__base"),
+        max(col("__cwg")).as("__top"))
+      .withColumn("__tot", (col("__top") - col("__base")).cast("long"))
       .select("__c", "__tot", "__base")
     val joined = cum.join(gbase, Seq("__c"))
       .withColumn("__cw", (col("__cwg") - col("__base")).cast("long"))
@@ -177,18 +192,18 @@ object Percentiles {
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
       .groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
-      .localCheckpoint(false) // feeds the CDF AND the group totals —
-      // materialize once so the caller's upstream (often a window
-      // over the raw rows) is not computed twice
     // global running count over (g, v); per-group cw = global − the
-    // group's base (sum of all prior groups' counts). Both prefix sums
-    // ride the partition-bounded __pid idiom.
+    // group's base. The base and total fall out of the FIRST prefix
+    // sum (base = min over the group of cwg − n, total = max(cwg) −
+    // base): one hash aggregate replaces the second range-partition
+    // prefix-sum machine the round-16 form ran over the group totals.
     val cum = graft.ml.Evaluation.withRunningTotals(
-      counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
-    val gtot = counts.groupBy("__g").agg(sum(col("__n")).as("__tot"))
-    val gbase = graft.ml.Evaluation.withRunningTotals(
-        gtot, Seq(col("__g")), Map("__cb" -> col("__tot")))
-      .withColumn("__base", col("__cb") - col("__tot"))
+        counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
+      .localCheckpoint(false) // group bases and the CDF join both read it
+    val gbase = cum.groupBy("__g").agg(
+        min(col("__cwg") - col("__n")).as("__base"),
+        max(col("__cwg")).as("__top"))
+      .withColumn("__tot", (col("__top") - col("__base")).cast("long"))
       .select("__g", "__tot", "__base")
     val joined = cum.join(gbase, Seq("__g"))
       .withColumn("__cw", (col("__cwg") - col("__base")).cast("long"))
@@ -255,12 +270,16 @@ object Percentiles {
     require(names.size == ps.size && names.distinct.size == names.size,
       "names must be distinct and pair 1:1 with ps")
     val dist = ps.distinct
+    // group base/total from the FIRST prefix sum (one hash aggregate;
+    // see groupedInterpolated — the second prefix-sum machine over the
+    // group totals is gone, round 17)
     val cum = graft.ml.Evaluation.withRunningTotals(
-      counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
-    val gtot = counts.groupBy("__g").agg(sum(col("__n")).as("__tot"))
-    val gbase = graft.ml.Evaluation.withRunningTotals(
-        gtot, Seq(col("__g")), Map("__cb" -> col("__tot")))
-      .withColumn("__base", col("__cb") - col("__tot"))
+        counts, Seq(col("__g"), col("__v")), Map("__cwg" -> col("__n")))
+      .localCheckpoint(false) // group bases and the CDF join both read it
+    val gbase = cum.groupBy("__g").agg(
+        min(col("__cwg") - col("__n")).as("__base"),
+        max(col("__cwg")).as("__top"))
+      .withColumn("__tot", (col("__top") - col("__base")).cast("long"))
       .select("__g", "__tot", "__base")
     val joined = cum.join(gbase, Seq("__g"))
       .withColumn("__cw", (col("__cwg") - col("__base")).cast("long"))
@@ -302,12 +321,19 @@ object Percentiles {
       .filter(col("__v").isNotNull)
       .groupBy("__v").agg(sum(col("__w")).as("__w"))
     val cum = graft.ml.Evaluation.withRunningTotals(
-      g, Seq(col("__v")), Map("__cw" -> col("__w"))).localCheckpoint()
+      g, Seq(col("__v")), Map("__cw" -> col("__w"))).localCheckpoint(false)
     val total = cum.agg(max(col("__cw"))).head().getDouble(0)
-    ps.map { p =>
-      val v = cum.filter(col("__cw") >= lit(p * total))
-        .agg(min(col("__v"))).head().getDouble(0)
-      p -> v
+    // every crossing value in ONE conditional-min aggregate (the
+    // exact() shape) — the round-16 form ran one filter+agg job per
+    // requested percentile; the predicate is unchanged (same
+    // driver-computed p·total threshold), so values are bit-identical
+    val dist = ps.distinct
+    val aggCols = dist.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cw") >= lit(p * total), col("__v"))).as(s"__p$i")
+    }
+    val row = cum.agg(aggCols.head, aggCols.tail: _*).head()
+    dist.zipWithIndex.map { case (p, i) =>
+      p -> row.getDouble(row.fieldIndex(s"__p$i"))
     }.toMap
   }
 }

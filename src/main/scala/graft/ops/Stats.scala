@@ -170,34 +170,45 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     def r6(x: Double): Double = graft.core.Round.r6(x)
-    // ONE moment pass for every column (k separate scans fused into
-    // one job) and ONE stacked percentile plan for every quartile set
-    // (Percentiles.exactPerColumn — bit-identical to per-column calls);
-    // describe() used to pay 4 moment scans + 4 percentile machines.
-    val aggCols = cols.flatMap { c =>
-      // drop NULLs so n matches the null-skipping sums/min/max and the
-      // null-filtered quartiles (pandas describe excludes NaN/NULL);
-      // multiply in decimal: a micro-unit value of 1e11 squares past
-      // the long range
-      val vi = graft.core.ExactSum.quantLong(col(c))
-      val vid = vi.cast("decimal(38,0)")
-      Seq(count(vi).as(s"n_$c"),
-        sum(vid).as(s"s1_$c"),
-        sum((vid * vid).cast("decimal(38,0)")).as(s"s2_$c"),
-        min(vi).as(s"mn_$c"), max(vi).as(s"mx_$c"))
-    }
-    val a = df.agg(aggCols.head, aggCols.tail: _*).head()
-    val ps = Percentiles.exactPerColumn(df, cols, Seq(0.25, 0.5, 0.75))
+    // ONE scan total (round 17; the round-16 form paid one moment scan
+    // + one percentile scan): the stacked (column, value) distinct
+    // count frame feeds BOTH the quartile CDF (exactPerColumnFromCounts
+    // — bit-identical to per-column exact() calls) and the moment sums,
+    // since Σ over rows of f(v) = Σ over distinct values of f(v)·count
+    // in exact integer arithmetic. The micro-unit integer is re-derived
+    // from the stacked double by the same quantizer expression, so the
+    // summed integers are identical to the per-row form.
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("__c"), col(c).cast("double").as("__v"))): _*)).as("e"))
+      .select(col("e.__c").as("__c"), col("e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // moment sums and the quartile CDF both read it
+    val ps = Percentiles.exactPerColumnFromCounts(counts, cols,
+      Seq(0.25, 0.5, 0.75))
+    // multiply in decimal: a micro-unit value of 1e11 squares past the
+    // long range; NULLs are already excluded (matches pandas describe)
+    val vi = graft.core.ExactSum.quantLong(col("__v"))
+    val vid = vi.cast("decimal(38,0)")
+    val a = counts.groupBy("__c").agg(
+        sum(col("__n")).as("n"),
+        sum(vid * col("__n")).as("s1"),
+        sum((vid * vid).cast("decimal(38,0)") * col("__n")).as("s2"),
+        min(vi).as("mn"), max(vi).as("mx"))
+      .collect().map(r => r.getString(0) -> r).toMap
     val rows = cols.map { c =>
-      val n = a.getLong(a.fieldIndex(s"n_$c"))
-      val s1 = a.getDecimal(a.fieldIndex(s"s1_$c")).doubleValue()
-      val s2 = a.getDecimal(a.fieldIndex(s"s2_$c")).doubleValue()
+      val r = a.getOrElse(c,
+        throw new IllegalArgumentException(s"no non-null values in $c"))
+      val n = r.getLong(r.fieldIndex("n"))
+      val s1 = r.getDecimal(r.fieldIndex("s1")).doubleValue()
+      val s2 = r.getDecimal(r.fieldIndex("s2")).doubleValue()
       val mean = s1 / 1e6 / n
       val variance = s2 / 1e12 / n - mean * mean
       (c, n, r6(mean), r6(math.sqrt(variance)),
-        r6(a.getLong(a.fieldIndex(s"mn_$c")) / 1e6),
+        r6(r.getLong(r.fieldIndex("mn")) / 1e6),
         r6(ps((c, 0.25))), r6(ps((c, 0.5))), r6(ps((c, 0.75))),
-        r6(a.getLong(a.fieldIndex(s"mx_$c")) / 1e6))
+        r6(r.getLong(r.fieldIndex("mx")) / 1e6))
     }
     rows.toDF("col_name", "n", "mean", "std", "min", "p25", "p50", "p75", "max")
   }
