@@ -76,6 +76,14 @@ object GraftFunctions {
   private val simhashInfo = new ExpressionInfo(
     classOf[SimHashTokens].getCanonicalName, "simhash_tokens")
 
+  private val l2sqBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, s"l2_sq expects 2 arguments, got ${children.size}")
+    SqL2Distance(children.head, children(1))
+  }
+
+  private val l2sqInfo = new ExpressionInfo(
+    classOf[SqL2Distance].getCanonicalName, "l2_sq")
+
   private val minhashSigBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
       s"minhash_signature expects 2 arguments, got ${children.size}")
@@ -107,6 +115,7 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"), nfcInfo, nfcBuilder))
     ext.injectFunction((FunctionIdentifier("simhash_tokens"), simhashInfo, simhashBuilder))
     ext.injectFunction((FunctionIdentifier("minhash_signature"), minhashSigInfo, minhashSigBuilder))
+    ext.injectFunction((FunctionIdentifier("l2_sq"), l2sqInfo, l2sqBuilder))
   }
 
   /** Idempotent registration into an existing session's registry. */
@@ -133,6 +142,9 @@ object GraftFunctions {
     val mid = FunctionIdentifier("minhash_signature")
     if (!registry.functionExists(mid))
       registry.registerFunction(mid, minhashSigInfo, minhashSigBuilder)
+    val lid = FunctionIdentifier("l2_sq")
+    if (!registry.functionExists(lid))
+      registry.registerFunction(lid, l2sqInfo, l2sqBuilder)
   }
 
   /** Column API for the native cosine similarity. Ensures registration
@@ -158,6 +170,12 @@ object GraftFunctions {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("sorted_intersect_count", a, b)
+  }
+
+  /** Column API for the native squared-L2 distance. */
+  def l2Sq(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("l2_sq", a, b)
   }
 
   /** Column API for the native per-row MinHash signature. */

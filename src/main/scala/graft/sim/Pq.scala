@@ -33,9 +33,17 @@ object Pq {
 
   private[sim] def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** Squared L2 distance between two equal-length double arrays. */
-  private[sim] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+  /** Squared L2 distance between two equal-length double arrays —
+    * the native codegen expression (one fused loop, ascending-index
+    * accumulation: bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold it replaced; see SqL2Distance).
+    * This sits in the PQ family's hottest loops: ks evaluations per
+    * (vector, subspace) in encode, nCells per vector in IVF
+    * assignment, ks per (probe, subspace) in the ADC tables. */
+  private[sim] def l2sq(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.GraftFunctions.l2Sq(spark, a, b)
+  }
 
   /** Slice length of an m-way subspace split, loudly guarded: a vector
     * length not divisible by m would silently DROP the trailing

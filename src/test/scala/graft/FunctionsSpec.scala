@@ -330,4 +330,28 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     assert(edge.forall(_.isNullAt(1)))
   }
+
+  test("l2_sq equals the aggregate(zip_with) formulation bit-for-bit") {
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (0L until 50L).map { id =>
+      (id, Seq.fill(16)(rnd.nextDouble() * 4 - 2),
+        Seq.fill(16)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val native = df.select(col("id"),
+        GraftFunctions.l2Sq(spark, col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val composed = df.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == composed, "native l2_sq diverges from the HOF fold")
+    // float arrays accepted; empty arrays fold to 0.0 like the HOF form
+    val f = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+      .select(GraftFunctions.l2Sq(spark, col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(f - 5.0) < 1e-12)
+    val e = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(GraftFunctions.l2Sq(spark, col("a"), col("b"))).head().getDouble(0)
+    assert(e == 0.0)
+  }
 }
