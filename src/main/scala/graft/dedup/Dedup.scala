@@ -510,7 +510,20 @@ object Dedup {
     val g = enrichedGrams(
       shingleArrays(df, idCol, textCol, shingleK), bands * rowsPerBand)
       .cache()
+    // cluster by the partition column before the partitionBy write:
+    // without it every write task holds every band and emits one file
+    // per (task, band) — 512 tiny files at 32 tasks × 16 bands, whose
+    // per-file open cost then dominates every probe's bands scan
+    // (guide's small-files rule). `splits` sub-buckets each band by a
+    // deterministic bsig hash so file sizing follows the session's
+    // shuffle parallelism instead of collapsing each band to a single
+    // task at cluster scale.
+    val spark0 = df.sparkSession
+    val shuffleParts = spark0.conf.get("spark.sql.shuffle.partitions").toInt
+    val splits = math.max(1, shuffleParts / bands)
     bandedFromSig(g, bands, rowsPerBand)
+      .repartition(bands * splits, col("band"),
+        pmod(xxhash64(col("bsig")), lit(splits)))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
     g.select(col("id"), col("__gs").as("gs"))
       .write.mode("overwrite").parquet(s"$path/grams")
@@ -643,9 +656,17 @@ object Dedup {
     // skew-guard filter as an anti-join against the over-cap bucket
     // list measured above (identical keep-set to the per-bucket window
     // count it replaces, minus its sort — the batch-path change,
-    // round 17)
+    // round 17). The explicit join-key repartition matters here: the
+    // old↔new join's two sides differ only by the __new filter ABOVE
+    // this point, so one shared exchange (ReuseExchange) feeds both —
+    // without it each side pays its own (band, bsig) shuffle. Explicit
+    // partition count opts out of AQE coalescing (the banded frame is
+    // doc-count-thin pre-join — the spread() lesson).
     val over = bc.filter(col("__n") > maxBucketSize).select("band", "bsig")
     val sized = combined.join(over, Seq("band", "bsig"), "left_anti")
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("bsig"))
     val cand = sized.filter(!col("__new")).as("a")
       .join(sized.filter(col("__new")).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))

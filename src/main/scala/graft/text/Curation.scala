@@ -349,7 +349,11 @@ object Curation {
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Int = 2): DataFrame = {
-    val tok = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+    // undersplit-scan guard: the tokenize + k-gram posexplode is the
+    // operator's heavy scan-local stage (no-op at production split
+    // counts — see core.Parallelize)
+    val tok = graft.core.Parallelize.scan(df)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
     val wins = tok
       .select(col(idCol), posexplode(ngrams(col("__w"), k)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"), md5(col("gram")).as("__h"))
@@ -619,7 +623,10 @@ object Curation {
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10000, k: Int = 100): DataFrame = {
     def gramBuckets(df: DataFrame): DataFrame = {
-      val tok = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      // undersplit-scan guard: unigram+bigram explode + bucket hashing
+      // is the heavy scan-local stage (no-op at production splits)
+      val tok = graft.core.Parallelize.scan(df)
+        .select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
       tok.select(col(idCol),
           explode(concat(col("__w"), ngrams(col("__w"), 2))).as("gram"))
         .select(col(idCol),
