@@ -73,13 +73,28 @@ object StreamingDedup {
   }
 
   /** Per-row banded signature columns, identical to the batch
-    * pipeline's seeded hashes (same seeds, same band hash). */
-  private def bandStructs(bands: Int, rowsPerBand: Int): Seq[org.apache.spark.sql.Column] =
+    * pipeline's seeded hashes (same seeds, same band hash). The
+    * signature rides the native minhash_signature expression since
+    * round 17 — bit-identical to the interpreted
+    * `array_min(transform(__g, g -> xxhash64(lit(j), g)))` per-row form
+    * it replaced (the FunctionsSpec parity pin), one array pass per doc
+    * instead of bands×rowsPerBand interpreted lambda walks. */
+  private def bandStructs(bands: Int,
+      rowsPerBand: Int): Seq[org.apache.spark.sql.Column] =
     (0 until bands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j =>
-        array_min(transform(col("__g"), g => xxhash64(lit(j), g))))
+      val hs = (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bsig"))
     }
+
+  /** The per-row signature column, materialized in its OWN projection
+    * at every call site: the band structs reference it
+    * bands×rowsPerBand times, and CollapseProject refuses to inline a
+    * non-cheap multi-referenced expression — so the signature computes
+    * once per row, never once per element_at. */
+  private def sigCol(spark: SparkSession, bands: Int, rowsPerBand: Int) =
+    graft.functions.GraftFunctions
+      .minhashSignature(spark, col("__g"), bands * rowsPerBand)
 
   def nearDupCandidates(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 3,
@@ -91,6 +106,7 @@ object StreamingDedup {
     val banded = docs
       .select(col(idCol).cast("long").as("id"), grams.as("__g"))
       .filter(size(col("__g")) > 0)
+      .select(col("id"), sigCol(spark, bands, rowsPerBand).as("__sig"))
       .select(col("id"), explode(array(bandStructs(bands, rowsPerBand): _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.bsig").as("bsig"), col("id"))
       .as[BandRow]
@@ -152,6 +168,8 @@ object StreamingDedup {
       .filter(size(col("__g")) > 0)
       .select(col("id"),
         array_sort(array_distinct(col("__g"))).as("gs"), // set semantics, like the batch verifier
+        sigCol(spark, bands, rowsPerBand).as("__sig"))
+      .select(col("id"), col("gs"),
         explode(array(bandStructs(bands, rowsPerBand): _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.bsig").as("bsig"),
         col("id"), col("gs"))
