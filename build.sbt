@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures stdout and parses the LAST line as
+// JSON. Two things broke that for every recorded round (BENCH_r01-r17
+// all have parsed:null): sbt's logger prefixes forked-process output
+// with "[info] ", and the "[success] Total time ..." banner prints
+// after the JSON. StdoutOutput passes the forked JVM's stdout through
+// verbatim; showSuccess/showTiming drop the trailing banner, so the
+// bench's total_summary line is genuinely the final bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -149,7 +149,6 @@ object Bench {
       s"\"" + g + "\":" + names.flatMap(results.get).sum
     }.mkString("{", ",", "}")
     val passJson = passTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"reps":$reps,"pass_totals":$passJson,"memo_groups":$groups,"queries":$qs}""")
     // Belt-and-braces for the same truncation: a SHORT standalone line
     // with just the top-cost queries, printed late enough to survive the
     // tail capture even if the full map above is cut. Two truncation
@@ -182,6 +181,16 @@ object Bench {
     val loadJson = loadavg.mkString("[", ",", "]")
     val cpuJson = passCpuRatios.mkString("[", ",", "]")
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"reps":$reps,"warmup_passes":$warmupPasses,"pass_totals":$passJson,"loadavg":$loadJson,"pass_cpu_ratios":$cpuJson,"memo_groups":$groups}""")
+    // The COMPLETE contract line prints LAST (r18): every BENCH_r01-r17
+    // artifact has parsed:null because the old last stdout line was
+    // sbt's "[success] ..." banner (now suppressed in build.sbt via
+    // StdoutOutput + showSuccess). A last-line JSON parser now gets the
+    // full per-query map plus the posture fields; a bounded tail-window
+    // scraper sees this line's SUFFIX, which — queries ascending — is
+    // exactly the top-cost band, same as before. The short summary/
+    // top_queries/memo_build lines above are kept unchanged as the
+    // second truncation defense.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"n_queries":${results.size},"reps":$reps,"warmup_passes":$warmupPasses,"pass_totals":$passJson,"loadavg":$loadJson,"pass_cpu_ratios":$cpuJson,"memo_groups":$groups,"queries":$qs}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
