@@ -21,6 +21,9 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// showSuccess/showTiming are consumed by sbt's command layer, not by
+// settings/tasks — exclude them from the unused-key lint.
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

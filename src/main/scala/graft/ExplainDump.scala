@@ -34,6 +34,13 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    // Route graft.core.PlanTrace marks (the INTERNAL pre-checkpoint /
+    // pre-collect frames that the registry-level dump cannot see — they
+    // truncate to Scan ExistingRDD / LocalTableScan) into the same out
+    // dir, tagged with the suffix (round-18, verdict ask #9). Building
+    // a query's frame below may eagerly run its scalar/checkpoint jobs,
+    // which is exactly when the marks fire.
+    System.setProperty("graft.plantrace.dir", s"$outDir/trace_$suffix")
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)

@@ -16,42 +16,54 @@ import scala.concurrent.{Await, ExecutionContext, ExecutionContextExecutorServic
   * driver plans the next fit.
   *
   * Nested sections (a seed bag whose per-seed work is itself a fold
-  * loop) run the INNER level sequentially on the calling worker
-  * thread: a bounded pool whose tasks block awaiting tasks of the
-  * same pool can deadlock, and the outer level already owns the
-  * available concurrency. Results always return in input order, and
-  * every fit is seeded-deterministic, so output is identical to the
-  * sequential loop.
+  * loop, a threshold sweep whose per-threshold CV is a fold loop) run
+  * the INNER level on a SECOND bounded pool: a bounded pool whose tasks
+  * block awaiting tasks of the same pool can deadlock, but an outer
+  * task blocking on a DIFFERENT pool cannot (the inner pool's tasks
+  * never wait on the outer's), so one nesting level fans the fits all
+  * the way out — a 3-threshold × 3-fold sweep runs its 9 fits
+  * concurrently instead of 3 batches of 3 (round-18; the measured cost
+  * of the fit groups is per-fit fixed overhead, so overlap IS the
+  * optimization). Depth ≥ 2 falls back to sequential on the calling
+  * thread. Results always return in input order, and every fit is
+  * seeded-deterministic, so output is identical to the sequential
+  * loop.
   */
 object Par {
 
   private val parallelism: Int =
     math.min(8, math.max(2, Runtime.getRuntime.availableProcessors() / 4))
 
-  private lazy val ec: ExecutionContextExecutorService =
+  private def newPool(name: String): ExecutionContextExecutorService =
     ExecutionContext.fromExecutorService(
       Executors.newFixedThreadPool(parallelism, { (r: Runnable) =>
-        val t = new Thread(r, "graft-par")
+        val t = new Thread(r, name)
         t.setDaemon(true)
         t
       }))
 
-  private val inPar: ThreadLocal[java.lang.Boolean] =
-    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+  private lazy val outerEc = newPool("graft-par")
+  private lazy val innerEc = newPool("graft-par-inner")
+
+  private val depth: ThreadLocal[java.lang.Integer] =
+    ThreadLocal.withInitial(() => java.lang.Integer.valueOf(0))
 
   /** Map `f` over `xs` with bounded driver-side parallelism, returning
-    * results in input order. Falls back to a plain sequential map for
-    * trivial inputs and for calls already running inside a Par task. */
-  def mapPar[A, B](xs: Seq[A])(f: A => B): Seq[B] =
-    if (xs.lengthCompare(1) <= 0 || inPar.get()) xs.map(f)
+    * results in input order. Trivial inputs and calls nested two or
+    * more Par levels deep run as a plain sequential map. */
+  def mapPar[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    val d = depth.get().intValue()
+    if (xs.lengthCompare(1) <= 0 || d >= 2) xs.map(f)
     else {
+      val ec = if (d == 0) outerEc else innerEc
       val fs = xs.map { x =>
         Future {
-          inPar.set(java.lang.Boolean.TRUE)
+          depth.set(java.lang.Integer.valueOf(d + 1))
           try f(x)
-          finally inPar.set(java.lang.Boolean.FALSE)
+          finally depth.set(java.lang.Integer.valueOf(0))
         }(ec)
       }
       fs.map(Await.result(_, Duration.Inf))
     }
+  }
 }

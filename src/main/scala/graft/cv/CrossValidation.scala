@@ -133,18 +133,27 @@ object CrossValidation {
 
     val m = metric(cfg)
     val scoreCol = "oof_score"
-    // all k per-fold scores in one grouped pass where the metric
-    // supports it (k filtered rank plans -> one), else per-fold filters
-    val foldScores = Metrics.byGroup(cfg.metricName) match {
-      case Some(f) =>
-        val byFold = f(oof, "fold", target, scoreCol)
-        (0 until cfg.numFolds).map(k => round6(byFold(k), cfg.metricsDecimals))
-      case None =>
-        (0 until cfg.numFolds).map { k =>
-          round6(m(oof.filter(col("fold") === k), target, scoreCol), cfg.metricsDecimals)
-        }
+    // The per-fold evaluation (one grouped pass where the metric
+    // supports it, else per-fold filters) and the total-score
+    // evaluation are INDEPENDENT blocking reads of the cached OOF
+    // frame — overlap them on the Par pool (round-18; each is a short
+    // chain of small jobs, so the driver round-trips are the cost).
+    val evals = graft.core.Par.mapPar(Seq(true, false)) {
+      case true =>
+        Left(Metrics.byGroup(cfg.metricName) match {
+          case Some(f) =>
+            val byFold = f(oof, "fold", target, scoreCol)
+            (0 until cfg.numFolds).map(k => round6(byFold(k), cfg.metricsDecimals))
+          case None =>
+            (0 until cfg.numFolds).map { k =>
+              round6(m(oof.filter(col("fold") === k), target, scoreCol), cfg.metricsDecimals)
+            }
+        })
+      case false =>
+        Right(round6(m(oof, target, scoreCol), cfg.metricsDecimals))
     }
-    val cvScore = round6(m(oof, target, scoreCol), cfg.metricsDecimals)
+    val foldScores = evals.collectFirst { case Left(s) => s }.get
+    val cvScore = evals.collectFirst { case Right(s) => s }.get
     val cvStd = round6(stdPop(foldScores), cfg.metricsDecimals)
 
     // Test reduction over folds: mean of probabilities, else majority

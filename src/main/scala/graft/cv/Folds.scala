@@ -73,7 +73,11 @@ object Folds {
       .sortWithinPartitions(col("__strat"), col("__h"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint() // materialize the range shuffle once; two consumers
+      // lazy: the counts collect below is the action that materializes
+      // it (one job instead of eager-checkpoint + collect; blocks are
+      // pinned, never recomputed, so __mid stays consistent for both
+      // consumers — round-18, the Evaluation.scala r17 pattern)
+      .localCheckpoint(false)
 
     // Per (partition, stratum) block: its first __mid and its start
     // offset WITHIN its stratum (range partitioning puts a stratum's

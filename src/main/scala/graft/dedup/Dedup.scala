@@ -416,9 +416,16 @@ object Dedup {
 
     // drop pathological buckets (stop-shingle skew guard at scale) by
     // anti-joining the over-cap bucket list measured above — identical
-    // keep-set to the round-16 per-bucket window count, minus its sort
-    val over = bc.filter(col("__n") > maxBucketSize).select("band", "bsig")
-    val sized = banded.join(over, Seq("band", "bsig"), "left_anti")
+    // keep-set to the round-16 per-bucket window count, minus its sort.
+    // The sizing aggregate already counted the over-cap buckets, so
+    // when there are NONE (the common healthy-corpus case) the
+    // anti-join is provably the identity and is skipped outright —
+    // one exchange + join stage fewer per call (guide §2.4).
+    val sized =
+      if (overGroups == 0L) banded
+      else banded.join(
+        bc.filter(col("__n") > maxBucketSize).select("band", "bsig"),
+        Seq("band", "bsig"), "left_anti")
 
     // the self-join output is THIN (two longs per row) — the k-band
     // agreement count folds it before anything wide (gram arrays)
@@ -441,7 +448,7 @@ object Dedup {
     // already exist)
     val inter = graft.functions.GraftFunctions
       .sortedIntersectCount(docGrams.sparkSession, col("gs1"), col("gs2"))
-    val verified = cand
+    val verifiedPlan = cand
       .join(enriched.select(col("id").as("id_1"), col("__gs").as("gs1")),
         Seq("id_1"))
       .join(enriched.select(col("id").as("id_2"), col("__gs").as("gs2")),
@@ -451,7 +458,11 @@ object Dedup {
       .select(col("id_1"), col("id_2"),
         (col("i") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint() // materialize before releasing the caches below
+    // the registry-level ExplainDump sees only Scan ExistingRDD past the
+    // checkpoint below — this mark is the real pre-checkpoint plan
+    graft.core.PlanTrace.mark("minHashNearDup_verified", verifiedPlan)
+    val verified =
+      verifiedPlan.localCheckpoint() // materialize before releasing the caches below
     bc.unpersist()
     enriched.unpersist()
     (verified, stats)
@@ -662,11 +673,18 @@ object Dedup {
     // without it each side pays its own (band, bsig) shuffle. Explicit
     // partition count opts out of AQE coalescing (the banded frame is
     // doc-count-thin pre-join — the spread() lesson).
-    val over = bc.filter(col("__n") > maxBucketSize).select("band", "bsig")
-    val sized = combined.join(over, Seq("band", "bsig"), "left_anti")
-      .repartition(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("band"), col("bsig"))
+    // When the sizing aggregate counted ZERO over-cap buckets (the
+    // common healthy-corpus case) the anti-join is provably the
+    // identity and is skipped outright — one exchange + join stage
+    // fewer per probe call (guide §2.4).
+    val capped =
+      if (overGroups == 0L) combined
+      else combined.join(
+        bc.filter(col("__n") > maxBucketSize).select("band", "bsig"),
+        Seq("band", "bsig"), "left_anti")
+    val sized = capped.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("band"), col("bsig"))
     val cand = sized.filter(!col("__new")).as("a")
       .join(sized.filter(col("__new")).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
@@ -674,14 +692,19 @@ object Dedup {
       .cache()
     // the new batch's sorted-distinct gram arrays already exist in the
     // enriched cache; the indexed side still semi-joins down to
-    // candidate ids before its (heavy-array) parquet read joins
+    // candidate ids before its (heavy-array) parquet read joins. No
+    // .distinct() on the key sides: left_semi already has at-most-once
+    // semantics, so the pre-aggregation bought nothing but a shuffle
+    // each (guide §2.4 — a distinct on data whose duplicates cannot
+    // affect the result).
     val gsNew = gNew.select(col("id"), col("__gs").as("gs"))
-      .join(cand.select(col("id_2").as("id")).distinct(), Seq("id"), "left_semi")
+      .join(cand.select(col("id_2").as("id")), Seq("id"), "left_semi")
     val gsOld = spark.read.parquet(s"$path/grams")
-      .join(cand.select(col("id_1").as("id")).distinct(), Seq("id"), "left_semi")
-    val verified = jaccardFromGramSets(cand, gsOld.unionByName(gsNew))
+      .join(cand.select(col("id_1").as("id")), Seq("id"), "left_semi")
+    val verifiedPlan = jaccardFromGramSets(cand, gsOld.unionByName(gsNew))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint()
+    graft.core.PlanTrace.mark("nearDupAgainstIndex_verified", verifiedPlan)
+    val verified = verifiedPlan.localCheckpoint()
     cand.unpersist()
     bc.unpersist()
     combined.unpersist()
@@ -896,15 +919,21 @@ object Dedup {
     * ~log2(d) rounds (asserted adversarially in LlmOpsSpec). */
   def duplicateClustersWithRounds(
       pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    // localCheckpoint (eager) rather than cache: iterative algorithms
-    // grow the logical plan linearly under cache (compute is reused but
-    // every round re-analyzes the whole history); checkpointing
-    // truncates lineage so round N plans are constant-size.
+    // localCheckpoint rather than cache: iterative algorithms grow the
+    // logical plan linearly under cache (compute is reused but every
+    // round re-analyzes the whole history); checkpointing truncates
+    // lineage so round N plans are constant-size. LAZY checkpoints
+    // throughout (round-18): the per-round convergence count is the
+    // action that materializes that round's checkpoint, so each round
+    // costs ONE blocking job instead of two (eager checkpoint + count
+    // — the PageRank lesson, guide §5: the driver should block as
+    // little as possible). The initial edge/label frames materialize
+    // inside round 1's job the same way.
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+      .withColumn("cluster", col("id")).localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -922,7 +951,11 @@ object Dedup {
           labels.select(col("id").as("__c"), col("cluster").as("__cc")), Seq("__c"), "left")
         .select(col("id"), col("__old"),
           least(col("__c"), coalesce(col("__cc"), col("__c"))).as("cluster"))
-        .localCheckpoint() // one eager job per round; plan stays flat
+        .localCheckpoint(false)
+      if (iter == 0) graft.core.PlanTrace.mark("duplicateClusters_round", jumped)
+      // this count is the round's ONE action: it materializes the lazy
+      // checkpoint (all three columns) as a side effect and reads the
+      // convergence signal off the same pass
       changed = jumped.filter(col("cluster") =!= col("__old")).count()
       labels = jumped.select("id", "cluster")
       iter += 1

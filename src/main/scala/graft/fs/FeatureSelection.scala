@@ -69,7 +69,9 @@ object FeatureSelection {
       .repartitionByRange(col("__k")).sortWithinPartitions(col("__k"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint() // one materialization; counts + output consumers
+      // lazy: the counts collect materializes it (one job, not two);
+      // blocks are pinned so __mid is consistent for all consumers
+      .localCheckpoint(false)
     val counts = parts.groupBy("__pid")
       .agg(count(lit(1)).as("__n"), min("__mid").as("__m"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -113,6 +115,24 @@ object FeatureSelection {
     graft.core.Par.mapPar(frames.zipWithIndex) { case (frame, i) =>
       importancesOnce(frame, features, target, model, seed, shuffleSeed = None)
         .withColumn("run", lit(i + 1))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The actual-importance fit (run 0) and the A15 null runs (1..nbRuns)
+    * in ONE concurrent fan-out: the actual fit is independent of every
+    * null fit, so running it first serialized one fit-duration behind
+    * the pool for no reason (round-18; the per-fit fixed overhead is
+    * the measured cost of this family). Row-for-row identical to
+    * `importancesOnce(...).withColumn("run", 0) unionByName
+    * nullImportances(...)`. */
+  def importancesWithNulls(
+      train: DataFrame, features: Seq[String], target: String,
+      model: ModelWrapper, seed: Long, nbRuns: Int): DataFrame = {
+    val frames =
+      train +: shuffleColumnRuns(train, target, (1 to nbRuns).map(seed + _))
+    graft.core.Par.mapPar(frames.zipWithIndex) { case (frame, i) =>
+      importancesOnce(frame, features, target, model, seed, shuffleSeed = None)
+        .withColumn("run", lit(i))
     }.reduce(_ unionByName _)
   }
 

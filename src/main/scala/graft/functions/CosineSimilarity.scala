@@ -72,6 +72,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // x/y via freshName: raw locals risk a Janino collision with an
+      // enclosing generated scope, silently dropping the stage to the
+      // interpreted path (same fix as SqL2Distance)
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
         int $n = $a.numElements();
         if ($n == 0 || $b.numElements() != $n) {
@@ -79,9 +84,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            double x = (double) $a.$lGet($i);
-            double y = (double) $b.$rGet($i);
-            $dot += x * y; $na += x * x; $nb += y * y;
+            double $x = (double) $a.$lGet($i);
+            double $y = (double) $b.$rGet($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
           if ($na == 0.0 || $nb == 0.0) {
             ${ev.isNull} = true;

@@ -33,12 +33,26 @@ object MinHashKernel {
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val g = gs.getLong(i)
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashLong(g, sd(j))
-        if (h < out(j)) out(j) = h
-        j += 1
+      if (gs.isNullAt(i)) {
+        // bit-parity with the exploded aggregate form: xxhash64 leaves
+        // the accumulator untouched for a NULL input, so
+        // xxhash64(lit(j), NULL) = hashInt(j, 42) = sd(j). Guarding here
+        // (rather than getLong(i) blindly) avoids the silent-0L hash on
+        // UnsafeArrayData / NPE on GenericArrayData for SQL callers
+        // passing nullable-element arrays.
+        var j = 0
+        while (j < numHashes) {
+          if (sd(j) < out(j)) out(j) = sd(j)
+          j += 1
+        }
+      } else {
+        val g = gs.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashLong(g, sd(j))
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
       }
       i += 1
     }

@@ -72,6 +72,12 @@ case class SqL2Distance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // x/y via freshName like the rest: raw locals would collide with
+      // any enclosing generated scope declaring the same names, and a
+      // Janino failure silently drops the whole stage to the
+      // interpreted path — defeating the expression's purpose
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
         int $n = $a.numElements();
         if ($b.numElements() != $n) {
@@ -80,9 +86,9 @@ case class SqL2Distance(left: Expression, right: Expression)
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-            double x = (double) $a.$lGet($i);
-            double y = (double) $b.$rGet($i);
-            $acc += (x - y) * (x - y);
+            double $x = (double) $a.$lGet($i);
+            double $y = (double) $b.$rGet($i);
+            $acc += ($x - $y) * ($x - $y);
           }
           if (!${ev.isNull}) { ${ev.value} = $acc; }
         }

@@ -239,7 +239,8 @@ object Evaluation {
       df.select(col(idCol), col(labelCol).cast("double").as("__y"),
         col(scoreCol).as("__s")),
       Seq(col("__s").desc, col(idCol)), "__rn")
-      .localCheckpoint() // two consumers: the count and the tile aggregate
+      // lazy: the count below materializes it for the tile aggregate
+      .localCheckpoint(false)
     val n = ranked.count()
     // exact integer arithmetic both here and in the oracle (DIV, not
     // float division) so tile boundaries are engine-portable

@@ -65,7 +65,9 @@ object Metrics {
       .repartitionByRange(col("__s"))
       .sortWithinPartitions("__s")
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // materialize the range shuffle once; two consumers below
+      // lazy: the partTotals collect below materializes it — one job
+      // per AUC evaluation instead of two (round-18)
+      .localCheckpoint(false)
     val partTotals = grouped.groupBy("__pid").agg(sum("__n").as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -102,7 +104,8 @@ object Metrics {
       .repartitionByRange(col("__g"), col("__s"))
       .sortWithinPartitions("__g", "__s")
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // materialize the range shuffle once; two consumers
+      // lazy: the partTotals collect below materializes it (one job)
+      .localCheckpoint(false)
     val partTotals = grouped.groupBy("__pid", "__g").agg(sum("__n").as("__t"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     val offsets = partTotals.groupBy(_._2).iterator.flatMap { case (g, rows) =>

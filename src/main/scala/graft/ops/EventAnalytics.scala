@@ -563,16 +563,23 @@ object EventAnalytics {
       .select(col(keyCol),
         (unix_micros(col("__mx")) - unix_micros(col("__last"))).as("recency_us"),
         col("frequency"), col("monetary"))
-      .localCheckpoint() // three independent rankings read this frame
+      // lazy: the count below materializes it for the three rankings
+      .localCheckpoint(false)
     val n = base.count()
     // rank each dimension on the per-key frame (already far smaller
     // than the event table, and the ranking itself is distributed)
     def rankOn(orderCols: Seq[Column], name: String): DataFrame =
       graft.ml.Evaluation.withRowNumber(base, orderCols, "__rn")
         .select(col(keyCol), (expr(s"(__rn - 1) * $k DIV ${n}L") + 1L).as(name))
-    val r = rankOn(Seq(col("recency_us"), col(keyCol)), "r_score")
-    val f = rankOn(Seq(col("frequency").desc, col(keyCol)), "f_score")
-    val m = rankOn(Seq(col("monetary").desc, col(keyCol)), "m_score")
+    // the three rankings are independent prefix-sum machines (each
+    // pays blocking offset collects inside withRowNumber) over the
+    // same pinned base — overlap them on the Par pool (round-18)
+    val Seq(r, f, m) = graft.core.Par.mapPar(Seq(
+      (Seq(col("recency_us"), col(keyCol)), "r_score"),
+      (Seq(col("frequency").desc, col(keyCol)), "f_score"),
+      (Seq(col("monetary").desc, col(keyCol)), "m_score"))) {
+      case (cols, name) => rankOn(cols, name)
+    }
     base.join(r, Seq(keyCol)).join(f, Seq(keyCol)).join(m, Seq(keyCol))
       .select(col(keyCol), col("recency_us"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))

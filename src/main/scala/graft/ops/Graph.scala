@@ -48,9 +48,15 @@ object Graph {
       itemCol: String, maxBasketSize: Int): (DataFrame, DataFrame) = {
     val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val sizes = b.groupBy("__b").agg(count(lit(1)).as("__sz"))
+    // guard as a LEFT-ANTI join against the over-cap basket list
+    // (identical keep-set: every basket has a size row, so "not over
+    // cap" = "size <= cap"). The over-cap side is bounded by
+    // rows/maxBasketSize — always the broadcastable side at scale —
+    // where the kept list the old inner join shipped is corpus-sized
+    // (the dedup family's bucket-cap pattern, guide §3.1).
     val sized = b.join(
-      sizes.filter(col("__sz") <= maxBasketSize).select("__b"),
-      Seq("__b"))
+      sizes.filter(col("__sz") > maxBasketSize).select("__b"),
+      Seq("__b"), "left_anti")
     val l = sized.select(col("__b"), col("__i").as("src"))
     val r = sized.select(col("__b"), col("__i").as("dst"))
     val edges = l.join(r, Seq("__b")).filter(col("src") < col("dst"))
@@ -153,7 +159,13 @@ object Graph {
   def triangleStats(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges.select("src", "dst").localCheckpoint(false)
+    // cast ids to long up front: the adjacency intersect runs through
+    // sorted_intersect_count, which type-checks array<bigint> only —
+    // without the cast an int/short-id edge list fails at analysis even
+    // though the scaladoc contract is any orderable id (the cast is a
+    // plan no-op when ids are already long)
+    val und = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(false)
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("__d"))
@@ -198,10 +210,14 @@ object Graph {
       .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
     val isect = graft.functions.GraftFunctions.sortedIntersectCount(
       spark, col("__na"), col("__nb"))
-    val nTri = oriented
+    val nTriPlan = oriented
       .join(adj.select(col("node").as("a"), col("__nbrs").as("__na")), Seq("a"))
       .join(adj.select(col("node").as("b"), col("__nbrs").as("__nb")), Seq("b"))
-      .agg(coalesce(sum(isect), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(isect), lit(0L)))
+    // the registry query returns a LocalTableScan of the eager scalars —
+    // this mark is the real triangle-count plan
+    graft.core.PlanTrace.mark("triangleStats_count", nTriPlan)
+    val nTri = nTriPlan.head().getLong(0)
     def r6(x: Double) = graft.core.Round.r6(x)
     val transitivity = if (nWedges > 0) r6(3.0 * nTri / nWedges) else 0.0
     Seq((nNodes, nEdges, nWedges, nTri, transitivity))
@@ -220,7 +236,9 @@ object Graph {
     import spark.implicits._
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // consumers: percentiles, rank, aggregates
+      // lazy: the first consumer (percentiles / rank / aggregate)
+      // materializes it — no standalone checkpoint job
+      .localCheckpoint(false)
     val ranked = graft.ml.Evaluation.withRowNumber(
       counts, Seq(col("__c"), col("__k")), "__rn")
     val ps = Percentiles.exact(counts, "__c", Seq(0.5, 0.99))

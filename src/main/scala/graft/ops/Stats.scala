@@ -137,7 +137,8 @@ object Stats {
     val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
-      .localCheckpoint() // consumers: row totals, col totals, grid join
+      // lazy: the n aggregate below materializes it for all consumers
+      .localCheckpoint(false)
     val rt = obs.groupBy("__a").agg(sum("__o").as("__rt"))
     val ct = obs.groupBy("__b").agg(sum("__o").as("__ct"))
     val n = obs.agg(sum("__o")).head().getLong(0)
@@ -185,18 +186,29 @@ object Stats {
       .filter(col("__v").isNotNull)
     val counts = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
       .localCheckpoint(false) // moment sums and the quartile CDF both read it
-    val ps = Percentiles.exactPerColumnFromCounts(counts, cols,
-      Seq(0.25, 0.5, 0.75))
     // multiply in decimal: a micro-unit value of 1e11 squares past the
     // long range; NULLs are already excluded (matches pandas describe)
     val vi = graft.core.ExactSum.quantLong(col("__v"))
     val vid = vi.cast("decimal(38,0)")
-    val a = counts.groupBy("__c").agg(
-        sum(col("__n")).as("n"),
-        sum(vid * col("__n")).as("s1"),
-        sum((vid * vid).cast("decimal(38,0)") * col("__n")).as("s2"),
-        min(vi).as("mn"), max(vi).as("mx"))
-      .collect().map(r => r.getString(0) -> r).toMap
+    // the quartile CDF (a chain of small prefix-sum jobs) and the moment
+    // aggregate are independent reads of the checkpointed counts frame —
+    // overlap them on the Par pool (round-18; concurrent first readers
+    // of a lazy checkpoint are safe: persist is per-partition, one
+    // compute wins)
+    val evals = graft.core.Par.mapPar(Seq(true, false)) {
+      case true =>
+        Left(Percentiles.exactPerColumnFromCounts(counts, cols,
+          Seq(0.25, 0.5, 0.75)))
+      case false =>
+        Right(counts.groupBy("__c").agg(
+            sum(col("__n")).as("n"),
+            sum(vid * col("__n")).as("s1"),
+            sum((vid * vid).cast("decimal(38,0)") * col("__n")).as("s2"),
+            min(vi).as("mn"), max(vi).as("mx"))
+          .collect().map(r => r.getString(0) -> r).toMap)
+    }
+    val ps = evals.collectFirst { case Left(p) => p }.get
+    val a = evals.collectFirst { case Right(m) => m }.get
     val rows = cols.map { c =>
       val r = a.getOrElse(c,
         throw new IllegalArgumentException(s"no non-null values in $c"))

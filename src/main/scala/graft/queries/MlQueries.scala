@@ -199,7 +199,11 @@ object MlQueries {
       val folded = graft.cv.Folds.assign(
         frame.select(("row_id" +: "target" +: cvFeatures).map(col): _*),
         bagCfg.numFolds, bagCfg.dataSplitSeed, Some("target")).cache()
-      val results = bagSeedList.map { seed =>
+      folded.count() // materialize once before the concurrent fits race the cache
+      // both seeds' CVs are independent seeded fits — run them from the
+      // outer Par pool; the inner fold loop fans out on the second-level
+      // pool, so all 2×3 RF fits overlap (round-18 two-level Par)
+      val results = graft.core.Par.mapPar(bagSeedList) { seed =>
         seed -> CrossValidation.runCvOneSeed(
           frame, test = None, cvFeatures, "target", "row_id",
           bagModel, bagCfg, seedVal = seed, preFolded = Some(folded))
@@ -520,6 +524,12 @@ object MlQueries {
           col("shap_o_epoch"), col("shap_bias"),
           round(col("margin"), 6).as("check"))
         .orderBy("row_id")
+        // lazy checkpoint: the memo previously stored only the LAZY plan,
+        // so the GBT fit was shared but every consumer (q73's own dump
+        // AND q75's aggregate) re-executed the whole transform + SHAP
+        // expression chain; whichever query evaluates first now
+        // materializes it once (round-18)
+        .localCheckpoint(false)
     }
 
   val treeShapSql: String =
@@ -606,12 +616,11 @@ object MlQueries {
     graft.core.Memo.getOrElseUpdate(
         s"null_imp:${s.sparkContext.applicationId}:$d") {
       val frame = cvFrame(s, d).filter(col("row_id") % 4 === 0)
-      val actual = graft.fs.FeatureSelection.importancesOnce(
-          frame, cvFeatures, "target", fsExplorer, 27L, shuffleSeed = None)
-        .withColumn("run", lit(0))
-      val nulls = graft.fs.FeatureSelection.nullImportances(
-        frame, cvFeatures, "target", fsExplorer, 27L, nbRuns = 3)
-      actual.unionByName(nulls)
+      // all 4 explorer fits (actual run 0 + 3 null runs) overlap in one
+      // Par fan-out — row-identical to the sequential actual-then-nulls
+      // form (round-18)
+      graft.fs.FeatureSelection.importancesWithNulls(
+          frame, cvFeatures, "target", fsExplorer, 27L, nbRuns = 3)
         .select(col("feature"), round(col("importance_gain"), 6).as("importance_gain"),
           round(col("importance_split"), 6).as("importance_split"), col("run"))
         .localCheckpoint(false)

@@ -161,7 +161,9 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val pc = probeCells(cents, probes, idCol, vecCol, nProbe)
-      .localCheckpoint() // reused: cell-id collect + the re-rank join
+      // lazy: the cell-id collect below materializes it; the re-rank
+      // join reads the pinned blocks
+      .localCheckpoint(false)
     val cells = pc.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     rerank(ivfProbedScan(spark, path, cells), pc, k)
   }

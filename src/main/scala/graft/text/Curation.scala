@@ -851,7 +851,8 @@ object Curation {
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
     val parts = tok.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // materialize the range shuffle once; two consumers
+      // lazy: the totals collect below materializes it (one job)
+      .localCheckpoint(false)
     val totals = parts.groupBy("__pid").agg(sum("n_tokens").as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
